@@ -1,0 +1,485 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational parity queries — one per operator pattern in SURVEY.md §2,
+  * realized over the shared TPC-H-ish test tables (SURVEY.md §7.0 mapping:
+  * `customer.c_mktsegment` plays `industry`, `orders` month-bucketed plays
+  * the monthly series, latest-order-per-customer plays the
+  * latest-quarter-per-ticker pattern of the reference's `cleaning.py:62-63`).
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins (`nation`, `region`, single-row query frames) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins/aggs shuffle on their natural keys once and reuse it;
+  *  - every query is a single declarative plan: Catalyst pushes filters and
+  *    prunes columns into the parquet scan (verified via explain in tests).
+  */
+object Relational {
+
+  private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  // ---------------------------------------------------------------- q_agg_basic
+  /** A2-shaped multi-measure hash aggregate (TPC-H Q1 silhouette).
+    * Reference: 12x AVG GROUP BY industry, Frontend.py:60-69. */
+  private def aggBasic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
+        dsum(($"l_extendedprice" * (lit(1) - $"l_discount")) * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val aggBasicSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       | ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       | ${sqlDsum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 6)} AS sum_charge,
+       | ${sqlDavg("l_quantity")} AS avg_qty,
+       | ${sqlDavg("l_extendedprice")} AS avg_price,
+       | ${sqlDavg("l_discount")} AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------ q_industry_avg
+  /** Flagship: the reference's `industry_averages` (Frontend.py:60-69) —
+    * entity dim LEFT JOIN periodic facts LEFT JOIN derived metrics,
+    * multi-measure AVG GROUP BY segment (J5 + A2). */
+  def industryAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    // "financial_statements" analog: per-customer order facts
+    val fs = o.groupBy($"o_custkey")
+      .agg(
+        dsum($"o_totalprice").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .withColumnRenamed("o_custkey", "fs_custkey")
+    // "ratios" analog: per-customer derived metrics from the fact table
+    val r = l.join(o.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+        dsum($"l_quantity").as("total_qty"))
+      .withColumnRenamed("o_custkey", "r_custkey")
+    c.join(fs, $"c_custkey" === $"fs_custkey", "left")
+      .join(r, $"c_custkey" === $"r_custkey", "left")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        davg($"c_acctbal").as("avg_acctbal"),
+        davg($"total_spend").as("avg_spend"),
+        iavg($"n_orders").as("avg_orders"),
+        davg($"revenue", 4).as("avg_revenue"),
+        davg($"total_qty").as("avg_qty"))
+      .orderBy($"segment")
+  }
+
+  private val industryAvgSql =
+    s"""WITH fs AS (
+       |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY o_custkey),
+       |r AS (
+       |  SELECT o.o_custkey, ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       |         ${sqlDsum("l.l_quantity")} AS total_qty
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY o.o_custkey)
+       |SELECT c.c_mktsegment AS segment,
+       |  COUNT(*) AS n_customers,
+       |  ${sqlDavg("c.c_acctbal")} AS avg_acctbal,
+       |  ${sqlDavg("fs.total_spend")} AS avg_spend,
+       |  ${sqlIavg("fs.n_orders")} AS avg_orders,
+       |  ${sqlDavg("r.revenue", 4)} AS avg_revenue,
+       |  ${sqlDavg("r.total_qty")} AS avg_qty
+       |FROM customer c
+       |LEFT JOIN fs ON c.c_custkey = fs.o_custkey
+       |LEFT JOIN r ON c.c_custkey = r.o_custkey
+       |GROUP BY c.c_mktsegment
+       |ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------------------ q_point_lookup
+  /** P2: point equality filter (`WHERE ticker = 'T'`, Frontend.py:28-55).
+    * At scale this is a parquet scan with the predicate pushed to row
+    * groups — explain shows PushedFilters: [EqualTo(c_custkey,42)]. */
+  private def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).filter($"c_custkey" === 42)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+  }
+
+  private val pointLookupSql =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey = 42""".stripMargin
+
+  // ----------------------------------------------------- q_latest_per_key_join
+  /** J1/A1: latest-row-per-group via group-max + self equi-join — the
+    * reference's exact formulation (cleaning.py:62-63). Keeps ties like
+    * pandas merge does. */
+  private def latestPerKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val latest = o.groupBy($"o_custkey").agg(max($"o_orderdate").as("max_date"))
+      .withColumnRenamed("o_custkey", "m_custkey")
+    o.join(latest, $"o_custkey" === $"m_custkey" && $"o_orderdate" === $"max_date")
+      .select(
+        $"o_custkey".as("custkey"),
+        $"o_orderkey".as("orderkey"),
+        date_format($"o_orderdate", "yyyy-MM").as("latest_month"),
+        $"o_totalprice".as("totalprice"))
+      .orderBy($"custkey", $"orderkey")
+  }
+
+  private val latestPerKeyJoinSql =
+    """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m') AS latest_month,
+      |  o.o_totalprice AS totalprice
+      |FROM orders o
+      |JOIN (SELECT o_custkey, max(o_orderdate) AS max_date FROM orders GROUP BY o_custkey) m
+      |  ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.max_date
+      |ORDER BY custkey, orderkey""".stripMargin
+
+  // --------------------------------------------------- q_latest_per_key_window
+  /** J1 idiomatic alternative: row_number window (SURVEY.md §2.5) — one
+    * shuffle on the partition key instead of agg + join; dedups ties
+    * deterministically. The two formulations are asserted equivalent in
+    * RelationalSpec. */
+  private def latestPerKeyWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey".as("custkey"),
+        $"o_orderkey".as("orderkey"),
+        date_format($"o_orderdate", "yyyy-MM").as("latest_month"),
+        $"o_totalprice".as("totalprice"))
+      .orderBy($"custkey")
+  }
+
+  private val latestPerKeyWindowSql =
+    """SELECT custkey, orderkey, latest_month, totalprice FROM (
+      |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |    strftime(o_orderdate, '%Y-%m') AS latest_month,
+      |    o_totalprice AS totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------- q_derived_ratios
+  /** F6-F8: row-level derived metrics (cleaning.py:59,82,87) with the
+    * reference's silent div-by-zero tolerated via NULLIF guards (SURVEY.md
+    * §7.3 risk 3). Pure row-level arithmetic — identical IEEE ops in both
+    * engines, so no rounding needed. */
+  private def derivedRatios(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select(
+      $"l_orderkey".as("orderkey"),
+      $"l_linenumber".as("linenumber"),
+      ($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+      ($"l_extendedprice" / nullifZero($"l_quantity")).as("unit_price"),
+      (($"l_extendedprice" * (lit(1) - $"l_discount")) * (lit(1) + $"l_tax") /
+        nullifZero($"l_quantity" * (lit(1) - $"l_discount"))).as("charge_per_unit"))
+      .orderBy($"orderkey", $"linenumber")
+  }
+
+  private val derivedRatiosSql =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |  l_extendedprice * (1 - l_discount) AS revenue,
+      |  l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
+      |  (l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+      |    / NULLIF(l_quantity * (1 - l_discount), 0) AS charge_per_unit
+      |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin
+
+  // ------------------------------------------------------- q_monthly_avg_trend
+  /** J6+A3+O1+F4: the reference's `industry_average_stock_price`
+    * (Frontend.py:71-79): dim LEFT JOIN series, segment filter, AVG GROUP
+    * BY month, ORDER BY month. Customers with no orders fold into a
+    * sentinel bucket (explicit, instead of relying on engine NULL-ordering). */
+  private def monthlyAvgTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, dir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy(coalesce(date_format($"o_orderdate", "yyyy-MM"), lit("no-order")).as("month"))
+      .agg(
+        davg($"o_totalprice").as("avg_total_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"month")
+  }
+
+  private val monthlyAvgTrendSql =
+    s"""SELECT COALESCE(strftime(o.o_orderdate, '%Y-%m'), 'no-order') AS month,
+       |  ${sqlDavg("o.o_totalprice")} AS avg_total_price,
+       |  COUNT(*) AS n_rows
+       |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |GROUP BY 1 ORDER BY month""".stripMargin
+
+  // -------------------------------------------------------------- q_date_format
+  /** F4/F5: month-key derivation ("yyyy-MM") and display formatting
+    * ("MMM yyyy"), retrieval.py:44,63 / Frontend.py:57-58,81-82. */
+  private def dateFormatQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        date_format($"o_orderdate", "yyyy-MM").as("month"),
+        date_format($"o_orderdate", "MMM yyyy").as("display_month"))
+      .distinct()
+      .orderBy($"month")
+  }
+
+  private val dateFormatSql =
+    """SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+      |  strftime(o_orderdate, '%b %Y') AS display_month
+      |FROM orders ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------- q_topk
+  /** O1/O2: global sort + limit (top-k). Spark plans this as TakeOrderedAndProject
+    * — per-partition heaps, no global shuffle of the full table. */
+  private def topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey".as("custkey"), $"c_name".as("name"), $"c_acctbal".as("acctbal"))
+      .orderBy($"acctbal".desc, $"custkey")
+      .limit(10)
+  }
+
+  private val topkSql =
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      |FROM customer ORDER BY acctbal DESC, custkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------- q_left_join_enrich
+  /** J2-J4: dimension-enrichment join chain (cleaning.py:85-88). Both dims
+    * are broadcast — zero shuffle of the big side at any scale. */
+  private def leftJoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey", "left")
+      .select(
+        $"c_custkey".as("custkey"),
+        $"c_name".as("name"),
+        $"n_name".as("nation"),
+        $"r_name".as("region"),
+        $"c_acctbal".as("acctbal"))
+      .orderBy($"custkey")
+  }
+
+  private val leftJoinEnrichSql =
+    """SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+      |  r.r_name AS region, c.c_acctbal AS acctbal
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------------------ q_cast_conform
+  /** P1+F10: fixed-schema conformance — projection + rename + casts,
+    * including the reference's null-on-bad-cast string->double semantics
+    * (cleaning.py:30,42,58,80; ANSI off <-> oracle TRY_CAST). */
+  private def castConform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey".cast(StringType).as("order_id"),
+      $"o_custkey".as("cust_id"),
+      $"o_totalprice".cast(DoubleType).as("total_price"),
+      date_format($"o_orderdate", "yyyy-MM").as("month"),
+      $"o_orderstatus".as("status"),
+      expr("try_cast(o_orderpriority AS DOUBLE)").as("prio_num")) // '5-LOW' -> null
+      .orderBy($"cust_id", $"order_id")
+  }
+
+  private val castConformSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS order_id, o_custkey AS cust_id,
+      |  CAST(o_totalprice AS DOUBLE) AS total_price,
+      |  strftime(o_orderdate, '%Y-%m') AS month,
+      |  o_orderstatus AS status,
+      |  TRY_CAST(o_orderpriority AS DOUBLE) AS prio_num
+      |FROM orders ORDER BY cust_id, order_id""".stripMargin
+
+  // --------------------------------------------------------------- q_union_all
+  /** U1: vertical concat (retrieval.py:22,43,62). */
+  private def unionAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+    val a = l.filter($"l_returnflag" === "A")
+      .select($"l_orderkey".as("orderkey"), $"l_linenumber".as("linenumber"), $"l_returnflag".as("flag"))
+    val r = l.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("orderkey"), $"l_linenumber".as("linenumber"), $"l_returnflag".as("flag"))
+    a.unionByName(r).orderBy($"orderkey", $"linenumber", $"flag")
+  }
+
+  private val unionAllSql =
+    """SELECT * FROM (
+      |  SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_returnflag AS flag
+      |  FROM lineitem WHERE l_returnflag = 'A'
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_returnflag
+      |  FROM lineitem WHERE l_returnflag = 'R') t
+      |ORDER BY orderkey, linenumber, flag""".stripMargin
+
+  // -------------------------------------------------- q_union_entity_vs_avg
+  /** U2+R5: entity row UNION segment-average row, schema-aligned with a
+    * missing column (Frontend.py:86-88). The positional relabel (R5) is
+    * replaced by an explicit `entity` tag — SURVEY.md §7.3 risk 2. */
+  private def entityVsAvgFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val spend = Tables.orders(s, dir).groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("total_spend"))
+    val enriched = c.join(spend, $"c_custkey" === $"o_custkey", "left")
+    val one = enriched.filter($"c_custkey" === 42)
+      .select($"c_name".as("entity"), $"c_acctbal".as("acctbal"),
+        $"total_spend", $"c_nationkey".as("nationkey"))
+    // the segment of customer 42, resolved relationally (no collect)
+    val seg42 = c.filter($"c_custkey" === 42).select($"c_mktsegment".as("seg42"))
+    val avgRow = enriched.join(broadcast(seg42), $"c_mktsegment" === $"seg42")
+      .agg(davg($"c_acctbal").as("acctbal"), davg($"total_spend").as("total_spend"))
+      .select(lit("Segment Average").as("entity"), $"acctbal", $"total_spend")
+    one.unionByName(avgRow, allowMissingColumns = true).orderBy($"entity")
+  }
+
+  private val entityVsAvgSql =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend FROM orders GROUP BY o_custkey),
+       |enriched AS (
+       |  SELECT c.*, s.total_spend FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+       |one AS (
+       |  SELECT c_name AS entity, c_acctbal AS acctbal, total_spend,
+       |         CAST(c_nationkey AS INT) AS nationkey
+       |  FROM enriched WHERE c_custkey = 42),
+       |seg AS (
+       |  SELECT 'Segment Average' AS entity,
+       |    ${sqlDavg("c_acctbal")} AS acctbal,
+       |    ${sqlDavg("total_spend")} AS total_spend,
+       |    CAST(NULL AS INT) AS nationkey
+       |  FROM enriched
+       |  WHERE c_mktsegment = (SELECT c_mktsegment FROM customer WHERE c_custkey = 42))
+       |SELECT * FROM one UNION ALL SELECT * FROM seg ORDER BY entity""".stripMargin
+
+  // --------------------------------------------------------- q_unpivot_compare
+  /** R3: wide->long unpivot of the 2-row comparison frame (Frontend.py:96-97)
+    * — Spark `unpivot`, oracle spelled as UNION ALL. */
+  private def unpivotCompare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    entityVsAvgFrame(s, dir)
+      .unpivot(Array($"entity"), Array($"acctbal", $"total_spend"), "metric", "value")
+      .orderBy($"entity", $"metric")
+  }
+
+  private val unpivotCompareSql =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend FROM orders GROUP BY o_custkey),
+       |enriched AS (
+       |  SELECT c.*, s.total_spend FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+       |base AS (
+       |  SELECT c_name AS entity, c_acctbal AS acctbal, total_spend
+       |  FROM enriched WHERE c_custkey = 42
+       |  UNION ALL
+       |  SELECT 'Segment Average', ${sqlDavg("c_acctbal")}, ${sqlDavg("total_spend")}
+       |  FROM enriched
+       |  WHERE c_mktsegment = (SELECT c_mktsegment FROM customer WHERE c_custkey = 42))
+       |SELECT entity, metric, value FROM (
+       |  SELECT entity, 'acctbal' AS metric, acctbal AS value FROM base
+       |  UNION ALL
+       |  SELECT entity, 'total_spend' AS metric, total_spend AS value FROM base) t
+       |ORDER BY entity, metric""".stripMargin
+
+  // ------------------------------------------------------- q_schema_normalize
+  /** F1: snake_case column-name normalization (retrieval.py:23,45,64) —
+    * a driver-side metadata op (`toDF`), no Catalyst expression involved. */
+  def normalizeName(n: String): String =
+    n.toLowerCase.replace(" ", "_").replaceAll("[^a-z0-9_]", "")
+
+  private def schemaNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val messy = Tables.customer(s, dir)
+      .select($"c_custkey".as("C CustKey"), $"c_acctbal".as("Acct Bal!"))
+    messy.toDF(messy.columns.map(normalizeName): _*).orderBy($"c_custkey")
+  }
+
+  private val schemaNormalizeSql =
+    """SELECT c_custkey AS c_custkey, c_acctbal AS acct_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------- q_event_window_agg
+  /** Time-bucketed aggregation over the event stream table — the batch
+    * equivalent of the Structured Streaming job in graft.streaming
+    * (same window spec; streaming variant covered by StreamingSpec). */
+  private def eventWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val eventWindowAggSql =
+    s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------- q_json_extract
+  /** Semi-structured extraction from the `props` JSON string column.
+    * Spelled with regexp_extract on both sides (same RE dialect subset);
+    * Spark's get_json_object variant is asserted equal in RelationalSpec. */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"event_id",
+      regexp_extract($"props", "\"k\": ([0-9]+)", 1).as("k_str"),
+      regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast(IntegerType).as("k"))
+      .orderBy($"event_id")
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+      |  TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- inventory
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_agg_basic", aggBasic, Some(aggBasicSql), bench = true),
+    NamedQuery("q_industry_avg", industryAvg, Some(industryAvgSql), bench = true),
+    NamedQuery("q_point_lookup", pointLookup, Some(pointLookupSql), bench = true),
+    NamedQuery("q_latest_per_key_join", latestPerKeyJoin, Some(latestPerKeyJoinSql)),
+    NamedQuery("q_latest_per_key_window", latestPerKeyWindow, Some(latestPerKeyWindowSql), bench = true),
+    NamedQuery("q_derived_ratios", derivedRatios, Some(derivedRatiosSql), bench = true),
+    NamedQuery("q_monthly_avg_trend", monthlyAvgTrend, Some(monthlyAvgTrendSql), bench = true),
+    NamedQuery("q_date_format", dateFormatQ, Some(dateFormatSql)),
+    NamedQuery("q_topk", topk, Some(topkSql), bench = true),
+    NamedQuery("q_left_join_enrich", leftJoinEnrich, Some(leftJoinEnrichSql), bench = true),
+    NamedQuery("q_cast_conform", castConform, Some(castConformSql)),
+    NamedQuery("q_union_all", unionAll, Some(unionAllSql)),
+    NamedQuery("q_union_entity_vs_avg", entityVsAvgFrame, Some(entityVsAvgSql)),
+    NamedQuery("q_unpivot_compare", unpivotCompare, Some(unpivotCompareSql)),
+    NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql)),
+    NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
+    NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
+}
