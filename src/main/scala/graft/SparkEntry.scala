@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** Every implemented capability, one NamedQuery each. */
   def all: Seq[NamedQuery] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.TextAnalysis.all ++
+      operators.Dedup.all ++ operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

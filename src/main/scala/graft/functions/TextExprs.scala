@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text hashing primitives for near-dup detection and fingerprinting,
+  * as codegen-friendly Catalyst expressions (static primitive-typed
+  * calls inside whole-stage codegen; no UDF boxing on the hot path).
+  *
+  * All hashes are self-contained 64-bit mixes (splitmix64 over FNV-1a),
+  * fully deterministic across runs/partitions — a hard requirement for
+  * dedup at 100 TB, where signatures computed in different jobs must
+  * agree bit-for-bit.
+  */
+object TextImpl {
+  /** FNV-1a 64 over UTF-8 bytes, finalized with splitmix64. */
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** SimHash over an array of tokens: per 64-bit lane, +1 for a set bit,
+    * -1 for a clear bit, output bit = sign of the lane sum. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Winnowing-style document fingerprint: Karp-Rabin rolling hash over
+    * a `w`-char window of the text, min hash value wins (the classic
+    * MOSS/winnowing reduction to a single stable fingerprint). */
+  def rollingMinHash(s: UTF8String, w: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return mix64(0L)
+    if (bytes.length <= w) return mix64(hash64(s, 1L))
+    val B = 0x100000001b3L
+    // B^(w-1) for the roll-out term
+    var bw = 1L
+    var k = 0
+    while (k < w - 1) { bw *= B; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = mix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - w) & 0xffL) * bw) * B + (bytes(i) & 0xffL)
+      val m = mix64(h)
+      if (java.lang.Long.compareUnsigned(m, min) < 0) min = m
+      i += 1
+    }
+    min
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** simhash64(array<string>) -> long */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = TextImpl.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** rolling_fingerprint(string, windowBytes) -> long */
+case class RollingFingerprint(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fingerprint expects (string, int), got ($l, $r)")
+    }
+  override def nullSafeEval(s: Any, w: Any): Any =
+    TextImpl.rollingMinHash(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.functions.TextImpl.rollingMinHash($s, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RollingFingerprint =
+    copy(left = l, right = r)
+}
+
+/** hash64(string, seed) -> long — the seeded token hash behind MinHash. */
+case class Hash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"hash64 expects (string, long), got ($l, $r)")
+    }
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    TextImpl.hash64(s.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, seed) => s"graft.functions.TextImpl.hash64($s, $seed)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hash64 =
+    copy(left = l, right = r)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.functions.lit
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  def rollingFingerprint(text: Column, window: Int): Column =
+    ExpressionUtils.column(RollingFingerprint(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(lit(window))))
+  def hash64(s: Column, seed: Long): Column = hash64(s, lit(seed))
+  /** Column seed variant — used inside higher-order lambdas where the
+    * hash-function index is itself a column. */
+  def hash64(s: Column, seed: Column): Column =
+    ExpressionUtils.column(Hash64(
+      ExpressionUtils.expression(s), ExpressionUtils.expression(seed)))
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`:
+  * exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 16-byte digest (never on the
+  *    raw text) — the classic first pass;
+  *  - MinHash+LSH replaces the O(n^2) pair space with
+  *    explode(bands) -> groupBy(band, bandHash) -> within-bucket pairs:
+  *    cost ~ sum(bucket^2), bounded by capping pathological buckets
+  *    (skew guard below) — this is the only formulation that survives
+  *    a 1000-executor corpus;
+  *  - brute-force pair scans are kept ONLY as small-scale oracles for the
+  *    LSH path (q_ngram_jaccard / q_dedup_embedding run bucketed by
+  *    metadata or at bounded n).
+  */
+object Dedup {
+
+  /** Buckets with more members than this are dropped from candidate
+    * generation (LSH skew guard — a degenerate band value, e.g. from
+    * boilerplate/empty docs, would otherwise quadratically explode one
+    * reducer; standard practice in web-scale dedup). */
+  val MaxBucket = 1000
+
+  // --------------------------------------------------------------- q_dedup_exact
+  /** Exact dedup: group by content digest, keep the smallest doc_id.
+    * The digest (16 bytes) is what shuffles, not the document. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+      .orderBy($"text_hash")
+  }
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ------------------------------------------------------------- q_ngram_jaccard
+  /** Word-3-gram shingle Jaccard for all doc pairs inside a (lang, source)
+    * bucket — the exact-similarity verifier that LSH candidates feed at
+    * scale (here bucketed by metadata so the oracle stays SQL-expressible). */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ", -1)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", shingles($"text").as("sh"))
+    val a = d.select($"doc_id".as("doc_a"), $"lang", $"source", $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("doc_b"), $"lang", $"source", $"sh".as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"lang", $"source", $"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b"))))
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val ngramJaccardSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents))
+      |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- q_minhash_dedup
+  /** MinHash signatures + LSH banding, then exact-Jaccard verification of
+    * candidates, top-100 most similar pairs. Fully deterministic (seeded
+    * FNV/splitmix hashes from graft.functions.TextImpl).
+    *
+    * numHashes=16 grouped into 8 bands of 2: a pair lands in a candidate
+    * bucket with prob 1-(1-j^2)^8 (≥97% for j≥0.5), while the full pair
+    * matrix is never materialized. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val numBands = numHashes / rowsPerBand
+    val sig = docs.select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", $"sh",
+        transform(sequence(lit(0), lit(numHashes - 1)), k =>
+          array_min(transform($"sh", sh => TextFunctions.hash64(sh, k.cast("long")))))
+          .as("sig"))
+    // band value = hash of the band's slice of the signature
+    val banded = sig.select($"doc_id", $"sh",
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    // skew guard: drop degenerate buckets before the quadratic step
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"band_hash")))
+      .filter($"bucket_n" <= MaxBucket)
+    val l = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val r = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+      .distinct()
+  }
+
+  private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b"))))
+          .as("jaccard"))
+      .orderBy(round($"jaccard", 6).desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------- q_dedup_embedding
+  /** Embedding-cosine near-dup: top-100 most similar embedding pairs.
+    * Brute-force formulation (the small-scale oracle baseline; the scale
+    * path is the LSH-bucketed join in Similarity.annLsh). */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_a", $"vec_b")
+      .limit(100)
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      4) AS cos_sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM p
+      |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
+    NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
+    NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting — all over the
+  * `documents` table. Everything here is row-local (narrow, no shuffle):
+  * at 100 TB these run at scan speed inside whole-stage codegen, and the
+  * only exchange is whatever downstream consumer (dedup groupBy) needs.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  // ---------------------------------------------------------------- q_text_stats
+  /** Length / token / stopword statistics + a deterministic quality score
+    * (the length-and-stopword-ratio heuristic family used for pretraining
+    * corpus filtering). */
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ", -1)
+    val nTokens = size(words)
+    val nStop = size(filter(words, w => w.isin(stopwords: _*)))
+    val stopRatio = nStop.cast("double") / nTokens
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      length($"text").as("n_chars_computed"),
+      $"n_chars",
+      nTokens.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stop_ratio"),
+      (when(nTokens.between(5, 5000), 0.5).otherwise(0.0) +
+        when(stopRatio > 0.05, 0.5).otherwise(0.0)).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private val textStatsSql =
+    s"""SELECT doc_id, length(text) AS n_chars_computed, n_chars,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS n_stopwords,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stop_ratio,
+       |  (CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END
+       |   + CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |            / len(string_split(text, ' ')) > 0.05 THEN 0.5 ELSE 0.0 END) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q_token_count
+  /** Whitespace tokens vs BPE-ish regex tokens (letter runs | digit runs |
+    * single non-alphanumeric) — the standard pre-tokenizer shape. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(split($"text", " ", -1)).as("ws_tokens"),
+      size(regexp_extract_all($"text", lit(pat), lit(0))).as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokenCountSql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q_lang_id
+  /** Marker-token language ID (n-gram-heuristic family): count
+    * language-specific stopword hits, pick the argmax with a fixed
+    * tie-break order; CJK detected by codepoint range. Deterministic by
+    * construction — the same CASE is spelled on both engines. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ", -1)
+    def cnt(ms: Seq[String]): Column = size(filter(words, w => w.isin(ms: _*)))
+    val en = cnt(Seq("the", "a", "of"))
+    val de = cnt(Seq("der", "die", "und"))
+    val fr = cnt(Seq("le", "la", "et"))
+    val es = cnt(Seq("el", "los", "y"))
+    val zh = $"text".rlike("[\\x{4e00}-\\x{9fff}]")
+    val pred = when(zh, "zh")
+      .when(de > en && de > fr && de > es, "de")
+      .when(fr > en && fr > es, "fr")
+      .when(es > en, "es")
+      .when(en > 0, "en")
+      .otherwise("unknown")
+    Tables.documents(s, dir).select(
+      $"doc_id", $"lang",
+      pred.as("lang_pred"),
+      ($"lang" === pred).as("is_match"))
+      .orderBy($"doc_id")
+  }
+
+  private def sqlCnt(ms: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+  private val langIdSql = {
+    val en = sqlCnt(Seq("the", "a", "of"))
+    val de = sqlCnt(Seq("der", "die", "und"))
+    val fr = sqlCnt(Seq("le", "la", "et"))
+    val es = sqlCnt(Seq("el", "los", "y"))
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
+       |       WHEN $fr > $en AND $fr > $es THEN 'fr'
+       |       WHEN $es > $en THEN 'es'
+       |       WHEN $en > 0 THEN 'en'
+       |       ELSE 'unknown' END AS lang_pred,
+       |  lang = (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
+       |       WHEN $fr > $en AND $fr > $es THEN 'fr'
+       |       WHEN $es > $en THEN 'es'
+       |       WHEN $en > 0 THEN 'en'
+       |       ELSE 'unknown' END) AS is_match
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q_fingerprint
+  /** Document fingerprints via the custom codegen expressions: winnowing
+    * rolling-min-hash over chars + 64-bit SimHash over tokens. No SQL
+    * equivalent (custom hash mixes) — covered by TextAnalysisSpec
+    * (determinism, near-dup Hamming behavior). */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      TextFunctions.rollingFingerprint($"text", 16).as("fingerprint"),
+      TextFunctions.simhash64(split($"text", " ", -1)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
+    NamedQuery("q_token_count", tokenCount, Some(tokenCountSql)),
+    NamedQuery("q_lang_id", langId, Some(langIdSql)),
+    NamedQuery("q_fingerprint", fingerprint, None, bench = true))
+}

