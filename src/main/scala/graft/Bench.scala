@@ -1,27 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Headline benchmark: runs `SparkEntry.benchQueries` (the curated scale
+  * paths — NOT the small-n brute-force oracles) against
+  * `SPARK_GRAFT_SF_DIR`, and emits ONE JSON metric line.
+  *
+  * The line is printed to stdout AND written to `SPARK_GRAFT_BENCH_OUT`
+  * (default `BENCH.json` in the cwd) so the driver's parser never has to
+  * fish it out of sbt log noise. Failures are reported explicitly in a
+  * `"failures"` map — a failed query contributes 0 to the timing total
+  * instead of a bogus negative number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    var times = Vector.empty[(String, Double)]
+    var failures = Vector.empty[(String, String)]
+    SparkEntry.benchQueries.foreach { nq =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        nq.fn(spark, sfDir).count()
+        times :+= (nq.name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          failures :+= (nq.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
+    Files.writeString(Paths.get(outPath), line + "\n")
+    // The one stdout line the driver parses; everything else is WARN-level.
+    println(line)
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -23,10 +23,11 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default — read it as an epoch-nanos long and convert to a microsecond
-    * TimestampType column (hour-level bucketing is unaffected). */
+    * TimestampType column (hour-level bucketing is unaffected). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, pinned in the session
+    * builders (Verify/Bench/SparkSpec) alongside the other semantics pins. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }

@@ -15,6 +15,7 @@ object Verify {
       // div-by-zero error — pandas/Postgres-tolerant, oracle uses TRY_CAST.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

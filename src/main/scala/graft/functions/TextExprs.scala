@@ -84,6 +84,91 @@ object TextImpl {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- word-3-gram shingle hashing (one pass over the text) ----
+  // The interpreted-HOF formulation (split -> transform -> concat_ws ->
+  // hash per seed) re-evaluates the shingle array once per hash function
+  // after projection collapse — ~16x the work. These single-pass natives
+  // are what actually survives a 100 TB corpus scan.
+
+  private val FnvInit = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Hash of every word (single-space split, empty tokens kept — same
+    * tokenization as split(text, ' ', -1)). */
+  private def wordHashes(bytes: Array[Byte]): Array[Long] = {
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var w = 0
+    var h = FnvInit
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ') { out(w) = mix64(h); w += 1; h = FnvInit }
+      else { h ^= (b & 0xffL); h *= FnvPrime }
+      i += 1
+    }
+    out(w) = mix64(h)
+    out
+  }
+
+  /** Multiset of word-3-gram hashes, in document order; texts with <3
+    * words yield one whole-text hash. Position-sensitive triple combine. */
+  def triGramHashMultiset(s: UTF8String): Array[Long] = {
+    val wh = wordHashes(s.getBytes)
+    if (wh.length < 3) return Array(hash64(s, 7L))
+    val out = new Array[Long](wh.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = mix64(wh(i) + mix64(wh(i + 1) + mix64(wh(i + 2))))
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct 3-gram hashes — the shingle SET for exact-Jaccard
+    * verification of LSH candidates (array_intersect on sorted longs). */
+  def triGramSet(s: UTF8String): ArrayData = {
+    val a = triGramHashMultiset(s)
+    java.util.Arrays.sort(a)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(a, n))
+  }
+
+  /** Max supported MinHash signature width. */
+  val MaxMinHashes = 64
+  // universal-hash family h_k(x) = a_k*x + b_k over Z/2^64 (a_k odd -> bijection)
+  private val MinHashA = Array.tabulate(MaxMinHashes)(k => mix64(2L * k + 1) | 1L)
+  private val MinHashB = Array.tabulate(MaxMinHashes)(k => mix64(2L * k + 2))
+
+  /** MinHash signature over the 3-gram multiset (min of a multiset equals
+    * min of its set, so no dedup needed): numHashes independent affine
+    * permutations, elementwise min, one pass. */
+  def minhashSig(s: UTF8String, numHashes: Int): ArrayData = {
+    val grams = triGramHashMultiset(s)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < grams.length) {
+      val h = grams(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = h * MinHashA(k) + MinHashB(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
 }
 
 /** simhash64(array<string>) -> long */
@@ -133,6 +218,36 @@ case class Hash64(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** trigram_minhash(string, numHashes) -> array<long> signature. */
+case class TriGramMinHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"trigram_minhash expects (string, int), got ($l, $r)")
+    }
+  override def nullSafeEval(s: Any, n: Any): Any =
+    TextImpl.minhashSig(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.TextImpl.minhashSig($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TriGramMinHash =
+    copy(left = l, right = r)
+}
+
+/** trigram_hashes(string) -> array<long> — sorted distinct shingle-set hashes. */
+case class TriGramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"trigram_hashes expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = TextImpl.triGramSet(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.triGramSet($c)")
+  override protected def withNewChildInternal(c: Expression): TriGramHashes = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.functions.lit
   def simhash64(tokens: Column): Column =
@@ -146,4 +261,12 @@ object TextFunctions {
   def hash64(s: Column, seed: Column): Column =
     ExpressionUtils.column(Hash64(
       ExpressionUtils.expression(s), ExpressionUtils.expression(seed)))
+  def trigramMinhash(text: Column, numHashes: Int): Column = {
+    require(numHashes > 0 && numHashes <= TextImpl.MaxMinHashes,
+      s"numHashes must be in 1..${TextImpl.MaxMinHashes}")
+    ExpressionUtils.column(TriGramMinHash(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(lit(numHashes))))
+  }
+  def trigramHashes(text: Column): Column =
+    ExpressionUtils.column(TriGramHashes(ExpressionUtils.expression(text)))
 }

@@ -87,45 +87,66 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- q_minhash_dedup
-  /** MinHash signatures + LSH banding, then exact-Jaccard verification of
-    * candidates, top-100 most similar pairs. Fully deterministic (seeded
-    * FNV/splitmix hashes from graft.functions.TextImpl).
+  /** Undirected candidate id pairs (doc_a < doc_b) from MinHash + LSH
+    * banding. ID-ONLY: after signature computation, everything that moves
+    * through the band shuffle, pair join, and `distinct()` is (doc_id,
+    * band, band_hash) / (doc_a, doc_b) — shingle arrays never enter an
+    * exchange here (asserted in DedupSpec).
     *
     * numHashes=16 grouped into 8 bands of 2: a pair lands in a candidate
     * bucket with prob 1-(1-j^2)^8 (≥97% for j≥0.5), while the full pair
     * matrix is never materialized. */
-  def minhashCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def minhashCandidateIds(docs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val numBands = numHashes / rowsPerBand
-    val sig = docs.select($"doc_id", shingles($"text").as("sh"))
-      .select($"doc_id", $"sh",
-        transform(sequence(lit(0), lit(numHashes - 1)), k =>
-          array_min(transform($"sh", sh => TextFunctions.hash64(sh, k.cast("long")))))
-          .as("sig"))
-    // band value = hash of the band's slice of the signature
-    val banded = sig.select($"doc_id", $"sh",
+    // one-pass native signature (TextExprs.TriGramMinHash) — the HOF
+    // formulation re-evaluates the shingle array per hash after projection
+    // collapse; the native call is a single text scan per row
+    val sig = docs.select($"doc_id",
+      TextFunctions.trigramMinhash($"text", numHashes).as("sig"))
+    // band value = hash of the band's slice of the signature; sig is
+    // consumed here, so only (doc_id, band, band_hash) survives
+    val banded = sig.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // skew guard: drop degenerate buckets before the quadratic step
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"band_hash")))
-      .filter($"bucket_n" <= MaxBucket)
-    val l = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val r = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    // (n >= 2 also prunes singleton buckets that can't produce pairs).
+    // A window over the id-only banded frame shares its exchange with the
+    // pair self-join below (ReuseExchange), so the signature scan runs
+    // ONCE — a groupBy-semi-join guard would add a second scan.
+    val kept = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"band", $"band_hash")))
+      .filter($"bucket_n".between(2, MaxBucket))
+    val l = kept.select($"band", $"band_hash", $"doc_id".as("doc_a"))
+    val r = kept.select($"band", $"band_hash", $"doc_id".as("doc_b"))
     l.join(r, Seq("band", "band_hash"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+      .select($"doc_a", $"doc_b")
       .distinct()
+  }
+
+  /** Candidate pairs with shingle-SET hashes re-attached for exact-Jaccard
+    * verification: ONE re-join per side after the id-level `distinct()` —
+    * the only point where arrays are shuffled, proportional to the
+    * candidate set, not bands x corpus. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hs = docs.select($"doc_id", TextFunctions.trigramHashes($"text").as("hs"))
+    minhashCandidateIds(docs, numHashes, rowsPerBand)
+      .join(hs.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
+      .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"hs_a", $"hs_b")
   }
 
   private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b"))))
+        (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+          (size($"hs_a") + size($"hs_b") - size(array_intersect($"hs_a", $"hs_b"))))
           .as("jaccard"))
       .orderBy(round($"jaccard", 6).desc, $"doc_a", $"doc_b")
       .limit(100)

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    query row is broadcast); this is the right plan even at 100 TB when
   *    the query set is small.
   *  - `q_ann_lsh`: random-hyperplane LSH (sign sketches) with banded
-  *    OR-amplification — signatures are computed scan-side, candidates
-  *    come from equi-joining on (band, bandBits), cosine is verified only
-  *    within buckets. This is the all-pairs / large-query-set path: cost
-  *    ~ sum(bucket^2) instead of n^2.
+  *    OR-amplification + single-bit multiprobe. The candidate join carries
+  *    ONLY (vec_id, band, band_val) — embeddings never ride the LSH
+  *    shuffle; payloads are re-joined once, after `distinct()`, for cosine
+  *    verification. 16-bit bands give a 65k-bucket space per band that the
+  *    corpus spreads over (occupancy ~n/65k per band value), and a
+  *    `MaxBucket` guard drops degenerate hot buckets before the pair join.
   */
 object Similarity {
 
@@ -30,8 +32,21 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  val NumPlanes = 24
-  val BandBits = 6 // 4 bands of 6 bits -> 64 buckets per band
+  /** 4 bands x 16 sign bits. For near-dup vectors (cos >= 0.99 — the
+    * regime LSH dedup targets) a band collides with p ~ 0.98^16 ~ 0.7, so
+    * 4 bands give ~0.99 recall; multiprobe (single-bit flips, below) adds
+    * hamming-distance-1 collisions for the sparser cos ~0.9 tail. Unlike a
+    * fixed small bucket space, 2^16 buckets per band keep within-bucket
+    * occupancy (and thus the quadratic pair step) ~n/2^16 — the candidate
+    * count grows linearly with the corpus, not quadratically. */
+  val NumPlanes = 64
+  val BandBits = 16
+  val NumBands: Int = NumPlanes / BandBits
+
+  /** LSH buckets larger than this are dropped from candidate generation
+    * (skew guard — e.g. the all-zeros sketch of degenerate/zero vectors
+    * would otherwise explode one reducer quadratically). */
+  val MaxBucket = 1000
 
   /** Dot product of an embedding column with a constant hyperplane,
     * spelled with built-in higher-order functions (zip_with + aggregate)
@@ -43,10 +58,10 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
   }
 
-  /** Per-row LSH signature bits, one int per band (BandBits sign bits). */
+  /** Per-row LSH signature, one int per band (BandBits sign bits). */
   def bandColumns(emb: Column, d: Int): Seq[Column] = {
     val bits = (0 until NumPlanes).map(p => when(planeDot(emb, p, d) > 0, 1).otherwise(0))
-    (0 until NumPlanes / BandBits).map { band =>
+    (0 until NumBands).map { band =>
       (0 until BandBits).map(j => bits(band * BandBits + j) * (1 << j))
         .reduce(_ + _).as(s"band_$band")
     }
@@ -82,26 +97,52 @@ object Similarity {
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------------------- q_ann_lsh
-  /** LSH-bucketed ANN: top-3 neighbors per vector among candidates that
-    * collide in >=1 band. Deterministic; recall vs brute force asserted
-    * in SimilaritySpec. */
+  /** Directed candidate pairs (vec_a -> vec_b) from banded LSH with
+    * single-bit multiprobe. ID-ONLY: the frame carries two longs per row —
+    * no embedding array enters any exchange in this subplan (asserted in
+    * SimilaritySpec). The probe side explodes each row's band value plus
+    * its BandBits single-bit flips; the receptor side is skew-guarded via
+    * a groupBy-count semi-join (partial aggregation — only (band, val,
+    * count) shuffles). */
+  def annCandidateIds(e: DataFrame, dim: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sig = e.select(($"vec_id" +: bandColumns($"embedding", dim)): _*)
+    val banded = sig.select($"vec_id",
+      posexplode(array((0 until NumBands).map(b => col(s"band_$b")): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    // skew guard via window over the id-only banded frame: its exchange on
+    // (band, band_val) is shared by both join sides below (ReuseExchange),
+    // so the signature scan runs ONCE per query
+    val kept = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"band", $"band_val")))
+      .filter($"bucket_n" <= MaxBucket)
+    val recv = kept.select($"band", $"band_val", $"vec_id".as("vec_b"))
+    // multiprobe: each vector probes its own bucket and all hamming-1 buckets
+    val flips = array((lit(0) +: (0 until BandBits).map(j => lit(1 << j))): _*)
+    val probe = kept.select($"vec_id".as("vec_a"), $"band",
+      explode(transform(flips, f => $"band_val".bitwiseXOR(f))).as("band_val"))
+    probe.join(recv, Seq("band", "band_val"))
+      .filter($"vec_a" =!= $"vec_b")
+      .select($"vec_a", $"vec_b")
+      .distinct()
+  }
+
+  /** LSH-bucketed ANN: top-k neighbors per vector among multiprobe band
+    * collisions. Embeddings are fetched in ONE payload re-join after the
+    * id-only candidate generation; cosine is verified only for candidates.
+    * Deterministic; recall vs brute force asserted in SimilaritySpec. */
   def annLsh(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val sig = e.select(($"vec_id" +: $"embedding" +: bandColumns($"embedding", dim)): _*)
-    val numBands = NumPlanes / BandBits
-    val banded = sig.select($"vec_id", $"embedding",
-      posexplode(array((0 until numBands).map(b => col(s"band_$b")): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
-    val l = banded.select($"band", $"band_val", $"vec_id".as("vec_a"), $"embedding".as("emb_a"))
-    val r = banded.select($"band", $"band_val", $"vec_id".as("vec_b"), $"embedding".as("emb_b"))
-    val cand = l.join(r, Seq("band", "band_val"))
-      .filter($"vec_a" =!= $"vec_b")
-      .select($"vec_a", $"vec_b", $"emb_a", $"emb_b")
-      .distinct()
-    val scored = cand.select($"vec_a", $"vec_b",
-      round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+    val emb = e.select($"vec_id", $"embedding")
+    val scored = annCandidateIds(e, dim)
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
     val w = Window.partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= topK)

@@ -66,6 +66,23 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("minhash candidate generation shuffles no array payloads (id-only exchanges)") {
+    // VERDICT r1: shingle arrays must not ride the LSH band shuffle —
+    // candidates are (id, id) pairs; payloads re-join after distinct().
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = Dedup.minhashCandidateIds(Tables.documents(spark, sf), 16, 2)
+      val exchanges = cand.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffles in the candidate plan")
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty, s"array columns in exchange: ${arrays.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("LSH skew guard: degenerate buckets are dropped before the pair join") {
     // all-identical docs would otherwise create a quadratic bucket
     val dup = Seq.tabulate(50)(i => (i.toLong, "same text for every row"))

@@ -87,6 +87,41 @@ class SimilaritySpec extends GraftSuite {
     assert(canon(ann) == canon(Similarity.annLsh(spark, sf))) // run-to-run stable
   }
 
+  test("ANN candidate generation shuffles no array payloads (id-only exchanges)") {
+    // VERDICT r1: embeddings must not ride the LSH candidate shuffle.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = Similarity.annCandidateIds(Tables.embeddings(spark, sf), dim = 64)
+      val exchanges = cand.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffles in the candidate plan")
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty, s"array columns in exchange: ${arrays.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ANN finds the planted near-duplicates end-to-end (multiprobe path)") {
+    // 10 clusters of 3 near-identical vectors: every vector's top-2 LSH
+    // neighbors should be its cluster mates.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 10
+      b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      i <- 0 until 3
+    } yield ((c * 3 + i).toLong, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val cand = Similarity.annCandidateIds(df, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intraTotal = 10 * 3 * 2 // directed pairs within clusters
+    val intraFound = cand.count { case (a, b) => a / 3 == b / 3 }
+    val recall = intraFound.toDouble / intraTotal
+    assert(recall >= 0.9, s"multiprobe candidate recall $recall")
+  }
+
   test("hyperplanes are deterministic and non-degenerate") {
     val p1 = Similarity.planeComponent(3, 17)
     val p2 = Similarity.planeComponent(3, 17)
