@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every implemented capability, one NamedQuery each. */
   def all: Seq[NamedQuery] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Sources.all ++ pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -408,6 +408,98 @@ object Relational {
        |  SELECT entity, 'total_spend' AS metric, total_spend AS value FROM base) t
        |ORDER BY entity, metric""".stripMargin
 
+  // ----------------------------------------------------------- q_pivot_attrs
+  /** R1: wide-attribute pivot of long (key, attr, value) rows — the
+    * reference's `pd.Series(ticker.info)` → transpose ingest shape
+    * (retrieval.py:16-24). Long form built by unpivot, then
+    * `groupBy(key).pivot(attr, values).agg(first)`. The pivot value list
+    * is EXPLICIT — at scale this skips the extra distinct-collection job
+    * and pins deterministic output columns. */
+  private def pivotAttrs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val long = Tables.customer(s, dir)
+      .select($"c_custkey".as("custkey"),
+        $"c_name".as("name"),
+        $"c_mktsegment".as("mktsegment"),
+        $"c_nationkey".cast(StringType).as("nationkey"))
+      .unpivot(Array($"custkey"), Array($"name", $"mktsegment", $"nationkey"),
+        "attr", "value")
+    long.groupBy($"custkey")
+      .pivot("attr", Seq("mktsegment", "name", "nationkey"))
+      .agg(first($"value"))
+      .orderBy($"custkey")
+  }
+
+  private val pivotAttrsSql =
+    """WITH long AS (
+      |  SELECT c_custkey AS custkey, 'name' AS attr, c_name AS value FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer)
+      |SELECT custkey,
+      |  MAX(CASE WHEN attr = 'mktsegment' THEN value END) AS mktsegment,
+      |  MAX(CASE WHEN attr = 'name' THEN value END) AS name,
+      |  MAX(CASE WHEN attr = 'nationkey' THEN value END) AS nationkey
+      |FROM long GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------- q_pivot_status
+  /** R2: statement-transpose analog — a (month x category) measure matrix,
+    * like `quarterly_financials.transpose()` (retrieval.py:58): month rows,
+    * one column per order status, exact-summed measure. */
+  private def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"month")
+  }
+
+  private val pivotStatusSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_f,
+       |  ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_o,
+       |  ${sqlDsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------ q_outer_join_align
+  /** J8: full outer join aligning two per-(key, month) fact frames on
+    * their composite key — the reference's `pd.concat([financials.T,
+    * balance_sheet.T], axis=1)` date-index outer alignment
+    * (retrieval.py:58). Nulls where one side is absent. */
+  private def outerJoinAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val a = o.groupBy($"o_custkey".as("custkey"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(dsum($"o_totalprice").as("order_total"))
+    val b = Tables.lineitem(s, dir)
+      .join(o.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("custkey"),
+        date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("ship_revenue"))
+    a.join(b, Seq("custkey", "month"), "full")
+      .orderBy($"custkey", $"month")
+  }
+
+  private val outerJoinAlignSql =
+    s"""WITH a AS (
+       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    ${sqlDsum("o_totalprice")} AS order_total
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (
+       |  SELECT o.o_custkey AS custkey, strftime(l.l_shipdate, '%Y-%m') AS month,
+       |    ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS ship_revenue
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+       |  COALESCE(a.month, b.month) AS month,
+       |  a.order_total, b.ship_revenue
+       |FROM a FULL JOIN b ON a.custkey = b.custkey AND a.month = b.month
+       |ORDER BY custkey, month""".stripMargin
+
   // ------------------------------------------------------- q_schema_normalize
   /** F1: snake_case column-name normalization (retrieval.py:23,45,64) —
     * a driver-side metadata op (`toDF`), no Catalyst expression involved. */
@@ -479,6 +571,9 @@ object Relational {
     NamedQuery("q_union_all", unionAll, Some(unionAllSql)),
     NamedQuery("q_union_entity_vs_avg", entityVsAvgFrame, Some(entityVsAvgSql)),
     NamedQuery("q_unpivot_compare", unpivotCompare, Some(unpivotCompareSql)),
+    NamedQuery("q_pivot_attrs", pivotAttrs, Some(pivotAttrsSql)),
+    NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql), bench = true),
+    NamedQuery("q_outer_join_align", outerJoinAlign, Some(outerJoinAlignSql), bench = true),
     NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql)),
     NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
     NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
