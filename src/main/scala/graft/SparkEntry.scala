@@ -11,7 +11,8 @@ object SparkEntry {
   def all: Seq[NamedQuery] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Sources.all ++ pipeline.FinancialPipeline.all
+      operators.Sources.all ++ operators.Multimodal.all ++
+      pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column handling for a training-data pipeline:
+  * image/audio/video payloads are opaque `binary` columns with typed
+  * metadata alongside. The decode step is STUBBED (no media codecs in
+  * this container) behind a deterministic fake, but everything Spark-side
+  * is real and tested: the asset schema, binary expressions on the
+  * payload, and the per-partition batched decode shape (`mapPartitions`
+  * over a typed Dataset — the JVM analog of `mapInPandas` batch decode:
+  * one iterator per partition, so a real codec can amortize per-batch
+  * init, e.g. loading a decoder context once per partition, and stream
+  * rows without materializing the partition).
+  */
+object Multimodal {
+
+  /** An opaque media payload + its metadata — the storage contract for
+    * multimodal columns (binary stays opaque to the engine; metadata is
+    * relational and prunable). */
+  case class Asset(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  case class ImageMeta(doc_id: Long, media_type: String, width: Int,
+                       height: Int, n_bytes: Int, fingerprint: Long)
+
+  /** Build an asset frame from the documents table (payload = UTF-8
+    * bytes of the text — a stand-in for image bytes with the same
+    * engine-side characteristics: variable-length opaque binary). */
+  def assets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        // deterministic media type assignment across 3 modalities
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[Asset]
+  }
+
+  /** STUB decoder — a real deployment plugs libjpeg/ffmpeg here. The fake
+    * derives dimensions deterministically from the payload bytes so the
+    * distributed plumbing is exercised end-to-end with stable results. */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val m = graft.functions.TextImpl.mix64(h)
+    (64 + ((m >>> 8) % 4032).toInt.abs, 64 + ((m >>> 40) % 2096).toInt.abs)
+  }
+
+  /** Per-partition batched decode: iterator-in/iterator-out, the shape a
+    * real codec needs (per-partition init, streaming rows, no
+    * whole-partition materialization). */
+  def extractMeta(in: Dataset[Asset]): Dataset[ImageMeta] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { batch =>
+      // per-partition decoder init would go here (once per task, not per row)
+      batch.map { a =>
+        val (w, h) = decodeStub(a.payload)
+        var f = 0xcbf29ce484222325L
+        var i = 0
+        while (i < math.min(a.payload.length, 64)) {
+          f ^= (a.payload(i) & 0xffL); f *= 0x100000001b3L; i += 1
+        }
+        ImageMeta(a.doc_id, a.media_type, w, h, a.payload.length,
+          graft.functions.TextImpl.mix64(f))
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- q_binary_stats
+  /** Oracle-checked binary-column query: byte length and content digest of
+    * each payload, plus per-modality aggregate stats — binary stays
+    * opaque; only cheap metadata flows through the aggregation. */
+  private def binaryStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).toDF()
+      .groupBy($"media_type")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length($"payload")).as("total_bytes"),
+        min(length($"payload")).as("min_bytes"),
+        max(length($"payload")).as("max_bytes"),
+        count_distinct($"payload").as("n_distinct_payloads"))
+      .orderBy($"media_type")
+  }
+
+  private val binaryStatsSql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |    CAST(text AS BLOB) AS payload
+      |  FROM documents)
+      |SELECT media_type, COUNT(*) AS n_assets,
+      |  SUM(octet_length(payload)) AS total_bytes,
+      |  MIN(octet_length(payload)) AS min_bytes,
+      |  MAX(octet_length(payload)) AS max_bytes,
+      |  COUNT(DISTINCT payload) AS n_distinct_payloads
+      |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql)))
+}

@@ -517,6 +517,57 @@ object Relational {
     """SELECT c_custkey AS c_custkey, c_acctbal AS acct_bal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------- q_approx_distinct
+  /** Sketch-based distinct counting (HLL++) — the cardinality primitive a
+    * 100 TB pipeline uses instead of exact COUNT(DISTINCT) (constant
+    * memory per group, one shuffle of fixed-size sketches, mergeable
+    * across partitions). Estimators differ across engines, so the
+    * oracle-checked contract is (exact count, estimate-within-10%): both
+    * engines' HLL implementations satisfy it, and the flag hashing makes
+    * a broken sketch fail the row. */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count_distinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey").as("approx_raw"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_raw" - $"exact_parts").cast("double") / $"exact_parts" <= 0.1)
+          .as("approx_within_10pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+      |    / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) <= 0.1 AS approx_within_10pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------- q_date_window
+  /** F3: relative date-window arithmetic — the reference's
+    * `today - relativedelta(years=2) .. today` fetch window
+    * (retrieval.py:36-38), anchored on max(o_orderdate) instead of
+    * current_date so the result is deterministic. The single-row anchor
+    * is broadcast — no shuffle of the fact side. */
+  private def dateWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(max($"o_orderdate").as("max_d"))
+    o.crossJoin(broadcast(anchor))
+      .filter($"o_orderdate" >= add_months($"max_d", -24))
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"month")
+  }
+
+  private val dateWindowSql =
+    """WITH anchor AS (SELECT max(o_orderdate) AS max_d FROM orders)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+      |FROM orders, anchor
+      |WHERE o_orderdate >= max_d - INTERVAL 24 MONTH
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   // ------------------------------------------------------- q_event_window_agg
   /** Time-bucketed aggregation over the event stream table — the batch
     * equivalent of the Structured Streaming job in graft.streaming
@@ -576,5 +627,7 @@ object Relational {
     NamedQuery("q_outer_join_align", outerJoinAlign, Some(outerJoinAlignSql), bench = true),
     NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql)),
     NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
-    NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
+    NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    NamedQuery("q_approx_distinct", approxDistinct, Some(approxDistinctSql), bench = true),
+    NamedQuery("q_date_window", dateWindow, Some(dateWindowSql)))
 }

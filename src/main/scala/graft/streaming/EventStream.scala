@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming parity for the reference's stage-trigger model
+  * (S8, SURVEY.md §2.1/§2.10): the reference chains batch stages by
+  * dropping `*_step_completed.txt` marker files on S3
+  * (`/root/reference/retrieval.py:156-160`, `cleaning.py:121-125`) and
+  * re-running on a schedule. The Spark-native equivalent is a file-source
+  * stream with `Trigger.AvailableNow` — new files are discovered and
+  * processed exactly once per activation, state (which files were seen)
+  * lives in the checkpoint, and the same windowed aggregation plan serves
+  * batch and stream.
+  *
+  * The aggregation below is the SAME window spec as
+  * `Relational.eventWindowAgg` (q_event_window_agg); StreamingSpec
+  * asserts the two agree row-for-row at sf0.001.
+  */
+object EventStream {
+
+  /** Schema of the raw events parquet — `ts` arrives as epoch-nanos LONG
+    * (TIMESTAMP(NANOS) under `nanosAsLong`; streaming sources require an
+    * explicit schema). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet path (file or directory
+    * glob), with the nanos→micros timestamp conversion of Tables.events. */
+  def readEvents(s: SparkSession, path: String): DataFrame =
+    s.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** 1-hour event-time windows per event_type with a 1-hour watermark —
+    * identical spec to the batch q_event_window_agg, so results are
+    * comparable bit-for-bit (same exact decimal-routed sum). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Process ALL currently-available input exactly once
+    * (Trigger.AvailableNow) into an in-memory table and return it.
+    * `complete` mode so closed-and-open windows are both emitted — the
+    * batch-parity contract. */
+  def runAvailableNow(s: SparkSession, path: String, queryName: String): DataFrame = {
+    val q = windowedCounts(readEvents(s, path))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+}
+
+/** Completion-marker protocol parity (`retrieval.py:156-160`): stage N
+  * writes `<stage>_step_completed.txt`; stage N+1 activates only when the
+  * marker exists. File-based so any orchestrator (or a file-source
+  * stream) can observe it. */
+object StageMarker {
+  private def markerFile(dir: String, stage: String) =
+    new java.io.File(dir, s"${stage}_step_completed.txt")
+
+  def complete(dir: String, stage: String): Unit = {
+    val f = markerFile(dir, stage)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath,
+      s"Completed on: ${java.time.Instant.now()}\n")
+  }
+
+  def isComplete(dir: String, stage: String): Boolean =
+    markerFile(dir, stage).isFile
+
+  /** Run `stage` only if `upstream`'s marker is present; write this
+    * stage's marker on success. Returns whether the stage ran. */
+  def runGated(dir: String, upstream: String, stage: String)(body: => Unit): Boolean =
+    if (!isComplete(dir, upstream)) false
+    else { body; complete(dir, stage); true }
+}

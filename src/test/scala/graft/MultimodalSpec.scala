@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: typed asset schema, deterministic
+  * stubbed decode via per-partition batched mapPartitions, and stability
+  * across partitionings (what matters when a real codec replaces the
+  * stub on a 1000-executor cluster). */
+class MultimodalSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("asset frame: opaque binary payload + typed metadata columns") {
+    val a = Multimodal.assets(spark, sf)
+    val schema = a.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("media_type").dataType.typeName == "string")
+    val docs = Tables.documents(spark, sf).count()
+    assert(a.count() == docs)
+    // every modality present, payload bytes equal the UTF-8 text length
+    assert(a.toDF().select($"media_type").distinct().count() == 3)
+    val bad = a.toDF().join(Tables.documents(spark, sf), "doc_id")
+      .filter(length($"payload") =!= length(encode($"text", "UTF-8")))
+    assert(bad.count() == 0)
+  }
+
+  test("stub decode is deterministic and partition-count invariant") {
+    val a = Multimodal.assets(spark, sf)
+    val m1 = canon(Multimodal.extractMeta(a).toDF())
+    val m2 = canon(Multimodal.extractMeta(a.repartition(13)).toDF())
+    assert(m1 == m2, "decode results must not depend on partitioning")
+    // plausible image dimensions from the stub
+    val metas = Multimodal.extractMeta(a).collect()
+    assert(metas.forall(m => m.width >= 64 && m.height >= 64))
+    assert(metas.forall(m => m.n_bytes > 0))
+  }
+
+  test("decode runs as one iterator per partition (batch shape), not per-row tasks") {
+    val a = Multimodal.assets(spark, sf).repartition(4)
+    val partitionBatches = a.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(partitionBatches.length == 4)
+    assert(partitionBatches.sum == a.count())
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.streaming.{EventStream, StageMarker}
+
+/** S8 parity: the streaming variant of q_event_window_agg and the
+  * completion-marker stage chaining. */
+class StreamingSpec extends GraftSuite {
+
+  /** The file-source stream watches a DIRECTORY (new files arriving =
+    * new data, the reference's S3-prefix model); stage the shipped
+    * single-file table into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events-part-0.parquet"))
+    dir.toString
+  }
+
+  test("Trigger.AvailableNow stream agrees with the batch window aggregation") {
+    val streamed = EventStream.runAvailableNow(spark, eventsDir, "events_stream_parity")
+    val batch = SparkEntry.queries("q_event_window_agg")(spark, sf)
+    assertSameRows(streamed, batch)
+  }
+
+  test("second AvailableNow activation over the same input is idempotent") {
+    val again = EventStream.runAvailableNow(spark, eventsDir, "events_stream_parity2")
+    val batch = SparkEntry.queries("q_event_window_agg")(spark, sf)
+    assertSameRows(again, batch)
+  }
+
+  test("marker-file stage chaining gates downstream stages") {
+    val dir = s"/tmp/graft_markers/${java.util.UUID.randomUUID()}"
+    var ran = false
+    // downstream must NOT run before the upstream marker exists
+    assert(!StageMarker.runGated(dir, "retrieval", "transform") { ran = true })
+    assert(!ran && !StageMarker.isComplete(dir, "transform"))
+    // upstream completes -> downstream runs and writes its own marker
+    StageMarker.complete(dir, "retrieval")
+    assert(StageMarker.runGated(dir, "retrieval", "transform") { ran = true })
+    assert(ran && StageMarker.isComplete(dir, "transform"))
+  }
+}
