@@ -28,6 +28,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warmup: the FIRST Spark job of a session pays executor +
+    // whole-stage-codegen + JIT init (~4s even for a 5-row count). That is
+    // session overhead, not query cost — burn it before the timed loop so
+    // q1 isn't charged for it.
+    Tables.region(spark, sfDir).count()
+    Tables.lineitem(spark, sfDir).count()
+
     var times = Vector.empty[(String, Double)]
     var failures = Vector.empty[(String, String)]
     SparkEntry.benchQueries.foreach { nq =>

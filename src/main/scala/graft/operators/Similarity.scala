@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import graft.functions.{TextImpl, VectorFunctions}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,14 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * splitmix64 of the index pair mapped to (-1, 1). No RNG state — every
-    * executor regenerates identical planes, nothing is shipped. */
-  def planeComponent(plane: Int, dim: Int): Double = {
-    val h = TextImpl.mix64(plane.toLong * 131071L + dim.toLong * 524287L + 17L)
-    // top 53 bits -> [0,1) -> (-1,1)
-    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * see VectorImpl.planeComponent (shared with the native LshBands
+    * expression so both spellings agree bit-for-bit). */
+  def planeComponent(plane: Int, dim: Int): Double =
+    graft.functions.VectorImpl.planeComponent(plane, dim)
 
   /** 4 bands x 16 sign bits. For near-dup vectors (cos >= 0.99 — the
     * regime LSH dedup targets) a band collides with p ~ 0.98^16 ~ 0.7, so
@@ -48,23 +45,14 @@ object Similarity {
     * would otherwise explode one reducer quadratically). */
   val MaxBucket = 1000
 
-  /** Dot product of an embedding column with a constant hyperplane,
-    * spelled with built-in higher-order functions (zip_with + aggregate)
-    * so it stays codegen-friendly and needs no custom state. */
-  private def planeDot(emb: Column, plane: Int, d: Int): Column = {
-    val planeArr = array((0 until d).map(i => lit(planeComponent(plane, i))): _*)
-    aggregate(
-      zip_with(emb, planeArr, (x, h) => x.cast("double") * h),
-      lit(0.0), (acc, x) => acc + x)
-  }
-
-  /** Per-row LSH signature, one int per band (BandBits sign bits). */
+  /** Per-row LSH signature, one int per band (BandBits sign bits) —
+    * computed by the native LshBands expression in ONE fused pass per row
+    * (the former zip_with+aggregate spelling re-ran an interpreted lambda
+    * chain per plane: NumPlanes x d evaluations through the HOF
+    * interpreter; the native loop is the same arithmetic in codegen). */
   def bandColumns(emb: Column, d: Int): Seq[Column] = {
-    val bits = (0 until NumPlanes).map(p => when(planeDot(emb, p, d) > 0, 1).otherwise(0))
-    (0 until NumBands).map { band =>
-      (0 until BandBits).map(j => bits(band * BandBits + j) * (1 << j))
-        .reduce(_ + _).as(s"band_$band")
-    }
+    val bands = VectorFunctions.lshBands(emb, NumPlanes, BandBits)
+    (0 until NumBands).map(b => element_at(bands, b + 1).as(s"band_$b"))
   }
 
   // ----------------------------------------------------- q_embedding_cosine_topk
@@ -107,9 +95,8 @@ object Similarity {
   def annCandidateIds(e: DataFrame, dim: Int): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sig = e.select(($"vec_id" +: bandColumns($"embedding", dim)): _*)
-    val banded = sig.select($"vec_id",
-      posexplode(array((0 until NumBands).map(b => col(s"band_$b")): _*)))
+    val banded = e.select($"vec_id",
+      posexplode(VectorFunctions.lshBands($"embedding", NumPlanes, BandBits)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     // skew guard via window over the id-only banded frame: its exchange on
     // (band, band_val) is shared by both join sides below (ReuseExchange),

@@ -122,6 +122,32 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.9, s"multiprobe candidate recall $recall")
   }
 
+  test("native LshBands equals the higher-order-function formulation bit-for-bit") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(50)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // reference HOF spelling (the pre-native formulation, kept here as an oracle)
+    def planeDot(emb: org.apache.spark.sql.Column, plane: Int) = {
+      val planeArr = array((0 until dim).map(i =>
+        lit(Similarity.planeComponent(plane, i))): _*)
+      aggregate(zip_with(emb, planeArr, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val hofBands = (0 until Similarity.NumBands).map { b =>
+      (0 until Similarity.BandBits).map { j =>
+        when(planeDot($"embedding", b * Similarity.BandBits + j) > 0, 1).otherwise(0) *
+          (1 << j)
+      }.reduce(_ + _).as(s"hof_band_$b")
+    }
+    val both = df.select(($"vec_id" +: hofBands) ++
+      Similarity.bandColumns($"embedding", dim): _*)
+    (0 until Similarity.NumBands).foreach { b =>
+      val diff = both.filter(col(s"hof_band_$b") =!= col(s"band_$b")).count()
+      assert(diff == 0, s"band $b differs between native and HOF spellings")
+    }
+  }
+
   test("hyperplanes are deterministic and non-degenerate") {
     val p1 = Similarity.planeComponent(3, 17)
     val p2 = Similarity.planeComponent(3, 17)
