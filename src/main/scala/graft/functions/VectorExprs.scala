@@ -77,6 +77,54 @@ object VectorImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  // ---- IVF coarse quantizer (the second ANN scale path) ----
+
+  /** Deterministic pseudo-random centroid component — same generator
+    * family as the LSH planes, offset into a disjoint seed space. */
+  def centroidComponent(cell: Int, dim: Int): Double =
+    planeComponent(1 << 20 | cell, dim)
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def centroids(k: Int, dim: Int): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((k, dim),
+      _ => Array.tabulate(k, dim)(centroidComponent))
+
+  /** IVF cell assignment: ids of the `nprobe` nearest of `k` deterministic
+    * centroids by dot product, nearest first (ties -> lowest id). One
+    * fused native pass; k*d flops per row. */
+  def ivfCells(emb: ArrayData, k: Int, nprobe: Int): ArrayData = {
+    val d = emb.numElements()
+    val cs = centroids(k, d)
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val row = cs(c)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += emb.getFloat(i).toDouble * row(i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < nprobe) {
+      var best = -1
+      var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && dots(i) > bestV) { bestV = dots(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** cosine(array<float>, array<float>) -> double; null if either input is
@@ -133,6 +181,26 @@ case class LshBands(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): LshBands = copy(f, s, t)
 }
 
+/** ivf_cells(array<float>, k, nprobe) -> array<int> nearest-centroid ids. */
+case class IvfCells(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_cells expects (array<float>, int, int), got ($a, $b, $c)")
+    }
+  override def nullSafeEval(emb: Any, k: Any, np: Any): Any =
+    VectorImpl.ivfCells(emb.asInstanceOf[ArrayData], k.asInstanceOf[Int], np.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, k, np) => s"graft.functions.VectorImpl.ivfCells($e, $k, $np)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IvfCells = copy(f, s, t)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions.lit
   /** Column API: cosine similarity of two float-array columns. */
@@ -145,4 +213,10 @@ object VectorFunctions {
       ExpressionUtils.expression(emb),
       ExpressionUtils.expression(lit(numPlanes)),
       ExpressionUtils.expression(lit(bandBits))))
+  /** Column API: IVF cell ids (nprobe nearest centroids, nearest first). */
+  def ivfCells(emb: Column, k: Int, nprobe: Int): Column =
+    ExpressionUtils.column(IvfCells(
+      ExpressionUtils.expression(emb),
+      ExpressionUtils.expression(lit(k)),
+      ExpressionUtils.expression(lit(nprobe))))
 }

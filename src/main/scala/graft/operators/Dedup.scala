@@ -152,6 +152,48 @@ object Dedup {
       .limit(100)
   }
 
+  // ------------------------------------------------------------ q_simhash_dedup
+  /** SimHash near-dup detection: one 64-bit fingerprint per document
+    * (sign-aggregated token hashes — SimHash64 codegen expression), then
+    * banded candidate generation: 4 x 16-bit bands of the fingerprint; by
+    * pigeonhole, any pair within hamming distance 3 shares at least one
+    * exact band, so banding has RECALL 1.0 for the <=3-bit threshold
+    * (asserted against brute force in DedupSpec). The join carries only
+    * (doc_id, fp) — two longs — and hamming verification is
+    * `bit_count(fp_a XOR fp_b)`, no payload re-join needed at all. */
+  val SimHashMaxHamming = 3
+
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.select($"doc_id",
+      TextFunctions.simhash64(split($"text", " ", -1)).as("fp"))
+    val banded = fp.select($"doc_id", $"fp",
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned($"fp", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val kept = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"band", $"band_val")))
+      .filter($"bucket_n".between(2, MaxBucket))
+    val l = kept.select($"band", $"band_val", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
+    val r = kept.select($"band", $"band_val", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"fp_a", $"fp_b")
+      .distinct()
+      .select($"doc_a", $"doc_b",
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).as("hamming"))
+      .filter($"hamming" <= SimHashMaxHamming)
+  }
+
+  private def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(Tables.documents(s, dir))
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
   // ---------------------------------------------------------- q_dedup_embedding
   /** Embedding-cosine near-dup: top-100 most similar embedding pairs.
     * Brute-force formulation (the small-scale oracle baseline; the scale
@@ -185,5 +227,6 @@ object Dedup {
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
+    NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

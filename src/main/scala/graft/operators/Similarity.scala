@@ -116,16 +116,14 @@ object Similarity {
       .distinct()
   }
 
-  /** LSH-bucketed ANN: top-k neighbors per vector among multiprobe band
-    * collisions. Embeddings are fetched in ONE payload re-join after the
-    * id-only candidate generation; cosine is verified only for candidates.
-    * Deterministic; recall vs brute force asserted in SimilaritySpec. */
-  def annLsh(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
-    import s.implicits._
+  /** Shared verification tail: ONE payload re-join per side after the
+    * id-only candidate generation, cosine only on candidates, then
+    * windowed top-k per query vector. */
+  private def scoreAndRank(cand: DataFrame, e: DataFrame, topK: Int): DataFrame = {
+    import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, dir)
     val emb = e.select($"vec_id", $"embedding")
-    val scored = annCandidateIds(e, dim)
+    val scored = cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), "vec_a")
       .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), "vec_b")
       .select($"vec_a", $"vec_b",
@@ -137,7 +135,53 @@ object Similarity {
       .orderBy($"vec_a", $"rank")
   }
 
+  /** LSH-bucketed ANN: top-k neighbors per vector among multiprobe band
+    * collisions. Deterministic; recall vs brute force asserted in
+    * SimilaritySpec. */
+  def annLsh(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    scoreAndRank(annCandidateIds(e, dim), e, topK)
+  }
+
+  // ------------------------------------------------------------------- q_ann_ivf
+  /** IVF parameters: 64 deterministic pseudo-random coarse centroids,
+    * probe the 4 nearest cells. Cell occupancy ~n/K keeps the
+    * within-cell pair step linear in n for fixed K; at a real 100 TB
+    * deployment K grows with n (K ~ sqrt(n)) and centroids come from a
+    * sampled k-means — the quantizer here is the deterministic stand-in
+    * with identical plan shape. */
+  val IvfK = 64
+  val IvfProbes = 4
+
+  /** IVF candidates: each vector is OWNED by its nearest cell (receptor
+    * side) and PROBES its `IvfProbes` nearest cells — id-only join on the
+    * cell id, embeddings never enter the exchange. */
+  def ivfCandidateIds(e: DataFrame, dim: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val recv0 = e.select($"vec_id".as("vec_b"),
+      element_at(VectorFunctions.ivfCells($"embedding", IvfK, IvfProbes), 1).as("cell"))
+    val recv = recv0
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy($"cell")))
+      .filter($"bucket_n" <= MaxBucket)
+      .select($"cell", $"vec_b")
+    val probe = e.select($"vec_id".as("vec_a"),
+      explode(VectorFunctions.ivfCells($"embedding", IvfK, IvfProbes)).as("cell"))
+    probe.join(recv, Seq("cell"))
+      .filter($"vec_a" =!= $"vec_b")
+      .select($"vec_a", $"vec_b")
+      .distinct()
+  }
+
+  /** IVF-bucketed ANN — the second scale path (coarse quantization
+    * instead of hashing); same verification tail as annLsh. */
+  def annIvf(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    scoreAndRank(ivfCandidateIds(e, dim), e, topK)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_embedding_cosine_topk", cosineTopk, Some(cosineTopkSql), bench = true),
-    NamedQuery("q_ann_lsh", (s, d) => annLsh(s, d), None, bench = true))
+    NamedQuery("q_ann_lsh", (s, d) => annLsh(s, d), None, bench = true),
+    NamedQuery("q_ann_ivf", (s, d) => annIvf(s, d), None, bench = true))
 }

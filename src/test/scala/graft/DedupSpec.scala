@@ -83,6 +83,33 @@ class DedupSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("simhash banding finds EXACTLY the hamming<=3 pairs (pigeonhole recall 1.0)") {
+    import graft.functions.TextImpl
+    val docs = Tables.documents(spark, sf)
+    // brute-force truth: all-pairs hamming over driver-collected fingerprints
+    val fps = docs.collect().map { r =>
+      val toks = r.getAs[String]("text").split(" ", -1)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+      r.getAs[Long]("doc_id") -> TextImpl.simhash(arr)
+    }
+    val truth = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && TextImpl.hamming(fa, fb) <= Dedup.SimHashMaxHamming
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"banded simhash must match brute force exactly: missing=${truth -- found}, extra=${found -- truth}")
+  }
+
+  test("simhash dedup query is deterministic and within threshold") {
+    val a = canon(SparkEntry.queries("q_simhash_dedup")(spark, sf))
+    assert(a == canon(SparkEntry.queries("q_simhash_dedup")(spark, sf)))
+    SparkEntry.queries("q_simhash_dedup")(spark, sf).collect()
+      .foreach(r => assert(r.getInt(2) <= Dedup.SimHashMaxHamming))
+  }
+
   test("LSH skew guard: degenerate buckets are dropped before the pair join") {
     // all-identical docs would otherwise create a quadratic bucket
     val dup = Seq.tabulate(50)(i => (i.toLong, "same text for every row"))

@@ -122,6 +122,43 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.9, s"multiprobe candidate recall $recall")
   }
 
+  test("IVF candidates find planted near-duplicates and shuffle no arrays") {
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val rows = for {
+      c <- 0 until 10
+      b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      i <- 0 until 3
+    } yield ((c * 3 + i).toLong, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val cand = Similarity.ivfCandidateIds(df, dim)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intraFound = pairs.count { case (a, b) => a / 3 == b / 3 }
+    val recall = intraFound.toDouble / (10 * 3 * 2)
+    assert(recall >= 0.9, s"IVF candidate recall $recall")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = Similarity.ivfCandidateIds(Tables.embeddings(spark, sf), 64)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e => assert(!e.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("IVF ANN on the shipped table: deterministic, valid ranks") {
+    val ann = Similarity.annIvf(spark, sf)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { grp =>
+      val sorted = grp.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+    }
+    assert(canon(ann) == canon(Similarity.annIvf(spark, sf)))
+  }
+
   test("native LshBands equals the higher-order-function formulation bit-for-bit") {
     val dim = 16
     val rnd = new scala.util.Random(11)
