@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators. AQE handles skewed JOINS by splitting
+  * partitions, but a skewed WINDOW (top-k per key with one hot key) still
+  * funnels the hot key's entire row set through a single task — the
+  * classic straggler at 100 TB. The standard fix is salting: a two-phase
+  * reduction where phase 1 computes per-(key, salt) top-k across
+  * `saltBuckets` parallel tasks, and phase 2 reduces the bounded
+  * `saltBuckets * k` survivors per key. Result is IDENTICAL to the plain
+  * window whenever the sort order is total (tie-broken) — asserted in
+  * SkewSpec against both the shipped data and a synthetic hot-key frame.
+  */
+object Skew {
+
+  /** Two-phase salted top-k per key.
+    *
+    * @param keyCol      grouping key column name
+    * @param sortExprs   total order (include a tie-breaker!), best first
+    * @param saltOn      expression whose hash spreads the hot key's rows
+    *                    (a unique id column; must not correlate with rank)
+    * @param k           rows to keep per key
+    * @param saltBuckets parallelism of phase 1 over a single key
+    */
+  def saltedTopKPerKey(df: DataFrame, keyCol: String, sortExprs: Seq[Column],
+                       saltOn: Column, k: Int, saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltOn), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(keyCol), col("__salt")).orderBy(sortExprs: _*)
+    val survivors = salted
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__salt")
+    // phase 2 input is <= saltBuckets * k rows per key, hot or not
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(sortExprs: _*)
+    survivors
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------ q_topk_per_key
+  /** Top-3 orders per customer by price — executed through the salted
+    * two-phase path; the oracle is the plain one-window SQL, proving the
+    * salted formulation is result-identical. */
+  private def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    saltedTopKPerKey(
+      Tables.orders(s, dir), "o_custkey",
+      Seq($"o_totalprice".desc, $"o_orderkey".asc),
+      saltOn = $"o_orderkey", k = 3, saltBuckets = 8)
+      .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
+        $"o_totalprice".as("totalprice"), $"rank")
+      .orderBy($"custkey", $"rank")
+  }
+
+  private val topkPerKeySql =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |  o_totalprice AS totalprice, rn AS rank
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY custkey, rank""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_topk_per_key", topkPerKey, Some(topkPerKeySql), bench = true))
+}
