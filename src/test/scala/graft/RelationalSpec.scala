@@ -112,4 +112,47 @@ class RelationalSpec extends GraftSuite {
     val total = df.agg(sum($"n")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("pivot round-trips the unpivot (wide == source)") {
+    val wide = run("q_pivot_attrs")
+    val src = Tables.customer(spark, sf).select(
+      $"c_custkey".as("custkey"), $"c_mktsegment".as("mktsegment"),
+      $"c_name".as("name"), $"c_nationkey".cast("string").as("nationkey"))
+    assertSameRows(wide, src)
+  }
+
+  test("pivot with explicit values schedules no distinct-collection job") {
+    // groupBy().pivot(col) without values triggers an eager collect of
+    // distinct attrs — the explicit list keeps the plan a single agg
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = run("q_pivot_status").queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // Spark's two-phase pivot: agg by (month, status), pivot-agg by
+      // month, final orderBy sort — exactly 3 exchanges, none of them a
+      // driver-side distinct-values collection
+      assert(exchanges.size <= 3, s"too many exchanges: ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("full outer join keeps both unmatched sides with coalesced keys") {
+    val df = run("q_outer_join_align")
+    assert(df.filter($"custkey".isNull || $"month".isNull).count() == 0,
+      "using-join keys must be coalesced, never null")
+    assert(df.filter($"order_total".isNull).count() > 0, "lineitem-only months expected")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected full outer join:\n$plan")
+  }
+
+  test("date window anchor is broadcast, not shuffled") {
+    val plan = run("q_date_window").queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"anchor row not broadcast:\n$plan")
+  }
+
+  test("approx distinct stays within its advertised tolerance") {
+    val rows = run("q_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"estimate out of tolerance: $r"))
+  }
 }
