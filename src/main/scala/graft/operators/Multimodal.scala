@@ -70,6 +70,43 @@ object Multimodal {
     }
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling (video/audio analog): n evenly-spaced fixed-size
+    * chunks of the payload — a real pipeline swaps the slicing for a
+    * container demuxer; the Spark shape (typed flatMap fan-out, one row
+    * per frame, binary stays opaque) is identical. */
+  def sampleFrames(in: Dataset[Asset], n: Int, frameBytes: Int): Dataset[Frame] = {
+    import in.sparkSession.implicits._
+    in.flatMap { a =>
+      val len = a.payload.length
+      (0 until n).iterator.map { i =>
+        val start = if (n == 1) 0 else (i.toLong * math.max(len - frameBytes, 0) / math.max(n - 1, 1)).toInt
+        val end = math.min(start + frameBytes, len)
+        Frame(a.doc_id, i, java.util.Arrays.copyOfRange(a.payload, math.min(start, len), end))
+      }
+    }
+  }
+
+  case class Thumb(doc_id: Long, thumb: Array[Byte])
+
+  /** Resize/thumbnail stub: deterministic fixed-size downsample (every
+    * len/k-th byte) standing in for an image resampler — output size is
+    * constant regardless of input size, like a real thumbnail. */
+  def resizeStub(in: Dataset[Asset], outBytes: Int): Dataset[Thumb] = {
+    import in.sparkSession.implicits._
+    in.map { a =>
+      val len = a.payload.length
+      val out = new Array[Byte](outBytes)
+      var i = 0
+      while (i < outBytes) {
+        out(i) = if (len == 0) 0 else a.payload((i.toLong * len / outBytes).toInt)
+        i += 1
+      }
+      Thumb(a.doc_id, out)
+    }
+  }
+
   // -------------------------------------------------------------- q_binary_stats
   /** Oracle-checked binary-column query: byte length and content digest of
     * each payload, plus per-modality aggregate stats — binary stays

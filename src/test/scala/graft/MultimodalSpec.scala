@@ -35,6 +35,32 @@ class MultimodalSpec extends GraftSuite {
     assert(metas.forall(m => m.n_bytes > 0))
   }
 
+  test("frame sampling: n frames per asset, frames are payload slices") {
+    val a = Multimodal.assets(spark, sf)
+    val frames = Multimodal.sampleFrames(a, n = 4, frameBytes = 32)
+    assert(frames.count() == a.count() * 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    val payloads = a.collect().map(x => x.doc_id -> x.payload).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until 4))
+      fs.foreach { f =>
+        assert(f.frame.length <= 32)
+        // every frame is a contiguous slice of the source payload
+        val p = payloads(id)
+        assert(new String(p, "UTF-8").contains(new String(f.frame, "UTF-8")))
+      }
+    }
+  }
+
+  test("resize stub: constant output size, deterministic across partitionings") {
+    val a = Multimodal.assets(spark, sf)
+    val t1 = Multimodal.resizeStub(a, 16).collect().map(t => t.doc_id -> t.thumb.toSeq).toMap
+    val t2 = Multimodal.resizeStub(a.repartition(7), 16).collect()
+      .map(t => t.doc_id -> t.thumb.toSeq).toMap
+    assert(t1 == t2)
+    assert(t1.values.forall(_.length == 16))
+  }
+
   test("decode runs as one iterator per partition (batch shape), not per-row tasks") {
     val a = Multimodal.assets(spark, sf).repartition(4)
     val partitionBatches = a.mapPartitions(it => Iterator.single(it.size)).collect()
