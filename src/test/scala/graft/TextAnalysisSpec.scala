@@ -49,6 +49,50 @@ class TextAnalysisSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("trigram expressions: edge cases (null, empty, <3 words) and set/sig agreement") {
+    val df = Seq(Some(""), Some("one"), Some("one two"), Some("one two three four"),
+      Option.empty[String])
+      .toDF("s")
+      .select($"s",
+        TextFunctions.trigramHashes($"s").as("hs"),
+        TextFunctions.trigramMinhash($"s", 16).as("sig"))
+    val rows = df.collect()
+    // null text -> null outputs
+    assert(rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    // <3 words -> exactly one whole-text hash
+    (0 to 2).foreach(i => assert(rows(i).getSeq[Long](1).length == 1, s"row $i"))
+    // 4 words -> 2 trigrams
+    assert(rows(3).getSeq[Long](1).length == 2)
+    // signature is always numHashes long, never nulls
+    rows.take(4).foreach(r => assert(r.getSeq[Long](2).length == 16))
+    // sets are sorted distinct
+    rows.take(4).foreach { r =>
+      val hs = r.getSeq[Long](1)
+      assert(hs == hs.sorted && hs.distinct == hs)
+    }
+  }
+
+  test("trigram minhash matches the JVM impl on real docs (codegen path)") {
+    val rows = Tables.documents(spark, sf).limit(20)
+      .select($"text", TextFunctions.trigramMinhash($"text", 16).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val expected = TextImpl.minhashSig(utf8(r.getString(0)), 16)
+        .toLongArray().toSeq
+      assert(r.getSeq[Long](1) == expected)
+    }
+  }
+
+  test("equal shingle sets give equal minhash signatures; jaccard tracks overlap") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // same word sequence -> identical sig
+    val df = Seq(a, a, a.replace("quick", "slow")).toDF("s")
+      .select(TextFunctions.trigramMinhash($"s", 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
   test("rolling fingerprint handles degenerate inputs (empty, shorter than window)") {
     assert(TextImpl.rollingMinHash(utf8(""), 16) == TextImpl.mix64(0L))
     val short = TextImpl.rollingMinHash(utf8("abc"), 16)
