@@ -24,10 +24,13 @@ object Tables {
   /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default — read it as an epoch-nanos long and convert to a microsecond
     * TimestampType column (hour-level bucketing is unaffected). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, pinned in the session
-    * builders (Verify/Bench/SparkSpec) alongside the other semantics pins. */
+    * `spark.sql.legacy.parquet.nanosAsLong=true`: pinned in the in-repo
+    * session builders (Verify/Bench/SparkSpec), and set here once for
+    * externally built sessions (guarded — no repeated conf mutation). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.getOption(key).forall(_ != "true")) s.conf.set(key, "true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }

@@ -18,33 +18,44 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctionRegistry {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(getClass.getCanonicalName, name)
+    new ExpressionInfo(getClass.getCanonicalName, null, name, usage,
+      "", "", "", "misc_funcs", "4.0.0", "", "built-in")
+
+  /** Wrap a builder with an arity check so wrong arg counts fail with a
+    * clear message at analysis, not a raw IndexOutOfBounds. */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+      b(args)
+    }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two float arrays"),
+      arity("graft_cosine", 2)(args => CosineSimilarity(args(0), args(1)))),
     (FunctionIdentifier("graft_lsh_bands"),
-      info("graft_lsh_bands", "graft_lsh_bands(emb, numPlanes, bandBits) - banded sign-sketch"),
-      (args: Seq[Expression]) => LshBands(args(0), args(1), args(2))),
+      info("graft_lsh_bands", "_FUNC_(emb, numPlanes, bandBits) - banded sign-sketch"),
+      arity("graft_lsh_bands", 3)(args => LshBands(args(0), args(1), args(2)))),
     (FunctionIdentifier("graft_ivf_cells"),
-      info("graft_ivf_cells", "graft_ivf_cells(emb, k, nprobe) - nearest IVF cell ids"),
-      (args: Seq[Expression]) => IvfCells(args(0), args(1), args(2))),
+      info("graft_ivf_cells", "_FUNC_(emb, k, nprobe) - nearest IVF cell ids"),
+      arity("graft_ivf_cells", 3)(args => IvfCells(args(0), args(1), args(2)))),
     (FunctionIdentifier("graft_trigram_minhash"),
-      info("graft_trigram_minhash", "graft_trigram_minhash(text, n) - MinHash signature"),
-      (args: Seq[Expression]) => TriGramMinHash(args(0), args(1))),
+      info("graft_trigram_minhash", "_FUNC_(text, n) - MinHash signature"),
+      arity("graft_trigram_minhash", 2)(args => TriGramMinHash(args(0), args(1)))),
     (FunctionIdentifier("graft_trigram_hashes"),
-      info("graft_trigram_hashes", "graft_trigram_hashes(text) - sorted distinct 3-gram hashes"),
-      (args: Seq[Expression]) => TriGramHashes(args(0))),
+      info("graft_trigram_hashes", "_FUNC_(text) - sorted distinct 3-gram hashes"),
+      arity("graft_trigram_hashes", 1)(args => TriGramHashes(args(0)))),
     (FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args(0))),
+      info("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash of a token array"),
+      arity("graft_simhash", 1)(args => SimHash64(args(0)))),
     (FunctionIdentifier("graft_hash64"),
-      info("graft_hash64", "graft_hash64(s, seed) - seeded 64-bit text hash"),
-      (args: Seq[Expression]) => Hash64(args(0), args(1))),
+      info("graft_hash64", "_FUNC_(s, seed) - seeded 64-bit text hash"),
+      arity("graft_hash64", 2)(args => Hash64(args(0), args(1)))),
     (FunctionIdentifier("graft_fingerprint"),
-      info("graft_fingerprint", "graft_fingerprint(text, window) - winnowing fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprint(args(0), args(1))))
+      info("graft_fingerprint", "_FUNC_(text, window) - winnowing fingerprint"),
+      arity("graft_fingerprint", 2)(args => RollingFingerprint(args(0), args(1)))))
 
   /** Add all graft functions to an existing session's registry. */
   def register(spark: SparkSession): Unit =

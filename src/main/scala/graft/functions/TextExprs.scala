@@ -153,6 +153,8 @@ object TextImpl {
     * min of its set, so no dedup needed): numHashes independent affine
     * permutations, elementwise min, one pass. */
   def minhashSig(s: UTF8String, numHashes: Int): ArrayData = {
+    require(numHashes >= 1 && numHashes <= MaxMinHashes,
+      s"trigram_minhash: numHashes must be in 1..$MaxMinHashes, got $numHashes")
     val grams = triGramHashMultiset(s)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -223,7 +225,14 @@ case class TriGramMinHash(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) =>
+        // validate a constant width at ANALYSIS time, not on an executor
+        if (right.foldable) {
+          val n = right.eval() match { case i: Int => i; case _ => -1 }
+          if (n >= 1 && n <= TextImpl.MaxMinHashes) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"trigram_minhash: numHashes must be a constant in 1..${TextImpl.MaxMinHashes}, got $n")
+        } else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"trigram_minhash expects (string, int), got ($l, $r)")
     }

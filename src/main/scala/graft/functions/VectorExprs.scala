@@ -63,6 +63,10 @@ object VectorImpl {
     * but a single fused native loop instead of numPlanes interpreted
     * lambda evaluations per row. */
   def lshBands(emb: ArrayData, numPlanes: Int, bandBits: Int): ArrayData = {
+    require(bandBits >= 1 && bandBits <= 31 && numPlanes >= 1 &&
+      numPlanes % bandBits == 0,
+      s"lsh_bands: need bandBits in 1..31 and numPlanes a positive multiple of it, " +
+        s"got (numPlanes=$numPlanes, bandBits=$bandBits)")
     val d = emb.numElements()
     val pl = planes(numPlanes, d)
     val out = new Array[Int](numPlanes / bandBits)
@@ -96,6 +100,8 @@ object VectorImpl {
     * centroids by dot product, nearest first (ties -> lowest id). One
     * fused native pass; k*d flops per row. */
   def ivfCells(emb: ArrayData, k: Int, nprobe: Int): ArrayData = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= k,
+      s"ivf_cells: need 1 <= nprobe <= k, got (k=$k, nprobe=$nprobe)")
     val d = emb.numElements()
     val cs = centroids(k, d)
     val dots = new Array[Double](k)
@@ -168,7 +174,16 @@ case class LshBands(first: Expression, second: Expression, third: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // surface bad constants at analysis time, not as executor crashes
+        (if (second.foldable) Option(second.eval()) else None,
+          if (third.foldable) Option(third.eval()) else None) match {
+          case (Some(np: Int), Some(bb: Int))
+              if bb < 1 || bb > 31 || np < 1 || np % bb != 0 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"lsh_bands: need bandBits in 1..31 and numPlanes a positive multiple of it, got ($np, $bb)")
+          case _ =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b, c) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"lsh_bands expects (array<float>, int, int), got ($a, $b, $c)")
@@ -188,7 +203,14 @@ case class IvfCells(first: Expression, second: Expression, third: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        (if (second.foldable) Option(second.eval()) else None,
+          if (third.foldable) Option(third.eval()) else None) match {
+          case (Some(k: Int), Some(np: Int)) if k < 1 || np < 1 || np > k =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"ivf_cells: need 1 <= nprobe <= k, got (k=$k, nprobe=$np)")
+          case _ =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b, c) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"ivf_cells expects (array<float>, int, int), got ($a, $b, $c)")

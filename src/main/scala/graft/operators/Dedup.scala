@@ -157,10 +157,16 @@ object Dedup {
     * (sign-aggregated token hashes — SimHash64 codegen expression), then
     * banded candidate generation: 4 x 16-bit bands of the fingerprint; by
     * pigeonhole, any pair within hamming distance 3 shares at least one
-    * exact band, so banding has RECALL 1.0 for the <=3-bit threshold
-    * (asserted against brute force in DedupSpec). The join carries only
-    * (doc_id, fp) — two longs — and hamming verification is
-    * `bit_count(fp_a XOR fp_b)`, no payload re-join needed at all. */
+    * exact band, so banding has recall 1.0 for the <=3-bit threshold
+    * AMONG buckets within the `MaxBucket` skew cap (asserted against
+    * brute force in DedupSpec at test scale, where no bucket is hot).
+    * A band bucket larger than MaxBucket means >1000 near-identical
+    * fingerprints — i.e. a mass-duplicate cluster that the exact-dedup
+    * pass (q_dedup_exact) is the right tool for; run it first, as every
+    * web-scale dedup pipeline does, and the cap only drops pairs exact
+    * dedup already collapsed. The join carries only (doc_id, fp) — two
+    * longs — and hamming verification is `bit_count(fp_a XOR fp_b)`,
+    * no payload re-join needed at all. */
   val SimHashMaxHamming = 3
 
   def simhashPairs(docs: DataFrame): DataFrame = {

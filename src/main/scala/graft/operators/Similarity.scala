@@ -50,7 +50,7 @@ object Similarity {
     * (the former zip_with+aggregate spelling re-ran an interpreted lambda
     * chain per plane: NumPlanes x d evaluations through the HOF
     * interpreter; the native loop is the same arithmetic in codegen). */
-  def bandColumns(emb: Column, d: Int): Seq[Column] = {
+  def bandColumns(emb: Column): Seq[Column] = {
     val bands = VectorFunctions.lshBands(emb, NumPlanes, BandBits)
     (0 until NumBands).map(b => element_at(bands, b + 1).as(s"band_$b"))
   }
@@ -89,10 +89,9 @@ object Similarity {
     * single-bit multiprobe. ID-ONLY: the frame carries two longs per row —
     * no embedding array enters any exchange in this subplan (asserted in
     * SimilaritySpec). The probe side explodes each row's band value plus
-    * its BandBits single-bit flips; the receptor side is skew-guarded via
-    * a groupBy-count semi-join (partial aggregation — only (band, val,
-    * count) shuffles). */
-  def annCandidateIds(e: DataFrame, dim: Int): DataFrame = {
+    * its BandBits single-bit flips; hot buckets are dropped by the
+    * window-count skew guard below. */
+  def annCandidateIds(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val banded = e.select($"vec_id",
@@ -138,9 +137,9 @@ object Similarity {
   /** LSH-bucketed ANN: top-k neighbors per vector among multiprobe band
     * collisions. Deterministic; recall vs brute force asserted in
     * SimilaritySpec. */
-  def annLsh(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    scoreAndRank(annCandidateIds(e, dim), e, topK)
+    scoreAndRank(annCandidateIds(e), e, topK)
   }
 
   // ------------------------------------------------------------------- q_ann_ivf
@@ -156,7 +155,7 @@ object Similarity {
   /** IVF candidates: each vector is OWNED by its nearest cell (receptor
     * side) and PROBES its `IvfProbes` nearest cells — id-only join on the
     * cell id, embeddings never enter the exchange. */
-  def ivfCandidateIds(e: DataFrame, dim: Int): DataFrame = {
+  def ivfCandidateIds(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val recv0 = e.select($"vec_id".as("vec_b"),
@@ -175,9 +174,9 @@ object Similarity {
 
   /** IVF-bucketed ANN — the second scale path (coarse quantization
     * instead of hashing); same verification tail as annLsh. */
-  def annIvf(s: SparkSession, dir: String, dim: Int = 64, topK: Int = 3): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    scoreAndRank(ivfCandidateIds(e, dim), e, topK)
+    scoreAndRank(ivfCandidateIds(e), e, topK)
   }
 
   val all: Seq[NamedQuery] = Seq(

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * dropping `*_step_completed.txt` marker files on S3
   * (`/root/reference/retrieval.py:156-160`, `cleaning.py:121-125`) and
   * re-running on a schedule. The Spark-native equivalent is a file-source
-  * stream with `Trigger.AvailableNow` — new files are discovered and
-  * processed exactly once per activation, state (which files were seen)
-  * lives in the checkpoint, and the same windowed aggregation plan serves
-  * batch and stream.
+  * stream with `Trigger.AvailableNow`; pass `checkpointDir` to make
+  * activations incremental — seen-file state then lives in the
+  * checkpoint, so a re-activation processes only newly-arrived files.
+  * Without it each run gets an ephemeral checkpoint and reprocesses the
+  * whole directory (the batch-parity mode the specs compare against).
+  * The same windowed aggregation plan serves batch and stream.
   *
   * The aggregation below is the SAME window spec as
   * `Relational.eventWindowAgg` (q_event_window_agg); StreamingSpec
@@ -51,17 +53,21 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
-  /** Process ALL currently-available input exactly once
-    * (Trigger.AvailableNow) into an in-memory table and return it.
-    * `complete` mode so closed-and-open windows are both emitted — the
-    * batch-parity contract. */
-  def runAvailableNow(s: SparkSession, path: String, queryName: String): DataFrame = {
-    val q = windowedCounts(readEvents(s, path))
+  /** Process all currently-available input (Trigger.AvailableNow) into an
+    * in-memory table and return it. `complete` mode so closed-and-open
+    * windows are both emitted — the batch-parity contract. With
+    * `checkpointDir` set, a later activation reads only files that
+    * arrived since the previous one. */
+  def runAvailableNow(s: SparkSession, path: String, queryName: String,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val writer = windowedCounts(readEvents(s, path))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
+    val q = checkpointDir
+      .fold(writer)(dir => writer.option("checkpointLocation", dir))
       .start()
     q.awaitTermination()
     s.table(queryName)

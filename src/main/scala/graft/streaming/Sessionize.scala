@@ -126,15 +126,18 @@ object Sessionize {
 
   /** Streaming sessionization over a watched events directory; processes
     * all available input (Trigger.AvailableNow) and emits sessions closed
-    * by gaps or by the final watermark. */
-  def runSessionStream(s: SparkSession, watchDir: String, queryName: String): DataFrame = {
+    * by gaps or by the final watermark. With `checkpointDir` set, session
+    * state and seen-file tracking survive across activations — a second
+    * run emits only sessions from newly-arrived files. */
+  def runSessionStream(s: SparkSession, watchDir: String, queryName: String,
+                       checkpointDir: Option[String] = None): DataFrame = {
     import s.implicits._
     val events = EventStream.readEvents(s, watchDir)
       .withWatermark("ts", "0 seconds")
       .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
         round($"value" * 100).cast("long").as("value_cents"))
       .as[SessEvent]
-    val q = events
+    val writer = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(stateFn)
       .writeStream
@@ -142,6 +145,8 @@ object Sessionize {
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
+    val q = checkpointDir
+      .fold(writer)(dir => writer.option("checkpointLocation", dir))
       .start()
     q.awaitTermination()
     s.table(queryName)

@@ -56,7 +56,7 @@ class SimilaritySpec extends GraftSuite {
     df.createOrReplaceTempView("planted")
     // reuse the banding machinery directly on the planted frame
     val sig = df.select(($"vec_id" +: $"cluster" +: $"embedding" +:
-      Similarity.bandColumns($"embedding", dim)): _*)
+      Similarity.bandColumns($"embedding")): _*)
     val numBands = Similarity.NumPlanes / Similarity.BandBits
     val banded = sig.select($"vec_id", $"cluster",
       posexplode(array((0 until numBands).map(i => col(s"band_$i")): _*)))
@@ -91,7 +91,7 @@ class SimilaritySpec extends GraftSuite {
     // VERDICT r1: embeddings must not ride the LSH candidate shuffle.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val cand = Similarity.annCandidateIds(Tables.embeddings(spark, sf), dim = 64)
+      val cand = Similarity.annCandidateIds(Tables.embeddings(spark, sf))
       val exchanges = cand.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
@@ -114,7 +114,7 @@ class SimilaritySpec extends GraftSuite {
       i <- 0 until 3
     } yield ((c * 3 + i).toLong, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
     val df = rows.toDF("vec_id", "embedding")
-    val cand = Similarity.annCandidateIds(df, dim)
+    val cand = Similarity.annCandidateIds(df)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val intraTotal = 10 * 3 * 2 // directed pairs within clusters
     val intraFound = cand.count { case (a, b) => a / 3 == b / 3 }
@@ -131,14 +131,14 @@ class SimilaritySpec extends GraftSuite {
       i <- 0 until 3
     } yield ((c * 3 + i).toLong, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
     val df = rows.toDF("vec_id", "embedding")
-    val cand = Similarity.ivfCandidateIds(df, dim)
+    val cand = Similarity.ivfCandidateIds(df)
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val intraFound = pairs.count { case (a, b) => a / 3 == b / 3 }
     val recall = intraFound.toDouble / (10 * 3 * 2)
     assert(recall >= 0.9, s"IVF candidate recall $recall")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val exchanges = Similarity.ivfCandidateIds(Tables.embeddings(spark, sf), 64)
+      val exchanges = Similarity.ivfCandidateIds(Tables.embeddings(spark, sf))
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
@@ -178,7 +178,7 @@ class SimilaritySpec extends GraftSuite {
       }.reduce(_ + _).as(s"hof_band_$b")
     }
     val both = df.select(($"vec_id" +: hofBands) ++
-      Similarity.bandColumns($"embedding", dim): _*)
+      Similarity.bandColumns($"embedding"): _*)
     (0 until Similarity.NumBands).foreach { b =>
       val diff = both.filter(col(s"hof_band_$b") =!= col(s"band_$b")).count()
       assert(diff == 0, s"band $b differs between native and HOF spellings")
