@@ -55,7 +55,10 @@ object GraftFunctionRegistry {
       arity("graft_hash64", 2)(args => Hash64(args(0), args(1)))),
     (FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "_FUNC_(text, window) - winnowing fingerprint"),
-      arity("graft_fingerprint", 2)(args => RollingFingerprint(args(0), args(1)))))
+      arity("graft_fingerprint", 2)(args => RollingFingerprint(args(0), args(1)))),
+    (FunctionIdentifier("graft_word_ngram_hashes"),
+      info("graft_word_ngram_hashes", "_FUNC_(text, n) - sorted distinct word n-gram hashes"),
+      arity("graft_word_ngram_hashes", 2)(args => WordNGramHashes(args(0), args(1)))))
 
   /** Add all graft functions to an existing session's registry. */
   def register(spark: SparkSession): Unit =

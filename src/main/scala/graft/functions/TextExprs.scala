@@ -128,10 +128,7 @@ object TextImpl {
     out
   }
 
-  /** Sorted distinct 3-gram hashes — the shingle SET for exact-Jaccard
-    * verification of LSH candidates (array_intersect on sorted longs). */
-  def triGramSet(s: UTF8String): ArrayData = {
-    val a = triGramHashMultiset(s)
+  private def sortedDistinct(a: Array[Long]): ArrayData = {
     java.util.Arrays.sort(a)
     var n = 0
     var i = 0
@@ -141,6 +138,33 @@ object TextImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(a, n))
+  }
+
+  /** Sorted distinct 3-gram hashes — the shingle SET for exact-Jaccard
+    * verification of LSH candidates (array_intersect on sorted longs). */
+  def triGramSet(s: UTF8String): ArrayData = sortedDistinct(triGramHashMultiset(s))
+
+  /** Sorted distinct word-n-gram hashes (generalizes triGramSet to any
+    * n >= 1): one pass over the text, no shingle strings materialized.
+    * Texts with < n words yield one whole-text hash. Combine chain
+    * matches triGramHashMultiset at n = 3. */
+  def wordNGramSet(s: UTF8String, n: Int): ArrayData = {
+    val wh = wordHashes(s.getBytes)
+    val a: Array[Long] =
+      if (wh.length < n) Array(hash64(s, 7L))
+      else {
+        val out = new Array[Long](wh.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          var h = mix64(wh(i + n - 1))
+          var k = n - 2
+          while (k >= 0) { h = mix64(wh(i + k) + h); k -= 1 }
+          out(i) = h
+          i += 1
+        }
+        out
+      }
+    sortedDistinct(a)
   }
 
   /** Max supported MinHash signature width. */
@@ -257,6 +281,31 @@ case class TriGramHashes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TriGramHashes = copy(child = c)
 }
 
+/** word_ngram_hashes(string, n) -> array<long> — sorted distinct word
+  * n-gram hashes; the shingle-hash set behind decontamination. */
+case class WordNGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (right.foldable) {
+          val n = right.eval() match { case i: Int => i; case _ => -1 }
+          if (n >= 1) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"word_ngram_hashes: n must be a constant >= 1, got $n")
+        } else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_hashes expects (string, int), got ($l, $r)")
+    }
+  override def nullSafeEval(s: Any, n: Any): Any =
+    TextImpl.wordNGramSet(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.TextImpl.wordNGramSet($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNGramHashes =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.functions.lit
   def simhash64(tokens: Column): Column =
@@ -278,4 +327,9 @@ object TextFunctions {
   }
   def trigramHashes(text: Column): Column =
     ExpressionUtils.column(TriGramHashes(ExpressionUtils.expression(text)))
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    ExpressionUtils.column(WordNGramHashes(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(lit(n))))
+  }
 }

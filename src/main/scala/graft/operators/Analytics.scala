@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Windowed analytics, multi-level aggregation, decontamination, and
+  * deterministic sampling — the remaining shapes a financial dashboard
+  * (rolling trends) and a training-data pipeline (held-out-set
+  * decontamination, data-mix sampling) both need.
+  *
+  * Scale design (100 TB):
+  *  - rolling windows partition by entity key: state per task is one
+  *    frame of rows, no global sort;
+  *  - rollup computes every grouping level in ONE shuffle (Expand +
+  *    partial agg), not one job per level;
+  *  - decontamination broadcasts the held-out shingle set (test sets are
+  *    MBs even when the corpus is TBs) — the corpus never shuffles;
+  *  - hash sampling is a stateless per-row predicate: deterministic,
+  *    reproducible on any cluster layout, no sort, no RNG seed plumbing.
+  */
+object Analytics {
+
+  // ---------------------------------------------------------------- q_rolling_avg
+  /** Per-customer monthly spend with a 3-month rolling average and
+    * month-over-month delta. Sums route through DECIMAL (Exact.dsum
+    * rationale) so window results are partitioning-invariant; the rolling
+    * mean divides an exact frame sum by the frame row count. */
+  private def rollingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(dsum($"o_totalprice").as("month_total"))
+    val w3 = Window.partitionBy($"o_custkey").orderBy($"month").rowsBetween(-2, 0)
+    val wo = Window.partitionBy($"o_custkey").orderBy($"month")
+    monthly.select($"o_custkey", $"month", $"month_total",
+      (sum($"month_total".cast(DecimalType(28, 2))).over(w3).cast("double") /
+        count(lit(1)).over(w3)).as("rolling_avg_3m"),
+      ($"month_total" - lag($"month_total", 1).over(wo)).as("mom_delta"))
+      .orderBy($"o_custkey", $"month")
+  }
+
+  private val rollingAvgSql =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    ${sqlDsum("o_totalprice")} AS month_total
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT o_custkey, month, month_total,
+       |  CAST(SUM(CAST(month_total AS DECIMAL(28,2))) OVER w3 AS DOUBLE)
+       |    / COUNT(*) OVER w3 AS rolling_avg_3m,
+       |  month_total - LAG(month_total) OVER wo AS mom_delta
+       |FROM monthly
+       |WINDOW
+       |  w3 AS (PARTITION BY o_custkey ORDER BY month
+       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |  wo AS (PARTITION BY o_custkey ORDER BY month)
+       |ORDER BY o_custkey, month""".stripMargin
+
+  // ----------------------------------------------------------------- q_rollup_agg
+  /** Status × priority totals at every grouping level (detail, per-status
+    * subtotal, grand total) — ROLLUP plans as a single Expand + one
+    * aggregation shuffle, not one job per level. */
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  private val rollupAggSql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q_decontaminate
+  /** Remove every candidate document sharing an 8-word shingle with the
+    * held-out ("benchmark") source — the standard training-data
+    * decontamination shape. The benchmark shingle set is distinct()'d and
+    * broadcast (held-out sets stay small even at corpus scale); the
+    * contaminated-id set is a semi-join, the removal an anti-join, so the
+    * corpus text itself never enters a shuffle. */
+  val ShingleWidth = 8
+
+  /** Docs from `candidates` that share no word-n-gram with `benchmark`.
+    *
+    * Shingles never exist as strings: the native WordNGramHashes
+    * expression emits the sorted distinct 64-bit shingle-hash set in one
+    * pass over the text, so what explodes, broadcasts, and joins is
+    * 8-byte longs — not ~50-char shingle strings (an order of magnitude
+    * less data through every operator). Equality on 64-bit hashes instead
+    * of strings admits a ~2^-64-per-pair false-positive removal —
+    * negligible against the corpus sizes this targets, and removal-only
+    * (never lets contamination through). */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame = {
+    // both sides filter short texts so semantics stay exactly "shares an
+    // n-gram" (the native's whole-short-text fallback hash never fires)
+    val longEnough = size(split(col(textCol), " ", -1)) >= n
+    val grams = graft.functions.TextFunctions.wordNgramHashes(col(textCol), n)
+    val benchShingles = benchmark.filter(longEnough)
+      .select(explode(grams).as("gram_hash")).distinct()
+    val contaminatedIds = candidates.filter(longEnough)
+      .select(col(idCol), explode(grams).as("gram_hash"))
+      .join(broadcast(benchShingles), Seq("gram_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    candidates.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+
+  private def decontaminateQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    decontaminate(
+      candidates = docs.filter($"source" =!= "src0"),
+      benchmark = docs.filter($"source" === "src0"),
+      textCol = "text", idCol = "doc_id", n = ShingleWidth)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH g AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, len(w) - ${ShingleWidth - 1}),
+       |      i -> ${(0 until ShingleWidth).map(k => s"w[i+$k]").mkString(" || ' ' || ")}))) AS shingle
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= $ShingleWidth),
+       |bench AS (SELECT DISTINCT shingle FROM g WHERE source = 'src0')
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.source <> 'src0'
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM g JOIN bench USING (shingle)
+       |    WHERE g.source <> 'src0' AND g.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q_hash_sample
+  /** Deterministic stratified sampling for data mixing: keep a row iff the
+    * first hex byte of md5(doc_id) clears the stratum's threshold.
+    * Reproducible on any cluster layout / partitioning (no RNG state), and
+    * rebalancing the mix only changes thresholds, not the mechanism.
+    * en is downsampled to ~16% (0x29/256), other languages kept at ~50%. */
+  private def hashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) <
+        when($"lang" === "en", lit("29")).otherwise(lit("80")))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val hashSampleSql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
+    NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
+    NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
+    NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true))
+}

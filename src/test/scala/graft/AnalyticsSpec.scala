@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.Analytics
+import graft.functions.{TextFunctions, TextImpl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Windowed analytics, rollup, decontamination, and hash sampling. */
+class AnalyticsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- word n-gram hashes
+  test("wordNGramSet at n=3 equals the trigram shingle set") {
+    val texts = Seq("a b c d e f", "one two three", "x", "", "a a a a")
+    texts.foreach { t =>
+      val s = UTF8String.fromString(t)
+      assert(TextImpl.wordNGramSet(s, 3).toLongArray().toSeq ==
+        TextImpl.triGramSet(s).toLongArray().toSeq, s"text: '$t'")
+    }
+  }
+
+  test("wordNGramSet: distinct n-grams hash distinctly, shared ones equal") {
+    val a = TextImpl.wordNGramSet(UTF8String.fromString("p q r s t u v w x"), 8)
+    val b = TextImpl.wordNGramSet(UTF8String.fromString("Z p q r s t u v w x Z"), 8)
+    // overlapping window "p q r s t u v w" / "q r s t u v w x" hashes agree
+    val shared = a.toLongArray().toSet.intersect(b.toLongArray().toSet)
+    assert(shared.size == 2)
+    // short text falls back to one whole-text hash
+    assert(TextImpl.wordNGramSet(UTF8String.fromString("a b"), 8).numElements() == 1)
+  }
+
+  test("word_ngram_hashes codegen path equals the JVM implementation") {
+    val df = Tables.documents(spark, sf).limit(20)
+      .select($"text", TextFunctions.wordNgramHashes($"text", 8).as("g"))
+    df.collect().foreach { r =>
+      val expect = TextImpl.wordNGramSet(
+        UTF8String.fromString(r.getString(0)), 8).toLongArray().toSeq
+      assert(r.getSeq[Long](1) == expect)
+    }
+  }
+
+  // ------------------------------------------------------------ decontaminate
+  test("decontaminate removes exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "a completely different document with no overlap at all here"),
+      (3L, "short text"), // < n words: can never be contaminated
+      (4L, "quick brown fox jumps over the lazy dog and keeps running on"))
+      .toDF("doc_id", "text")
+    val kept = Analytics.decontaminate(cand, bench, "text", "doc_id", n = 8)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontaminate plans broadcast semi + anti joins, no shuffle of the corpus") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"expected broadcast joins:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus must not shuffle for decontamination:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // -------------------------------------------------------------- rolling avg
+  test("rolling 3-month average and MoM delta on a hand-checked frame") {
+    val rows = SparkEntry.queries("q_rolling_avg")(spark, sf)
+      .filter($"o_custkey" === 1L).collect()
+    assert(rows.nonEmpty)
+    // first month: rolling avg == month total, delta null
+    val first = rows.head
+    assert(first.getDouble(2) == first.getDouble(3))
+    assert(first.isNullAt(4))
+    // every subsequent rolling avg is the mean of <= 3 trailing totals
+    rows.sliding(3).foreach { w =>
+      val frame = w.map(_.getDouble(2))
+      val expect = frame.sum / frame.length
+      assert(math.abs(w.last.getDouble(3) - expect) < 1e-6)
+    }
+  }
+
+  // --------------------------------------------------------------- rollup agg
+  test("rollup emits detail, subtotal, and grand-total levels consistently") {
+    val out = SparkEntry.queries("q_rollup_agg")(spark, sf).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val detail = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val subtotals = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.head.getLong(2) == detail.map(_.getLong(2)).sum)
+    assert(subtotals.map(_.getLong(2)).sum == detail.map(_.getLong(2)).sum)
+    // one shuffle: Expand feeds a single aggregate, no union of jobs
+    val plan = SparkEntry.queries("q_rollup_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup should plan via Expand:\n$plan")
+  }
+
+  // -------------------------------------------------------------- hash sample
+  test("hash sampling is deterministic and stratified") {
+    val q = SparkEntry.queries("q_hash_sample")(spark, sf)
+    assertSameRows(q, SparkEntry.queries("q_hash_sample")(spark, sf))
+    val docs = Tables.documents(spark, sf)
+    val total = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en downsampled to ~16%, others ~50% — allow generous sf0.001 noise
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.02 && enRate < 0.35, s"en rate $enRate")
+    val otherKept = kept.filter(_._1 != "en").values.sum.toDouble
+    val otherTotal = total.filter(_._1 != "en").values.sum.toDouble
+    val otherRate = otherKept / otherTotal
+    assert(otherRate > 0.3 && otherRate < 0.7, s"other rate $otherRate")
+  }
+}
