@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics and quality-cutoff filtering over `documents`
+  * — the shapes a corpus-curation pipeline runs before training: profile
+  * the length distribution per stratum, cut below a percentile, surface
+  * each document's most distinctive terms.
+  *
+  * Scale design (100 TB):
+  *  - exact percentiles aggregate per group: one shuffle keyed by the
+  *    stratum, percentile state per key is the group's value multiset —
+  *    fine for per-language strata (dozens of keys, bounded groups); for
+  *    percentiles over billions of rows per key, approx_percentile (GK
+  *    sketch, mergeable, bounded memory) is the drop-in (spec-asserted
+  *    within-epsilon here);
+  *  - the cutoff filter re-joins the tiny per-stratum threshold frame by
+  *    broadcast — the corpus itself never shuffles to be filtered;
+  *  - term rarity explodes words once, aggregates (word -> doc freq)
+  *    partially map-side, and broadcasts the document-frequency table
+  *    back; ranking is integer-only (df, tf, word) so results are
+  *    bit-stable on any cluster and any float library. */
+object Quality {
+
+  // ------------------------------------------------------------ q_quantile_stats
+  /** Per-language quartiles + p99 of document length (exact percentile,
+    * linear interpolation — rounded to 4dp so the last-ulp of the
+    * interpolation arithmetic can't flake cross-engine comparison). */
+  private def quantileStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 4).as("q1"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("median"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("q3"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  private val quantileStatsSql =
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q1,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS median,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q3,
+      |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ q_quality_cutoff
+  /** Keep only documents at or above their language's p75 length — the
+    * aggregate-then-broadcast-back cutoff shape. Emits per-language
+    * kept-counts with the threshold applied. */
+  private def qualityCutoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val thresholds = docs.groupBy($"lang")
+      .agg(round(expr("percentile(n_chars, 0.75)"), 4).as("p75"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter($"n_chars" >= $"p75")
+      .groupBy($"lang")
+      .agg(first($"p75").as("p75"), count(lit(1)).as("n_kept"),
+        min($"n_chars").as("min_kept_chars"))
+      .orderBy($"lang")
+  }
+
+  private val qualityCutoffSql =
+    """WITH t AS (
+      |  SELECT lang, round(quantile_cont(n_chars, 0.75), 4) AS p75
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, MIN(t.p75) AS p75, COUNT(*) AS n_kept,
+      |  MIN(d.n_chars) AS min_kept_chars
+      |FROM documents d JOIN t USING (lang)
+      |WHERE d.n_chars >= t.p75
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // --------------------------------------------------------------- q_rare_terms
+  /** Top-3 most distinctive words per document: rank by corpus document
+    * frequency ascending (rarest first) — the integer-deterministic core
+    * of tf-idf (for a given term frequency, tf-idf is monotone in df).
+    * Ties break by in-document frequency desc, then word. Restricted to
+    * words of >= 4 chars so stopword-ish tokens don't dominate. */
+  private def rareTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ", -1)).as("word"))
+      .filter(length($"word") >= 4)
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"df".asc, $"tf".desc, $"word".asc)
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"word", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val rareTermsSql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM words
+      |  WHERE length(word) >= 4 GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY df.df ASC, tf.tf DESC, tf.word ASC) AS rank
+      |  FROM tf JOIN df USING (word))
+      |SELECT doc_id, rank, word, tf, df FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_quantile_stats", quantileStats, Some(quantileStatsSql), bench = true),
+    NamedQuery("q_quality_cutoff", qualityCutoff, Some(qualityCutoffSql), bench = true),
+    NamedQuery("q_rare_terms", rareTerms, Some(rareTermsSql), bench = true))
+}

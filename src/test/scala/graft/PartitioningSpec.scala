@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Partitioned-layout writes and partition pruning — with bucketing
+  * (BucketingSpec), the two storage-layout levers that matter at 100 TB:
+  * a filter on the partition column must prune directories at planning
+  * time, reading none of the skipped data. */
+class PartitioningSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("write.partitionBy layout prunes partitions for stratum filters") {
+    val dir = Files.createTempDirectory("graft_part").toFile
+    try {
+      val path = dir.getAbsolutePath + "/docs"
+      Tables.documents(spark, sf)
+        .write.partitionBy("lang").mode("overwrite").parquet(path)
+
+      // one directory per stratum on disk
+      val langDirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+      assert(langDirs.length == 5, langDirs.mkString(","))
+
+      val q = spark.read.parquet(path).filter($"lang" === "en")
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        s"expected partition pruning in scan:\n$scan")
+      assert(q.count() ==
+        Tables.documents(spark, sf).filter($"lang" === "en").count())
+
+      // non-partition filter still pushes down to parquet
+      val q2 = spark.read.parquet(path).filter($"n_chars" > 300)
+      assert(q2.queryExecution.executedPlan.toString.contains("PushedFilters"),
+        "expected rowgroup-level pushdown for data filters")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+}

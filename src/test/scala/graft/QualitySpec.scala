@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Percentile profiling, cutoff filtering, and rare-term ranking. */
+class QualitySpec extends GraftSuite {
+  import spark.implicits._
+
+  test("exact percentile matches a hand computation on a known frame") {
+    val df = Seq(1, 2, 3, 4, 100).map(("g", _)).toDF("g", "v")
+    val r = df.groupBy($"g").agg(
+      expr("percentile(v, 0.5)").as("med"),
+      expr("percentile(v, 0.25)").as("q1")).collect()(0)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 2.0) // (n-1)*0.25 = 1 -> exactly the 2nd value
+  }
+
+  test("approx_percentile is the bounded-memory scale path: within 5% of exact") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.groupBy($"lang").agg(
+      expr("percentile(n_chars, 0.75)").as("exact"),
+      expr("approx_percentile(n_chars, 0.75, 1000)").as("approx")).collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getLong(2).toDouble)
+      assert(math.abs(e - a) / e < 0.05, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
+  test("quality cutoff keeps ~25% per language, all above threshold") {
+    val out = SparkEntry.queries("q_quality_cutoff")(spark, sf).collect()
+    val totals = Tables.documents(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (lang, p75, kept, minKept) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(minKept >= p75, s"$lang kept a doc below threshold")
+      val rate = kept.toDouble / totals(lang)
+      assert(rate > 0.1 && rate < 0.45, s"$lang kept rate $rate")
+    }
+  }
+
+  test("rare terms: every doc gets <= 3 ranked terms, rarest first") {
+    val out = SparkEntry.queries("q_rare_terms")(spark, sf)
+      .filter($"doc_id" < 20).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      // df non-decreasing with rank
+      assert(byRank.map(_.getLong(4)).toSeq ==
+        byRank.map(_.getLong(4)).sortBy(identity).toSeq)
+    }
+  }
+
+  test("rare-terms df table joins broadcast — corpus explode never shuffles twice") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_rare_terms")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
