@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE SparkSession recipe for every entry point (Verify, Bench,
+  * Explain, tests). The driver-contract semantics pins live here and
+  * nowhere else:
+  *  - ANSI off — reference semantics (SURVEY.md §1.2): null-on-bad-cast,
+  *    no div-by-zero error; pandas/Postgres-tolerant, oracle uses TRY_CAST;
+  *  - UTC session timezone — oracle (DuckDB) compares timestamps in UTC;
+  *  - nanosAsLong — events.parquet carries TIMESTAMP(NANOS), which
+  *    Spark 4 only reads with the legacy flag;
+  *  - shuffle.partitions sized to cores (not the 200 default) for the
+  *    local[32] harness.
+  */
+object GraftSession {
+  /** Cores from the driver env, default 32 (the documented harness). */
+  def envCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def create(appName: String, cpus: Int = envCpus,
+             adaptive: Boolean = true,
+             shufflePartitions: Option[Int] = None): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cpus).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", adaptive.toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

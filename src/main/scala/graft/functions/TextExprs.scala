@@ -114,19 +114,28 @@ object TextImpl {
     out
   }
 
-  /** Multiset of word-3-gram hashes, in document order; texts with <3
-    * words yield one whole-text hash. Position-sensitive triple combine. */
-  def triGramHashMultiset(s: UTF8String): Array[Long] = {
+  /** Multiset of word-n-gram hashes, in document order; texts with < n
+    * words yield one whole-text hash. Position-sensitive combine chain
+    * folded right-to-left: h = mix64(wh(i) + mix64(wh(i+1) + ... )).
+    * The single implementation serves both the MinHash shingle basis
+    * (n = 3) and decontamination (any n) — one chain, no drift. */
+  def wordNGramMultiset(s: UTF8String, n: Int): Array[Long] = {
+    require(n >= 1, s"word n-gram width must be >= 1, got $n")
     val wh = wordHashes(s.getBytes)
-    if (wh.length < 3) return Array(hash64(s, 7L))
-    val out = new Array[Long](wh.length - 2)
+    if (wh.length < n) return Array(hash64(s, 7L))
+    val out = new Array[Long](wh.length - n + 1)
     var i = 0
     while (i < out.length) {
-      out(i) = mix64(wh(i) + mix64(wh(i + 1) + mix64(wh(i + 2))))
+      var h = mix64(wh(i + n - 1))
+      var k = n - 2
+      while (k >= 0) { h = mix64(wh(i + k) + h); k -= 1 }
+      out(i) = h
       i += 1
     }
     out
   }
+
+  def triGramHashMultiset(s: UTF8String): Array[Long] = wordNGramMultiset(s, 3)
 
   private def sortedDistinct(a: Array[Long]): ArrayData = {
     java.util.Arrays.sort(a)
@@ -144,28 +153,10 @@ object TextImpl {
     * verification of LSH candidates (array_intersect on sorted longs). */
   def triGramSet(s: UTF8String): ArrayData = sortedDistinct(triGramHashMultiset(s))
 
-  /** Sorted distinct word-n-gram hashes (generalizes triGramSet to any
-    * n >= 1): one pass over the text, no shingle strings materialized.
-    * Texts with < n words yield one whole-text hash. Combine chain
-    * matches triGramHashMultiset at n = 3. */
-  def wordNGramSet(s: UTF8String, n: Int): ArrayData = {
-    val wh = wordHashes(s.getBytes)
-    val a: Array[Long] =
-      if (wh.length < n) Array(hash64(s, 7L))
-      else {
-        val out = new Array[Long](wh.length - n + 1)
-        var i = 0
-        while (i < out.length) {
-          var h = mix64(wh(i + n - 1))
-          var k = n - 2
-          while (k >= 0) { h = mix64(wh(i + k) + h); k -= 1 }
-          out(i) = h
-          i += 1
-        }
-        out
-      }
-    sortedDistinct(a)
-  }
+  /** Sorted distinct word-n-gram hashes: one pass over the text, no
+    * shingle strings materialized. */
+  def wordNGramSet(s: UTF8String, n: Int): ArrayData =
+    sortedDistinct(wordNGramMultiset(s, n))
 
   /** Max supported MinHash signature width. */
   val MaxMinHashes = 64

@@ -100,8 +100,12 @@ object Analytics {
   def decontaminate(candidates: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String, n: Int): DataFrame = {
     // both sides filter short texts so semantics stay exactly "shares an
-    // n-gram" (the native's whole-short-text fallback hash never fires)
-    val longEnough = size(split(col(textCol), " ", -1)) >= n
+    // n-gram" (the native's whole-short-text fallback hash never fires);
+    // word count via space count — no per-word array allocation on the
+    // corpus scan (a text of >= n words has >= n-1 spaces, including the
+    // empty-token convention shared with split(text, ' ', -1))
+    val longEnough =
+      (length(col(textCol)) - length(replace(col(textCol), lit(" "), lit("")))) >= n - 1
     val grams = graft.functions.TextFunctions.wordNgramHashes(col(textCol), n)
     val benchShingles = benchmark.filter(longEnough)
       .select(explode(grams).as("gram_hash")).distinct()

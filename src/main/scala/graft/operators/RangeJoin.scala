@@ -23,6 +23,8 @@ object RangeJoin {
     * domains only (floor-based bucketing). */
   def pointInInterval(points: DataFrame, x: String, intervals: DataFrame,
                       lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0 && !bucketWidth.isNaN,
+      s"bucketWidth must be a positive finite number, got $bucketWidth")
     val pb = points.withColumn("__b", floor(col(x) / bucketWidth).cast("long"))
     val ib = intervals.withColumn("__b",
       explode(sequence(

@@ -510,7 +510,7 @@ object Relational {
     import s.implicits._
     val messy = Tables.customer(s, dir)
       .select($"c_custkey".as("C CustKey"), $"c_acctbal".as("Acct Bal!"))
-    messy.toDF(messy.columns.map(normalizeName): _*).orderBy($"c_custkey")
+    messy.toDF(messy.columns.toIndexedSeq.map(normalizeName): _*).orderBy($"c_custkey")
   }
 
   private val schemaNormalizeSql =

@@ -34,7 +34,7 @@ object FinancialPipeline {
     df.select(mapping.map { case (src, dst) => col(src).as(dst) }: _*)
 
   private def castMeasures(df: DataFrame, keys: Set[String]): DataFrame =
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (keys(c)) col(c) else col(c).cast(DoubleType).as(c)
     }: _*)
 

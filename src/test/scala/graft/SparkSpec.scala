@@ -8,15 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * graft.Verify so specs exercise the same semantics the driver checks. */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = GraftSession.create("graft-test", cpus = 4,
+      shufflePartitions = Some(4))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
