@@ -165,9 +165,55 @@ object Analytics {
       |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------- q_set_ops
+  /** INTERSECT / EXCEPT: customers with both finished and open orders vs
+    * finished-only. Both set ops plan as dedup + hash join on the same
+    * key partitioning — one shuffle each side, reused across the union. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.intersect(open).withColumn("set_op", lit("both"))
+      .unionByName(f.except(open).withColumn("set_op", lit("f_only")))
+      .orderBy($"o_custkey", $"set_op")
+  }
+
+  private val setOpsSql =
+    """SELECT o_custkey, 'both' AS set_op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT o_custkey, 'f_only' AS set_op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY o_custkey, set_op""".stripMargin
+
+  // -------------------------------------------------------------- q_count_distinct
+  /** Exact COUNT(DISTINCT) per group — plans as a two-phase expand/
+    * partial-distinct aggregation, the exact companion to the HLL
+    * q_approx_distinct. */
+  private def countDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count_distinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val countDistinctSql =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
-    NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true))
+    NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
+    NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
+    NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }

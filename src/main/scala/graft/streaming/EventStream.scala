@@ -72,6 +72,30 @@ object EventStream {
     q.awaitTermination()
     s.table(queryName)
   }
+
+  /** Streaming exact dedup — the streaming counterpart of q_dedup_exact
+    * for at-least-once upstream delivery. dropDuplicatesWithinWatermark
+    * keeps dedup state only for ids newer than the watermark, so state
+    * is bounded by (arrival skew window × id rate) instead of growing
+    * with the whole stream — the only formulation that survives an
+    * unbounded 100 TB ingest. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** AvailableNow run of the streaming dedup into a memory sink. */
+  def runDedupAvailableNow(s: SparkSession, path: String,
+                           queryName: String): DataFrame = {
+    val q = dedupedEvents(readEvents(s, path))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

@@ -18,6 +18,21 @@ class StreamingSpec extends GraftSuite {
     dir.toString
   }
 
+  test("streaming dedup removes at-least-once replays, matches batch distinct") {
+    // duplicate delivery: the same events file arrives twice
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-2.parquet"))
+    val deduped = EventStream.runDedupAvailableNow(spark, dir.toString, "dedup_stream")
+    val original = Tables.events(spark, sf)
+    assert(deduped.count() == original.count(),
+      "every replayed event must be dropped, every original kept")
+    assert(deduped.select("event_id").distinct().count() == original.count())
+  }
+
   test("Trigger.AvailableNow stream agrees with the batch window aggregation") {
     val streamed = EventStream.runAvailableNow(spark, eventsDir, "events_stream_parity")
     val batch = SparkEntry.queries("q_event_window_agg")(spark, sf)
