@@ -209,7 +209,48 @@ object Analytics {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ q_multi_join_agg
+  /** 5-way join at depth (TPC-H Q5 shape): region -> nation -> customer
+    * -> orders -> lineitem, revenue per nation within one region and
+    * date window. The dimension chain (region ⋈ nation, then customer)
+    * broadcasts; only the orders ⋈ lineitem fact join shuffles, keyed on
+    * orderkey; the date filter pushes to the orders scan. */
+  private def multiJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      .join(Tables.nation(s, dir), $"r_regionkey" === $"n_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val custs = Tables.customer(s, dir)
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val ords = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1997-01-01")
+      .join(broadcast(custs), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"n_name")
+    Tables.lineitem(s, dir)
+      .join(ords, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val multiJoinAggSql =
+    s"""SELECT n.n_name, ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM region r
+       |JOIN nation n ON r.r_regionkey = n.n_regionkey
+       |JOIN customer c ON c.c_nationkey = n.n_nationkey
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+       |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n.n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_multi_join_agg", multiJoinAgg, Some(multiJoinAggSql), bench = true),
     NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),

@@ -98,6 +98,20 @@ class AnalyticsSpec extends GraftSuite {
     assert(plan.contains("Expand"), s"rollup should plan via Expand:\n$plan")
   }
 
+  // ------------------------------------------------------------ multi-join agg
+  test("5-way join: dimension chain broadcasts, date filter reaches the scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("q_multi_join_agg")(spark, sf).queryExecution
+      val plan = qe.executedPlan.toString
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(broadcasts >= 3, s"region/nation/customer/orders chain should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+        s"date window must push to the orders scan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // -------------------------------------------------------------- hash sample
   test("hash sampling is deterministic and stratified") {
     val q = SparkEntry.queries("q_hash_sample")(spark, sf)

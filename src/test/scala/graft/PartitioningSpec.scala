@@ -44,4 +44,24 @@ class PartitioningSpec extends GraftSuite {
       rm(dir)
     }
   }
+
+  test("repartition controls output file count (the small-files lever)") {
+    // the Spark-native form of the reference's linspace batch sizing
+    // (SURVEY.md §2.9 F9): output parallelism is declared, not emergent
+    val dir = Files.createTempDirectory("graft_files").toFile
+    try {
+      val path = dir.getAbsolutePath + "/orders"
+      Tables.orders(spark, sf).repartition(3).write.mode("overwrite").parquet(path)
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 3, s"expected 3 part files, got ${parts.length}")
+      assert(spark.read.parquet(path).count() == Tables.orders(spark, sf).count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
