@@ -141,6 +141,74 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"hs_a", $"hs_b")
   }
 
+  /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    * by iterative min-label propagation — each doc's label becomes the
+    * smallest doc_id reachable from it; one keep-doc per component is
+    * then `label == doc_id`. This is the step real dedup pipelines run
+    * after LSH pair generation (pairs are not transitive-closed: A~B,
+    * B~C must collapse to one cluster even when A~C was never emitted).
+    *
+    * Scale shape: each round is one equi-join (edges x labels, keyed on
+    * id) + one min-aggregation — all hash-partitioned on doc_id, no
+    * payload. Rounds needed = cluster diameter, and near-dup components
+    * are shallow (dup clusters are cliques-ish through their LSH
+    * buckets), so the default cap is generous; lineage is cut per round
+    * with localCheckpoint so the plan doesn't grow with iterations.
+    * (For adversarial long-chain graphs the large-star/small-star
+    * variant converges in O(log n) rounds; not needed for dedup.) */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import pairs.sparkSession.implicits._
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("cluster_id", $"doc_id")
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"cluster_id").as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"neighbor_min", $"cluster_id"))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = updated.join(
+          labels.withColumnRenamed("cluster_id", "old_id"), Seq("doc_id"))
+        .filter($"cluster_id" < $"old_id").count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  // ------------------------------------------------------------ q_dedup_clusters
+  /** MinHash pairs -> exact-Jaccard verification -> connected components:
+    * the full near-dup dedup decision. Output is one row per clustered
+    * doc with its cluster id (= smallest member, the keep-doc) and the
+    * cluster size. No SQL oracle (LSH candidate generation is not
+    * SQL-expressible); DedupSpec covers the clustering kernel. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val verified = minhashCandidates(Tables.documents(s, dir),
+        numHashes = 16, rowsPerBand = 2)
+      .filter(size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+        (size($"hs_a") + size($"hs_b") - size(array_intersect($"hs_a", $"hs_b"))) >= 0.5)
+      .select($"doc_a", $"doc_b")
+    val clusters = resolveClusters(verified)
+    clusters
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
@@ -233,6 +301,7 @@ object Dedup {
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
+    NamedQuery("q_dedup_clusters", dedupClusters, None, bench = true),
     NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

@@ -118,4 +118,37 @@ class DedupSpec extends GraftSuite {
     // bucket of 50 < MaxBucket -> kept: candidates exist
     assert(guarded.count() > 0)
   }
+
+  // ---------------------------------------------------------- cluster resolution
+  test("resolveClusters: transitive chains collapse to the min-id component") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),            // component {1,2,3} via 2
+      (10L, 11L), (11L, 12L), (12L, 13L), // chain -> {10..13}
+      (20L, 21L))                    // simple pair
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveClusters: long chain converges within the iteration cap") {
+    // worst-case diameter: a 15-node path
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(chain, maxIter = 20).collect()
+    assert(got.length == 15 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("q_dedup_clusters: every doc in one cluster, keep-doc is the min member") {
+    val out = SparkEntry.queries("q_dedup_clusters")(spark, sf).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid, s"cluster $cid id is not its min member")
+      assert(rows.forall(_.getLong(2) == rows.length), s"cluster $cid size column wrong")
+    }
+    // one row per doc
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
 }
