@@ -179,7 +179,30 @@ object Similarity {
     scoreAndRank(ivfCandidateIds(e), e, topK)
   }
 
+  // -------------------------------------------------------- q_embedding_centroids
+  /** Per-label per-dimension centroid of the embedding column — the
+    * k-means/IVF-training aggregation shape: posexplode to (row, dim,
+    * value), one shuffle keyed on (label, dim), partial+final avg. At
+    * corpus scale this is how coarse quantizers are (re)trained; rounded
+    * to 6dp so float-summation order can't flake the cross-engine
+    * compare (values O(1), groups of hundreds: error ~1e-13). */
+  private def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", ($"pos" + 1).as("dim"))
+      .agg(round(avg($"col"), 6).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  private val embeddingCentroidsSql =
+    """SELECT label, i AS dim, round(avg(embedding[i]), 6) AS centroid
+      |FROM embeddings, generate_series(1, 64) t(i)
+      |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_embedding_centroids", embeddingCentroids,
+      Some(embeddingCentroidsSql), bench = true),
     NamedQuery("q_embedding_cosine_topk", cosineTopk, Some(cosineTopkSql), bench = true),
     NamedQuery("q_ann_lsh", (s, d) => annLsh(s, d), None, bench = true),
     NamedQuery("q_ann_ivf", (s, d) => annIvf(s, d), None, bench = true))
