@@ -29,6 +29,13 @@ object Dedup {
     * reducer; standard practice in web-scale dedup). */
   val MaxBucket = 1000
 
+  /** Exact Jaccard similarity of two set-valued (distinct-element) array
+    * columns: |a ∩ b| / |a ∪ b|. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   // --------------------------------------------------------------- q_dedup_exact
   /** Exact dedup: group by content digest, keep the smallest doc_id.
     * The digest (16 bytes) is what shuffles, not the document. */
@@ -66,9 +73,7 @@ object Dedup {
     a.join(b, Seq("lang", "source"))
       .filter($"doc_a" < $"doc_b")
       .select($"lang", $"source", $"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b"))))
-          .as("jaccard"))
+        jaccard($"sh_a", $"sh_b").as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -185,6 +190,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // partially-propagated labels are silently WRONG output (a split
+    // cluster whose id is not its min member) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIter rounds — a component's " +
+        s"diameter exceeds the cap; raise maxIter")
     labels
   }
 
@@ -199,8 +209,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val verified = minhashCandidates(Tables.documents(s, dir),
         numHashes = 16, rowsPerBand = 2)
-      .filter(size(array_intersect($"hs_a", $"hs_b")).cast("double") /
-        (size($"hs_a") + size($"hs_b") - size(array_intersect($"hs_a", $"hs_b"))) >= 0.5)
+      .filter(jaccard($"hs_a", $"hs_b") >= 0.5)
       .select($"doc_a", $"doc_b")
     val clusters = resolveClusters(verified)
     clusters
@@ -213,9 +222,7 @@ object Dedup {
     import s.implicits._
     minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"hs_a", $"hs_b")).cast("double") /
-          (size($"hs_a") + size($"hs_b") - size(array_intersect($"hs_a", $"hs_b"))))
-          .as("jaccard"))
+        jaccard($"hs_a", $"hs_b").as("jaccard"))
       .orderBy(round($"jaccard", 6).desc, $"doc_a", $"doc_b")
       .limit(100)
   }

@@ -196,8 +196,11 @@ object Similarity {
   }
 
   private val embeddingCentroidsSql =
-    """SELECT label, i AS dim, round(avg(embedding[i]), 6) AS centroid
-      |FROM embeddings, generate_series(1, 64) t(i)
+    """SELECT label, dim, round(avg(v), 6) AS centroid
+      |FROM (
+      |  SELECT label, unnest(embedding) AS v,
+      |         unnest(generate_series(1, len(embedding))) AS dim
+      |  FROM embeddings)
       |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(

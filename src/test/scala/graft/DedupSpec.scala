@@ -141,8 +141,16 @@ class DedupSpec extends GraftSuite {
     assert(got.length == 15 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("resolveClusters fails loudly when a component exceeds the iteration cap") {
+    val longChain = (0L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(longChain, maxIter = 3).collect()
+    }
+  }
+
   test("q_dedup_clusters: every doc in one cluster, keep-doc is the min member") {
     val out = SparkEntry.queries("q_dedup_clusters")(spark, sf).collect()
+    assert(out.nonEmpty, "sf0.001 must contain at least one verified near-dup pair")
     val byCluster = out.groupBy(_.getLong(1))
     byCluster.foreach { case (cid, rows) =>
       assert(rows.map(_.getLong(0)).min == cid, s"cluster $cid id is not its min member")

@@ -10,9 +10,17 @@ import org.apache.spark.sql.functions._
 class PartitioningSpec extends GraftSuite {
   import spark.implicits._
 
-  test("write.partitionBy layout prunes partitions for stratum filters") {
+  private def withTempDir(f: java.io.File => Unit): Unit = {
     val dir = Files.createTempDirectory("graft_part").toFile
-    try {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    try f(dir) finally rm(dir)
+  }
+
+  test("write.partitionBy layout prunes partitions for stratum filters") {
+    withTempDir { dir =>
       val path = dir.getAbsolutePath + "/docs"
       Tables.documents(spark, sf)
         .write.partitionBy("lang").mode("overwrite").parquet(path)
@@ -36,32 +44,19 @@ class PartitioningSpec extends GraftSuite {
       val scan2 = q2.queryExecution.executedPlan.toString
       assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(scan2).isDefined,
         s"n_chars predicate not pushed to parquet:\n$scan2")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
     }
   }
 
   test("repartition controls output file count (the small-files lever)") {
     // the Spark-native form of the reference's linspace batch sizing
     // (SURVEY.md §2.9 F9): output parallelism is declared, not emergent
-    val dir = Files.createTempDirectory("graft_files").toFile
-    try {
+    withTempDir { dir =>
       val path = dir.getAbsolutePath + "/orders"
       Tables.orders(spark, sf).repartition(3).write.mode("overwrite").parquet(path)
       val parts = new java.io.File(path).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       assert(parts.length == 3, s"expected 3 part files, got ${parts.length}")
       assert(spark.read.parquet(path).count() == Tables.orders(spark, sf).count())
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
     }
   }
 }

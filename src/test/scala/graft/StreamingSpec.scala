@@ -7,30 +7,37 @@ import graft.streaming.{EventStream, StageMarker}
 class StreamingSpec extends GraftSuite {
 
   /** The file-source stream watches a DIRECTORY (new files arriving =
-    * new data, the reference's S3-prefix model); stage the shipped
-    * single-file table into one. */
-  private lazy val eventsDir: String = {
+    * new data, the reference's S3-prefix model); stage `copies` arrivals
+    * of the shipped single-file events table into a fresh one. */
+  private def stageEvents(copies: Int): java.nio.file.Path = {
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events-part-0.parquet"))
-    dir.toString
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve(s"delivery-$i.parquet"))
+    }
+    dir
   }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+    f.delete()
+  }
+
+  private lazy val eventsDir: String = stageEvents(1).toString
 
   test("streaming dedup removes at-least-once replays, matches batch distinct") {
     // duplicate delivery: the same events file arrives twice
-    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-1.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-2.parquet"))
-    val deduped = EventStream.runDedupAvailableNow(spark, dir.toString, "dedup_stream")
-    val original = Tables.events(spark, sf)
-    assert(deduped.count() == original.count(),
-      "every replayed event must be dropped, every original kept")
-    assert(deduped.select("event_id").distinct().count() == original.count())
+    val dir = stageEvents(2)
+    try {
+      val deduped = EventStream.runDedupAvailableNow(spark, dir.toString, "dedup_stream")
+      val original = Tables.events(spark, sf)
+      assert(deduped.count() == original.count(),
+        "every replayed event must be dropped, every original kept")
+      assert(deduped.select("event_id").distinct().count() == original.count())
+    } finally rmTree(dir)
   }
 
   test("Trigger.AvailableNow stream agrees with the batch window aggregation") {
