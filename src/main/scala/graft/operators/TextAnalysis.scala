@@ -131,6 +131,23 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------------ redaction
+  /** PII redaction patterns (emails, dashed/dotted phone numbers, long
+    * digit runs) — applied as chained regexp_replace, one codegen'd scan
+    * pass, no shuffle. Patterns stay in the RE2-compatible subset of
+    * Java regex so the same strings work in any engine. The test corpus
+    * is synthetic word salad with nothing to redact, so coverage lives
+    * in TextAnalysisSpec fixtures rather than a no-op oracle query. */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("\\b\\d{9,}\\b", "<ID>"))
+
+  def redact(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     NamedQuery("q_token_count", tokenCount, Some(tokenCountSql)),

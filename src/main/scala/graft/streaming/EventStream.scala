@@ -83,6 +83,25 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest to a parquet sink — the incremental file-to-file
+    * pipeline shape (at corpus scale, ingest IS a stream of arriving
+    * files). The file sink's transaction log (_spark_metadata) plus the
+    * source's seen-file checkpoint give exactly-once end to end: a
+    * re-activation over the same input appends nothing, and readers see
+    * only committed files. */
+  def runParquetIngest(s: SparkSession, inPath: String, outPath: String,
+                       checkpointDir: String): Unit = {
+    val q = readEvents(s, inPath)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+  }
+
   /** AvailableNow run of the streaming dedup into a memory sink. */
   def runDedupAvailableNow(s: SparkSession, path: String,
                            queryName: String): DataFrame = {

@@ -28,6 +28,22 @@ class StreamingSpec extends GraftSuite {
 
   private lazy val eventsDir: String = stageEvents(1).toString
 
+  test("streaming parquet ingest is exactly-once across re-activations") {
+    val in = stageEvents(1)
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
+    try {
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      EventStream.runParquetIngest(spark, in.toString, out, ckpt)
+      val n = spark.read.parquet(out).count()
+      assert(n == Tables.events(spark, sf).count())
+      // same input, same checkpoint: nothing reprocessed, nothing appended
+      EventStream.runParquetIngest(spark, in.toString, out, ckpt)
+      assert(spark.read.parquet(out).count() == n,
+        "re-activation must not duplicate ingested rows")
+    } finally { rmTree(in); rmTree(base) }
+  }
+
   test("streaming dedup removes at-least-once replays, matches batch distinct") {
     // duplicate delivery: the same events file arrives twice
     val dir = stageEvents(2)

@@ -131,6 +131,21 @@ class TextAnalysisSpec extends GraftSuite {
       assert(!core.contains("Exchange"), s"$q shuffles:\n$plan")
     }
   }
+
+  test("redact masks emails, phones, and long ids but not prose") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or call 555-867-5309 now"),
+      (2L, "ssn-ish 123456789 and a longer 9876543210123 run"),
+      (3L, "clean text with short 123 numbers and no at signs"))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.redact($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "contact <EMAIL> or call <PHONE> now")
+    assert(rows(2L) == "ssn-ish <ID> and a longer <ID> run")
+    assert(rows(3L) == "clean text with short 123 numbers and no at signs")
+  }
+
 }
 
 /** Property tests for the hash primitives (ScalaCheck, run natively by
@@ -151,4 +166,5 @@ object TextPropertySpec extends Properties("TextImpl") {
     val d = TextImpl.hamming(a, b)
     d == TextImpl.hamming(b, a) && d >= 0 && d <= 64 && ((d == 0) == (a == b))
   }
+
 }
