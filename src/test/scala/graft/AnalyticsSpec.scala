@@ -129,4 +129,18 @@ class AnalyticsSpec extends GraftSuite {
     val otherRate = otherKept / otherTotal
     assert(otherRate > 0.3 && otherRate < 0.7, s"other rate $otherRate")
   }
+
+  test("decontaminate with an empty benchmark keeps every candidate") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cand = Seq((1L, "some words repeated here over and over again ok"),
+                   (2L, "short")).toDF("doc_id", "text")
+    val kept = Analytics.decontaminate(cand, bench, "text", "doc_id", n = 8)
+    assert(kept.count() == 2)
+  }
+
+  test("decontaminate benchmark-only n-grams never remove non-matching docs") {
+    val bench = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    val cand = Seq((1L, "h g f e d c b a")).toDF("doc_id", "text") // reversed: no shared 8-gram
+    assert(Analytics.decontaminate(cand, bench, "text", "doc_id", 8).count() == 1)
+  }
 }
