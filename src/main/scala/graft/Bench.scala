@@ -13,6 +13,29 @@ import java.nio.file.{Files, Paths}
   * instead of a bogus negative number.
   */
 object Bench {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** (scan bytes selected, shuffle bytes written) from a completed plan's
+    * SQL metrics — the two numbers that decide whether a query survives a
+    * 100x scale-up. Scan bytes reflect partition pruning (size of files
+    * selected post-pruning); shuffle bytes are what actually crossed an
+    * exchange. Walks through AQE wrapper nodes to the final plan. */
+  def planBytes(plan: SparkPlan): (Long, Long) = {
+    var scan = 0L
+    var shuffle = 0L
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other =>
+        other.metrics.get("filesSize").foreach(m => scan += m.value)
+        other.metrics.get("shuffleBytesWritten").foreach(m => shuffle += m.value)
+        other.children.foreach(walk)
+    }
+    walk(plan)
+    (scan, shuffle)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
@@ -31,16 +54,24 @@ object Bench {
     // local timings swing ±40% under machine noise; min is the standard
     // stable estimator for a deterministic workload
     var times = Vector.empty[(String, Double)]
+    var bytes = Vector.empty[(String, (Long, Long))]
     var failures = Vector.empty[(String, String)]
     SparkEntry.benchQueries.foreach { nq =>
       var best = Double.MaxValue
       var err: Option[String] = None
+      var metrics: Option[(Long, Long)] = None
       var r = 0
       while (r < runs && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
-          nq.fn(spark, sfDir).count()
+          val df = nq.fn(spark, sfDir)
+          // execute the query's OWN plan (df.count() would wrap it in a
+          // count-aggregate with every output column pruned away — both
+          // under-measuring the work and leaving this plan's SQL metrics
+          // empty); toRdd materializes every output row and column
+          df.queryExecution.toRdd.count()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          metrics = Some(planBytes(df.queryExecution.executedPlan))
         } catch {
           case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -49,10 +80,13 @@ object Bench {
       }
       err match {
         case Some(m) => failures :+= (nq.name -> m)
-        case None => times :+= (nq.name -> best)
+        case None =>
+          times :+= (nq.name -> best)
+          metrics.foreach(m => bytes :+= (nq.name -> m))
       }
     }
 
+    def fmtBytes(v: (Long, Long)) = s"""{"scan":${v._1},"shuffle":${v._2}}"""
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -60,10 +94,11 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val bs = bytes.map { case (k, v) => s"${jstr(k)}:${fmtBytes(v)}" }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // The one stdout line the driver parses; everything else is WARN-level.
     println(line)
