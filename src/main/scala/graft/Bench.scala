@@ -20,7 +20,10 @@ object Bench {
     * SQL metrics — the two numbers that decide whether a query survives a
     * 100x scale-up. Scan bytes reflect partition pruning (size of files
     * selected post-pruning); shuffle bytes are what actually crossed an
-    * exchange. Walks through AQE wrapper nodes to the final plan. */
+    * exchange. Walks through AQE wrapper nodes to the final plan.
+    * Caveat: work behind a localCheckpoint (the iterative cluster
+    * resolution) is outside this plan, so such queries under-report —
+    * the timing still covers it. */
   def planBytes(plan: SparkPlan): (Long, Long) = {
     var scan = 0L
     var shuffle = 0L

@@ -249,7 +249,46 @@ object Analytics {
        |GROUP BY n.n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ------------------------------------------------------ q_supplier_nation_share
+  /** Supplier-side profit rollup (TPC-H Q9 family): lineitem enriched
+    * through part, supplier, and nation — all three dimensions broadcast
+    * — then one aggregation by supplier nation with a conditional
+    * revenue-share ratio. Covers the part/supplier tables end-to-end. */
+  private def supplierNationShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        dsum($"rev", 4).as("revenue"),
+        (dsum(when($"p_type" === "ECONOMY", $"rev"), 4) / dsum($"rev", 4))
+          .as("economy_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  private val supplierNationShareSql =
+    s"""SELECT n.n_name,
+       |  ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       |  ${sqlDsum("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) END", 4)}
+       |    / ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS economy_share,
+       |  COUNT(*) AS n_items
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |GROUP BY n.n_name ORDER BY n_name""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_supplier_nation_share", supplierNationShare,
+      Some(supplierNationShareSql), bench = true),
     NamedQuery("q_multi_join_agg", multiJoinAgg, Some(multiJoinAggSql), bench = true),
     NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
