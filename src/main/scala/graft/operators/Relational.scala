@@ -500,6 +500,27 @@ object Relational {
        |FROM a FULL JOIN b ON a.custkey = b.custkey AND a.month = b.month
        |ORDER BY custkey, month""".stripMargin
 
+  // ---------------------------------------------------------- q_fill_missing
+  /** Missing-value backfill (the reference README's manual-backfill hook,
+    * SURVEY §1.2): the full-outer alignment is exactly where nulls enter
+    * the pipeline — flag incomplete rows, then na.fill the measures to 0.
+    * A pure projection over the join: no extra shuffle. */
+  private def fillMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    outerJoinAlign(s, dir)
+      .withColumn("was_complete",
+        $"order_total".isNotNull && $"ship_revenue".isNotNull)
+      .na.fill(0.0, Seq("order_total", "ship_revenue"))
+  }
+
+  private val fillMissingSql =
+    s"""WITH base AS ($outerJoinAlignSql)
+       |SELECT custkey, month,
+       |  COALESCE(order_total, 0) AS order_total,
+       |  COALESCE(ship_revenue, 0) AS ship_revenue,
+       |  (order_total IS NOT NULL AND ship_revenue IS NOT NULL) AS was_complete
+       |FROM base ORDER BY custkey, month""".stripMargin
+
   // ------------------------------------------------------- q_schema_normalize
   /** F1: snake_case column-name normalization (retrieval.py:23,45,64) —
     * a driver-side metadata op (`toDF`), no Catalyst expression involved. */
@@ -625,6 +646,7 @@ object Relational {
     NamedQuery("q_pivot_attrs", pivotAttrs, Some(pivotAttrsSql)),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql), bench = true),
     NamedQuery("q_outer_join_align", outerJoinAlign, Some(outerJoinAlignSql), bench = true),
+    NamedQuery("q_fill_missing", fillMissing, Some(fillMissingSql)),
     NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql)),
     NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
     NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)),
