@@ -90,8 +90,9 @@ object EventStream {
     * re-activation over the same input appends nothing, and readers see
     * only committed files. */
   def runParquetIngest(s: SparkSession, inPath: String, outPath: String,
-                       checkpointDir: String): Unit = {
-    val q = readEvents(s, inPath)
+                       checkpointDir: String,
+                       transform: DataFrame => DataFrame = identity): Unit = {
+    val q = transform(readEvents(s, inPath))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
@@ -102,7 +103,11 @@ object EventStream {
     q.awaitTermination()
   }
 
-  /** AvailableNow run of the streaming dedup into a memory sink. */
+  /** One-shot AvailableNow run of the streaming dedup into a memory sink
+    * (no checkpoint — the memory sink cannot recover from one; for
+    * checkpointed multi-activation dedup, pass `dedupedEvents` as the
+    * transform to runParquetIngest, which persists watermark and dedup
+    * state so late arrivals drop across activations — StreamingSpec). */
   def runDedupAvailableNow(s: SparkSession, path: String,
                            queryName: String): DataFrame = {
     val q = dedupedEvents(readEvents(s, path))

@@ -56,6 +56,38 @@ class StreamingSpec extends GraftSuite {
     } finally rmTree(dir)
   }
 
+  test("late arrivals beyond the persisted watermark are dropped; on-time rows pass") {
+    import spark.implicits._
+    val dir = stageEvents(1) // events span 2024-01; watermark lands at max-1h
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/${java.util.UUID.randomUUID()}")
+    try {
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      EventStream.runParquetIngest(spark, dir.toString, out, ckpt,
+        EventStream.dedupedEvents)
+      val n = spark.read.parquet(out).count()
+      assert(n > 0)
+
+      def nanos(iso: String): Long =
+        java.time.Instant.parse(iso).toEpochMilli * 1000000L
+      // one hopelessly late row (mid-2023) and one on-time row (post-max)
+      Seq(
+        (900000001L, nanos("2023-06-01T00:00:00Z"), 7L, "click", 1.0, "{}"),
+        (900000002L, nanos("2024-02-01T00:00:00Z"), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1)
+        .write.mode("append").parquet(dir.toString)
+
+      EventStream.runParquetIngest(spark, dir.toString, out, ckpt,
+        EventStream.dedupedEvents)
+      val ids = spark.read.parquet(out).select("event_id").as[Long].collect().toSet
+      assert(!ids.contains(900000001L),
+        "a row older than the persisted watermark must be dropped as late")
+      assert(ids.contains(900000002L), "an on-time new id must be emitted")
+      assert(spark.read.parquet(out).count() == n + 1)
+    } finally { rmTree(dir); rmTree(base) }
+  }
+
   test("Trigger.AvailableNow stream agrees with the batch window aggregation") {
     val streamed = EventStream.runAvailableNow(spark, eventsDir, "events_stream_parity")
     val batch = SparkEntry.queries("q_event_window_agg")(spark, sf)
