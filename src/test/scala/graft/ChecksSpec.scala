@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Checks
+
+/** Each quality-check detector must fire on injected violations and stay
+  * silent on clean data. */
+class ChecksSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def clean = Seq((1L, 10L, "F"), (2L, 11L, "O"), (3L, 12L, "P"))
+    .toDF("id", "fk", "status")
+
+  test("unique: duplicate keys counted as total duplicated rows") {
+    assert(Checks.uniqueViolations(clean, Seq("id")) == 0)
+    val dup = clean.unionByName(Seq((1L, 13L, "F")).toDF("id", "fk", "status"))
+    assert(Checks.uniqueViolations(dup, Seq("id")) == 2) // both rows of key 1
+  }
+
+  test("nonNull: any null in the listed columns counts the row once") {
+    assert(Checks.nonNullViolations(clean, Seq("id", "fk")) == 0)
+    val withNull = clean.unionByName(
+      Seq((Option.empty[java.lang.Long], Option(14L), Option("F")))
+        .toDF("id", "fk", "status"))
+    assert(Checks.nonNullViolations(withNull, Seq("id", "fk")) == 1)
+  }
+
+  test("referential: orphans and null keys are violations") {
+    val parent = Seq(10L, 11L).toDF("pk")
+    // fk=12 is an orphan
+    assert(Checks.referentialViolations(clean, "fk", parent, "pk") == 1)
+    val withNullFk = clean.unionByName(
+      Seq((Option(4L), Option.empty[java.lang.Long], Option("F")))
+        .toDF("id", "fk", "status"))
+    assert(Checks.referentialViolations(withNullFk, "fk", parent, "pk") == 2)
+  }
+
+  test("accepted: out-of-domain and null values are violations") {
+    assert(Checks.acceptedViolations(clean, "status", Seq("F", "O", "P")) == 0)
+    val bad = clean.unionByName(Seq((4L, 15L, "X")).toDF("id", "fk", "status"))
+    assert(Checks.acceptedViolations(bad, "status", Seq("F", "O", "P")) == 1)
+  }
+
+  test("q_quality_checks: clean test data passes every check") {
+    val out = SparkEntry.queries("q_quality_checks")(spark, sf).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getLong(1) == 0L,
+      s"${r.getString(0)} reported ${r.getLong(1)} violations on clean data"))
+  }
+}
