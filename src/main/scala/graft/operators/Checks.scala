@@ -1,68 +1,91 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the validation layer a pipeline runs before
   * publishing a table (the reference trusts its sources blindly; a
   * production ETL can't). Each check distills to one violation COUNT so
   * the full suite is a handful of independent aggregation jobs:
-  *  - unique: one groupBy on the key, count of groups with n > 1;
+  *  - unique: one groupBy on the key, sum of group sizes where n > 1;
   *  - nonNull: a single filtered count, no shuffle;
-  *  - referential: left-anti join child->parent (broadcast when the
-  *    parent key set is small), count of orphans;
+  *  - referential: left-outer join child->parent on an aliased parent
+  *    key (broadcast — parent key sets are small), count of unmatched;
+  *    NULL child keys match nothing, so they count as violations too;
   *  - accepted: filtered count against an allow-list literal.
-  * No driver-side row iteration anywhere — every check stays a
-  * distributed aggregate, so the suite costs a few scans at any scale.
-  */
+  * The *DF variants are LAZY single-row frames — q_quality_checks unions
+  * them so nothing executes at plan-construction time and the plan-audit
+  * tooling sees the real work; the Long variants are eager conveniences
+  * for assertions. Internal columns are __-prefixed aliases so checks
+  * work for any user column names (including keys named "count" or
+  * identical child/parent key names). */
 object Checks {
 
-  /** Rows whose `cols` combination appears more than once. */
+  /** One-row frame: total rows participating in a duplicated `cols` key. */
+  def uniqueViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("violations"))
+
   def uniqueViolations(df: DataFrame, cols: Seq[String]): Long =
-    df.groupBy(cols.map(col): _*).count()
-      .filter(col("count") > 1)
-      .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
+    uniqueViolationsDF(df, cols).collect()(0).getLong(0)
 
-  /** Rows with a NULL in any of `cols`. */
+  /** One-row frame: rows with a NULL in any of `cols`. */
+  def nonNullViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+      .agg(count(lit(1)).as("violations"))
+
   def nonNullViolations(df: DataFrame, cols: Seq[String]): Long =
-    df.filter(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    nonNullViolationsDF(df, cols).collect()(0).getLong(0)
 
-  /** Child rows whose key has no match in the parent (orphans). NULL
-    * child keys are orphans too — count them before the null-rejecting
-    * anti-join. */
-  def referentialViolations(child: DataFrame, childKey: String,
-                            parent: DataFrame, parentKey: String): Long = {
-    val nulls = child.filter(col(childKey).isNull).count()
-    nulls + child.filter(col(childKey).isNotNull)
-      .join(broadcast(parent.select(col(parentKey)).distinct()),
-        col(childKey) === col(parentKey), "left_anti")
-      .count()
+  /** One-row frame: child rows whose key has no parent match (orphans);
+    * NULL child keys join to nothing and are counted. */
+  def referentialViolationsDF(child: DataFrame, childKey: String,
+                              parent: DataFrame, parentKey: String): DataFrame = {
+    val parents = broadcast(
+      parent.select(col(parentKey).as("__parent_key")).distinct())
+    child.select(col(childKey).as("__child_key"))
+      .join(parents, col("__child_key") === col("__parent_key"), "left_outer")
+      .filter(col("__parent_key").isNull)
+      .agg(count(lit(1)).as("violations"))
   }
 
-  /** Rows whose `c` is NULL or outside the allow-list. */
+  def referentialViolations(child: DataFrame, childKey: String,
+                            parent: DataFrame, parentKey: String): Long =
+    referentialViolationsDF(child, childKey, parent, parentKey)
+      .collect()(0).getLong(0)
+
+  /** One-row frame: rows whose `c` is NULL or outside the allow-list. */
+  def acceptedViolationsDF(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.filter(col(c).isNull || !col(c).isin(allowed: _*))
+      .agg(count(lit(1)).as("violations"))
+
   def acceptedViolations(df: DataFrame, c: String, allowed: Seq[String]): Long =
-    df.filter(col(c).isNull || !col(c).isin(allowed: _*)).count()
+    acceptedViolationsDF(df, c, allowed).collect()(0).getLong(0)
 
   // ------------------------------------------------------------ q_quality_checks
   /** The suite over the shipped tables: primary-key uniqueness,
     * key non-nullness, orders->customer referential integrity, and
-    * status domain membership. All four pass on the clean test data;
-    * ChecksSpec injects violations to prove each detector fires. */
+    * status domain membership — a LAZY union of the single-row check
+    * frames. All four pass on the clean test data; ChecksSpec injects
+    * violations to prove each detector fires. */
   private def qualityChecks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables.orders(s, dir)
     val customer = Tables.customer(s, dir)
-    val results = Seq(
-      ("orders_pk_unique",
-        uniqueViolations(orders, Seq("o_orderkey"))),
-      ("orders_keys_non_null",
-        nonNullViolations(orders, Seq("o_orderkey", "o_custkey"))),
-      ("orders_fk_customer",
-        referentialViolations(orders, "o_custkey", customer, "c_custkey")),
-      ("orders_status_domain",
-        acceptedViolations(orders, "o_orderstatus", Seq("F", "O", "P"))))
-    results.toDF("check_name", "violations").orderBy($"check_name")
+    def named(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), col("violations"))
+    named("orders_pk_unique",
+        uniqueViolationsDF(orders, Seq("o_orderkey")))
+      .unionByName(named("orders_keys_non_null",
+        nonNullViolationsDF(orders, Seq("o_orderkey", "o_custkey"))))
+      .unionByName(named("orders_fk_customer",
+        referentialViolationsDF(orders, "o_custkey", customer, "c_custkey")))
+      .unionByName(named("orders_status_domain",
+        acceptedViolationsDF(orders, "o_orderstatus", Seq("F", "O", "P"))))
+      .orderBy($"check_name")
   }
 
   private val qualityChecksSql =

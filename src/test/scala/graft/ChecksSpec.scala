@@ -46,4 +46,26 @@ class ChecksSpec extends GraftSuite {
     out.foreach(r => assert(r.getLong(1) == 0L,
       s"${r.getString(0)} reported ${r.getLong(1)} violations on clean data"))
   }
+
+  test("checks survive adversarial column names (same-name FK, a column named count)") {
+    // same child/parent key name — the common FK layout
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("id", "key")
+    val parent = Seq(10L).toDF("key")
+    assert(Checks.referentialViolations(child, "key", parent, "key") == 1)
+    // a key column literally named "count"
+    val counted = Seq(1L, 1L, 2L).toDF("count")
+    assert(Checks.uniqueViolations(counted, Seq("count")) == 2)
+  }
+
+  test("the check suite is lazy: the plan is a union of live aggregates") {
+    val df = SparkEntry.queries("q_quality_checks")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // an eager implementation would collect counts and plan a
+    // LocalTableScan of 4 precomputed rows — the real checks must be in
+    // the plan itself
+    assert(!plan.contains("LocalTableScan"),
+      s"check results were precomputed on the driver:\n$plan")
+    assert(plan.contains("Union"), s"expected a union of check frames:\n$plan")
+    assert(df.count() == 4)
+  }
 }

@@ -164,11 +164,4 @@ class DedupSpec extends GraftSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.resolveClusters(empty).count() == 0)
   }
-
-  test("pointInInterval with no intervals yields no matches") {
-    import graft.operators.RangeJoin
-    val pts = Seq((1L, 5.0)).toDF("pid", "x")
-    val none = Seq.empty[(String, Double, Double)].toDF("iv", "lo", "hi")
-    assert(RangeJoin.pointInInterval(pts, "x", none, "lo", "hi", 10.0).count() == 0)
-  }
 }

@@ -50,4 +50,10 @@ class RangeJoinSpec extends GraftSuite {
       assert(plan.contains("HashJoin"), s"expected hash equi-join on bucket id:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("pointInInterval with no intervals yields no matches") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "x")
+    val none = Seq.empty[(String, Double, Double)].toDF("iv", "lo", "hi")
+    assert(RangeJoin.pointInInterval(pts, "x", none, "lo", "hi", 10.0).count() == 0)
+  }
 }
