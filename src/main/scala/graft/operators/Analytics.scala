@@ -165,6 +165,42 @@ object Analytics {
       |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_window_suite
+  /** The full ranking/navigation window-function surface in one query:
+    * row_number, rank, dense_rank, ntile, percent_rank, cume_dist, lag,
+    * lead, first_value — all over ONE window spec, so they share a
+    * single (key-partitioned sort) pass; the total order includes the
+    * unique orderkey tie-breaker, making every function bit-stable. */
+  private def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir).select(
+      $"o_custkey", $"o_orderkey",
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      lag($"o_totalprice", 1).over(w).as("prev_price"),
+      lead($"o_totalprice", 1).over(w).as("next_price"),
+      first($"o_totalprice").over(w).as("first_price"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private val windowSuiteSql =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER w AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   // -------------------------------------------------------------------- q_set_ops
   /** INTERSECT / EXCEPT: customers with both finished and open orders vs
     * finished-only. Both set ops plan as dedup + hash join on the same
@@ -294,6 +330,7 @@ object Analytics {
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
+    NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
     NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }

@@ -40,6 +40,38 @@ object Sources {
   private val csvScanSql =
     s"SELECT upper(ticker_name) AS ticker FROM read_csv('$CsvFixturePath', header=true) ORDER BY ticker"
 
+  // ---------------------------------------------------------------- q_json_scan
+  /** JSONL (newline-delimited) source — the other ubiquitous ingest
+    * format next to CSV/Parquet. Schema is inferred (string/long/double)
+    * exactly as DuckDB's read_json infers, so the oracle reads the same
+    * bytes. */
+  val JsonFixturePath = "/tmp/graft_fixtures/quotes.jsonl"
+  private val quoteRows = Seq(
+    """{"ticker":"aapl","price":189.25,"volume":51234}""",
+    """{"ticker":"msft","price":420.5,"volume":23001}""",
+    """{"ticker":"nvda","price":878.01,"volume":40112}""",
+    """{"ticker":"tsla","price":177.8,"volume":92412}""",
+    """{"ticker":"xom","price":113.4,"volume":15712}""")
+
+  private def writeJsonFixture(): Unit = {
+    val f = new java.io.File(JsonFixturePath)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, quoteRows.mkString("", "\n", "\n"))
+  }
+
+  private def jsonScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    writeJsonFixture()
+    s.read.json(JsonFixturePath)
+      .select(upper($"ticker").as("ticker"), $"price", $"volume")
+      .orderBy($"ticker")
+  }
+
+  private val jsonScanSql =
+    s"""SELECT upper(ticker) AS ticker, price, volume
+       |FROM read_json('$JsonFixturePath', format='newline_delimited')
+       |ORDER BY ticker""".stripMargin
+
   // ------------------------------------------------------------- q_sql_serving
   /** S6: the serving path — `spark.sql` over the registered table views,
     * in the shape of the reference's `industry_averages` dashboard query
@@ -76,5 +108,6 @@ object Sources {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_csv_scan", csvScan, Some(csvScanSql)),
+    NamedQuery("q_json_scan", jsonScan, Some(jsonScanSql)),
     NamedQuery("q_sql_serving", sqlServing, Some(sqlServingSql)))
 }
