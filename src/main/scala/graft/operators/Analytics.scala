@@ -165,6 +165,29 @@ object Analytics {
       |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q_array_agg
+  /** Array aggregation: collect the group's members into a value. The
+    * collected list is UNORDERED in a distributed engine, so determinism
+    * requires sorting before rendering — here numerically via sort_array
+    * on the longs, then string-joined (lexicographic sort of stringified
+    * ids would put 10 before 9). */
+  private def arrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")),
+          ",").as("doc_ids"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val arrayAggSql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- q_window_suite
   /** The full ranking/navigation window-function surface in one query:
     * row_number, rank, dense_rank, ntile, percent_rank, cume_dist, lag,
@@ -331,6 +354,7 @@ object Analytics {
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
     NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),
+    NamedQuery("q_array_agg", arrayAgg, Some(arrayAggSql)),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
     NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }
