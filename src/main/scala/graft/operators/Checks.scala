@@ -23,19 +23,23 @@ import org.apache.spark.sql.functions._
 object Checks {
 
   /** One-row frame: total rows participating in a duplicated `cols` key. */
-  def uniqueViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame =
+  def uniqueViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "unique check needs at least one key column")
     df.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .agg(coalesce(sum(col("__n")), lit(0L)).as("violations"))
+  }
 
   def uniqueViolations(df: DataFrame, cols: Seq[String]): Long =
     uniqueViolationsDF(df, cols).collect()(0).getLong(0)
 
   /** One-row frame: rows with a NULL in any of `cols`. */
-  def nonNullViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame =
+  def nonNullViolationsDF(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "non-null check needs at least one column")
     df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
       .agg(count(lit(1)).as("violations"))
+  }
 
   def nonNullViolations(df: DataFrame, cols: Seq[String]): Long =
     nonNullViolationsDF(df, cols).collect()(0).getLong(0)

@@ -68,4 +68,9 @@ class ChecksSpec extends GraftSuite {
     assert(plan.contains("Union"), s"expected a union of check frames:\n$plan")
     assert(df.count() == 4)
   }
+
+  test("empty column lists are rejected, not silently mis-counted") {
+    intercept[IllegalArgumentException](Checks.uniqueViolations(clean, Seq.empty))
+    intercept[IllegalArgumentException](Checks.nonNullViolations(clean, Seq.empty))
+  }
 }

@@ -22,12 +22,6 @@ class OrcSpec extends GraftSuite {
         s"price predicate not pushed to the ORC scan:\n$plan")
       assert(plan.contains("ReadSchema") && !plan.contains("o_orderdate"),
         s"column pruning must reach the ORC scan:\n$plan")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-    }
+    } finally rmTree(dir)
   }
 }

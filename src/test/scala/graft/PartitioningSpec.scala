@@ -12,11 +12,7 @@ class PartitioningSpec extends GraftSuite {
 
   private def withTempDir(f: java.io.File => Unit): Unit = {
     val dir = Files.createTempDirectory("graft_part").toFile
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm)
-      x.delete()
-    }
-    try f(dir) finally rm(dir)
+    try f(dir) finally rmTree(dir)
   }
 
   test("write.partitionBy layout prunes partitions for stratum filters") {

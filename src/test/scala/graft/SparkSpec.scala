@@ -32,6 +32,12 @@ abstract class GraftSuite extends AnyFunSuite {
       .toSeq
   }
 
+  /** Recursive delete for spec temp dirs (one copy, not one per spec). */
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
     val (ca, cb) = (canon(a), canon(b))
     assert(ca.size == cb.size, s"row counts differ: ${ca.size} vs ${cb.size}")

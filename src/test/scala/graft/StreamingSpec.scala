@@ -20,12 +20,6 @@ class StreamingSpec extends GraftSuite {
     dir
   }
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    val f = p.toFile
-    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
-    f.delete()
-  }
-
   private lazy val eventsDir: String = stageEvents(1).toString
 
   test("streaming parquet ingest is exactly-once across re-activations") {
@@ -41,7 +35,7 @@ class StreamingSpec extends GraftSuite {
       EventStream.runParquetIngest(spark, in.toString, out, ckpt)
       assert(spark.read.parquet(out).count() == n,
         "re-activation must not duplicate ingested rows")
-    } finally { rmTree(in); rmTree(base) }
+    } finally { rmTree(in.toFile); rmTree(base.toFile) }
   }
 
   test("streaming dedup removes at-least-once replays, matches batch distinct") {
@@ -53,7 +47,7 @@ class StreamingSpec extends GraftSuite {
       assert(deduped.count() == original.count(),
         "every replayed event must be dropped, every original kept")
       assert(deduped.select("event_id").distinct().count() == original.count())
-    } finally rmTree(dir)
+    } finally rmTree(dir.toFile)
   }
 
   test("late arrivals beyond the persisted watermark are dropped; on-time rows pass") {
@@ -85,7 +79,7 @@ class StreamingSpec extends GraftSuite {
         "a row older than the persisted watermark must be dropped as late")
       assert(ids.contains(900000002L), "an on-time new id must be emitted")
       assert(spark.read.parquet(out).count() == n + 1)
-    } finally { rmTree(dir); rmTree(base) }
+    } finally { rmTree(dir.toFile); rmTree(base.toFile) }
   }
 
   test("Trigger.AvailableNow stream agrees with the batch window aggregation") {
