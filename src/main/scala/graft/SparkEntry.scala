@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Sources.all ++ operators.Multimodal.all ++
       operators.Skew.all ++ operators.AsOf.all ++ operators.RangeJoin.all ++
       operators.Analytics.all ++ operators.Quality.all ++
-      operators.Checks.all ++ streaming.Sessionize.all ++
+      operators.Checks.all ++ operators.Upsert.all ++
+      streaming.Sessionize.all ++
       pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

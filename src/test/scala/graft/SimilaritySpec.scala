@@ -194,4 +194,25 @@ class SimilaritySpec extends GraftSuite {
     assert(comps.distinct.size > 200) // essentially all distinct
     assert(math.abs(comps.sum / comps.size) < 0.1) // roughly centered
   }
+
+  test("built-in HOF formulation (zip_with + aggregate) matches the native cosine") {
+    // the brief's composition route: when you don't want a custom
+    // Expression, the codegen'd higher-order functions express the same
+    // dot product — proven equivalent to the native here
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val both = e.crossJoin(broadcast(q)).select($"vec_id",
+      (dot($"embedding", $"q_emb") /
+        (sqrt(dot($"embedding", $"embedding")) * sqrt(dot($"q_emb", $"q_emb"))))
+        .as("hof"),
+      graft.functions.VectorFunctions.cosine($"embedding", $"q_emb").as("native"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
+        s"vec ${r.getLong(0)}: hof=${r.getDouble(1)} native=${r.getDouble(2)}")
+    }
+  }
 }
