@@ -34,6 +34,36 @@ object Upsert {
       }: _*)
   }
 
+  /** SCD-2 historization: apply a change batch to a versioned dimension.
+    * `current` carries (key, payload..., valid_from, valid_to) with
+    * valid_to NULL marking the open version; `changes` carries (key,
+    * payload..., `effectiveCol`). Matched open rows close at the change's
+    * effective date and the change opens a new version; unmatched open
+    * rows and already-closed history pass through untouched.
+    *
+    * Scale shape: one key-partitioned join pass over the OPEN slice only
+    * (closed history is never touched — at scale it's a separate
+    * partition pruned away), then unions. */
+  def scd2(current: DataFrame, changes: DataFrame, key: String,
+           effectiveCol: String): DataFrame = {
+    val payload = current.columns.toIndexedSeq
+      .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
+    require(changes.columns.toIndexedSeq == (key +: payload :+ effectiveCol),
+      s"changes must be ($key, ${payload.mkString(", ")}, $effectiveCol)")
+    val open = current.filter(col("valid_to").isNull)
+    val closedHistory = current.filter(col("valid_to").isNotNull)
+    val closing = open.drop("valid_to")
+      .join(broadcast(changes.select(col(key), col(effectiveCol).as("valid_to"))),
+        Seq(key))
+      .select(current.columns.map(col): _*)
+    val stillOpen = open.join(broadcast(changes.select(col(key))), Seq(key), "left_anti")
+    val newOpen = changes
+      .withColumnRenamed(effectiveCol, "valid_from")
+      .withColumn("valid_to", lit(null).cast(current.schema("valid_to").dataType))
+      .select(current.columns.map(col): _*)
+    closedHistory.unionByName(closing).unionByName(stillOpen).unionByName(newOpen)
+  }
+
   // --------------------------------------------------------------------- q_upsert
   /** Deterministic update batch synthesized from the snapshot itself:
     * every 100th customer gets a balance adjustment (update), every
@@ -66,6 +96,56 @@ object Upsert {
       |FROM customer e FULL JOIN updates u ON e.c_custkey = u.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // ----------------------------------------------------------------------- q_scd2
+  /** Versioned customer dimension: seed every customer as one open
+    * version from 2020-01-01, then apply a balance change for every
+    * 100th customer effective 2024-06-01 — those keys end with a closed
+    * 2020..2024 version plus a new open one. */
+  private def scd2Query(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val current = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal",
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    val changes = Tables.customer(s, dir)
+      .filter($"c_custkey" % 100 === 0)
+      .select($"c_custkey", $"c_name", ($"c_acctbal" + 500.0).as("c_acctbal"),
+        to_date(lit("2024-06-01")).as("effective"))
+    scd2(current, changes, "c_custkey", "effective")
+      // render dates as strings: pandas reads DuckDB DATE as Timestamp,
+      // so raw date cells would never hash-match cross-engine
+      .select($"c_custkey", $"c_name", $"c_acctbal",
+        date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+        date_format($"valid_to", "yyyy-MM-dd").as("valid_to"))
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  private val scd2Sql =
+    """WITH current AS (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 500.0 AS c_acctbal,
+      |    DATE '2024-06-01' AS effective
+      |  FROM customer WHERE c_custkey % 100 = 0)
+      |SELECT c_custkey, c_name, c_acctbal,
+      |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+      |  strftime(valid_to, '%Y-%m-%d') AS valid_to
+      |FROM (
+      |  SELECT cu.c_custkey, cu.c_name, cu.c_acctbal, cu.valid_from,
+      |    ch.effective AS valid_to
+      |  FROM current cu JOIN changes ch USING (c_custkey)
+      |  UNION ALL
+      |  SELECT cu.* FROM current cu
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = cu.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, effective AS valid_from,
+      |    CAST(NULL AS DATE) AS valid_to
+      |  FROM changes)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_upsert", upsertQuery, Some(upsertSql), bench = true))
+    NamedQuery("q_upsert", upsertQuery, Some(upsertSql), bench = true),
+    NamedQuery("q_scd2", scd2Query, Some(scd2Sql), bench = true))
 }

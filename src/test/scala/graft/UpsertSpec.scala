@@ -31,4 +31,31 @@ class UpsertSpec extends GraftSuite {
       Upsert.upsert(df, df.withColumnRenamed("name", "other"), "id"))
     intercept[IllegalArgumentException](Upsert.upsert(df, df, "missing"))
   }
+
+  test("scd2: matched keys close at the effective date and reopen; others untouched") {
+    import org.apache.spark.sql.functions._
+    val current = Seq(
+      (1L, "a", "2020-01-01", Option.empty[String]),
+      (2L, "b", "2020-01-01", Option.empty[String]),
+      (3L, "c-old", "2019-01-01", Option("2020-01-01")), // closed history
+      (3L, "c", "2020-01-01", Option.empty[String]))
+      .toDF("id", "name", "valid_from", "valid_to")
+      .select($"id", $"name", to_date($"valid_from").as("valid_from"),
+        to_date($"valid_to").as("valid_to"))
+    val changes = Seq((1L, "a2", "2024-06-01"))
+      .toDF("id", "name", "effective")
+      .select($"id", $"name", to_date($"effective").as("effective"))
+    val out = Upsert.scd2(current, changes, "id", "effective")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3)))).toSet
+    assert(out == Set(
+      (1L, "a", "2020-01-01", "2024-06-01"),  // closed at effective
+      (1L, "a2", "2024-06-01", "null"),       // new open version
+      (2L, "b", "2020-01-01", "null"),        // untouched open
+      (3L, "c-old", "2019-01-01", "2020-01-01"), // history passes through
+      (3L, "c", "2020-01-01", "null")))
+    // exactly one open version per key after application
+    val opens = out.toSeq.filter(_._4 == "null").groupBy(_._1)
+    assert(opens.values.forall(_.size == 1))
+  }
 }
