@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction — the operational maintenance job every
   * file-based lake needs: streaming ingest (EventStream.runParquetIngest)
@@ -9,46 +9,55 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * before the data does.
   *
   * The rewrite targets a byte size per output file, computed from the
-  * dataset's actual on-disk footprint (not row counts — row width varies
-  * wildly across tables). Compaction is idempotent and crash-safe via
-  * write-to-temp + atomic-ish swap: the original directory is replaced
-  * only after the compacted copy is fully written.
+  * dataset's actual parquet bytes (marker/checksum files excluded; row
+  * counts mislead across table widths). The swap is rename-based:
+  * original -> `__old`, compacted -> original, delete `__old`. A crash
+  * between the renames leaves the full data intact under exactly one of
+  * the two names — recovery is renaming `__old` back; nothing is ever
+  * deleted before the compacted copy is fully in place.
   */
 object Compact {
 
-  /** On-disk bytes of a parquet dataset directory (recursive). */
-  def datasetBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
-    walk(new java.io.File(path))
-  }
+  private def walkFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Seq.empty)
+    else Seq(f)
 
-  def parquetFileCount(path: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(new java.io.File(path))
-  }
+  /** Parquet data bytes of a dataset directory (markers/checksums
+    * excluded — they'd bias the output-file sizing). */
+  def datasetBytes(path: String): Long =
+    walkFiles(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
 
-  /** Rewrite `path` so each output file is ~`targetFileBytes` on disk.
-    * Returns the new file count. */
+  def parquetFileCount(path: String): Int =
+    walkFiles(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+
+  /** Rewrite `path` so each output file is ~`targetFileBytes` of parquet
+    * on disk. Returns the new file count. */
   def compact(s: SparkSession, path: String, targetFileBytes: Long): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    val old = new java.io.File(path + "__old")
+    require(!old.exists(),
+      s"$old exists — a previous compaction crashed mid-swap; recover it first")
     val bytes = datasetBytes(path)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = path + "__compacting"
-    val df: DataFrame = s.read.parquet(path)
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: remove original, move compacted into place
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    s.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    val target = new java.io.File(path)
+    require(target.renameTo(old), s"could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      // restore the original before failing — nothing is lost
+      old.renameTo(target)
+      sys.error(s"could not move compacted data into place at $path")
+    }
+    walkFiles(old).foreach(_.delete())
+    def rmDirs(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmDirs))
       f.delete()
     }
-    rm(new java.io.File(path))
-    val moved = new java.io.File(tmp).renameTo(new java.io.File(path))
-    require(moved, s"failed to move compacted data into place at $path")
+    rmDirs(old)
     parquetFileCount(path)
   }
 }

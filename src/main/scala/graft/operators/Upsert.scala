@@ -20,11 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Eager precondition on a mutation batch: keys present and unique —
+    * SQL MERGE raises on multiple source matches, and a NULL key would
+    * silently survive as an all-NULL row through the outer join. One
+    * aggregation job; cheap insurance before a destructive overwrite. */
+  private def requireUniqueKeys(batch: DataFrame, key: String, what: String): Unit = {
+    val r = batch.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(key)).as("n_keys"),
+      count(when(col(key).isNull, 1)).as("n_null")).collect()(0)
+    require(r.getLong(2) == 0, s"$what contains ${r.getLong(2)} NULL ${key}s")
+    require(r.getLong(0) == r.getLong(1),
+      s"$what has ${r.getLong(0) - r.getLong(1)} duplicate ${key}s — " +
+        "MERGE semantics require one row per key")
+  }
+
   def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = existing.columns.toIndexedSeq
     require(updates.columns.toIndexedSeq == cols,
       s"schema mismatch: ${cols.mkString(",")} vs ${updates.columns.mkString(",")}")
     require(cols.contains(key), s"key '$key' not in schema")
+    requireUniqueKeys(updates, key, "updates")
     val e = existing.select(cols.map(c => col(c).as(s"__e_$c")): _*)
     val u = updates.select(cols.map(c => col(c).as(s"__u_$c")): _*)
     e.join(u, col(s"__e_$key") === col(s"__u_$key"), "full_outer")
@@ -41,22 +57,29 @@ object Upsert {
     * effective date and the change opens a new version; unmatched open
     * rows and already-closed history pass through untouched.
     *
-    * Scale shape: one key-partitioned join pass over the OPEN slice only
-    * (closed history is never touched — at scale it's a separate
-    * partition pruned away), then unions. */
+    * Scale shape: key-partitioned (or auto-broadcast, when the batch is
+    * small) join passes over the OPEN slice only — closed history is
+    * never touched; at scale it's a separate partition pruned away. */
   def scd2(current: DataFrame, changes: DataFrame, key: String,
            effectiveCol: String): DataFrame = {
     val payload = current.columns.toIndexedSeq
       .filterNot(c => c == key || c == "valid_from" || c == "valid_to")
     require(changes.columns.toIndexedSeq == (key +: payload :+ effectiveCol),
       s"changes must be ($key, ${payload.mkString(", ")}, $effectiveCol)")
+    requireUniqueKeys(changes, key, "changes")
     val open = current.filter(col("valid_to").isNull)
+    // a change effective before the version it closes would create an
+    // inverted validity interval — reject the batch
+    val inverted = open.select(col(key), col("valid_from"))
+      .join(changes.select(col(key), col(effectiveCol)), Seq(key))
+      .filter(col(effectiveCol) < col("valid_from")).count()
+    require(inverted == 0,
+      s"$inverted changes are effective before the open version they close")
     val closedHistory = current.filter(col("valid_to").isNotNull)
     val closing = open.drop("valid_to")
-      .join(broadcast(changes.select(col(key), col(effectiveCol).as("valid_to"))),
-        Seq(key))
+      .join(changes.select(col(key), col(effectiveCol).as("valid_to")), Seq(key))
       .select(current.columns.map(col): _*)
-    val stillOpen = open.join(broadcast(changes.select(col(key))), Seq(key), "left_anti")
+    val stillOpen = open.join(changes.select(col(key)), Seq(key), "left_anti")
     val newOpen = changes
       .withColumnRenamed(effectiveCol, "valid_from")
       .withColumn("valid_to", lit(null).cast(current.schema("valid_to").dataType))

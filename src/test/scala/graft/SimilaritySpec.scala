@@ -203,14 +203,16 @@ class SimilaritySpec extends GraftSuite {
     import org.apache.spark.sql.Column
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val e = Tables.embeddings(spark, sf).limit(50)
+    val e = Tables.embeddings(spark, sf).filter($"vec_id" < 50)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
     val both = e.crossJoin(broadcast(q)).select($"vec_id",
       (dot($"embedding", $"q_emb") /
         (sqrt(dot($"embedding", $"embedding")) * sqrt(dot($"q_emb", $"q_emb"))))
         .as("hof"),
       graft.functions.VectorFunctions.cosine($"embedding", $"q_emb").as("native"))
-    both.collect().foreach { r =>
+    val rows = both.collect()
+    assert(rows.length == 50, s"expected 50 comparison rows, got ${rows.length}")
+    rows.foreach { r =>
       assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
         s"vec ${r.getLong(0)}: hof=${r.getDouble(1)} native=${r.getDouble(2)}")
     }

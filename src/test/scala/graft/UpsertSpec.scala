@@ -58,4 +58,23 @@ class UpsertSpec extends GraftSuite {
     val opens = out.toSeq.filter(_._4 == "null").groupBy(_._1)
     assert(opens.values.forall(_.size == 1))
   }
+
+  test("mutation batches with duplicate or NULL keys are rejected") {
+    val existing = Seq((1L, "a")).toDF("id", "name")
+    val dupes = Seq((2L, "x"), (2L, "y")).toDF("id", "name")
+    intercept[IllegalArgumentException](Upsert.upsert(existing, dupes, "id"))
+    val nulls = Seq((Option.empty[java.lang.Long], Option("x"))).toDF("id", "name")
+    intercept[IllegalArgumentException](Upsert.upsert(existing, nulls, "id"))
+  }
+
+  test("scd2 rejects changes effective before the version they close") {
+    import org.apache.spark.sql.functions._
+    val current = Seq((1L, "a", "2020-01-01", Option.empty[String]))
+      .toDF("id", "name", "valid_from", "valid_to")
+      .select($"id", $"name", to_date($"valid_from").as("valid_from"),
+        to_date($"valid_to").as("valid_to"))
+    val early = Seq((1L, "a2", "2019-06-01")).toDF("id", "name", "effective")
+      .select($"id", $"name", to_date($"effective").as("effective"))
+    intercept[IllegalArgumentException](Upsert.scd2(current, early, "id", "effective"))
+  }
 }
