@@ -178,15 +178,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster_id").as("neighbor_min"))
+      // carry the old label through the update so convergence detection
+      // is a filter over the SAME frame — no extra join per round
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"neighbor_min", $"cluster_id"))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          $"cluster_id".as("__old_id"))
         .localCheckpoint(true)
-      val changed = updated.join(
-          labels.withColumnRenamed("cluster_id", "old_id"), Seq("doc_id"))
-        .filter($"cluster_id" < $"old_id").count()
-      labels = updated
+      val changed = updated.filter($"cluster_id" < $"__old_id").count()
+      labels = updated.drop("__old_id")
       converged = changed == 0
       i += 1
     }
