@@ -165,6 +165,53 @@ object Analytics {
       |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q_resample_ffill
+  /** Resample to a dense monthly grid + forward fill — the time-series
+    * gap-filling every financial pipeline needs (a ticker with no trade
+    * in a month still has a last-known price). Each key's month spine
+    * generates from its own [min, max] span (sequence + explode — no
+    * driver-side calendar), actuals left-join onto it, and last(...,
+    * ignoreNulls) over a running window carries values across gaps in
+    * one key-partitioned pass. */
+  private def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("custkey"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(dsum($"o_totalprice").as("month_total"))
+    val spine = monthly.groupBy($"custkey")
+      .agg(min($"month").as("m0"), max($"month").as("m1"))
+      .select($"custkey", explode(sequence(
+        to_date(concat($"m0", lit("-01"))),
+        to_date(concat($"m1", lit("-01"))),
+        expr("interval 1 month"))).as("mdate"))
+      .select($"custkey", date_format($"mdate", "yyyy-MM").as("month"))
+    val w = Window.partitionBy($"custkey").orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(monthly, Seq("custkey", "month"), "left")
+      .select($"custkey", $"month",
+        $"month_total".isNull.as("was_gap"),
+        last($"month_total", ignoreNulls = true).over(w).as("filled"))
+      .orderBy($"custkey", $"month")
+  }
+
+  private val resampleFfillSql =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    ${sqlDsum("o_totalprice")} AS month_total
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT custkey, min(month) AS m0, max(month) AS m1 FROM monthly GROUP BY 1),
+       |spine AS (
+       |  SELECT custkey, strftime(unnest(generate_series(
+       |    CAST(m0 || '-01' AS DATE), CAST(m1 || '-01' AS DATE),
+       |    INTERVAL 1 MONTH)), '%Y-%m') AS month
+       |  FROM b)
+       |SELECT s.custkey, s.month, m.month_total IS NULL AS was_gap,
+       |  last_value(m.month_total IGNORE NULLS) OVER (
+       |    PARTITION BY s.custkey ORDER BY s.month ROWS UNBOUNDED PRECEDING) AS filled
+       |FROM spine s LEFT JOIN monthly m USING (custkey, month)
+       |ORDER BY custkey, month""".stripMargin
+
   // ------------------------------------------------------------------ q_array_agg
   /** Array aggregation: collect the group's members into a value. The
     * collected list is UNORDERED in a distributed engine, so determinism
@@ -355,6 +402,7 @@ object Analytics {
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
     NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),
     NamedQuery("q_array_agg", arrayAgg, Some(arrayAggSql)),
+    NamedQuery("q_resample_ffill", resampleFfill, Some(resampleFfillSql), bench = true),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
     NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }

@@ -143,4 +143,29 @@ class AnalyticsSpec extends GraftSuite {
     val cand = Seq((1L, "h g f e d c b a")).toDF("doc_id", "text") // reversed: no shared 8-gram
     assert(Analytics.decontaminate(cand, bench, "text", "doc_id", 8).count() == 1)
   }
+
+  test("resample+ffill: dense spine, gaps carried forward, no null fills") {
+    val out = SparkEntry.queries("q_resample_ffill")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(3)), "first spine month always has data")
+    // per key: months strictly increasing and contiguous
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val months = rows.map(_.getString(1)).sorted
+      val (y0, m0) = (months.head.take(4).toInt, months.head.drop(5).toInt)
+      val expected = months.indices.map { i =>
+        val t = y0 * 12 + (m0 - 1) + i
+        f"${t / 12}%04d-${t % 12 + 1}%02d"
+      }
+      assert(months.toSeq == expected, s"spine not contiguous: ${months.take(5).toSeq}...")
+    }
+    // gap rows repeat the previous non-gap value
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getString(1))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(2) =>
+          assert(cur.getDouble(3) == prev.getDouble(3), "gap must carry previous fill")
+        case _ =>
+      }
+    }
+  }
 }
