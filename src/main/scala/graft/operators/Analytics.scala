@@ -212,6 +212,81 @@ object Analytics {
        |FROM spine s LEFT JOIN monthly m USING (custkey, month)
        |ORDER BY custkey, month""".stripMargin
 
+  // ----------------------------------------------------------------- q_interpolate
+  /** Linear interpolation across series gaps — ffill's companion when a
+    * gap should trend toward the next known point instead of holding
+    * flat. Same per-key spine; each gap row finds its bracketing known
+    * points via IGNORE-NULLS carries from both directions (running and
+    * following frames over ONE partition sort), then interpolates by
+    * month offset. Emitted UNROUNDED: interpolation midpoints make exact
+    * halfway values structurally common, so decimal rounding would sit on
+    * tie-break boundaries; the expression shape (left-associative
+    * mult-then-div on identical inputs) is the same IEEE op sequence in
+    * any engine, so the raw doubles are bit-identical. */
+  private def interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("custkey"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(dsum($"o_totalprice").as("v"))
+    val spine = monthly.groupBy($"custkey")
+      .agg(min($"month").as("m0"), max($"month").as("m1"))
+      .select($"custkey", explode(sequence(
+        to_date(concat($"m0", lit("-01"))),
+        to_date(concat($"m1", lit("-01"))),
+        expr("interval 1 month"))).as("mdate"))
+      .select($"custkey", date_format($"mdate", "yyyy-MM").as("month"))
+    val order = Window.partitionBy($"custkey").orderBy($"month")
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val layered = spine.join(monthly, Seq("custkey", "month"), "left")
+      .withColumn("rn", row_number().over(order))
+    val bracketed = layered
+      .withColumn("prev_v", last($"v", ignoreNulls = true).over(back))
+      .withColumn("prev_rn",
+        last(when($"v".isNotNull, $"rn"), ignoreNulls = true).over(back))
+      .withColumn("next_v", first($"v", ignoreNulls = true).over(fwd))
+      .withColumn("next_rn",
+        first(when($"v".isNotNull, $"rn"), ignoreNulls = true).over(fwd))
+    bracketed.select($"custkey", $"month", $"v".isNull.as("was_gap"),
+      when($"v".isNotNull, $"v").otherwise(
+        $"prev_v" + ($"next_v" - $"prev_v") * ($"rn" - $"prev_rn") /
+          ($"next_rn" - $"prev_rn")).as("interpolated"))
+      .orderBy($"custkey", $"month")
+  }
+
+  private val interpolateSql =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    ${sqlDsum("o_totalprice")} AS v
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT custkey, min(month) AS m0, max(month) AS m1 FROM monthly GROUP BY 1),
+       |spine AS (
+       |  SELECT custkey, strftime(unnest(generate_series(
+       |    CAST(m0 || '-01' AS DATE), CAST(m1 || '-01' AS DATE),
+       |    INTERVAL 1 MONTH)), '%Y-%m') AS month
+       |  FROM b),
+       |layered AS (
+       |  SELECT s.custkey, s.month, m.v,
+       |    row_number() OVER (PARTITION BY s.custkey ORDER BY s.month) AS rn
+       |  FROM spine s LEFT JOIN monthly m USING (custkey, month)),
+       |bracketed AS (
+       |  SELECT custkey, month, v, rn,
+       |    last_value(v IGNORE NULLS) OVER back AS prev_v,
+       |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER back AS prev_rn,
+       |    first_value(v IGNORE NULLS) OVER fwd AS next_v,
+       |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER fwd AS next_rn
+       |  FROM layered
+       |  WINDOW
+       |    back AS (PARTITION BY custkey ORDER BY month ROWS UNBOUNDED PRECEDING),
+       |    fwd AS (PARTITION BY custkey ORDER BY month
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT custkey, month, v IS NULL AS was_gap,
+       |  CASE WHEN v IS NOT NULL THEN v ELSE
+       |    prev_v + (next_v - prev_v) * (rn - prev_rn) / (next_rn - prev_rn)
+       |  END AS interpolated
+       |FROM bracketed ORDER BY custkey, month""".stripMargin
+
   // ------------------------------------------------------------------ q_array_agg
   /** Array aggregation: collect the group's members into a value. The
     * collected list is UNORDERED in a distributed engine, so determinism
@@ -403,6 +478,7 @@ object Analytics {
     NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),
     NamedQuery("q_array_agg", arrayAgg, Some(arrayAggSql)),
     NamedQuery("q_resample_ffill", resampleFfill, Some(resampleFfillSql), bench = true),
+    NamedQuery("q_interpolate", interpolate, Some(interpolateSql)),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
     NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }

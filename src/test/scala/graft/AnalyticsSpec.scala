@@ -168,4 +168,22 @@ class AnalyticsSpec extends GraftSuite {
       }
     }
   }
+
+  test("interpolation: gap values lie on the line between bracketing points") {
+    val rows = SparkEntry.queries("q_interpolate")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      // real points keep their value; every gap is strictly between (or
+      // equal to, on flat segments) its bracketing real values
+      sorted.zipWithIndex.filter(_._1.getBoolean(2)).foreach { case (gap, i) =>
+        val prevReal = sorted.take(i).reverse.find(!_.getBoolean(2)).get.getDouble(3)
+        val nextReal = sorted.drop(i + 1).find(!_.getBoolean(2)).get.getDouble(3)
+        val v = gap.getDouble(3)
+        val (lo, hi) = (math.min(prevReal, nextReal), math.max(prevReal, nextReal))
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+          s"interpolated $v outside [$lo, $hi]")
+      }
+    }
+  }
 }
