@@ -165,20 +165,18 @@ object Analytics {
       |  CASE WHEN lang = 'en' THEN '29' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
-  // -------------------------------------------------------------- q_resample_ffill
-  /** Resample to a dense monthly grid + forward fill — the time-series
-    * gap-filling every financial pipeline needs (a ticker with no trade
-    * in a month still has a last-known price). Each key's month spine
-    * generates from its own [min, max] span (sequence + explode — no
-    * driver-side calendar), actuals left-join onto it, and last(...,
-    * ignoreNulls) over a running window carries values across gaps in
-    * one key-partitioned pass. */
-  private def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------- shared monthly series + spine
+  /** Per-customer monthly totals and each key's dense month spine over
+    * its own [min, max] span (sequence + explode — no driver-side
+    * calendar). Shared by resampling and interpolation so the grid
+    * semantics can't diverge between them. */
+  private def monthlySpine(s: SparkSession, dir: String,
+                           valueAlias: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val monthly = Tables.orders(s, dir)
       .groupBy($"o_custkey".as("custkey"),
         date_format($"o_orderdate", "yyyy-MM").as("month"))
-      .agg(dsum($"o_totalprice").as("month_total"))
+      .agg(dsum($"o_totalprice").as(valueAlias))
     val spine = monthly.groupBy($"custkey")
       .agg(min($"month").as("m0"), max($"month").as("m1"))
       .select($"custkey", explode(sequence(
@@ -186,6 +184,31 @@ object Analytics {
         to_date(concat($"m1", lit("-01"))),
         expr("interval 1 month"))).as("mdate"))
       .select($"custkey", date_format($"mdate", "yyyy-MM").as("month"))
+    (monthly, spine)
+  }
+
+  /** The matching DuckDB CTEs (monthly / b / spine). */
+  private def monthlySpineSql(valueAlias: String): String =
+    s"""monthly AS (
+       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    ${sqlDsum("o_totalprice")} AS $valueAlias
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT custkey, min(month) AS m0, max(month) AS m1 FROM monthly GROUP BY 1),
+       |spine AS (
+       |  SELECT custkey, strftime(unnest(generate_series(
+       |    CAST(m0 || '-01' AS DATE), CAST(m1 || '-01' AS DATE),
+       |    INTERVAL 1 MONTH)), '%Y-%m') AS month
+       |  FROM b)""".stripMargin
+
+  // -------------------------------------------------------------- q_resample_ffill
+  /** Resample to a dense monthly grid + forward fill — the time-series
+    * gap-filling every financial pipeline needs (a ticker with no trade
+    * in a month still has a last-known price): actuals left-join onto
+    * the spine, and last(..., ignoreNulls) over a running window carries
+    * values across gaps in one key-partitioned pass. */
+  private def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (monthly, spine) = monthlySpine(s, dir, "month_total")
     val w = Window.partitionBy($"custkey").orderBy($"month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(monthly, Seq("custkey", "month"), "left")
@@ -196,16 +219,7 @@ object Analytics {
   }
 
   private val resampleFfillSql =
-    s"""WITH monthly AS (
-       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
-       |    ${sqlDsum("o_totalprice")} AS month_total
-       |  FROM orders GROUP BY 1, 2),
-       |b AS (SELECT custkey, min(month) AS m0, max(month) AS m1 FROM monthly GROUP BY 1),
-       |spine AS (
-       |  SELECT custkey, strftime(unnest(generate_series(
-       |    CAST(m0 || '-01' AS DATE), CAST(m1 || '-01' AS DATE),
-       |    INTERVAL 1 MONTH)), '%Y-%m') AS month
-       |  FROM b)
+    s"""WITH ${monthlySpineSql("month_total")}
        |SELECT s.custkey, s.month, m.month_total IS NULL AS was_gap,
        |  last_value(m.month_total IGNORE NULLS) OVER (
        |    PARTITION BY s.custkey ORDER BY s.month ROWS UNBOUNDED PRECEDING) AS filled
@@ -225,17 +239,7 @@ object Analytics {
     * any engine, so the raw doubles are bit-identical. */
   private def interpolate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val monthly = Tables.orders(s, dir)
-      .groupBy($"o_custkey".as("custkey"),
-        date_format($"o_orderdate", "yyyy-MM").as("month"))
-      .agg(dsum($"o_totalprice").as("v"))
-    val spine = monthly.groupBy($"custkey")
-      .agg(min($"month").as("m0"), max($"month").as("m1"))
-      .select($"custkey", explode(sequence(
-        to_date(concat($"m0", lit("-01"))),
-        to_date(concat($"m1", lit("-01"))),
-        expr("interval 1 month"))).as("mdate"))
-      .select($"custkey", date_format($"mdate", "yyyy-MM").as("month"))
+    val (monthly, spine) = monthlySpine(s, dir, "v")
     val order = Window.partitionBy($"custkey").orderBy($"month")
     val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -256,16 +260,7 @@ object Analytics {
   }
 
   private val interpolateSql =
-    s"""WITH monthly AS (
-       |  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
-       |    ${sqlDsum("o_totalprice")} AS v
-       |  FROM orders GROUP BY 1, 2),
-       |b AS (SELECT custkey, min(month) AS m0, max(month) AS m1 FROM monthly GROUP BY 1),
-       |spine AS (
-       |  SELECT custkey, strftime(unnest(generate_series(
-       |    CAST(m0 || '-01' AS DATE), CAST(m1 || '-01' AS DATE),
-       |    INTERVAL 1 MONTH)), '%Y-%m') AS month
-       |  FROM b),
+    s"""WITH ${monthlySpineSql("v")},
        |layered AS (
        |  SELECT s.custkey, s.month, m.v,
        |    row_number() OVER (PARTITION BY s.custkey ORDER BY s.month) AS rn

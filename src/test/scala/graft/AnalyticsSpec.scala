@@ -169,21 +169,35 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
-  test("interpolation: gap values lie on the line between bracketing points") {
+  test("interpolation: gaps equal the exact linear value; real points keep theirs") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // independent recomputation of the monthly totals (same exact-decimal
+    // routing), so non-gap rows are checked against ground truth — a
+    // formula error mirrored into the oracle SQL can't hide here
+    val truth = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(sum($"o_totalprice".cast(DecimalType(28, 2))).cast(DoubleType).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
     val rows = SparkEntry.queries("q_interpolate")(spark, sf).collect()
       .groupBy(_.getLong(0))
-    rows.foreach { case (_, rs) =>
+    var gaps = 0
+    rows.foreach { case (key, rs) =>
       val sorted = rs.sortBy(_.getString(1))
-      // real points keep their value; every gap is strictly between (or
-      // equal to, on flat segments) its bracketing real values
-      sorted.zipWithIndex.filter(_._1.getBoolean(2)).foreach { case (gap, i) =>
-        val prevReal = sorted.take(i).reverse.find(!_.getBoolean(2)).get.getDouble(3)
-        val nextReal = sorted.drop(i + 1).find(!_.getBoolean(2)).get.getDouble(3)
-        val v = gap.getDouble(3)
-        val (lo, hi) = (math.min(prevReal, nextReal), math.max(prevReal, nextReal))
-        assert(v >= lo - 1e-9 && v <= hi + 1e-9,
-          s"interpolated $v outside [$lo, $hi]")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (!r.getBoolean(2)) {
+          assert(r.getDouble(3) == truth((key, r.getString(1))),
+            s"real point $key/${r.getString(1)} altered")
+        } else {
+          gaps += 1
+          val pi = (i - 1 to 0 by -1).find(j => !sorted(j).getBoolean(2)).get
+          val ni = (i + 1 until sorted.length).find(j => !sorted(j).getBoolean(2)).get
+          val (pv, nv) = (sorted(pi).getDouble(3), sorted(ni).getDouble(3))
+          val expect = pv + (nv - pv) * (i - pi) / (ni - pi)
+          assert(math.abs(r.getDouble(3) - expect) <= math.ulp(expect),
+            s"gap $key/${r.getString(1)}: got ${r.getDouble(3)}, expect $expect")
+        }
       }
     }
+    assert(gaps > 0, "data must contain gaps for this test to mean anything")
   }
 }
