@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Skew.all ++ operators.AsOf.all ++ operators.RangeJoin.all ++
       operators.Analytics.all ++ operators.Quality.all ++
       operators.Checks.all ++ operators.Upsert.all ++
-      streaming.Sessionize.all ++
+      operators.Chunking.all ++ streaming.Sessionize.all ++
       pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document chunking and sequence packing — the two shaping steps between
+  * a cleaned corpus and a training batch:
+  *  - chunking splits long documents into overlapping fixed-width token
+  *    windows (context-length units with stride overlap so no boundary
+  *    information is lost);
+  *  - packing assigns variable-length documents to fixed-capacity bins
+  *    (context slots) so short documents share a sequence instead of
+  *    wasting pad tokens.
+  *
+  * Scale design: chunking is a row-local explode — whitespace split,
+  * per-chunk slice + join, no shuffle; what leaves the operator is
+  * (doc_id, chunk_idx, n_tokens, md5) — a digest, never the chunk text,
+  * unless the caller asks for payloads. Packing is one window cumsum per
+  * stratum: bin id = floor((running_total - own_len) / capacity), a
+  * streaming-friendly greedy assignment (successive-fit, not optimal
+  * FFD bin packing — the standard corpus-scale tradeoff, since true FFD
+  * needs a global sort + sequential state). All arithmetic is integral,
+  * so results are bit-stable on any cluster. */
+object Chunking {
+
+  /** Overlapping word-window chunks of `text`: windows of `width` words
+    * every `stride` words (stride < width ⇒ overlap). Documents shorter
+    * than one window yield one chunk. */
+  def wordChunks(text: Column, width: Int, stride: Int): Column = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    val w = split(text, " ", -1)
+    // number of windows: 1 + ceil(max(0, n - width) / stride)
+    val n = size(w)
+    val nChunks = lit(1) + ceil(
+      greatest(n - width, lit(0)).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      concat_ws(" ", slice(w, i * stride + 1, lit(width))))
+  }
+
+  // ------------------------------------------------------------------ q_chunk_docs
+  /** 64-token windows, stride 48 (16-token overlap), one output row per
+    * chunk carrying its digest and token count — the text itself stays
+    * inside the scan. */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(wordChunks($"text", 64, 48)))
+      .select($"doc_id", $"pos".as("chunk_idx"),
+        size(split($"col", " ", -1)).as("n_tokens"),
+        md5($"col").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val chunkDocsSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |counted AS (
+      |  SELECT doc_id, words,
+      |    1 + CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS INT) AS n_chunks
+      |  FROM w),
+      |chunks AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(words[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+      |  FROM counted, unnest(generate_series(0, n_chunks - 1)) t(i))
+      |SELECT doc_id, chunk_idx,
+      |  len(string_split(chunk, ' ')) AS n_tokens, md5(chunk) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------- q_pack_sequences
+  /** Greedy sequence packing: per language, documents (ordered by id)
+    * accumulate into 2048-token bins; a document starts a new bin when
+    * its tokens would not start before the capacity boundary. Output is
+    * one row per bin with its fill statistics. */
+  val BinCapacity = 2048
+
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(split($"text", " ", -1)).as("n_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("running", sum($"n_tokens").over(w))
+      // explicit floor: double->integer CASTs truncate in Spark but
+      // round in DuckDB, so the naked cast would diverge at bin edges
+      .withColumn("bin", floor(($"running" - $"n_tokens") / BinCapacity).cast("long"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .orderBy($"lang", $"bin")
+  }
+
+  private val packSequencesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |placed AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING) - n_tokens) / $BinCapacity) AS BIGINT)
+       |      AS bin
+       |  FROM toks)
+       |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+       |FROM placed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_chunk_docs", chunkDocs, Some(chunkDocsSql), bench = true),
+    NamedQuery("q_pack_sequences", packSequences, Some(packSequencesSql), bench = true))
+}
