@@ -104,7 +104,29 @@ object Chunking {
        |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
        |FROM placed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  // ------------------------------------------------------------------------ q_vocab
+  /** Vocabulary construction: corpus word frequencies, top 1000 by
+    * (count desc, word) — the seed step for tokenizer training. Explode
+    * + partial-aggregated count; the total order's word tie-breaker
+    * keeps the cut deterministic. */
+  private def vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ", -1)).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(1000)
+  }
+
+  private val vocabSql =
+    """SELECT word, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY freq DESC, word LIMIT 1000""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_chunk_docs", chunkDocs, Some(chunkDocsSql), bench = true),
-    NamedQuery("q_pack_sequences", packSequences, Some(packSequencesSql), bench = true))
+    NamedQuery("q_pack_sequences", packSequences, Some(packSequencesSql), bench = true),
+    NamedQuery("q_vocab", vocab, Some(vocabSql), bench = true))
 }
