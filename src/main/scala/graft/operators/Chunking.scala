@@ -24,48 +24,63 @@ import org.apache.spark.sql.functions._
   * so results are bit-stable on any cluster. */
 object Chunking {
 
-  /** Overlapping word-window chunks of `text`: windows of `width` words
-    * every `stride` words (stride < width ⇒ overlap). Documents shorter
-    * than one window yield one chunk. */
-  def wordChunks(text: Column, width: Int, stride: Int): Column = {
+  /** 1-based window start offsets into a `words` array attribute:
+    * 1 + ceil(max(0, n - width) / stride) windows. The lambda touches
+    * only size(words), so nothing expensive re-evaluates per element
+    * (the HOF-recompute trap — a split() referenced inside the lambda
+    * would re-split once per window after projection collapse). */
+  def chunkStarts(words: Column, width: Int, stride: Int): Column = {
     require(width >= 1 && stride >= 1 && stride <= width,
       s"need 1 <= stride <= width, got width=$width stride=$stride")
-    val w = split(text, " ", -1)
-    // number of windows: 1 + ceil(max(0, n - width) / stride)
-    val n = size(w)
     val nChunks = lit(1) + ceil(
-      greatest(n - width, lit(0)).cast("double") / stride).cast("int")
-    transform(sequence(lit(0), nChunks - 1), i =>
-      concat_ws(" ", slice(w, i * stride + 1, lit(width))))
+      greatest(size(words) - width, lit(0)).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i => i * stride + 1)
   }
 
+  /** Overlapping word-window chunks of a `words` array: windows of
+    * `width` words every `stride` words (stride < width ⇒ overlap).
+    * Arrays shorter than one window yield one chunk. Pass a projected
+    * attribute (not an inline split) so tokenization runs once per row. */
+  def wordChunks(words: Column, width: Int, stride: Int): Column =
+    transform(chunkStarts(words, width, stride), start =>
+      concat_ws(" ", slice(words, start, lit(width))))
+
   // ------------------------------------------------------------------ q_chunk_docs
-  /** 64-token windows, stride 48 (16-token overlap), one output row per
-    * chunk carrying its digest and token count — the text itself stays
-    * inside the scan. */
+  /** ChunkWidth-token windows with ChunkStride offsets (overlapping),
+    * one output row per chunk carrying its digest and token count — the
+    * text itself stays inside the scan. Explode-first shape: the split
+    * array is a projected attribute below the Generate, so each document
+    * tokenizes ONCE and each chunk slices the shared array. */
+  val ChunkWidth = 64
+  val ChunkStride = 48
+
   private def chunkDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", posexplode(wordChunks($"text", 64, 48)))
+      .select($"doc_id", split($"text", " ", -1).as("words"))
+      .select($"doc_id", $"words",
+        posexplode(chunkStarts($"words", ChunkWidth, ChunkStride)))
       .select($"doc_id", $"pos".as("chunk_idx"),
-        size(split($"col", " ", -1)).as("n_tokens"),
-        md5($"col").as("chunk_md5"))
+        size(slice($"words", $"col", lit(ChunkWidth))).as("n_tokens"),
+        md5(concat_ws(" ", slice($"words", $"col", lit(ChunkWidth)))).as("chunk_md5"))
       .orderBy($"doc_id", $"chunk_idx")
   }
 
   private val chunkDocsSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |counted AS (
-      |  SELECT doc_id, words,
-      |    1 + CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS INT) AS n_chunks
-      |  FROM w),
-      |chunks AS (
-      |  SELECT doc_id, i AS chunk_idx,
-      |    array_to_string(words[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
-      |  FROM counted, unnest(generate_series(0, n_chunks - 1)) t(i))
-      |SELECT doc_id, chunk_idx,
-      |  len(string_split(chunk, ' ')) AS n_tokens, md5(chunk) AS chunk_md5
-      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |counted AS (
+       |  SELECT doc_id, words,
+       |    1 + CAST(ceil(greatest(len(words) - $ChunkWidth, 0) / $ChunkStride.0) AS INT)
+       |      AS n_chunks
+       |  FROM w),
+       |chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    array_to_string(
+       |      words[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWidth], ' ') AS chunk
+       |  FROM counted, unnest(generate_series(0, n_chunks - 1)) t(i))
+       |SELECT doc_id, chunk_idx,
+       |  len(string_split(chunk, ' ')) AS n_tokens, md5(chunk) AS chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------- q_pack_sequences
   /** Greedy sequence packing: per language, documents (ordered by id)
