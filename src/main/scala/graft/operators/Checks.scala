@@ -102,7 +102,7 @@ object Checks {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
       |UNION ALL
       |SELECT 'orders_pk_unique',
-      |  (SELECT COALESCE(SUM(n), 0) FROM
+      |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM
       |    (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
       |UNION ALL
       |SELECT 'orders_status_domain',

@@ -116,7 +116,7 @@ object Chunking {
        |            ROWS UNBOUNDED PRECEDING) - n_tokens) / $BinCapacity) AS BIGINT)
        |      AS bin
        |  FROM toks)
-       |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+       |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
        |FROM placed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
   // ------------------------------------------------------------------------ q_vocab

@@ -131,7 +131,7 @@ object Multimodal {
       |    CAST(text AS BLOB) AS payload
       |  FROM documents)
       |SELECT media_type, COUNT(*) AS n_assets,
-      |  SUM(octet_length(payload)) AS total_bytes,
+      |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
       |  MIN(octet_length(payload)) AS min_bytes,
       |  MAX(octet_length(payload)) AS max_bytes,
       |  COUNT(DISTINCT payload) AS n_distinct_payloads

@@ -39,6 +39,11 @@ def cells_equal(a, b) -> bool:
     except (TypeError, ValueError):
         pass
     if isinstance(a, float) or isinstance(b, float):
+        # Driver hashes are dtype-sensitive: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT SUM -> pandas float64)
+        # fails on the driver even when every value is numerically equal.
+        if isinstance(a, float) != isinstance(b, float):
+            return False
         try:
             return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
         except (TypeError, ValueError):
