@@ -111,5 +111,5 @@ object Checks {
       |ORDER BY check_name""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_quality_checks", qualityChecks, Some(qualityChecksSql)))
+    NamedQuery("q_quality_checks", qualityChecks, Some(qualityChecksSql), bench = true))
 }

@@ -66,7 +66,14 @@ object Dedup {
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir)
+    // deliberate all-pairs-per-bucket oracle baseline for the LSH path —
+    // quadratic per (lang, source) bucket, so refuse unbounded inputs
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    require(n <= MaxBruteForceRows,
+      s"ngramJaccard is an O(n²)-per-bucket oracle baseline bounded to " +
+        s"$MaxBruteForceRows rows; got $n — use minhashCandidateIds at scale")
+    val d = docs
       .select($"doc_id", $"lang", $"source", shingles($"text").as("sh"))
     val a = d.select($"doc_id".as("doc_a"), $"lang", $"source", $"sh".as("sh_a"))
     val b = d.select($"doc_id".as("doc_b"), $"lang", $"source", $"sh".as("sh_b"))
@@ -161,9 +168,20 @@ object Dedup {
     * with localCheckpoint so the plan doesn't grow with iterations.
     * (For adversarial long-chain graphs the large-star/small-star
     * variant converges in O(log n) rounds; not needed for dedup.) */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** How often resolveClusters polls for convergence. Both the
+    * changed-count and the lineage-cutting localCheckpoint are driver
+    * barriers, so they run once per `checkEvery` propagation rounds
+    * instead of every round (~3× fewer barriers on deep components).
+    * Sound because min-label propagation is monotone: a round that
+    * changes nothing is followed only by rounds that change nothing, so
+    * a zero changed-count at ANY round proves convergence. */
+  val ConvergenceCheckEvery = 3
+
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
+      checkEvery: Int = ConvergenceCheckEvery): DataFrame = {
     import pairs.sparkSession.implicits._
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
@@ -185,11 +203,16 @@ object Dedup {
           least($"cluster_id", coalesce($"neighbor_min", $"cluster_id"))
             .as("cluster_id"),
           $"cluster_id".as("__old_id"))
-        .localCheckpoint(true)
-      val changed = updated.filter($"cluster_id" < $"__old_id").count()
-      labels = updated.drop("__old_id")
-      converged = changed == 0
       i += 1
+      if (i % checkEvery == 0 || i == maxIter) {
+        // batch barrier: cut lineage AND poll convergence (one round's
+        // zero-change implies a fixed point, see ConvergenceCheckEvery)
+        val mat = updated.localCheckpoint(true)
+        converged = mat.filter($"cluster_id" < $"__old_id").count() == 0
+        labels = mat.drop("__old_id")
+      } else {
+        labels = updated.drop("__old_id")
+      }
     }
     // partially-propagated labels are silently WRONG output (a split
     // cluster whose id is not its min member) — fail loudly instead
@@ -227,6 +250,76 @@ object Dedup {
       .orderBy(round($"jaccard", 6).desc, $"doc_a", $"doc_b")
       .limit(100)
   }
+
+  // ----------------------------------------------------------- q_minhash_recall
+  /** Driver-visible recall gate for the MinHash+LSH path: plant one
+    * near-duplicate per document (the text truncated by its last
+    * `TruncateWords` words → word-shingle Jaccard ≈ 0.9), run the REAL
+    * banded candidate generator over the union frame, and emit every
+    * planted pair with exact Jaccard >= `MinHashRecallJaccard` plus a
+    * `found` boolean. Truncation is a list slice, so the oracle computes
+    * the full expected answer in SQL — the pair set, the Jaccard values,
+    * and found=TRUE throughout (banding miss probability at j >= 0.8 is
+    * 1-(1-j²)⁸ < 4e-5 per pair, and the gate is deterministic). A MinHash
+    * recall miss or an exact-Jaccard bug both surface as hash mismatches.
+    * Same scale shape as the path it checks: 2n-row id-only banding. */
+  val TruncateWords = 5
+  val MinHashRecallJaccard = 0.8
+
+  private def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val w = split($"text", " ", -1)
+    val trunc = concat_ws(" ",
+      slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
+    val planted = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(
+        ($"doc_id" + Similarity.PlantOffset).as("doc_id"), trunc.as("text")))
+    // exact side over the native one-pass shingle-hash sets — the same
+    // basis the minhash verifier uses, and value-identical to the
+    // oracle's string-shingle Jaccard (64-bit hashes: a within-doc
+    // collision altering the ratio is ~1e-17). The string-shingle
+    // spelling here would hit the CollapseProject HOF-recompute trap:
+    // `shingles(trunc)` inlines the split+slice+concat chain into every
+    // lambda element — O(len²) per doc, 30s+ at sf0.1.
+    val exact = docs
+      .select($"doc_id",
+        jaccard(TextFunctions.trigramHashes($"text"),
+          TextFunctions.trigramHashes(trunc)).as("jaccard"))
+      .filter($"jaccard" >= MinHashRecallJaccard)
+    val found = minhashCandidateIds(planted, numHashes = 16, rowsPerBand = 2)
+      .filter($"doc_b" === $"doc_a" + Similarity.PlantOffset)
+      .select($"doc_a".as("doc_id"))
+      .withColumn("__hit", lit(true))
+    exact.join(found, Seq("doc_id"), "left")
+      .select($"doc_id", $"jaccard", coalesce($"__hit", lit(false)).as("found"))
+      .orderBy($"doc_id")
+  }
+
+  private val minhashRecallSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, w, w[1:greatest(len(w) - $TruncateWords, 3)] AS wt
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(generate_series(1, len(w) - 2),
+       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END) AS sh_a,
+       |    list_distinct(CASE WHEN len(wt) >= 3
+       |      THEN list_transform(generate_series(1, len(wt) - 2),
+       |                          i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])
+       |      ELSE [array_to_string(wt, ' ')] END) AS sh_b
+       |  FROM t)
+       |SELECT * FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+       |      / (len(sh_a) + len(sh_b)
+       |         - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) AS jaccard,
+       |    TRUE AS found
+       |  FROM sh)
+       |WHERE jaccard >= $MinHashRecallJaccard
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ q_simhash_dedup
   /** SimHash near-dup detection: one 64-bit fingerprint per document
@@ -276,13 +369,58 @@ object Dedup {
       .limit(100)
   }
 
+  // ----------------------------------------------------------- q_simhash_recall
+  /** Driver-visible equivalence gate for the banded SimHash path: the
+    * banded pairs must be EXACTLY the brute-force all-pairs hamming <=
+    * `SimHashMaxHamming` set (pigeonhole: <=3 differing bits across 4
+    * 16-bit bands leave at least one band equal — recall is structural,
+    * not probabilistic, absent hot-bucket drops; and banding post-filters
+    * on the same hamming bound, so it can't over-report). Output is the
+    * symmetric difference, expected EMPTY; the oracle is the empty set,
+    * so any disagreement surfaces as a driver-visible row. Non-vacuous
+    * because q_simhash_dedup shows the shared pair set is non-empty.
+    * The brute-force side is the deliberate O(n²) baseline — bounded
+    * below; the banded side is the 100 TB path. */
+  val MaxBruteForceRows = 100000L
+
+  private def simhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fp = docs.select($"doc_id",
+      TextFunctions.simhash64(split($"text", " ", -1)).as("fp"))
+    val n = fp.count()
+    require(n <= MaxBruteForceRows,
+      s"simhashRecall brute-force baseline is O(n²) and bounded to " +
+        s"$MaxBruteForceRows rows; got $n — run the banded path instead")
+    val a = fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a"))
+    val b = fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .filter(bit_count($"fp_a".bitwiseXOR($"fp_b")) <= SimHashMaxHamming)
+      .select($"doc_a", $"doc_b")
+    val banded = simhashPairs(docs).select($"doc_a", $"doc_b")
+    brute.exceptAll(banded).withColumn("only_in", lit("brute"))
+      .unionByName(banded.exceptAll(brute).withColumn("only_in", lit("banded")))
+      .orderBy($"doc_a", $"doc_b", $"only_in")
+  }
+
+  private val simhashRecallSql =
+    """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+      |  CAST(NULL AS VARCHAR) AS only_in
+      |WHERE FALSE""".stripMargin
+
   // ---------------------------------------------------------- q_dedup_embedding
   /** Embedding-cosine near-dup: top-100 most similar embedding pairs.
     * Brute-force formulation (the small-scale oracle baseline; the scale
     * path is the LSH-bucketed join in Similarity.annLsh). */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // deliberate all-pairs oracle baseline for the ANN paths (annLsh /
+    // annIvf are the scale formulations) — refuse unbounded inputs
     val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    require(n <= MaxBruteForceRows,
+      s"dedupEmbedding is an O(n²) oracle baseline bounded to " +
+        s"$MaxBruteForceRows rows; got $n — use annLsh/annIvf at scale")
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     a.join(b, $"vec_a" < $"vec_b")
@@ -307,9 +445,15 @@ object Dedup {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
+    // q_ngram_jaccard / q_dedup_embedding are the deliberate bounded O(n²)
+    // oracle baselines for the LSH paths and q_simhash_recall contains one —
+    // benching them would time the brute force, not an engine path
     NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
+    NamedQuery("q_minhash_recall", minhashRecall, Some(minhashRecallSql),
+      bench = true),
     NamedQuery("q_dedup_clusters", dedupClusters, None, bench = true),
     NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
+    NamedQuery("q_simhash_recall", simhashRecall, Some(simhashRecallSql)),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

@@ -137,6 +137,49 @@ object Multimodal {
       |  COUNT(DISTINCT payload) AS n_distinct_payloads
       |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  // -------------------------------------------------------------- q_frame_stats
+  /** Oracle-checked query over the frame-sampling output: per-modality,
+    * per-frame-index byte stats through the REAL `sampleFrames` fan-out
+    * (typed flatMap, binary frames). The decode stub is deterministic
+    * byte slicing and the test corpus is pure ASCII (chars == bytes, a
+    * property q_binary_stats already relies on), so DuckDB recomputes
+    * the exact frames with character substrings — the driver-visible
+    * correctness row for the multimodal plumbing beyond binaryStats. */
+  val FrameCount = 4
+  val FrameBytes = 32
+
+  private def frameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = assets(s, dir)
+    sampleFrames(a, n = FrameCount, frameBytes = FrameBytes).toDF()
+      .join(a.toDF().select($"doc_id", $"media_type"), "doc_id")
+      .groupBy($"media_type", $"frame_idx")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(length($"frame")).as("total_frame_bytes"),
+        count_distinct($"frame").as("n_distinct_frames"))
+      .orderBy($"media_type", $"frame_idx")
+  }
+
+  private val frameStatsSql =
+    s"""WITH a AS (
+       |  SELECT doc_id, ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+       |    text, length(text) AS len
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_type, i AS frame_idx,
+       |    substring(text,
+       |      (i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1} + 1,
+       |      least((i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1}
+       |              + $FrameBytes, len)
+       |        - (i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1}) AS frame
+       |  FROM a, generate_series(0, ${FrameCount - 1}) AS t(i))
+       |SELECT media_type, frame_idx, COUNT(*) AS n_frames,
+       |  CAST(SUM(length(frame)) AS BIGINT) AS total_frame_bytes,
+       |  COUNT(DISTINCT frame) AS n_distinct_frames
+       |FROM f GROUP BY 1, 2 ORDER BY media_type, frame_idx""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql)))
+    NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql), bench = true),
+    NamedQuery("q_frame_stats", frameStats, Some(frameStatsSql), bench = true))
 }

@@ -632,24 +632,24 @@ object Relational {
     NamedQuery("q_agg_basic", aggBasic, Some(aggBasicSql), bench = true),
     NamedQuery("q_industry_avg", industryAvg, Some(industryAvgSql), bench = true),
     NamedQuery("q_point_lookup", pointLookup, Some(pointLookupSql), bench = true),
-    NamedQuery("q_latest_per_key_join", latestPerKeyJoin, Some(latestPerKeyJoinSql)),
+    NamedQuery("q_latest_per_key_join", latestPerKeyJoin, Some(latestPerKeyJoinSql), bench = true),
     NamedQuery("q_latest_per_key_window", latestPerKeyWindow, Some(latestPerKeyWindowSql), bench = true),
     NamedQuery("q_derived_ratios", derivedRatios, Some(derivedRatiosSql), bench = true),
     NamedQuery("q_monthly_avg_trend", monthlyAvgTrend, Some(monthlyAvgTrendSql), bench = true),
-    NamedQuery("q_date_format", dateFormatQ, Some(dateFormatSql)),
+    NamedQuery("q_date_format", dateFormatQ, Some(dateFormatSql), bench = true),
     NamedQuery("q_topk", topk, Some(topkSql), bench = true),
     NamedQuery("q_left_join_enrich", leftJoinEnrich, Some(leftJoinEnrichSql), bench = true),
-    NamedQuery("q_cast_conform", castConform, Some(castConformSql)),
-    NamedQuery("q_union_all", unionAll, Some(unionAllSql)),
-    NamedQuery("q_union_entity_vs_avg", entityVsAvgFrame, Some(entityVsAvgSql)),
-    NamedQuery("q_unpivot_compare", unpivotCompare, Some(unpivotCompareSql)),
-    NamedQuery("q_pivot_attrs", pivotAttrs, Some(pivotAttrsSql)),
+    NamedQuery("q_cast_conform", castConform, Some(castConformSql), bench = true),
+    NamedQuery("q_union_all", unionAll, Some(unionAllSql), bench = true),
+    NamedQuery("q_union_entity_vs_avg", entityVsAvgFrame, Some(entityVsAvgSql), bench = true),
+    NamedQuery("q_unpivot_compare", unpivotCompare, Some(unpivotCompareSql), bench = true),
+    NamedQuery("q_pivot_attrs", pivotAttrs, Some(pivotAttrsSql), bench = true),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql), bench = true),
     NamedQuery("q_outer_join_align", outerJoinAlign, Some(outerJoinAlignSql), bench = true),
-    NamedQuery("q_fill_missing", fillMissing, Some(fillMissingSql)),
-    NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql)),
+    NamedQuery("q_fill_missing", fillMissing, Some(fillMissingSql), bench = true),
+    NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql), bench = true),
     NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
-    NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql), bench = true),
     NamedQuery("q_approx_distinct", approxDistinct, Some(approxDistinctSql), bench = true),
-    NamedQuery("q_date_window", dateWindow, Some(dateWindowSql)))
+    NamedQuery("q_date_window", dateWindow, Some(dateWindowSql), bench = true))
 }

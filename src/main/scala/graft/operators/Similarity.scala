@@ -179,6 +179,54 @@ object Similarity {
     scoreAndRank(ivfCandidateIds(e), e, topK)
   }
 
+  // ------------------------------------- q_ann_lsh_recall / q_ann_ivf_recall
+  /** Id offset for planted near-duplicate rows in the recall gates (far
+    * above any real vec_id / doc_id at any test scale). */
+  val PlantOffset = 1000000L
+
+  /** Plant one deterministic near-duplicate per vector: multiplicative
+    * noise `x_i * (1 + u_i)`, u_i uniform-ish in [-0.03, 0.03] derived
+    * from xxhash64(vec_id, i) — scale-free (independent of embedding
+    * normalization), giving cos(x, x') ≈ 0.9997, squarely in the
+    * near-dup regime the ANN paths are built for. */
+  def plantNearDups(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val perturbed = transform($"embedding", (x, i) =>
+      x * (lit(1.0) +
+        (pmod(xxhash64($"vec_id", i), lit(1000)).cast("double") / 500.0 - 1.0) * 0.03))
+      .cast("array<float>")
+    e.select($"vec_id", $"embedding")
+      .unionByName(e.select(($"vec_id" + PlantOffset).as("vec_id"),
+        perturbed.as("embedding")))
+  }
+
+  /** Driver-visible recall gate for a bucketed candidate generator: run
+    * the REAL candidate path over the shipped corpus plus planted
+    * near-dups and emit a per-query-vector `found` boolean. The oracle
+    * knows the expected answer exactly — every planted near-dup found —
+    * so a recall miss surfaces as a hash-mismatched CORRECTNESS row
+    * instead of living only in SimilaritySpec. The planted frame is 2n
+    * rows and the candidate join stays id-only, so the gate has the same
+    * scale shape as the path it checks. */
+  private def annRecall(candGen: DataFrame => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val hits = candGen(plantNearDups(e))
+      .filter($"vec_b" === $"vec_a" + PlantOffset ||
+        $"vec_a" === $"vec_b" + PlantOffset)
+      .select(least($"vec_a", $"vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    e.select($"vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"__hit", lit(false)).as("found"))
+      .orderBy($"vec_id")
+  }
+
+  private val annRecallSql =
+    "SELECT vec_id, TRUE AS found FROM embeddings ORDER BY vec_id"
+
   // -------------------------------------------------------- q_embedding_centroids
   /** Per-label per-dimension centroid of the embedding column — the
     * k-means/IVF-training aggregation shape: posexplode to (row, dim,
@@ -208,5 +256,9 @@ object Similarity {
       Some(embeddingCentroidsSql), bench = true),
     NamedQuery("q_embedding_cosine_topk", cosineTopk, Some(cosineTopkSql), bench = true),
     NamedQuery("q_ann_lsh", (s, d) => annLsh(s, d), None, bench = true),
-    NamedQuery("q_ann_ivf", (s, d) => annIvf(s, d), None, bench = true))
+    NamedQuery("q_ann_ivf", (s, d) => annIvf(s, d), None, bench = true),
+    NamedQuery("q_ann_lsh_recall", annRecall(annCandidateIds),
+      Some(annRecallSql), bench = true),
+    NamedQuery("q_ann_ivf_recall", annRecall(ivfCandidateIds),
+      Some(annRecallSql), bench = true))
 }

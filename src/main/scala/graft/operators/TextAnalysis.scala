@@ -119,17 +119,53 @@ object TextAnalysis {
 
   // -------------------------------------------------------------- q_fingerprint
   /** Document fingerprints via the custom codegen expressions: winnowing
-    * rolling-min-hash over chars + 64-bit SimHash over tokens. No SQL
-    * equivalent (custom hash mixes) — covered by TextAnalysisSpec
-    * (determinism, near-dup Hamming behavior). */
+    * rolling-min-hash over chars + 64-bit SimHash over tokens. The raw
+    * hash values have no SQL equivalent, but their load-bearing
+    * PROPERTIES are oracle-able, so the query emits those instead of an
+    * unverifiable dump:
+    *  - `content_stable` (per doc): both fingerprints recomputed from a
+    *    copied row in a repartitioned, doubled frame equal the originals —
+    *    a fingerprint is a pure function of the text, independent of
+    *    physical layout;
+    *  - `spread_ok` (corpus-wide): distinct (rolling-fp, simhash) PAIRS
+    *    >= 95% of distinct texts (measured 99.4%+ at sf0.01 and sf0.1).
+    *    Exact injectivity is deliberately NOT asserted, and the rolling
+    *    fp alone is exempt: a min-hash COLLIDES on texts sharing their
+    *    lowest-hash window by design (61-87% spread on this corpus) —
+    *    that collision behavior is its dedup job; the pair bound only
+    *    rules out degenerate hashes.
+    * Expected answer is TRUE everywhere, so any instability or
+    * degeneracy surfaces as a driver-visible mismatch. Raw values remain
+    * spec-covered (TextAnalysisSpec: determinism, codegen-vs-JVM
+    * equality, near-dup Hamming behavior). */
   private def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      TextFunctions.rollingFingerprint($"text", 16).as("fingerprint"),
-      TextFunctions.simhash64(split($"text", " ", -1)).as("simhash"))
+    val docs = Tables.documents(s, dir)
+    def fps(df: DataFrame): DataFrame = df.select($"doc_id", $"text",
+      TextFunctions.rollingFingerprint($"text", 16).as("fp"),
+      TextFunctions.simhash64(split($"text", " ", -1)).as("sh"))
+    val base = fps(docs)
+    val offset = Similarity.PlantOffset
+    val copies = fps(docs
+        .select(($"doc_id" + offset).as("doc_id"), $"text")
+        .unionByName(docs.select($"doc_id", $"text"))
+        .repartition(7, $"doc_id"))
+      .filter($"doc_id" >= offset)
+      .select(($"doc_id" - offset).as("doc_id"),
+        $"fp".as("fp2"), $"sh".as("sh2"))
+    val spread = base.agg(
+      (count_distinct($"fp", $"sh") >= count_distinct($"text") * 0.95)
+        .as("spread_ok"))
+    base.join(copies, Seq("doc_id"))
+      .select($"doc_id",
+        ($"fp" === $"fp2" && $"sh" === $"sh2").as("content_stable"))
+      .crossJoin(broadcast(spread))
       .orderBy($"doc_id")
   }
+
+  private val fingerprintSql =
+    """SELECT doc_id, TRUE AS content_stable, TRUE AS spread_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ redaction
   /** PII redaction patterns (emails, dashed/dotted phone numbers, long
@@ -150,7 +186,7 @@ object TextAnalysis {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
-    NamedQuery("q_token_count", tokenCount, Some(tokenCountSql)),
-    NamedQuery("q_lang_id", langId, Some(langIdSql)),
-    NamedQuery("q_fingerprint", fingerprint, None, bench = true))
+    NamedQuery("q_token_count", tokenCount, Some(tokenCountSql), bench = true),
+    NamedQuery("q_lang_id", langId, Some(langIdSql), bench = true),
+    NamedQuery("q_fingerprint", fingerprint, Some(fingerprintSql), bench = true))
 }

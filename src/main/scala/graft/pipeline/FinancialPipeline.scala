@@ -227,6 +227,9 @@ object FinancialPipeline {
        |ORDER BY ticker""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    // the pipeline queries replay cleaning.py over its small FIXTURE
+    // parquet (not the sf-scaled tables) — timing them measures fixture
+    // IO, so they are correctness-only
     NamedQuery("q_pipeline_company", qCompany, Some(qCompanySql)),
     NamedQuery("q_pipeline_stock", qStock, Some(qStockSql)),
     NamedQuery("q_pipeline_fs", qFs, Some(qFsSql)),

@@ -164,4 +164,68 @@ class DedupSpec extends GraftSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.resolveClusters(empty).count() == 0)
   }
+
+  test("resolveClusters batched convergence polling: same labels, fewer driver jobs") {
+    // a 10-node chain needs ~9 propagation rounds — deep enough that
+    // polling every 3rd round visibly cuts driver barriers
+    val pairs = (0 until 9).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    var perRound: Seq[String] = null
+    var batched: Seq[String] = null
+    val jobsPerRound = countJobs {
+      perRound = canon(Dedup.resolveClusters(pairs, maxIter = 20, checkEvery = 1))
+    }
+    val jobsBatched = countJobs {
+      batched = canon(Dedup.resolveClusters(pairs, maxIter = 20, checkEvery = 3))
+    }
+    assert(perRound == batched, "batched polling changed the labeling")
+    // canon sorts columns by name: cluster_id|doc_id — all labels must be 0
+    assert(batched.forall(_.startsWith("0|")), "chain must collapse to cluster 0")
+    assert(jobsBatched < jobsPerRound,
+      s"batched polling should launch fewer driver jobs: $jobsBatched vs $jobsPerRound")
+  }
+
+  test("all-pairs oracle baselines refuse unbounded inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bound").toFile
+    try {
+      val n = Dedup.MaxBruteForceRows + 1
+      spark.range(n).select($"id".as("doc_id"), lit("en").as("lang"),
+          lit("s").as("source"), lit("x y z").as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.range(n).select($"id".as("vec_id"), lit(0).as("label"),
+          array(lit(1.0f), lit(0.5f)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Seq("q_ngram_jaccard", "q_simhash_recall", "q_dedup_embedding").foreach { q =>
+        val ex = intercept[IllegalArgumentException] {
+          SparkEntry.queries(q)(spark, dir.toString)
+        }
+        assert(ex.getMessage.contains("bounded"), s"$q: ${ex.getMessage}")
+      }
+    } finally rmTree(dir)
+  }
+
+  test("minhash recall gate: non-vacuous and every planted near-dup found") {
+    val rows = SparkEntry.queries("q_minhash_recall")(spark, sf).collect()
+    assert(rows.nonEmpty, "no planted pair passed the jaccard threshold")
+    assert(rows.forall(_.getBoolean(2)),
+      "LSH banding missed a planted near-duplicate")
+    // jaccard column really is the exact truncation similarity: high but < 1
+    // for most docs (empty/short docs hit 1.0 exactly)
+    assert(rows.forall(r => r.getDouble(1) >= Dedup.MinHashRecallJaccard))
+  }
+
+  test("simhash recall gate: banded-vs-brute symmetric difference is empty") {
+    assert(SparkEntry.queries("q_simhash_recall")(spark, sf).count() == 0)
+  }
 }

@@ -11,12 +11,8 @@ class RelationalSpec extends GraftSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sf)
 
-  test("every named query returns rows on the smoke SF") {
-    SparkEntry.all.foreach { q =>
-      val n = q.fn(spark, sf).count()
-      assert(n > 0, s"${q.name} returned 0 rows")
-    }
-  }
+  // (the all-queries rows smoke check lives in RowCheckSpec, which also
+  // knows the empty-by-design disagreement gates — not duplicated here)
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

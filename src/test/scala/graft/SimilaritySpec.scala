@@ -159,6 +159,32 @@ class SimilaritySpec extends GraftSuite {
     assert(canon(ann) == canon(Similarity.annIvf(spark, sf)))
   }
 
+  test("ANN recall gates: every planted near-dup found by both LSH and IVF") {
+    Seq("q_ann_lsh_recall", "q_ann_ivf_recall").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.nonEmpty, s"$q returned no rows")
+      assert(rows.forall(_.getBoolean(1)), s"$q missed a planted near-dup")
+    }
+  }
+
+  test("planted near-dups really are near (cos >= 0.999) and not identical") {
+    val e = Tables.embeddings(spark, sf)
+    val planted = Similarity.plantNearDups(e)
+    val joined = planted.filter($"vec_id" < Similarity.PlantOffset)
+      .select($"vec_id", $"embedding".as("orig"))
+      .join(planted.filter($"vec_id" >= Similarity.PlantOffset)
+        .select(($"vec_id" - Similarity.PlantOffset).as("vec_id"),
+          $"embedding".as("copy")), "vec_id")
+      .select(VectorFunctions.cosine($"orig", $"copy").as("cos"),
+        ($"orig" === $"copy").as("identical"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getDouble(0) >= 0.999, s"perturbation too large: cos=${r.getDouble(0)}")
+      assert(!r.getBoolean(1), "perturbation must actually change the vector")
+    }
+  }
+
   test("native LshBands equals the higher-order-function formulation bit-for-bit") {
     val dim = 16
     val rnd = new scala.util.Random(11)

@@ -37,4 +37,52 @@ class SkewSpec extends GraftSuite {
     // the hot key's phase-2 input is bounded: saltBuckets * k, not 50k
     assert(salted.filter($"key" === 0).count() == 5)
   }
+
+  test("AQE splits a skewed join partition (skewJoin proven, not just claimed)") {
+    // Skew.scala documents that AQE covers skewed JOINS (the salted path
+    // covers windows) — prove it: a join whose shuffle puts ~97% of the
+    // left side on one key must come out of AQE as a skew-join with the
+    // hot partition split, not one straggler reducer.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(200000).select(
+        when($"id" < 195000, lit(0L)).otherwise($"id" % 64 + 1).as("key"),
+        concat(lit("payload-"), $"id".cast("string"),
+          lit("x" * 64)).as("payload"))
+      val right = spark.range(65).select($"id".as("key"), lit("dim").as("d"))
+      val joined = left.join(right, "key")
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the join sits inside a QueryStageExec, whose wrapped plan is not
+      // in `children` — collect the stages' plans explicitly
+      val stagePlans = finalPlan +: finalPlan.collect {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => qs.plan
+      }
+      val skewJoins = stagePlans.flatMap(_.collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j
+      })
+      assert(skewJoins.nonEmpty,
+        s"expected AQE to mark the join as skew-optimized; final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
