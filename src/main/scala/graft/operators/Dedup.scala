@@ -36,6 +36,16 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Shared guard for the deliberate O(n²) oracle baselines: refuse
+    * unbounded inputs loudly instead of launching a quadratic plan. */
+  private def requireBounded(df: DataFrame, what: String,
+      alternative: String): Unit = {
+    val n = df.count()
+    require(n <= MaxBruteForceRows,
+      s"$what is an O(n²) oracle baseline bounded to $MaxBruteForceRows " +
+        s"rows; got $n — use $alternative at scale")
+  }
+
   // --------------------------------------------------------------- q_dedup_exact
   /** Exact dedup: group by content digest, keep the smallest doc_id.
     * The digest (16 bytes) is what shuffles, not the document. */
@@ -69,10 +79,7 @@ object Dedup {
     // deliberate all-pairs-per-bucket oracle baseline for the LSH path —
     // quadratic per (lang, source) bucket, so refuse unbounded inputs
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
-    require(n <= MaxBruteForceRows,
-      s"ngramJaccard is an O(n²)-per-bucket oracle baseline bounded to " +
-        s"$MaxBruteForceRows rows; got $n — use minhashCandidateIds at scale")
+    requireBounded(docs, "ngramJaccard", "minhashCandidateIds")
     val d = docs
       .select($"doc_id", $"lang", $"source", shingles($"text").as("sh"))
     val a = d.select($"doc_id".as("doc_a"), $"lang", $"source", $"sh".as("sh_a"))
@@ -181,7 +188,11 @@ object Dedup {
       checkEvery: Int = ConvergenceCheckEvery): DataFrame = {
     import pairs.sparkSession.implicits._
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    // upper bound too: checkEvery uncheckpointed rounds stack join+agg
+    // lineage between barriers, and unbounded plan growth is exactly what
+    // the per-batch localCheckpoint exists to prevent
+    require(checkEvery >= 1 && checkEvery <= 10,
+      s"checkEvery must be in [1, 10], got $checkEvery")
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
@@ -259,16 +270,27 @@ object Dedup {
     * planted pair with exact Jaccard >= `MinHashRecallJaccard` plus a
     * `found` boolean. Truncation is a list slice, so the oracle computes
     * the full expected answer in SQL — the pair set, the Jaccard values,
-    * and found=TRUE throughout (banding miss probability at j >= 0.8 is
-    * 1-(1-j²)⁸ < 4e-5 per pair, and the gate is deterministic). A MinHash
-    * recall miss or an exact-Jaccard bug both surface as hash mismatches.
-    * Same scale shape as the path it checks: 2n-row id-only banding. */
+    * and found=TRUE throughout. Margin math, honestly: per-pair banding
+    * MISS probability is (1-j²)⁸ — ~1.7e-6 at the planted j ≈ 0.9 of a
+    * typical 40-60-word doc, but up to 2.8e-4 at the gate's j = 0.8
+    * admission floor (docs of 27-35 words land there). The gate is
+    * deterministic (fixed hashes, fixed corpus — no flake), and is
+    * verified green at every contract scale; a corpus revision that
+    * introduces a miss surfaces as an explicit found=false row, the
+    * signal the gate exists to give. Planting also doubles each text's
+    * copy count, so a text with > MaxBucket/2 exact copies would
+    * overflow its band bucket and drop — run exact dedup first (as any
+    * real pipeline does) before pointing this gate at such a corpus.
+    * A MinHash recall miss or an exact-Jaccard bug both surface as hash
+    * mismatches. Same scale shape as the path it checks: 2n-row id-only
+    * banding. */
   val TruncateWords = 5
   val MinHashRecallJaccard = 0.8
 
   private def minhashRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "minhashRecall")
     val w = split($"text", " ", -1)
     val trunc = concat_ws(" ",
       slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
@@ -388,10 +410,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     val fp = docs.select($"doc_id",
       TextFunctions.simhash64(split($"text", " ", -1)).as("fp"))
-    val n = fp.count()
-    require(n <= MaxBruteForceRows,
-      s"simhashRecall brute-force baseline is O(n²) and bounded to " +
-        s"$MaxBruteForceRows rows; got $n — run the banded path instead")
+    requireBounded(fp, "simhashRecall's brute-force side", "simhashPairs alone")
     val a = fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a"))
     val b = fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b"))
     val brute = a.join(b, $"doc_a" < $"doc_b")
@@ -417,10 +436,7 @@ object Dedup {
     // deliberate all-pairs oracle baseline for the ANN paths (annLsh /
     // annIvf are the scale formulations) — refuse unbounded inputs
     val e = Tables.embeddings(s, dir)
-    val n = e.count()
-    require(n <= MaxBruteForceRows,
-      s"dedupEmbedding is an O(n²) oracle baseline bounded to " +
-        s"$MaxBruteForceRows rows; got $n — use annLsh/annIvf at scale")
+    requireBounded(e, "dedupEmbedding", "annLsh/annIvf")
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     a.join(b, $"vec_a" < $"vec_b")

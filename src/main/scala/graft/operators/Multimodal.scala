@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (binary) column handling for a training-data pipeline:
@@ -25,16 +25,20 @@ object Multimodal {
   case class ImageMeta(doc_id: Long, media_type: String, width: Int,
                        height: Int, n_bytes: Int, fingerprint: Long)
 
+  /** Deterministic media-type assignment across 3 modalities — a pure
+    * function of doc_id, so frame/thumb frames can recompute it instead
+    * of re-joining against the asset table. */
+  def mediaTypeCol(docId: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(docId, lit(3)) + 1).cast("int"))
+
   /** Build an asset frame from the documents table (payload = UTF-8
     * bytes of the text — a stand-in for image bytes with the same
     * engine-side characteristics: variable-length opaque binary). */
   def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id",
-        // deterministic media type assignment across 3 modalities
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"),
+      .select($"doc_id", mediaTypeCol($"doc_id").as("media_type"),
         encode($"text", "UTF-8").as("payload"))
       .as[Asset]
   }
@@ -128,7 +132,7 @@ object Multimodal {
     """WITH a AS (
       |  SELECT doc_id,
       |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
-      |    CAST(text AS BLOB) AS payload
+      |    encode(text) AS payload
       |  FROM documents)
       |SELECT media_type, COUNT(*) AS n_assets,
       |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
@@ -140,19 +144,21 @@ object Multimodal {
   // -------------------------------------------------------------- q_frame_stats
   /** Oracle-checked query over the frame-sampling output: per-modality,
     * per-frame-index byte stats through the REAL `sampleFrames` fan-out
-    * (typed flatMap, binary frames). The decode stub is deterministic
-    * byte slicing and the test corpus is pure ASCII (chars == bytes, a
-    * property q_binary_stats already relies on), so DuckDB recomputes
-    * the exact frames with character substrings — the driver-visible
+    * (typed flatMap, binary frames). The frame slicing is byte-based, so
+    * the oracle recomputes it in HEX space — `hex(encode(text))` is a
+    * pure-ASCII string with exactly 2 chars per byte, making character
+    * `substring` arithmetic byte-exact for ANY text, multi-byte UTF-8
+    * included (no chars==bytes corpus assumption). The driver-visible
     * correctness row for the multimodal plumbing beyond binaryStats. */
   val FrameCount = 4
   val FrameBytes = 32
 
   private def frameStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = assets(s, dir)
-    sampleFrames(a, n = FrameCount, frameBytes = FrameBytes).toDF()
-      .join(a.toDF().select($"doc_id", $"media_type"), "doc_id")
+    // media_type is a pure function of doc_id: recompute it on the frame
+    // rows instead of rescanning documents and shuffle-joining 4n frames
+    sampleFrames(assets(s, dir), n = FrameCount, frameBytes = FrameBytes).toDF()
+      .withColumn("media_type", mediaTypeCol($"doc_id"))
       .groupBy($"media_type", $"frame_idx")
       .agg(
         count(lit(1)).as("n_frames"),
@@ -164,19 +170,20 @@ object Multimodal {
   private val frameStatsSql =
     s"""WITH a AS (
        |  SELECT doc_id, ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
-       |    text, length(text) AS len
+       |    hex(encode(text)) AS h, octet_length(encode(text)) AS len
        |  FROM documents),
+       |f0 AS (
+       |  SELECT media_type, i AS frame_idx, h, len,
+       |    (i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1} AS s0
+       |  FROM a, generate_series(0, ${FrameCount - 1}) AS t(i)),
        |f AS (
-       |  SELECT media_type, i AS frame_idx,
-       |    substring(text,
-       |      (i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1} + 1,
-       |      least((i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1}
-       |              + $FrameBytes, len)
-       |        - (i * greatest(len - $FrameBytes, 0)) // ${FrameCount - 1}) AS frame
-       |  FROM a, generate_series(0, ${FrameCount - 1}) AS t(i))
+       |  SELECT media_type, frame_idx,
+       |    substring(h, 2 * s0 + 1,
+       |      2 * (least(s0 + $FrameBytes, len) - s0)) AS frame_hex
+       |  FROM f0)
        |SELECT media_type, frame_idx, COUNT(*) AS n_frames,
-       |  CAST(SUM(length(frame)) AS BIGINT) AS total_frame_bytes,
-       |  COUNT(DISTINCT frame) AS n_distinct_frames
+       |  CAST(SUM(length(frame_hex) // 2) AS BIGINT) AS total_frame_bytes,
+       |  COUNT(DISTINCT frame_hex) AS n_distinct_frames
        |FROM f GROUP BY 1, 2 ORDER BY media_type, frame_idx""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(

@@ -184,6 +184,20 @@ object Similarity {
     * above any real vec_id / doc_id at any test scale). */
   val PlantOffset = 1000000L
 
+  /** Recall-gate precondition: planted ids are `id + PlantOffset`, so a
+    * corpus with ids at or above the offset would silently collide planted
+    * rows with genuine ones (duplicate ids inside the candidate joins, and
+    * the `b === a + PlantOffset` hit filter matching coincidental original
+    * pairs). Refuse loudly instead — the same contract as the
+    * MaxBruteForceRows guards on the O(n²) baselines. */
+  def requirePlantable(df: DataFrame, idCol: String, what: String): Unit = {
+    val row = df.agg(max(col(idCol))).head()
+    val maxId = if (row.isNullAt(0)) -1L else row.getLong(0)
+    require(maxId < PlantOffset,
+      s"$what plants ids at id + $PlantOffset; corpus max $idCol = $maxId " +
+        s"would collide with planted rows — raise PlantOffset for this corpus")
+  }
+
   /** Plant one deterministic near-duplicate per vector: multiplicative
     * noise `x_i * (1 + u_i)`, u_i uniform-ish in [-0.03, 0.03] derived
     * from xxhash64(vec_id, i) — scale-free (independent of embedding
@@ -212,6 +226,7 @@ object Similarity {
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
+    requirePlantable(e, "vec_id", "annRecall")
     val hits = candGen(plantNearDups(e))
       .filter($"vec_b" === $"vec_a" + PlantOffset ||
         $"vec_a" === $"vec_b" + PlantOffset)

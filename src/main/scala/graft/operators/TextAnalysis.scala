@@ -145,16 +145,16 @@ object TextAnalysis {
       TextFunctions.rollingFingerprint($"text", 16).as("fp"),
       TextFunctions.simhash64(split($"text", " ", -1)).as("sh"))
     val base = fps(docs)
-    val offset = Similarity.PlantOffset
-    val copies = fps(docs
-        .select(($"doc_id" + offset).as("doc_id"), $"text")
-        .unionByName(docs.select($"doc_id", $"text"))
-        .repartition(7, $"doc_id"))
-      .filter($"doc_id" >= offset)
-      .select(($"doc_id" - offset).as("doc_id"),
-        $"fp".as("fp2"), $"sh".as("sh2"))
+    // the repartition deliberately moves the text once: recomputing the
+    // fingerprint under a DIFFERENT physical layout (post-exchange, vs
+    // base's scan-local evaluation) is the property under test — the one
+    // text shuffle is the gate's whole point, not an accident
+    val copies = fps(docs.select($"doc_id", $"text").repartition(7, $"doc_id"))
+      .select($"doc_id", $"fp".as("fp2"), $"sh".as("sh2"))
+    // distinct texts counted via md5 digest — 16 bytes shuffle into the
+    // aggregation, never the document text
     val spread = base.agg(
-      (count_distinct($"fp", $"sh") >= count_distinct($"text") * 0.95)
+      (count_distinct($"fp", $"sh") >= count_distinct(md5($"text")) * 0.95)
         .as("spread_ok"))
     base.join(copies, Seq("doc_id"))
       .select($"doc_id",

@@ -178,7 +178,18 @@ class DedupSpec extends GraftSuite {
         }
       }
       spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(1500) } finally spark.sparkContext.removeSparkListener(l)
+      try {
+        f
+        // listener-bus delivery is async: wait until the count has been
+        // stable for a full poll interval (bounded), not a fixed sleep —
+        // a loaded host can lag delivery well past any fixed constant
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        while (n.get() != last && System.nanoTime() < deadline) {
+          last = n.get()
+          Thread.sleep(500)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
     var perRound: Seq[String] = null
