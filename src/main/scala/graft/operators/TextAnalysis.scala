@@ -15,10 +15,21 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Deterministic quality score (the length-and-stopword-ratio heuristic
+    * family used for pretraining corpus filtering) — row-local, shared by
+    * q_text_stats and the q_llm_corpus funnel. */
+  def qualityScoreCol(text: Column): Column = {
+    val words = split(text, " ", -1)
+    val nTokens = size(words)
+    val stopRatio =
+      size(filter(words, w => w.isin(stopwords: _*))).cast("double") / nTokens
+    when(nTokens.between(5, 5000), 0.5).otherwise(0.0) +
+      when(stopRatio > 0.05, 0.5).otherwise(0.0)
+  }
+
   // ---------------------------------------------------------------- q_text_stats
-  /** Length / token / stopword statistics + a deterministic quality score
-    * (the length-and-stopword-ratio heuristic family used for pretraining
-    * corpus filtering). */
+  /** Length / token / stopword statistics + the deterministic quality
+    * score. */
   private def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = split($"text", " ", -1)
@@ -32,61 +43,74 @@ object TextAnalysis {
       nTokens.as("n_tokens"),
       nStop.as("n_stopwords"),
       stopRatio.as("stop_ratio"),
-      (when(nTokens.between(5, 5000), 0.5).otherwise(0.0) +
-        when(stopRatio > 0.05, 0.5).otherwise(0.0)).as("quality_score"))
+      qualityScoreCol($"text").as("quality_score"))
       .orderBy($"doc_id")
   }
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  /** The qualityScoreCol expression spelled in DuckDB SQL — shared by the
+    * q_text_stats and q_llm_corpus oracles. */
+  private val qualityScoreSqlExpr =
+    s"""(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END
+       |   + CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |            / len(string_split(text, ' ')) > 0.05 THEN 0.5 ELSE 0.0 END)""".stripMargin
   private val textStatsSql =
     s"""SELECT doc_id, length(text) AS n_chars_computed, n_chars,
        |  len(string_split(text, ' ')) AS n_tokens,
        |  len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS n_stopwords,
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
        |    / len(string_split(text, ' ')) AS stop_ratio,
-       |  (CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END
-       |   + CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
-       |            / len(string_split(text, ' ')) > 0.05 THEN 0.5 ELSE 0.0 END) AS quality_score
+       |  $qualityScoreSqlExpr AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q_token_count
-  /** Whitespace tokens vs BPE-ish regex tokens (letter runs | digit runs |
-    * single non-alphanumeric) — the standard pre-tokenizer shape. */
+  /** BPE-ish regex token count (letter runs | digit runs | single
+    * non-alphanumeric) — the standard pre-tokenizer shape; shared by
+    * q_token_count and the q_llm_corpus funnel. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokensCol(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Whitespace tokens vs BPE-ish regex tokens. */
   private def tokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     Tables.documents(s, dir).select(
       $"doc_id",
       size(split($"text", " ", -1)).as("ws_tokens"),
-      size(regexp_extract_all($"text", lit(pat), lit(0))).as("bpe_tokens"))
+      bpeTokensCol($"text").as("bpe_tokens"))
       .orderBy($"doc_id")
   }
 
   private val tokenCountSql =
-    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpeTokenPattern')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q_lang_id
   /** Marker-token language ID (n-gram-heuristic family): count
     * language-specific stopword hits, pick the argmax with a fixed
     * tie-break order; CJK detected by codepoint range. Deterministic by
-    * construction — the same CASE is spelled on both engines. */
-  private def langId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = split($"text", " ", -1)
+    * construction — the same CASE is spelled on both engines. Row-local;
+    * shared by q_lang_id and the q_llm_corpus funnel. */
+  def langPredCol(text: Column): Column = {
+    val words = split(text, " ", -1)
     def cnt(ms: Seq[String]): Column = size(filter(words, w => w.isin(ms: _*)))
     val en = cnt(Seq("the", "a", "of"))
     val de = cnt(Seq("der", "die", "und"))
     val fr = cnt(Seq("le", "la", "et"))
     val es = cnt(Seq("el", "los", "y"))
-    val zh = $"text".rlike("[\\x{4e00}-\\x{9fff}]")
-    val pred = when(zh, "zh")
+    val zh = text.rlike("[\\x{4e00}-\\x{9fff}]")
+    when(zh, "zh")
       .when(de > en && de > fr && de > es, "de")
       .when(fr > en && fr > es, "fr")
       .when(es > en, "es")
       .when(en > 0, "en")
       .otherwise("unknown")
+  }
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = langPredCol($"text")
     Tables.documents(s, dir).select(
       $"doc_id", $"lang",
       pred.as("lang_pred"),
@@ -96,26 +120,25 @@ object TextAnalysis {
 
   private def sqlCnt(ms: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
-  private val langIdSql = {
+  /** The langPredCol CASE spelled in DuckDB SQL — one definition shared by
+    * every oracle that needs the prediction. */
+  private val langPredSqlCase = {
     val en = sqlCnt(Seq("the", "a", "of"))
     val de = sqlCnt(Seq("der", "die", "und"))
     val fr = sqlCnt(Seq("le", "la", "et"))
     val es = sqlCnt(Seq("el", "los", "y"))
-    s"""SELECT doc_id, lang,
-       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+    s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
        |       WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
        |       WHEN $fr > $en AND $fr > $es THEN 'fr'
        |       WHEN $es > $en THEN 'es'
        |       WHEN $en > 0 THEN 'en'
-       |       ELSE 'unknown' END AS lang_pred,
-       |  lang = (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       |       WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
-       |       WHEN $fr > $en AND $fr > $es THEN 'fr'
-       |       WHEN $es > $en THEN 'es'
-       |       WHEN $en > 0 THEN 'en'
-       |       ELSE 'unknown' END) AS is_match
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |       ELSE 'unknown' END""".stripMargin
   }
+  private val langIdSql =
+    s"""SELECT doc_id, lang,
+       |  $langPredSqlCase AS lang_pred,
+       |  lang = ($langPredSqlCase) AS is_match
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- q_fingerprint
   /** Document fingerprints via the custom codegen expressions: winnowing
@@ -167,6 +190,63 @@ object TextAnalysis {
     """SELECT doc_id, TRUE AS content_stable, TRUE AS spread_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_llm_corpus
+  /** End-to-end corpus-curation funnel — the composition the individual
+    * operators exist for: exact dedup → language ID → quality filter →
+    * token budget, reported per source as the standard curation report
+    * (how many docs each stage kept, and the token count that survives).
+    *
+    * Scale shape (the part that matters at 100 TB): every per-doc signal
+    * (digest, lang_pred, quality, tokens) is computed row-local in ONE
+    * codegen'd scan pass, then the text is projected away — the dedup
+    * window and the funnel aggregation shuffle only the slim
+    * (doc_id, source, 16-byte digest, pred, score, count) frame, never a
+    * document body. */
+  val CorpusLang = "en"
+
+  private def llmCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slim = Tables.documents(s, dir).select(
+      $"doc_id", $"source",
+      md5($"text").as("digest"),
+      langPredCol($"text").as("lang_pred"),
+      qualityScoreCol($"text").as("quality_score"),
+      bpeTokensCol($"text").as("bpe_tokens"))
+    val canonical =
+      $"doc_id" === min($"doc_id").over(Window.partitionBy($"digest"))
+    val flagged = slim.withColumn("is_canonical", canonical)
+    val isLang = $"is_canonical" && $"lang_pred" === CorpusLang
+    val isKept = isLang && $"quality_score" >= 1.0
+    flagged.groupBy($"source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when($"is_canonical", 1L).otherwise(0L)).as("n_canonical"),
+      sum(when(isLang, 1L).otherwise(0L)).as("n_lang"),
+      sum(when(isKept, 1L).otherwise(0L)).as("n_kept"),
+      coalesce(sum(when(isKept, $"bpe_tokens")), lit(0L)).as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  private val llmCorpusSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS digest,
+       |    $langPredSqlCase AS lang_pred,
+       |    $qualityScoreSqlExpr AS quality_score,
+       |    len(regexp_extract_all(text, '$BpeTokenPattern')) AS bpe_tokens
+       |  FROM documents),
+       |f AS (
+       |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY digest) AS is_canonical
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_raw,
+       |  CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  CAST(SUM(CASE WHEN is_canonical AND lang_pred = '$CorpusLang'
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |  CAST(SUM(CASE WHEN is_canonical AND lang_pred = '$CorpusLang'
+       |    AND quality_score >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN is_canonical AND lang_pred = '$CorpusLang'
+       |    AND quality_score >= 1.0 THEN bpe_tokens END), 0) AS BIGINT) AS tokens_kept
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ redaction
   /** PII redaction patterns (emails, dashed/dotted phone numbers, long
     * digit runs) — applied as chained regexp_replace, one codegen'd scan
@@ -188,5 +268,6 @@ object TextAnalysis {
     NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     NamedQuery("q_token_count", tokenCount, Some(tokenCountSql), bench = true),
     NamedQuery("q_lang_id", langId, Some(langIdSql), bench = true),
-    NamedQuery("q_fingerprint", fingerprint, Some(fingerprintSql), bench = true))
+    NamedQuery("q_fingerprint", fingerprint, Some(fingerprintSql), bench = true),
+    NamedQuery("q_llm_corpus", llmCorpus, Some(llmCorpusSql), bench = true))
 }

@@ -132,6 +132,22 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("q_llm_corpus: funnel counts are monotone and consistent with the stage queries") {
+    val rows = SparkEntry.queries("q_llm_corpus")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(raw, canon0, lang, kept) = (1 to 4).map(r.getLong)
+      assert(raw >= canon0 && canon0 >= lang && lang >= kept,
+        s"funnel must be monotone: $r")
+      assert(kept == 0 || r.getLong(5) > 0, s"kept docs but zero tokens: $r")
+    }
+    // cross-check totals against the already-verified stage queries
+    val nRaw = rows.map(_.getLong(1)).sum
+    val nCanon = rows.map(_.getLong(2)).sum
+    assert(nRaw == Tables.documents(spark, sf).count())
+    assert(nCanon == SparkEntry.queries("q_dedup_exact")(spark, sf).count())
+  }
+
   test("redact masks emails, phones, and long ids but not prose") {
     import graft.operators.TextAnalysis
     val rows = Seq(
