@@ -58,7 +58,10 @@ object GraftFunctionRegistry {
       arity("graft_fingerprint", 2)(args => RollingFingerprint(args(0), args(1)))),
     (FunctionIdentifier("graft_word_ngram_hashes"),
       info("graft_word_ngram_hashes", "_FUNC_(text, n) - sorted distinct word n-gram hashes"),
-      arity("graft_word_ngram_hashes", 2)(args => WordNGramHashes(args(0), args(1)))))
+      arity("graft_word_ngram_hashes", 2)(args => WordNGramHashes(args(0), args(1)))),
+    (FunctionIdentifier("graft_int8_quant_stats"),
+      info("graft_int8_quant_stats", "_FUNC_(emb) - int8 quantization (scale, max_abs_err)"),
+      arity("graft_int8_quant_stats", 1)(args => Int8QuantStats(args(0)))))
 
   /** Add all graft functions to an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -82,6 +82,40 @@ object VectorImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // ---- int8 symmetric quantization (storage/serving compression) ----
+
+  /** Reconstruction stats for symmetric int8 quantization of one vector:
+    * scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) (EXPLICIT floor,
+    * not banker's rounding — the one integer-ization spelling both
+    * engines compute bit-identically), err = |q*scale - x|. Returns
+    * (scale, max_abs_err); every op is a single IEEE double op in index
+    * order, so the oracle's list_transform spelling reproduces the exact
+    * bits. One fused pass; no per-element HOF-interpreter evaluation of
+    * the scale subexpression (the CollapseProject recompute trap). */
+  def int8QuantStats(emb: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = emb.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < d) {
+      val a = math.abs(emb.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var maxErr = 0.0
+    if (scale != 0.0) {
+      i = 0
+      while (i < d) {
+        val x = emb.getFloat(i).toDouble
+        val err = math.abs(math.floor(x / scale + 0.5) * scale - x)
+        if (err > maxErr) maxErr = err
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, maxErr))
+  }
+
   // ---- IVF coarse quantizer (the second ANN scale path) ----
 
   /** Deterministic pseudo-random centroid component — same generator
@@ -223,6 +257,29 @@ case class IvfCells(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): IvfCells = copy(f, s, t)
 }
 
+/** int8_quant_stats(array<float>) -> struct<scale: double, max_abs_err:
+  * double> — symmetric int8 quantization reconstruction stats. */
+case class Int8QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quant_stats expects array<float>, got $t")
+    }
+  override def nullSafeEval(emb: Any): Any =
+    VectorImpl.int8QuantStats(emb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.functions.VectorImpl.int8QuantStats($e)")
+  override protected def withNewChildInternal(c: Expression): Int8QuantStats =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions.lit
   /** Column API: cosine similarity of two float-array columns. */
@@ -241,4 +298,7 @@ object VectorFunctions {
       ExpressionUtils.expression(emb),
       ExpressionUtils.expression(lit(k)),
       ExpressionUtils.expression(lit(nprobe))))
+  /** Column API: int8 quantization reconstruction stats struct. */
+  def int8QuantStats(emb: Column): Column =
+    ExpressionUtils.column(Int8QuantStats(ExpressionUtils.expression(emb)))
 }

@@ -242,6 +242,47 @@ object Similarity {
   private val annRecallSql =
     "SELECT vec_id, TRUE AS found FROM embeddings ORDER BY vec_id"
 
+  // -------------------------------------------------------- q_embedding_quantize
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * storage/serving compression for vector corpora (4× smaller than
+    * float32; ANN candidate generation runs on the int8 side, exact
+    * rescoring on the float side). Emits per-vector scale and max
+    * reconstruction error plus the structural half-step error bound.
+    * Row-local native expression (one fused pass — computing the scale
+    * inside a HOF lambda would re-evaluate it per element through the
+    * projection-collapse inliner); every arithmetic step is a single IEEE
+    * double op in index order, so the DuckDB list_transform spelling
+    * reproduces the exact bits and the oracle needs no rounding at all. */
+  private def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", VectorFunctions.int8QuantStats($"embedding").as("q"))
+      .select($"vec_id", $"q.scale".as("scale"),
+        $"q.max_abs_err".as("max_abs_err"),
+        // slack factor: the exact-math bound is err <= scale/2; the fp
+        // bound needs an ulp of headroom. Both engines compute identical
+        // doubles, so the boolean is deterministic either way.
+        ($"q.max_abs_err" <= $"q.scale" * 0.5000000005).as("err_ok"))
+      .orderBy($"vec_id")
+  }
+
+  private val embeddingQuantizeSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      |r AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN 0.0 ELSE
+      |      list_max(list_transform(v, x -> abs(floor(x / scale + 0.5) * scale - x)))
+      |    END AS max_abs_err
+      |  FROM s)
+      |SELECT vec_id, scale, max_abs_err,
+      |  max_abs_err <= scale * 0.5000000005 AS err_ok
+      |FROM r ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------- q_embedding_centroids
   /** Per-label per-dimension centroid of the embedding column — the
     * k-means/IVF-training aggregation shape: posexplode to (row, dim,
@@ -267,6 +308,8 @@ object Similarity {
       |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_embedding_quantize", embeddingQuantize,
+      Some(embeddingQuantizeSql), bench = true),
     NamedQuery("q_embedding_centroids", embeddingCentroids,
       Some(embeddingCentroidsSql), bench = true),
     NamedQuery("q_embedding_cosine_topk", cosineTopk, Some(cosineTopkSql), bench = true),

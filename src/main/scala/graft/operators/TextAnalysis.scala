@@ -190,6 +190,59 @@ object TextAnalysis {
     """SELECT doc_id, TRUE AS content_stable, TRUE AS spread_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_repetition
+  /** Repetition-based quality signals (the Gopher/C4 duplicate-n-gram
+    * filter family): fraction of repeated words, fraction of repeated
+    * word-2-grams, and mean word length, with a boilerplate flag at the
+    * standard-ish thresholds. Row-local like the other text signals —
+    * ratios of small ints divide identically in both engines, so the
+    * doubles are bit-stable cross-engine without rounding.
+    *
+    * The distinct-2-gram count runs through the native WordNGramHashes
+    * expression (one text pass, no shingle strings): the HOF spelling
+    * (`transform(sequence(1, n-1), i => concat(w[i], w[i+1]))`) inlines
+    * the split per lambda element — the CollapseProject recompute trap,
+    * O(len²) per doc and 15× slower at sf0.1. Distinct-via-64-bit-hash
+    * equals distinct-via-string up to a ~1e-17 collision probability. */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = split($"text", " ", -1)
+    val n = size(w)
+    val fracRepWords =
+      lit(1.0) - size(array_distinct(w)).cast("double") / n
+    val fracRepGrams = when(n > 1,
+      lit(1.0) -
+        size(TextFunctions.wordNgramHashes($"text", 2)).cast("double") / (n - 1))
+      .otherwise(0.0)
+    // chars minus the n-1 separators, over n words — no per-word HOF pass
+    val meanWordLen = (length($"text") - (n - 1)).cast("double") / n
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      fracRepWords.as("frac_repeated_words"),
+      fracRepGrams.as("frac_repeated_2grams"),
+      meanWordLen.as("mean_word_len"),
+      (fracRepGrams > 0.2 || fracRepWords > 0.3).as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars0
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS frac_repeated_words,
+      |    CASE WHEN len(w) > 1 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(
+      |              generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+      |            AS DOUBLE) / (len(w) - 1)
+      |      ELSE 0.0 END AS frac_repeated_2grams,
+      |    CAST(n_chars0 - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len
+      |  FROM d)
+      |SELECT doc_id, frac_repeated_words, frac_repeated_2grams, mean_word_len,
+      |  (frac_repeated_2grams > 0.2 OR frac_repeated_words > 0.3) AS is_repetitive
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q_llm_corpus
   /** End-to-end corpus-curation funnel — the composition the individual
     * operators exist for: exact dedup → language ID → quality filter →
@@ -269,5 +322,6 @@ object TextAnalysis {
     NamedQuery("q_token_count", tokenCount, Some(tokenCountSql), bench = true),
     NamedQuery("q_lang_id", langId, Some(langIdSql), bench = true),
     NamedQuery("q_fingerprint", fingerprint, Some(fingerprintSql), bench = true),
+    NamedQuery("q_repetition", repetition, Some(repetitionSql), bench = true),
     NamedQuery("q_llm_corpus", llmCorpus, Some(llmCorpusSql), bench = true))
 }

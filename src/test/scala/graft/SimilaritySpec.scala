@@ -243,4 +243,23 @@ class SimilaritySpec extends GraftSuite {
         s"vec ${r.getLong(0)}: hof=${r.getDouble(1)} native=${r.getDouble(2)}")
     }
   }
+
+  test("q_embedding_quantize: native stats match a JVM recomputation, bound holds") {
+    val out = SparkEntry.queries("q_embedding_quantize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // every vector's max reconstruction error is within half a quant step
+    assert(out.values.forall(_._3), "err_ok must hold on every vector")
+    // recompute a sample on the driver with plain scala doubles
+    Tables.embeddings(spark, sf).filter($"vec_id" < 20).collect().foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+      val scale = v.map(math.abs).max / 127.0
+      val maxErr = if (scale == 0.0) 0.0
+        else v.map(x => math.abs(math.floor(x / scale + 0.5) * scale - x)).max
+      val (s0, e0, _) = out(r.getAs[Long]("vec_id"))
+      assert(s0 == scale && e0 == maxErr,
+        s"vec ${r.getAs[Long]("vec_id")}: got ($s0, $e0), expected ($scale, $maxErr)")
+    }
+  }
 }
