@@ -15,8 +15,8 @@ object SparkEntry {
       operators.Skew.all ++ operators.AsOf.all ++ operators.RangeJoin.all ++
       operators.Analytics.all ++ operators.Quality.all ++
       operators.Checks.all ++ operators.Upsert.all ++
-      operators.Chunking.all ++ streaming.Sessionize.all ++
-      pipeline.FinancialPipeline.all
+      operators.Chunking.all ++ operators.Corpus.all ++
+      streaming.Sessionize.all ++ pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

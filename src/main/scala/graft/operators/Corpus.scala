@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus logistics for a training-data pipeline — the operations that
+  * sit between "curated documents" and "tensors on a trainer":
+  * deterministic shard assignment (the distributed analog of the
+  * reference's per-batch part-file writing, retrieval.py:133-146),
+  * temperature-based source mixing, incremental dedup of a new batch
+  * against the historical corpus, and the token-length distribution
+  * report.
+  *
+  * Scale design (100 TB):
+  *  - shard assignment is a stateless per-row hash: no global sort, no
+  *    coordination; the hex-prefix width is the shard-count knob (2 hex
+  *    chars = 256 shards here; 4 = 65k at cluster scale). Within-shard
+  *    position orders by the hash key, so the resulting corpus order is
+  *    a deterministic global shuffle — reproducible on any cluster
+  *    layout, which is what a training run needs to resume;
+  *  - mixing weights aggregate to one row per source first (partial
+  *    agg), so the window max runs over a frame of #sources rows;
+  *  - incremental dedup shuffles only 16-byte digests on both sides —
+  *    the history side is corpus-scale so it is NOT broadcast; the
+  *    digest hash-join is the plan that survives a TB-sized history;
+  *  - the histogram is integer bucket arithmetic row-local in the scan
+  *    pass, then a (source, bucket) hash-agg.
+  */
+object Corpus {
+
+  // --------------------------------------------------------------- q_shard_assign
+  /** Deterministic shard + position for training-data writing: shard is
+    * a salted-md5 hex prefix of the doc id (256 shards), position is the
+    * rank within the shard ordered by the full hash key. Equivalent to a
+    * reproducible global shuffle of the corpus: layout-independent,
+    * seed-free, and each shard is independently writable/resumable. */
+  private def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = md5(concat(lit("shard:"), $"doc_id".cast("string")))
+    Tables.documents(s, dir)
+      .select($"doc_id", key.as("skey"))
+      .withColumn("shard", substring($"skey", 1, 2))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"skey", $"doc_id")))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  private val shardAssignSql =
+    """WITH k AS (
+      |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents)
+      |SELECT doc_id, substring(skey, 1, 2) AS shard,
+      |  row_number() OVER (PARTITION BY substring(skey, 1, 2)
+      |                     ORDER BY skey, doc_id) AS pos
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q_mix_weights
+  /** Temperature-based source mixing (the standard alpha-sampling recipe:
+    * weight ∝ tokens^alpha with alpha = 0.5, flattening the source
+    * distribution so small sources aren't drowned). Token counts are
+    * exact integers; sqrt is a correctly-rounded IEEE op and the ratio
+    * normalizes against the window MAX (order-independent, unlike a
+    * float SUM) — so every double is bit-identical cross-engine with no
+    * rounding in the oracle. */
+  private def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .select($"source", TextAnalysis.bpeTokensCol($"text").as("t"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"))
+    val w = sqrt($"n_tokens".cast("double"))
+    perSource.select(
+      $"source", $"n_docs", $"n_tokens",
+      w.as("weight"),
+      (w / max(w).over(Window.partitionBy())).as("mix_ratio"))
+      .orderBy($"source")
+  }
+
+  private val mixWeightsSql =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  sqrt(CAST(n_tokens AS DOUBLE)) AS weight,
+       |  sqrt(CAST(n_tokens AS DOUBLE))
+       |    / max(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS mix_ratio
+       |FROM s ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------- q_incremental_dedup
+  /** Incremental ingestion: dedup a NEW batch against the historical
+    * corpus — the steady-state shape of a continuously crawled corpus
+    * (the full-corpus q_dedup_exact re-run would rescan history every
+    * batch). History/batch split is a deterministic hash half so the
+    * query is layout- and scale-independent. Survivors = first doc per
+    * digest within the batch whose digest never appeared in history.
+    * Both join sides are (digest)-slim; the anti-join hashes on the
+    * 16-byte digest and never moves text. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val half = substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 1)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("digest"), half.as("half"))
+    val historyDigests = docs.filter($"half" < "8").select($"digest").distinct()
+    docs.filter($"half" >= "8")
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies_in_batch"))
+      .join(historyDigests, Seq("digest"), "left_anti")
+      .orderBy($"keep_id")
+  }
+
+  private val incrementalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS digest,
+      |    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS half
+      |  FROM documents),
+      |b AS (
+      |  SELECT digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies_in_batch
+      |  FROM d WHERE half >= '8' GROUP BY digest)
+      |SELECT digest, keep_id, n_copies_in_batch FROM b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d h WHERE h.half < '8' AND h.digest = b.digest)
+      |ORDER BY keep_id""".stripMargin
+
+  // -------------------------------------------------------------- q_token_histogram
+  /** Token-length distribution per source — the corpus-report histogram
+    * behind context-length and packing decisions. Bucket arithmetic is
+    * integral (explicit floor, spelled identically in both engines — a
+    * bare cross-engine CAST would round in DuckDB and truncate in
+    * Spark), so every cell is exact. */
+  val HistBucketWidth = 64
+
+  private def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = TextAnalysis.bpeTokensCol($"text")
+    Tables.documents(s, dir)
+      .select($"source", t.as("t"))
+      .groupBy($"source",
+        (floor($"t" / lit(HistBucketWidth.toDouble)).cast("long") *
+          HistBucketWidth).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("total_tokens"))
+      .orderBy($"source", $"bucket_lo")
+  }
+
+  private val tokenHistogramSql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS t
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(floor(t / ${HistBucketWidth}.0) AS BIGINT) * $HistBucketWidth AS bucket_lo,
+       |  COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS total_tokens
+       |FROM d GROUP BY 1, 2 ORDER BY source, bucket_lo""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
+    NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
+    NamedQuery("q_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupSql), bench = true),
+    NamedQuery("q_token_histogram", tokenHistogram,
+      Some(tokenHistogramSql), bench = true))
+}

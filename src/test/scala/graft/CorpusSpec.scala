@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-logistics operators: shard assignment, mixing weights,
+  * incremental dedup, token histogram. */
+class CorpusSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_shard_assign: matches a full driver-side recomputation, bijective") {
+    val rows = SparkEntry.queries("q_shard_assign")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // (shard, pos) must be unique — it IS the training-corpus address
+    assert(rows.map(r => (r.getString(1), r.getInt(2))).distinct.length == n)
+    // independent recomputation with plain JVM md5: same shard + position
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val expected = ids.map(id => (id, md5hex(s"shard:$id")))
+      .groupBy(_._2.substring(0, 2)).toSeq
+      .flatMap { case (shard, g) =>
+        g.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => id -> ((shard, i + 1)) }
+      }.toMap
+    rows.foreach { r =>
+      assert(expected(r.getLong(0)) == ((r.getString(1), r.getInt(2))),
+        s"doc ${r.getLong(0)}: got (${r.getString(1)}, ${r.getInt(2)})")
+    }
+  }
+
+  test("q_mix_weights: ratios are in (0, 1] and the largest source anchors at 1.0") {
+    val rows = SparkEntry.queries("q_mix_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getDouble(4))
+    assert(ratios.forall(r => r > 0.0 && r <= 1.0))
+    assert(ratios.max == 1.0)
+    // alpha=0.5 flattens: mix ratio of the smallest source exceeds its
+    // raw token share (that is the whole point of temperature mixing)
+    val tokens = rows.map(_.getLong(2).toDouble)
+    val shareMin = tokens.min / tokens.sum
+    val ratioMin = ratios(tokens.indexOf(tokens.min)) / ratios.sum
+    assert(ratioMin > shareMin)
+  }
+
+  test("q_incremental_dedup: survivors are exactly batch-minus-history digests") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text").as("digest"),
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 1).as("half"))
+      .collect()
+    val history = docs.filter(_.getString(2) < "8").map(_.getString(1)).toSet
+    val batch = docs.filter(_.getString(2) >= "8")
+    assert(history.nonEmpty && batch.nonEmpty, "hash split degenerate at this sf")
+    val expected = batch.groupBy(_.getString(1))
+      .filter { case (d, _) => !history.contains(d) }
+      .map { case (d, g) => (d, g.map(_.getLong(0)).min, g.length.toLong) }
+      .toSet
+    val got = SparkEntry.queries("q_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q_token_histogram: buckets partition the corpus, totals add up") {
+    val rows = SparkEntry.queries("q_token_histogram")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.forall(r => r.getLong(1) % operators.Corpus.HistBucketWidth == 0))
+    // every doc's tokens fall inside its bucket: total_tokens bounded by
+    // n_docs * [bucket_lo, bucket_lo + width)
+    rows.foreach { r =>
+      val (lo, n, tot) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tot >= lo * n && tot < (lo + operators.Corpus.HistBucketWidth) * n + n)
+    }
+  }
+}
