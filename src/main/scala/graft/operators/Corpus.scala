@@ -156,8 +156,58 @@ object Corpus {
        |  COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS total_tokens
        |FROM d GROUP BY 1, 2 ORDER BY source, bucket_lo""".stripMargin
 
+  // --------------------------------------------------------------- q_snapshot_diff
+  /** Content-level diff between two corpus snapshots — the audit report
+    * behind every corpus release ("what changed since the last cut"):
+    * digests present only in the old snapshot (removed), only in the new
+    * (added), or in both (kept), with doc counts on each side. Snapshots
+    * are overlapping deterministic hash slices so the query exercises
+    * all three statuses at any sf. Both sides reduce to (digest, count)
+    * before the full outer join, so the join input is two
+    * digest-cardinality frames of 16-byte keys — no text moves, and the
+    * output is the three-row report, not a row per document. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("digest"), slice.as("slice"))
+    def side(pred: org.apache.spark.sql.Column, alias: String) =
+      docs.filter(pred).groupBy($"digest").agg(count(lit(1)).as(alias))
+    val old = side($"slice" < "8", "n_old")
+    val neu = side($"slice" >= "4", "n_new")
+    old.join(neu, Seq("digest"), "full_outer")
+      .select(
+        when($"n_old".isNull, "added")
+          .when($"n_new".isNull, "removed")
+          .otherwise("kept").as("status"),
+        $"n_old", $"n_new")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_digests"),
+        coalesce(sum($"n_old"), lit(0L)).as("docs_old"),
+        coalesce(sum($"n_new"), lit(0L)).as("docs_new"))
+      .orderBy($"status")
+  }
+
+  private val snapshotDiffSql =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS digest,
+      |    substring(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1) AS slice
+      |  FROM documents),
+      |o AS (SELECT digest, COUNT(*) AS n_old FROM d WHERE slice < '8' GROUP BY 1),
+      |n AS (SELECT digest, COUNT(*) AS n_new FROM d WHERE slice >= '4' GROUP BY 1),
+      |j AS (
+      |  SELECT CASE WHEN n_old IS NULL THEN 'added'
+      |              WHEN n_new IS NULL THEN 'removed'
+      |              ELSE 'kept' END AS status, n_old, n_new
+      |  FROM o FULL OUTER JOIN n ON o.digest = n.digest)
+      |SELECT status, COUNT(*) AS n_digests,
+      |  CAST(COALESCE(SUM(n_old), 0) AS BIGINT) AS docs_old,
+      |  CAST(COALESCE(SUM(n_new), 0) AS BIGINT) AS docs_new
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
+    NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql), bench = true),

@@ -115,8 +115,72 @@ object Quality {
       |SELECT doc_id, rank, word, tf, df FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ----------------------------------------------------------------- q_winsorize
+  /** Winsorized per-priority order totals — the robust-aggregate
+    * companion to the percentile profile: values are clamped to the
+    * [p05, p95] bounds, then re-aggregated, so a handful of outliers
+    * can't dominate a group statistic. The bounds are kth-smallest ORDER
+    * STATISTICS (row_number over the value sort, k = ceil(n·p)), not
+    * interpolated percentiles: an order statistic is an actual data
+    * value, so both engines agree bit-exactly with no rounding, and
+    * ceil(n·p) comes from the same IEEE product on both sides. Clipped
+    * sums route through DECIMAL (Exact rationale) so the re-aggregation
+    * is partitioning-invariant.
+    *
+    * Scale: the exact bound costs one per-group sort — the oracle-exact
+    * baseline shape; at billions of rows per group, approx_percentile
+    * (mergeable GK sketch, one pass) is the drop-in for the bounds and
+    * the clip/re-aggregate stays identical (same exact-vs-approx split
+    * q_quantile_stats asserts). */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val o = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"), $"o_totalprice".as("v"))
+    val ws = Window.partitionBy($"priority").orderBy($"v")
+    val wn = Window.partitionBy($"priority")
+    val ranked = o.select($"priority", $"v",
+      row_number().over(ws).as("rn"), count(lit(1)).over(wn).as("n"))
+    val bounds = ranked.groupBy($"priority").agg(
+      max(when($"rn" === ceil($"n" * 0.05), $"v")).as("lo"),
+      max(when($"rn" === ceil($"n" * 0.95), $"v")).as("hi"))
+    o.join(broadcast(bounds), Seq("priority"))
+      .groupBy($"priority")
+      .agg(
+        min($"lo").as("lo"), min($"hi").as("hi"),
+        sum(when($"v" < $"lo", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"v" > $"hi", 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n"),
+        dsum(least(greatest($"v", $"lo"), $"hi")).as("winsorized_total"))
+      .orderBy($"priority")
+  }
+
+  private val winsorizeSql = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority, o_totalprice AS v FROM orders),
+       |ranked AS (
+       |  SELECT priority, v,
+       |    row_number() OVER (PARTITION BY priority ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY priority) AS n
+       |  FROM o),
+       |bounds AS (
+       |  SELECT priority,
+       |    MAX(CASE WHEN rn = ceil(n * 0.05) THEN v END) AS lo,
+       |    MAX(CASE WHEN rn = ceil(n * 0.95) THEN v END) AS hi
+       |  FROM ranked GROUP BY priority)
+       |SELECT priority, MIN(lo) AS lo, MIN(hi) AS hi,
+       |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("least(greatest(v, lo), hi)")} AS winsorized_total
+       |FROM o JOIN bounds USING (priority)
+       |GROUP BY priority ORDER BY priority""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_quantile_stats", quantileStats, Some(quantileStatsSql), bench = true),
     NamedQuery("q_quality_cutoff", qualityCutoff, Some(qualityCutoffSql), bench = true),
-    NamedQuery("q_rare_terms", rareTerms, Some(rareTermsSql), bench = true))
+    NamedQuery("q_rare_terms", rareTerms, Some(rareTermsSql), bench = true),
+    NamedQuery("q_winsorize", winsorize, Some(winsorizeSql), bench = true))
 }

@@ -63,6 +63,51 @@ class CorpusSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("q_snapshot_diff: statuses partition the digest space, counts conserve") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet.subsetOf(Set("added", "removed", "kept")))
+    // overlapping slices guarantee all three statuses on a non-tiny corpus
+    assert(rows.contains("kept"))
+    // docs_old covers exactly the old-slice docs; docs_new the new-slice
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1).as("s"))
+      .collect()
+    val oldN = docs.count(_.getString(1) < "8")
+    val newN = docs.count(_.getString(1) >= "4")
+    assert(rows.values.map(_._2).sum == oldN)
+    assert(rows.values.map(_._3).sum == newN)
+    // 'added' rows carry no old docs, 'removed' rows no new docs
+    rows.get("added").foreach { case (_, o, _) => assert(o == 0L) }
+    rows.get("removed").foreach { case (_, _, n) => assert(n == 0L) }
+  }
+
+  test("q_winsorize: bounds are real order statistics, clip fractions ~5%") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prices = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .groupBy(_.getString(0)).map { case (k, g) =>
+        k -> g.map(_.getDouble(1)).sorted
+      }
+    rows.foreach { r =>
+      val (p, lo, hi, nBelow, nAbove, n) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val v = prices(p)
+      assert(v.length == n)
+      // the bound IS the ceil(n*p)-th smallest value
+      assert(lo == v(math.ceil(n * 0.05).toInt - 1))
+      assert(hi == v(math.ceil(n * 0.95).toInt - 1))
+      // clipped tails stay under the nominal mass (order statistics bound)
+      assert(nBelow < n * 0.05 && nAbove <= n * 0.05)
+      // winsorized total equals a driver recomputation at 2dp
+      val expect = v.map(x => math.min(math.max(x, lo), hi)).map(x =>
+        BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(BigDecimal(r.getDouble(6)).setScale(2, BigDecimal.RoundingMode.HALF_UP) == expect)
+    }
+  }
+
   test("q_token_histogram: buckets partition the corpus, totals add up") {
     val rows = SparkEntry.queries("q_token_histogram")(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
