@@ -103,6 +103,33 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment join — the streaming counterpart of the
+    * J2–J4 dim-enrich joins (cleaning.py:85-88): every micro-batch of
+    * the event stream joins the static dimension frame, which is
+    * re-planned (and so re-read) per batch — a dim update between
+    * batches is picked up without restarting the query. The static side
+    * broadcasts, so the unbounded stream side never shuffles and the
+    * join holds NO state (unlike a stream-stream join with its
+    * watermark-bounded buffers) — the only enrich shape that stays O(1)
+    * state on an unbounded 100 TB ingest. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** One-shot AvailableNow run of the stream-static enrich into a memory
+    * sink (append mode — a stateless join emits rows as they arrive). */
+  def runEnrichAvailableNow(s: SparkSession, path: String, dim: DataFrame,
+                            queryName: String): DataFrame = {
+    val q = enrichedEvents(readEvents(s, path), dim)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+
   /** One-shot AvailableNow run of the streaming dedup into a memory sink
     * (no checkpoint — the memory sink cannot recover from one; for
     * checkpointed multi-activation dedup, pass `dedupedEvents` as the

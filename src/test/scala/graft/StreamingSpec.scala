@@ -50,6 +50,25 @@ class StreamingSpec extends GraftSuite {
     } finally rmTree(dir.toFile)
   }
 
+  test("stream-static enrich equals the batch join, holds no state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = stageEvents(1)
+    try {
+      // a small static dim keyed like the stream (user tier lookup)
+      val dim = Tables.events(spark, sf).select($"user_id").distinct()
+        .select($"user_id", concat(lit("tier-"), ($"user_id" % 3)).as("tier"))
+      val streamed = EventStream.runEnrichAvailableNow(
+        spark, dir.toString, dim, "enrich_stream")
+        .select($"event_id", $"tier")
+      val batch = EventStream.enrichedEvents(
+        Tables.events(spark, sf), dim).select($"event_id", $"tier")
+      assertSameRows(streamed, batch)
+      // every stream row found its dim row (left join, complete dim)
+      assert(streamed.filter($"tier".isNull).count() == 0)
+    } finally rmTree(dir.toFile)
+  }
+
   test("late arrivals beyond the persisted watermark are dropped; on-time rows pass") {
     import spark.implicits._
     val dir = stageEvents(1) // events span 2024-01; watermark lands at max-1h
