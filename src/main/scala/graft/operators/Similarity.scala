@@ -283,6 +283,83 @@ object Similarity {
       |  max_abs_err <= scale * 0.5000000005 AS err_ok
       |FROM r ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------- q_hard_negatives
+  /** Hard-negative mining for contrastive training data: for every
+    * vector, the single most-similar vector with a DIFFERENT label — the
+    * pairs that make embedding-model training batches informative.
+    *
+    * This is the brute-force ORACLE BASELINE (all cross-label pairs,
+    * bounded like q_dedup_embedding); the scale formulation is
+    * `hardNegativesIvf` below, which routes the same selection through
+    * the id-only IVF candidate generator and is spec-asserted against
+    * this baseline (candidate-subset bound + pruning actually pruning). */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    require(n <= Dedup.MaxBruteForceRows,
+      s"hardNegatives is an O(n²) oracle baseline bounded to " +
+        s"${Dedup.MaxBruteForceRows} rows; got $n — use hardNegativesIvf at scale")
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
+      $"label".as("label_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
+      $"label".as("label_b"))
+    val w = Window.partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b")
+    a.join(b, $"label_a" =!= $"label_b")
+      .select($"vec_a", $"vec_b",
+        round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"vec_a", $"vec_b".as("hard_neg"), $"cos_sim")
+      .orderBy($"vec_a")
+  }
+
+  private val hardNegativesSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      4) AS cos_sim
+      |  FROM embeddings a JOIN embeddings b ON a.label <> b.label),
+      |r AS (
+      |  SELECT vec_a, vec_b, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_a
+      |                       ORDER BY cos_sim DESC, vec_b) AS rank
+      |  FROM p)
+      |SELECT vec_a, vec_b AS hard_neg, cos_sim FROM r
+      |WHERE rank = 1 ORDER BY vec_a""".stripMargin
+
+  /** Scale path: hard negatives among IVF candidates only — the id-only
+    * cell join prunes the pair space from n² to sum(cell²), labels join
+    * onto ids (8-byte rows), and the embedding payload is re-joined once
+    * for scoring. A candidate-pruned hard negative is at most as similar
+    * as the brute-force one (subset property, spec-asserted); at corpus
+    * scale that trade is the difference between feasible and not. */
+  def hardNegativesIvf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = e.select($"vec_id", $"label")
+    val cand = ivfCandidateIds(e)
+      .join(labels.select($"vec_id".as("vec_a"), $"label".as("label_a")), "vec_a")
+      .join(labels.select($"vec_id".as("vec_b"), $"label".as("label_b")), "vec_b")
+      .filter($"label_a" =!= $"label_b")
+      .select($"vec_a", $"vec_b")
+    val emb = e.select($"vec_id", $"embedding")
+    val w = Window.partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b")
+    cand
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"vec_a", $"vec_b".as("hard_neg"), $"cos_sim")
+  }
+
   // -------------------------------------------------------- q_embedding_centroids
   /** Per-label per-dimension centroid of the embedding column — the
     * k-means/IVF-training aggregation shape: posexplode to (row, dim,
@@ -308,6 +385,10 @@ object Similarity {
       |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    // q_hard_negatives is the deliberate bounded O(n²) oracle baseline for
+    // hardNegativesIvf — benching it would time the brute force, not an
+    // engine path (same rationale as q_dedup_embedding)
+    NamedQuery("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     NamedQuery("q_embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeSql), bench = true),
     NamedQuery("q_embedding_centroids", embeddingCentroids,

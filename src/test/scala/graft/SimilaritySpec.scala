@@ -244,6 +244,49 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("hard negatives: baseline label-correct; IVF path is a pruned subset") {
+    import graft.operators.Similarity
+    val labels = Tables.embeddings(spark, sf).select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+    // every vector gets exactly one negative, and it crosses labels
+    assert(brute.length == labels.size)
+    brute.foreach(r => assert(labels(r.getLong(0)) != labels(r.getLong(1))))
+    val bruteBest = brute.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Similarity.hardNegativesIvf(Tables.embeddings(spark, sf)).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)))
+      // subset property: a candidate-pruned negative can never beat the
+      // brute-force best (both sides round(4), so compare directly)
+      assert(r.getDouble(2) <= bruteBest(r.getLong(0)),
+        s"vec ${r.getLong(0)}: ivf ${r.getDouble(2)} > brute ${bruteBest(r.getLong(0))}")
+    }
+    // the regime the IVF path is BUILT for — a genuinely-near cross-label
+    // negative — must be found: plant one near-dup per vector under a
+    // different label and require the planted (or a better) negative for
+    // every original vector. (For arbitrary-distance negatives on uniform
+    // random vectors a 4-probe 64-cell quantizer recalls the global best
+    // only ~25% — that is a property of the corpus, not a bug, and real
+    // deployments buy recall with trained centroids and more probes.)
+    val e = Tables.embeddings(spark, sf)
+    val planted = Similarity.plantNearDups(e)
+      .join(
+        e.select($"vec_id".as("orig_id"), ($"label" + 1000).as("planted_label")),
+        ($"vec_id" % Similarity.PlantOffset) === $"orig_id")
+      .select($"vec_id", $"embedding",
+        when($"vec_id" >= Similarity.PlantOffset, $"planted_label")
+          .otherwise($"planted_label" - 1000).cast("int").as("label"))
+    val found = Similarity.hardNegativesIvf(planted).collect()
+      .filter(_.getLong(0) < Similarity.PlantOffset)
+    assert(found.length == labels.size)
+    found.foreach { r =>
+      assert(r.getDouble(2) >= 0.999,
+        s"vec ${r.getLong(0)}: planted cross-label near-dup missed " +
+          s"(best found cos=${r.getDouble(2)})")
+    }
+  }
+
   test("q_embedding_quantize: native stats match a JVM recomputation, bound holds") {
     val out = SparkEntry.queries("q_embedding_quantize")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
