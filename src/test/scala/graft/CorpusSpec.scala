@@ -63,6 +63,24 @@ class CorpusSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("shard assignment drives a partitioned writer: pruned reads, round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    try {
+      val assigned = SparkEntry.queries("q_shard_assign")(spark, sf)
+      assigned.write.mode("overwrite").partitionBy("shard")
+        .parquet(dir.getAbsolutePath)
+      // reading one shard prunes at planning time — the property that lets
+      // a trainer rank open exactly its shard of a 100 TB corpus
+      val one = spark.read.parquet(dir.getAbsolutePath).filter($"shard" === "00")
+      val plan = one.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(plan).isDefined,
+        s"shard predicate must prune partitions, not filter rows:\n$plan")
+      // full round trip preserves the exact assignment
+      assertSameRows(spark.read.parquet(dir.getAbsolutePath)
+        .select($"doc_id", $"shard", $"pos"), assigned)
+    } finally rmTree(dir)
+  }
+
   test("q_snapshot_diff: statuses partition the digest space, counts conserve") {
     val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

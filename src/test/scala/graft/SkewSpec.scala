@@ -38,6 +38,25 @@ class SkewSpec extends GraftSuite {
     assert(salted.filter($"key" === 0).count() == 5)
   }
 
+  test("plain-window top-k plans a WindowGroupLimit (rank pushdown proven)") {
+    // the mechanism that makes the UNSALTED top-k-per-key viable at scale:
+    // Spark's InferWindowGroupLimit keeps only k rows per key on the map
+    // side BEFORE the window shuffle, so the exchange carries ~k·keys rows
+    // instead of the full table. The salted path (above) remains the answer
+    // for a single hot key; this proves the default path isn't naive either.
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val topk = Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+    topk.queryExecution.toRdd.count()
+    // node-collect can't reach inside materialized AQE stages, but the
+    // executed plan's treeString renders stage interiors — assert there
+    val plan = topk.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined,
+      s"expected a PARTIAL (pre-shuffle) WindowGroupLimit in:\n$plan")
+    assert("WindowGroupLimit .*Final".r.findFirstIn(plan).isDefined,
+      s"expected a FINAL WindowGroupLimit in:\n$plan")
+  }
+
   test("AQE splits a skewed join partition (skewJoin proven, not just claimed)") {
     // Skew.scala documents that AQE covers skewed JOINS (the salted path
     // covers windows) — prove it: a join whose shuffle puts ~97% of the
