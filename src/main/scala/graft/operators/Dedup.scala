@@ -105,6 +105,48 @@ object Dedup {
       |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ q_edit_distance
+  /** Character-level edit-distance verifier (record-linkage / fuzzy-match
+    * family) over 40-char document prefixes within (lang, source)
+    * buckets: levenshtein is integer-valued, so the oracle is exact with
+    * zero rounding, and the normalized similarity divides two small ints
+    * — also bit-exact. Like q_ngram_jaccard this is the deliberate
+    * bounded all-pairs ORACLE BASELINE: at corpus scale the pair stream
+    * comes from the LSH/SimHash candidate generators and this scoring is
+    * the per-pair verification tail (levenshtein is O(len²) per pair —
+    * the reason real pipelines gate it behind cheap candidates and
+    * prefixes). */
+  val EditPrefixChars = 40
+
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    requireBounded(docs, "editDistance", "minhashCandidateIds + per-pair scoring")
+    val d = docs.select($"doc_id", $"lang", $"source",
+      substring($"text", 1, EditPrefixChars).as("prefix"))
+    val a = d.select($"doc_id".as("doc_a"), $"lang", $"source", $"prefix".as("pa"))
+    val b = d.select($"doc_id".as("doc_b"), $"lang", $"source", $"prefix".as("pb"))
+    a.join(b, Seq("lang", "source"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"lang", $"source", $"doc_a", $"doc_b",
+        levenshtein($"pa", $"pb").as("edit_dist"),
+        (lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
+          greatest(length($"pa"), length($"pb"))).as("prefix_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val editDistanceSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, substring(text, 1, $EditPrefixChars) AS prefix
+       |  FROM documents)
+       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.prefix, b.prefix) AS edit_dist,
+       |  1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
+       |    / greatest(length(a.prefix), length(b.prefix)) AS prefix_sim
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- q_minhash_dedup
   /** Undirected candidate id pairs (doc_a < doc_b) from MinHash + LSH
     * banding. ID-ONLY: after signature computation, everything that moves
@@ -465,6 +507,7 @@ object Dedup {
     // oracle baselines for the LSH paths and q_simhash_recall contains one —
     // benching them would time the brute force, not an engine path
     NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    NamedQuery("q_edit_distance", editDistance, Some(editDistanceSql)),
     NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
     NamedQuery("q_minhash_recall", minhashRecall, Some(minhashRecallSql),
       bench = true),

@@ -239,4 +239,22 @@ class DedupSpec extends GraftSuite {
   test("simhash recall gate: banded-vs-brute symmetric difference is empty") {
     assert(SparkEntry.queries("q_simhash_recall")(spark, sf).count() == 0)
   }
+
+  test("edit distance: zero iff equal prefixes, bounded by prefix length") {
+    import org.apache.spark.sql.functions.substring
+    val rows = SparkEntry.queries("q_edit_distance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prefix = Tables.documents(spark, sf)
+      .select($"doc_id",
+        substring($"text", 1, graft.operators.Dedup.EditPrefixChars).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b, d) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      val (pa, pb) = (prefix(a), prefix(b))
+      assert((d == 0) == (pa == pb), s"pair ($a,$b): d=$d but equal=${pa == pb}")
+      assert(d >= 0 && d <= math.max(pa.length, pb.length))
+      // sim is the exact complement of the normalized distance
+      assert(r.getDouble(5) == 1.0 - d.toDouble / math.max(pa.length, pb.length))
+    }
+  }
 }
