@@ -295,6 +295,42 @@ object Dedup {
       .orderBy($"cluster_id", $"doc_id")
   }
 
+  // ------------------------------------------------------ q_cluster_propagation
+  /** Driver-visible gate for the iterative cluster resolver — the
+    * planted-expected-answer pattern (same contract as the recall
+    * gates): plant a COPY CHAIN per document, `1 + doc_id % 3` copies at
+    * id + k·PlantOffset linked as a PATH (original—copy1—copy2—…), and
+    * run the REAL `resolveClusters` rounds over those edges. Paths are
+    * the worst case for min-label propagation (diameter = chain length,
+    * vs 1 for the clique a digest group would form), so diameters 1–3
+    * exercise multi-round convergence through the genuine
+    * localCheckpoint/batched-polling path. The expected answer is pure
+    * id arithmetic — cluster id = original doc_id, size = 2 + doc_id % 3
+    * — so a split or merged component (the propagation failure mode
+    * kernel specs can miss) surfaces as a hash-mismatched CORRECTNESS
+    * row. Complements q_dedup_clusters, whose LSH pair generation is
+    * not SQL-expressible. */
+  private def clusterPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "clusterPropagation")
+    val P = Similarity.PlantOffset
+    // edge k links copy k-1 (k=1: the original) to copy k
+    val edges = docs.select($"doc_id",
+        explode(sequence(lit(1L), lit(1L) + pmod($"doc_id", lit(3L)))).as("k"))
+      .select(($"doc_id" + ($"k" - 1) * P).as("doc_a"),
+        ($"doc_id" + $"k" * P).as("doc_b"))
+    resolveClusters(edges)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy($"cluster_id")
+  }
+
+  private val clusterPropagationSql =
+    """SELECT doc_id AS cluster_id,
+      |  CAST(2 + doc_id % 3 AS BIGINT) AS cluster_size
+      |FROM documents ORDER BY cluster_id""".stripMargin
+
   private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
@@ -512,6 +548,8 @@ object Dedup {
     NamedQuery("q_minhash_recall", minhashRecall, Some(minhashRecallSql),
       bench = true),
     NamedQuery("q_dedup_clusters", dedupClusters, None, bench = true),
+    NamedQuery("q_cluster_propagation", clusterPropagation,
+      Some(clusterPropagationSql), bench = true),
     NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
     NamedQuery("q_simhash_recall", simhashRecall, Some(simhashRecallSql)),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
