@@ -309,6 +309,54 @@ object Analytics {
        |  END AS interpolated
        |FROM bracketed ORDER BY custkey, month""".stripMargin
 
+  // ---------------------------------------------------------------- q_correlation
+  /** Pearson correlation + OLS slope of price vs quantity per return
+    * flag — statistical profiling with PARTITIONING-INVARIANT results:
+    * Spark's built-in `corr` is a one-pass float aggregation whose low
+    * bits depend on partition order (merge order of the co-moment
+    * buffers), so two runs of the same job on different cluster layouts
+    * can disagree. Here the five sufficient statistics (Sx, Sy, Sxy,
+    * Sxx, Syy) are exact DECIMAL sums (2dp inputs, 4dp products), and
+    * corr/slope are a fixed arithmetic sequence over those bit-identical
+    * doubles — deterministic on any layout and reproducible in any
+    * engine, with zero rounding in the oracle. */
+  private def correlation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sx"),
+        dsum($"l_extendedprice").as("sy"),
+        dsum($"l_quantity" * $"l_extendedprice", 4).as("sxy"),
+        dsum($"l_quantity" * $"l_quantity", 4).as("sxx"),
+        dsum($"l_extendedprice" * $"l_extendedprice", 4).as("syy"))
+    val nd = $"n".cast("double")
+    val covN = nd * $"sxy" - $"sx" * $"sy"
+    stats.select($"l_returnflag", $"n",
+      (covN / (sqrt(nd * $"sxx" - $"sx" * $"sx") *
+        sqrt(nd * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+      (covN / (nd * $"sxx" - $"sx" * $"sx")).as("slope_price_per_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val correlationSql =
+    s"""WITH t AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${sqlDsum("l_quantity")} AS sx,
+       |    ${sqlDsum("l_extendedprice")} AS sy,
+       |    ${sqlDsum("l_quantity * l_extendedprice", 4)} AS sxy,
+       |    ${sqlDsum("l_quantity * l_quantity", 4)} AS sxx,
+       |    ${sqlDsum("l_extendedprice * l_extendedprice", 4)} AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+       |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_price_per_qty
+       |FROM t ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------ q_array_agg
   /** Array aggregation: collect the group's members into a value. The
     * collected list is UNORDERED in a distributed engine, so determinism
@@ -499,6 +547,7 @@ object Analytics {
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
     NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),
     NamedQuery("q_array_agg", arrayAgg, Some(arrayAggSql), bench = true),
+    NamedQuery("q_correlation", correlation, Some(correlationSql), bench = true),
     NamedQuery("q_resample_ffill", resampleFfill, Some(resampleFfillSql), bench = true),
     NamedQuery("q_interpolate", interpolate, Some(interpolateSql), bench = true),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
