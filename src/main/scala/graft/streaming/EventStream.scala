@@ -115,6 +115,47 @@ object EventStream {
   def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join — correlate two live event streams
+    * (here: each user's 'click' with the 'view' that preceded it within
+    * `windowMinutes`). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's buffered
+    * state is evicted once the other side's watermark passes the bound
+    * — state stays O(rate × window), not O(history), the only
+    * stream-stream formulation that survives an unbounded ingest. Inner
+    * join, so matches emit as soon as both rows have arrived. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   windowMinutes: Int = 10): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(v("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** One-shot AvailableNow run of the interval join over one input
+    * directory split by event_type into the two stream sides. */
+  def runIntervalJoinAvailableNow(s: SparkSession, path: String,
+                                  viewType: String, clickType: String,
+                                  queryName: String): DataFrame = {
+    val events = readEvents(s, path)
+    val q = intervalJoin(
+      events.filter(col("event_type") === viewType),
+      events.filter(col("event_type") === clickType))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+
   /** One-shot AvailableNow run of the stream-static enrich into a memory
     * sink (append mode — a stateless join emits rows as they arrive). */
   def runEnrichAvailableNow(s: SparkSession, path: String, dim: DataFrame,

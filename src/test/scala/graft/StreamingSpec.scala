@@ -69,6 +69,22 @@ class StreamingSpec extends GraftSuite {
     } finally rmTree(dir.toFile)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = stageEvents(1)
+    try {
+      val streamed = EventStream.runIntervalJoinAvailableNow(
+        spark, dir.toString, "view", "click", "interval_join_stream")
+      val events = Tables.events(spark, sf)
+      val batch = EventStream.intervalJoin(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "click"))
+      assert(streamed.count() > 0, "no view->click pairs within the window")
+      assertSameRows(streamed, batch)
+    } finally rmTree(dir.toFile)
+  }
+
   test("late arrivals beyond the persisted watermark are dropped; on-time rows pass") {
     import spark.implicits._
     val dir = stageEvents(1) // events span 2024-01; watermark lands at max-1h
