@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** First hex char of a salted md5 over the doc id — the deterministic
+    * 16-slice split both snapshot/batch queries cut the corpus with
+    * (same idiom as Analytics.hashSample). One definition so the slicing
+    * scheme can't drift between a query and its oracle SQL. */
+  private def saltedSlice(salt: String, id: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 1)
+
+  private def saltedSliceSql(salt: String, id: String) =
+    s"substring(md5('$salt' || CAST($id AS VARCHAR)), 1, 1)"
+
   // --------------------------------------------------------------- q_shard_assign
   /** Deterministic shard + position for training-data writing: shard is
     * a salted-md5 hex prefix of the doc id (256 shards), position is the
@@ -102,9 +112,9 @@ object Corpus {
     * 16-byte digest and never moves text. */
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val half = substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 1)
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", md5($"text").as("digest"), half.as("half"))
+      .select($"doc_id", md5($"text").as("digest"),
+        saltedSlice("split:", $"doc_id").as("half"))
     val historyDigests = docs.filter($"half" < "8").select($"digest").distinct()
     docs.filter($"half" >= "8")
       .groupBy($"digest")
@@ -114,9 +124,9 @@ object Corpus {
   }
 
   private val incrementalDedupSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, md5(text) AS digest,
-      |    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS half
+      |    ${saltedSliceSql("split:", "doc_id")} AS half
       |  FROM documents),
       |b AS (
       |  SELECT digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies_in_batch
@@ -168,9 +178,9 @@ object Corpus {
     * output is the three-row report, not a row per document. */
   private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val slice = substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1)
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", md5($"text").as("digest"), slice.as("slice"))
+      .select($"doc_id", md5($"text").as("digest"),
+        saltedSlice("snap:", $"doc_id").as("slice"))
     def side(pred: org.apache.spark.sql.Column, alias: String) =
       docs.filter(pred).groupBy($"digest").agg(count(lit(1)).as(alias))
     val old = side($"slice" < "8", "n_old")
@@ -189,9 +199,9 @@ object Corpus {
   }
 
   private val snapshotDiffSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, md5(text) AS digest,
-      |    substring(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1) AS slice
+      |    ${saltedSliceSql("snap:", "doc_id")} AS slice
       |  FROM documents),
       |o AS (SELECT digest, COUNT(*) AS n_old FROM d WHERE slice < '8' GROUP BY 1),
       |n AS (SELECT digest, COUNT(*) AS n_new FROM d WHERE slice >= '4' GROUP BY 1),

@@ -38,7 +38,7 @@ object Dedup {
 
   /** Shared guard for the deliberate O(n²) oracle baselines: refuse
     * unbounded inputs loudly instead of launching a quadratic plan. */
-  private def requireBounded(df: DataFrame, what: String,
+  private[operators] def requireBounded(df: DataFrame, what: String,
       alternative: String): Unit = {
     val n = df.count()
     require(n <= MaxBruteForceRows,
@@ -130,8 +130,10 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .select($"lang", $"source", $"doc_a", $"doc_b",
         levenshtein($"pa", $"pb").as("edit_dist"),
-        (lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
-          greatest(length($"pa"), length($"pb"))).as("prefix_sim"))
+        // two empty prefixes are identical (sim 1.0), not NULL via 0/0
+        when(greatest(length($"pa"), length($"pb")) === 0, 1.0)
+          .otherwise(lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
+            greatest(length($"pa"), length($"pb"))).as("prefix_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -141,8 +143,9 @@ object Dedup {
        |  FROM documents)
        |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  levenshtein(a.prefix, b.prefix) AS edit_dist,
-       |  1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
-       |    / greatest(length(a.prefix), length(b.prefix)) AS prefix_sim
+       |  CASE WHEN greatest(length(a.prefix), length(b.prefix)) = 0 THEN 1.0
+       |    ELSE 1.0 - CAST(levenshtein(a.prefix, b.prefix) AS DOUBLE)
+       |      / greatest(length(a.prefix), length(b.prefix)) END AS prefix_sim
        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin

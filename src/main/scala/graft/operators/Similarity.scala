@@ -297,10 +297,7 @@ object Similarity {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val n = e.count()
-    require(n <= Dedup.MaxBruteForceRows,
-      s"hardNegatives is an O(n²) oracle baseline bounded to " +
-        s"${Dedup.MaxBruteForceRows} rows; got $n — use hardNegativesIvf at scale")
+    Dedup.requireBounded(e, "hardNegatives", "hardNegativesIvf")
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
       $"label".as("label_a"))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
@@ -341,22 +338,14 @@ object Similarity {
     * scale that trade is the difference between feasible and not. */
   def hardNegativesIvf(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val labels = e.select($"vec_id", $"label")
     val cand = ivfCandidateIds(e)
       .join(labels.select($"vec_id".as("vec_a"), $"label".as("label_a")), "vec_a")
       .join(labels.select($"vec_id".as("vec_b"), $"label".as("label_b")), "vec_b")
       .filter($"label_a" =!= $"label_b")
       .select($"vec_a", $"vec_b")
-    val emb = e.select($"vec_id", $"embedding")
-    val w = Window.partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b")
-    cand
-      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), "vec_a")
-      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), "vec_b")
-      .select($"vec_a", $"vec_b",
-        round(VectorFunctions.cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" === 1)
+    // same verification tail as the ANN paths — one scoring definition
+    scoreAndRank(cand, e, topK = 1)
       .select($"vec_a", $"vec_b".as("hard_neg"), $"cos_sim")
   }
 
