@@ -34,11 +34,17 @@ object Corpus {
     * 16-slice split both snapshot/batch queries cut the corpus with
     * (same idiom as Analytics.hashSample). One definition so the slicing
     * scheme can't drift between a query and its oracle SQL. */
+  private def saltedKey(salt: String, id: org.apache.spark.sql.Column) =
+    md5(concat(lit(salt), id.cast("string")))
+
+  private def saltedKeySql(salt: String, id: String) =
+    s"md5('$salt' || CAST($id AS VARCHAR))"
+
   private def saltedSlice(salt: String, id: org.apache.spark.sql.Column) =
-    substring(md5(concat(lit(salt), id.cast("string"))), 1, 1)
+    substring(saltedKey(salt, id), 1, 1)
 
   private def saltedSliceSql(salt: String, id: String) =
-    s"substring(md5('$salt' || CAST($id AS VARCHAR)), 1, 1)"
+    s"substring(${saltedKeySql(salt, id)}, 1, 1)"
 
   // --------------------------------------------------------------- q_shard_assign
   /** Deterministic shard + position for training-data writing: shard is
@@ -166,6 +172,39 @@ object Corpus {
        |  COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS total_tokens
        |FROM d GROUP BY 1, 2 ORDER BY source, bucket_lo""".stripMargin
 
+  // --------------------------------------------------------------- q_cap_per_source
+  /** Deterministic count-cap per source — the companion to rate-based
+    * hash sampling (Analytics.hashSample): keep exactly
+    * min(n, MaxDocsPerSource) docs per source, chosen by salted-hash
+    * order so the selection is uniform-ish, seed-free, and identical on
+    * any cluster layout. Plans through WindowGroupLimit (partial rank
+    * pushdown, proven in SkewSpec): each map task keeps at most the cap
+    * per source BEFORE the shuffle, so the exchange carries
+    * ~cap × sources rows — this is how "take 1M docs per domain" stays
+    * cheap on a 100 TB corpus. */
+  val MaxDocsPerSource = 20
+
+  private def capPerSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(saltedKey("cap:", $"doc_id"), $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= MaxDocsPerSource)
+      .orderBy($"source", $"sample_rank")
+  }
+
+  private val capPerSourceSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${saltedKeySql("cap:", "doc_id")}, doc_id) AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, source, sample_rank FROM r
+       |WHERE sample_rank <= $MaxDocsPerSource
+       |ORDER BY source, sample_rank""".stripMargin
+
   // --------------------------------------------------------------- q_snapshot_diff
   /** Content-level diff between two corpus snapshots — the audit report
     * behind every corpus release ("what changed since the last cut"):
@@ -221,6 +260,8 @@ object Corpus {
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql), bench = true),
+    NamedQuery("q_cap_per_source", capPerSource,
+      Some(capPerSourceSql), bench = true),
     NamedQuery("q_token_histogram", tokenHistogram,
       Some(tokenHistogramSql), bench = true))
 }

@@ -126,6 +126,23 @@ class CorpusSpec extends GraftSuite {
     }
   }
 
+  test("q_cap_per_source: exact cap per source, deterministic selection") {
+    val rows = SparkEntry.queries("q_cap_per_source")(spark, sf).collect()
+    val perSource = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_.getString(1))
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, g) =>
+      // exactly min(n, cap) kept, ranks contiguous from 1
+      val expect = math.min(perSource(src), operators.Corpus.MaxDocsPerSource)
+      assert(g.length == expect, s"source $src: ${g.length} != $expect")
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to g.length))
+    }
+    // deterministic: a second run selects the identical doc set
+    val again = SparkEntry.queries("q_cap_per_source")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
   test("q_token_histogram: buckets partition the corpus, totals add up") {
     val rows = SparkEntry.queries("q_token_histogram")(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
