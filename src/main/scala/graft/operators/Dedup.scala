@@ -540,8 +540,83 @@ object Dedup {
       |SELECT vec_a, vec_b, cos_sim FROM p
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------- q_dup_ngrams
+  /** Cross-document duplicated-n-gram fraction — the substring-level dedup
+    * signal (the corpus-wide complement of q_repetition's within-doc
+    * ratios): for each document, the share of its distinct word-8-grams
+    * that also occur in at least one OTHER document. Docs dominated by
+    * shared boilerplate score high and get filtered or substring-trimmed.
+    *
+    * Scale shape: the text is scanned ONCE — the native WordNGramHashes
+    * emits the distinct 64-bit shingle-hash set per doc in one pass, so
+    * what explodes and shuffles is 8-byte longs, never shingle strings.
+    * Per-gram document counts come from a window COUNT over the single
+    * gram-keyed exchange (not a groupBy + re-join, which would scan and
+    * shuffle the gram frame twice), then one (doc_id)-keyed aggregation
+    * computes total and duplicated gram counts together. Cross-doc
+    * equality on 64-bit hashes admits a ~2^-64-per-pair false positive —
+    * negligible, and only ever OVERcounts duplication.
+    *
+    * A doc repeating a gram internally does not make that gram
+    * "duplicated" (per-doc sets, COUNT counts docs); the window's frame is
+    * the whole partition (no ORDER BY), so no sort-order tie-break can
+    * affect the count. */
+  val DupNgramWidth = 8
+
+  /** Kernel: (id, n_grams, n_dup_grams, dup_fraction) for every doc in
+    * `docs` with at least `n` words. */
+  def dupNgramFractions(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // word count via space count (empty-token convention of
+    // split(text, ' ', -1)): a text of >= n words has >= n-1 spaces
+    val longEnough =
+      (length(col(textCol)) - length(replace(col(textCol), lit(" "), lit("")))) >=
+        n - 1
+    val grams = docs
+      .filter(longEnough)
+      .select(col(idCol),
+        explode(TextFunctions.wordNgramHashes(col(textCol), n)).as("__g"))
+    val nDocs = count(lit(1)).over(Window.partitionBy(col("__g")))
+    grams.withColumn("__n_docs_with_gram", nDocs)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__n_docs_with_gram") >= 2, 1L).otherwise(0L))
+          .as("n_dup_grams"))
+      .select(col(idCol), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams"))
+          .as("dup_fraction"))
+  }
+
+  private def dupNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupNgramFractions(Tables.documents(s, dir), "text", "doc_id",
+      DupNgramWidth)
+      .orderBy($"doc_id")
+  }
+
+  private val dupNgramsSql = {
+    val w = DupNgramWidth
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, len(w) - ${w - 1}),
+       |      i -> ${(0 until w).map(k => s"w[i+$k]").mkString(" || ' ' || ")}))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= $w),
+       |c AS (SELECT shingle, COUNT(*) AS nd FROM g GROUP BY 1)
+       |SELECT g.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS dup_fraction
+       |FROM g JOIN c USING (shingle)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
+    NamedQuery("q_dup_ngrams", dupNgrams, Some(dupNgramsSql), bench = true),
     // q_ngram_jaccard / q_dedup_embedding are the deliberate bounded O(n²)
     // oracle baselines for the LSH paths and q_simhash_recall contains one —
     // benching them would time the brute force, not an engine path

@@ -257,4 +257,64 @@ class DedupSpec extends GraftSuite {
       assert(r.getDouble(5) == 1.0 - d.toDouble / math.max(pa.length, pb.length))
     }
   }
+
+  test("dupNgramFractions kernel: exact copies 1.0, unique docs 0.0, overlap counted once") {
+    import org.apache.spark.sql.functions.col
+    // w0..w9 gives 3 distinct 8-grams per 10-word doc
+    def words(off: Int, n: Int): String =
+      (off until off + n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(0, 10)),   // copied by doc 2 → every gram duplicated
+      (2L, words(0, 10)),
+      (3L, words(100, 10)), // unique vocabulary → no gram duplicated
+      (4L, words(0, 8) + " " + words(200, 2)),  // shares exactly w0..w7
+      (5L, words(300, 7))   // too short: < 8 words → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFractions(docs, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    // doc 4: grams {w0..w7, w1..w7 w200, w2..w7 w200 w201}; only the first
+    // also lives in docs 1/2
+    assert(out(4L) == ((3L, 1L, 1.0 / 3)))
+  }
+
+  test("dupNgramFractions: within-doc repetition alone is not duplication") {
+    import org.apache.spark.sql.functions.col
+    val rep = (0 until 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 contains its 8-gram block twice — still only ONE doc has it
+      (1L, rep + " " + rep),
+      (2L, (100 until 110).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFractions(docs, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0, "self-repetition must not count as cross-doc dup")
+    assert(out(2L) == 0.0)
+  }
+
+  test("q_dup_ngrams: layout-independent and consistent with exact-dup copies") {
+    val df = SparkEntry.queries("q_dup_ngrams")(spark, sf)
+    val base = canon(df)
+    assert(base.nonEmpty)
+    // every doc that q_dedup_exact reports as a multi-copy text must show
+    // dup_fraction 1.0 (all its grams exist in its copy)
+    val copies = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .filter($"n_copies" >= 2).select($"keep_id")
+      .collect().map(_.getLong(0)).toSet
+    if (copies.nonEmpty) {
+      val fr = df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      copies.filter(fr.contains).foreach { id =>
+        assert(fr(id) == 1.0, s"doc $id has an exact copy but dup_fraction ${fr(id)}")
+      }
+    }
+    // repartitioned input → identical answer
+    val re = Dedup.dupNgramFractions(
+      Tables.documents(spark, sf).repartition(7), "text", "doc_id",
+      graft.operators.Dedup.DupNgramWidth).orderBy($"doc_id")
+    assert(canon(re) == base)
+  }
 }
