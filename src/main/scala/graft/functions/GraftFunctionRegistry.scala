@@ -61,7 +61,17 @@ object GraftFunctionRegistry {
       arity("graft_word_ngram_hashes", 2)(args => WordNGramHashes(args(0), args(1)))),
     (FunctionIdentifier("graft_int8_quant_stats"),
       info("graft_int8_quant_stats", "_FUNC_(emb) - int8 quantization (scale, max_abs_err)"),
-      arity("graft_int8_quant_stats", 1)(args => Int8QuantStats(args(0)))))
+      arity("graft_int8_quant_stats", 1)(args => Int8QuantStats(args(0)))),
+    (FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries", "_FUNC_(col, k) - Misra-Gries heavy-hitter candidate set"),
+      arity("graft_misra_gries", 2)(args => {
+        val k = args(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_misra_gries: k must be a constant int, got $other")
+        }
+        MisraGriesAgg(args(0), k)
+      })))
 
   /** Add all graft functions to an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -537,7 +537,57 @@ object Analytics {
        |JOIN nation n ON s.s_nationkey = n.n_nationkey
        |GROUP BY n.n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------------- q_heavy_hitters
+  /** Exact heavy hitters via the two-pass sketch pattern: pass 1 runs the
+    * native Misra-Gries typed aggregate (functions/SketchExprs.scala) —
+    * bounded memory per task, candidate set guaranteed a SUPERSET of
+    * every word with count > total/k — and pass 2 exact-counts only the
+    * <= k candidates, so the final answer is exact and layout-independent
+    * even though intermediate sketch contents are not.
+    *
+    * This is the formulation that finds "terms appearing in > 1% of
+    * tokens" on a 100 TB corpus WITHOUT shuffling the full vocabulary:
+    * pass 1 reduces each task to <= k counters (no shuffle of word
+    * strings at all — one k-row summary per task merges on the driver
+    * side of the agg), and pass 2's groupBy only ever shuffles rows that
+    * match one of <= k broadcast candidates. The threshold compare is
+    * integer (n * k > total) — no division, no float boundary. */
+  val HeavyHitterK = 100
+
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = docs.select(
+      explode(split(col(textCol), " ", -1)).as("word"))
+    val sketch = words.agg(
+      graft.functions.SketchFunctions.misraGries(col("word"), k).as("__cands"),
+      count(lit(1)).as("total"))
+    // one broadcast row carries both the candidate array and the total:
+    // consuming `sketch` once keeps the sketch pass a single scan
+    words.crossJoin(broadcast(sketch))
+      .filter(array_contains(col("__cands"), col("word")))
+      .groupBy(col("word"), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > col("total"))
+      .select(col("word"), col("n"),
+        (col("n").cast("double") / col("total")).as("freq"))
+  }
+
+  private def heavyHittersQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heavyHitters(Tables.documents(s, dir), "text", HeavyHitterK)
+      .orderBy($"n".desc, $"word")
+  }
+
+  private val heavyHittersSql =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |t AS (SELECT COUNT(*) AS total FROM w),
+       |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1)
+       |SELECT word, n, CAST(n AS DOUBLE) / (SELECT total FROM t) AS freq
+       |FROM c WHERE n * $HeavyHitterK > (SELECT total FROM t)
+       |ORDER BY n DESC, word""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
+      bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,
       Some(supplierNationShareSql), bench = true),
     NamedQuery("q_multi_join_agg", multiJoinAgg, Some(multiJoinAggSql), bench = true),
