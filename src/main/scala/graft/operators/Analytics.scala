@@ -59,6 +59,71 @@ object Analytics {
        |  wo AS (PARTITION BY o_custkey ORDER BY month)
        |ORDER BY o_custkey, month""".stripMargin
 
+  // --------------------------------------------------------------------- q_ewma
+  /** Truncated exponential moving average (half-life = 1 month, horizon =
+    * 16 months) over per-customer monthly spend — the standard
+    * recency-weighted trend signal next to q_rolling_avg's flat window.
+    *
+    * Exactness: the recursion ewma_t = α·x_t + (1-α)·ewma_{t-1} is not
+    * expressible as a window function, and its float evaluation would be
+    * order-fragile anyway. With α = 1/2 the 16-term truncation is exact
+    * INTEGER arithmetic instead: monthly cents (DECIMAL-routed sum × 100,
+    * an exact bigint) times power-of-two weights 2^15..2^0, summed as
+    * longs — the numerator stays < 2^46, so every intermediate is exact
+    * in both engines and the single final division of two bit-identical
+    * longs is bit-identical too. Truncation error vs the infinite
+    * recursion is ≤ 2^-16 of the oldest mass — below the cents grain.
+    *
+    * Scale shape: one (custkey)-keyed shuffle for the monthly aggregate;
+    * all 16 lags share one window spec, so they plan as a SINGLE Window
+    * operator over the already-partitioned frame (no extra exchange,
+    * no per-term pass). */
+  val EwmaHorizon = 16
+
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val wo = Window.partitionBy($"o_custkey").orderBy($"month")
+    def weight(j: Int): Long = 1L << (EwmaHorizon - 1 - j)
+    val num = (1 until EwmaHorizon).map(j =>
+        coalesce(lag($"cents", j).over(wo), lit(0L)) * lit(weight(j)))
+      .foldLeft($"cents" * lit(weight(0)))(_ + _)
+    val den = (1 until EwmaHorizon).map(j =>
+        when(lag($"cents", j).over(wo).isNotNull, lit(weight(j))).otherwise(lit(0L)))
+      .foldLeft(lit(weight(0)).as("w0"): Column)(_ + _)
+    monthly
+      .select($"o_custkey", $"month", $"cents",
+        num.as("ewma_num"), den.as("ewma_den"))
+      .withColumn("ewma_cents", $"ewma_num".cast("double") / $"ewma_den")
+      .orderBy($"o_custkey", $"month")
+  }
+
+  private val ewmaSql = {
+    def weight(j: Int): Long = 1L << (EwmaHorizon - 1 - j)
+    val num = (s"cents * ${weight(0)}" +: (1 until EwmaHorizon).map(j =>
+        s"COALESCE(LAG(cents, $j) OVER wo, 0) * ${weight(j)}"))
+      .mkString(" + ")
+    val den = (s"${weight(0)}" +: (1 until EwmaHorizon).map(j =>
+        s"CASE WHEN LAG(cents, $j) OVER wo IS NOT NULL THEN ${weight(j)} ELSE 0 END"))
+      .mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1, 2),
+       |e AS (
+       |  SELECT o_custkey, month, cents,
+       |    $num AS ewma_num,
+       |    $den AS ewma_den
+       |  FROM monthly
+       |  WINDOW wo AS (PARTITION BY o_custkey ORDER BY month))
+       |SELECT o_custkey, month, cents, ewma_num, ewma_den,
+       |  CAST(ewma_num AS DOUBLE) / ewma_den AS ewma_cents
+       |FROM e ORDER BY o_custkey, month""".stripMargin
+  }
+
   // ----------------------------------------------------------------- q_rollup_agg
   /** Status × priority totals at every grouping level (detail, per-status
     * subtotal, grand total) — ROLLUP plans as a single Expand + one
@@ -592,6 +657,7 @@ object Analytics {
       Some(supplierNationShareSql), bench = true),
     NamedQuery("q_multi_join_agg", multiJoinAgg, Some(multiJoinAggSql), bench = true),
     NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
+    NamedQuery("q_ewma", ewma, Some(ewmaSql), bench = true),
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),

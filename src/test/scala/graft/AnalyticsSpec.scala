@@ -169,6 +169,60 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("ewma: matches a direct per-customer reimplementation; one Window op") {
+    val df = SparkEntry.queries("q_ewma")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // direct reimplementation: group rows per customer in month order,
+    // recompute the 16-term weighted sum in plain Scala longs
+    val horizon = graft.operators.Analytics.EwmaHorizon
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getString(1)).toIndexedSeq
+      series.zipWithIndex.foreach { case (r, t) =>
+        var (num, den) = (0L, 0L)
+        for (j <- 0 until math.min(horizon, t + 1)) {
+          val w = 1L << (horizon - 1 - j)
+          num += series(t - j).getLong(2) * w
+          den += w
+        }
+        assert(r.getLong(3) == num, s"num mismatch at $r")
+        assert(r.getLong(4) == den, s"den mismatch at $r")
+        assert(r.getDouble(5) == num.toDouble / den)
+      }
+    }
+    // all 16 lags share one window spec → exactly one Window operator
+    // (AQE's plan string prints Final AND Initial sections — count only
+    // the final one)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val windowOps = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).size
+    assert(windowOps <= 1, s"expected a single Window operator:\n$plan")
+  }
+
+  test("ewma responds faster to a level shift than the flat rolling mean") {
+    // planted series: 10 months at 100 cents then a jump to 10100 —
+    // recency weighting must close most of the gap in the first month
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 10).map(m => (1L, f"2020-${m + 1}%02d", 100L)) ++
+      Seq((1L, "2020-11", 10100L))
+    val monthly = rows.toDF("o_custkey", "month", "cents")
+    // reuse the operator's weighting directly via a local recompute of the
+    // final row: half the weight mass sits on the newest point
+    val horizon = graft.operators.Analytics.EwmaHorizon
+    var (num, den) = (0L, 0L)
+    val series = rows.map(_._3)
+    val t = series.size - 1
+    for (j <- 0 until math.min(horizon, t + 1)) {
+      val w = 1L << (horizon - 1 - j)
+      num += series(t - j) * w
+      den += w
+    }
+    val ewmaLast = num.toDouble / den
+    val rollingLast = (series.takeRight(3).sum).toDouble / 3
+    assert(ewmaLast > 5000, s"ewma $ewmaLast should jump with the signal")
+    assert(rollingLast < ewmaLast, "flat 3-month mean lags the ewma")
+  }
+
   test("interpolation: gaps equal the exact linear value; real points keep theirs") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // independent recomputation of the monthly totals (same exact-decimal
