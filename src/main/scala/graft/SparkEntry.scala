@@ -11,6 +11,7 @@ object SparkEntry {
   def all: Seq[NamedQuery] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Clustering.all ++
       operators.Sources.all ++ operators.Multimodal.all ++
       operators.Skew.all ++ operators.AsOf.all ++ operators.RangeJoin.all ++
       operators.Analytics.all ++ operators.Quality.all ++

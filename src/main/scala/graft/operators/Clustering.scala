@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) over the embedding column —
+  * the clustering step behind IVF coarse quantizers, SemDeDup-style
+  * semantic dedup, and topic bucketing of a training corpus.
+  *
+  * Scale design (100 TB):
+  *  - the assignment pass is a crossJoin against the BROADCAST centroid
+  *    frame (k rows — k stays small even when n doesn't) followed by a
+  *    per-partition argmin: `min_by` partial aggregation collapses the
+  *    k candidate rows per vector BEFORE the exchange, so the shuffle
+  *    carries one row per vector, not k;
+  *  - the update pass is the q_embedding_centroids aggregation shape:
+  *    posexplode → one (cluster, dim)-keyed shuffle with partial avg;
+  *  - per-round `localCheckpoint` materializes the tiny centroid frame
+  *    and cuts the growing lineage (the iterative-DataFrame rule from
+  *    Dedup.resolveClusters);
+  *  - total cost per iteration: one scan + one slim shuffle — the plan
+  *    a 1000-executor run wants.
+  *
+  * Determinism: ties in the argmin break on cluster id; centroid MEANS
+  * are float and merge-order-dependent, so assignments are only
+  * guaranteed reproducible when clusters are separated by more than
+  * float noise — which is why the driver-visible gate (q_kmeans) runs
+  * on PLANTED well-separated clusters whose expected assignment is pure
+  * id arithmetic, while behavior on real data is spec-covered
+  * (ClusteringSpec: full assignment, ≤ k clusters, non-increasing
+  * objective). */
+object Clustering {
+
+  /** Squared L2 distance between two array columns (index-ordered HOF
+    * aggregation — both inputs are attributes, so the projection-collapse
+    * inliner cannot duplicate work). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Lloyd's iterations. Input needs (idCol: long, vecCol: array<float|double>).
+    * Init = vectors of the k smallest ids (deterministic, seed-free).
+    * Returns (idCol, cluster: long — the ORIGINAL seed id of the cluster,
+    * dist: squared distance to the final assigned centroid). */
+  def kmeansAssignments(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got $k, $iters")
+    val id = col(idCol)
+    val vec = col(vecCol)
+    val pts = points.select(id.as("__id"), vec.cast("array<double>").as("__v"))
+    var centroids = pts.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cluster"), col("__v").as("__c"))
+      .localCheckpoint(true)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = pts.crossJoin(broadcast(centroids))
+        .withColumn("__d", sqDist(col("__v"), col("__c")))
+        .groupBy(col("__id"))
+        .agg(
+          min_by(col("__cluster"), struct(col("__d"), col("__cluster")))
+            .as("__cluster"),
+          min(col("__d")).as("__dist"),
+          first(col("__v")).as("__v"))
+      centroids = assigned
+        .select(col("__cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("__cluster"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          s => s.getField("__m")).as("__c"))
+        .localCheckpoint(true)
+    }
+    assigned.select(col("__id").as(idCol), col("__cluster").as("cluster"),
+      col("__dist").as("dist"))
+  }
+
+  // -------------------------------------------------------------------- q_kmeans
+  /** Driver-visible gate: plant k well-separated clusters over the
+    * corpus id spine — member c of cluster (id % k) sits at
+    * one-hot(c) * 10 plus ±0.05 jitter, so inter-cluster distance
+    * (~10√2) dwarfs jitter and float-mean noise. Seeds 0..k-1 land one
+    * per planted cluster, so converged assignments, the min-member
+    * relabel, and cluster sizes are all pure id arithmetic the oracle
+    * recomputes exactly. Split or merged clusters, a broken argmin, or
+    * an unstable mean all surface as hash mismatches. */
+  val KmeansK = 8
+  val KmeansDim = 16
+  val KmeansIters = 3
+
+  private def plantedPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jitter: Int => Column = d =>
+      (pmod(xxhash64($"vec_id", lit(d)), lit(1000)).cast("double") / 1000.0
+        - 0.5) * 0.1
+    val emb = array((0 until KmeansDim).map { d =>
+      when(pmod($"vec_id", lit(KmeansK.toLong)) === d, lit(10.0))
+        .otherwise(lit(0.0)) + jitter(d)
+    }: _*)
+    Tables.embeddings(s, dir).select($"vec_id", emb.as("planted"))
+  }
+
+  private def kmeansGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = kmeansAssignments(plantedPoints(s, dir), "vec_id",
+      "planted", KmeansK, KmeansIters)
+    val w = Window.partitionBy($"cluster")
+    assigned.select($"vec_id",
+      min($"vec_id").over(w).as("cluster_rep"),
+      count(lit(1)).over(w).as("cluster_size"))
+      .orderBy($"vec_id")
+  }
+
+  private val kmeansGateSql =
+    s"""WITH m AS (SELECT vec_id, vec_id % $KmeansK AS c FROM embeddings)
+       |SELECT vec_id, c AS cluster_rep,
+       |  COUNT(*) OVER (PARTITION BY c) AS cluster_size
+       |FROM m ORDER BY vec_id""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kmeans", kmeansGate, Some(kmeansGateSql), bench = true))
+}

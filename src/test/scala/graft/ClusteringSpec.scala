@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+/** K-means kernel behavior on real (unplanted) data — the planted-cluster
+  * exactness gate is q_kmeans itself. */
+class ClusteringSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("kmeans assigns every vector to exactly one of <= k clusters") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Clustering.kmeansAssignments(e, "vec_id", "embedding",
+      k = 8, iters = 2)
+    assert(out.count() == e.count())
+    assert(out.select($"vec_id").distinct().count() == e.count())
+    assert(out.select($"cluster").distinct().count() <= 8)
+    // every cluster label is one of the k seed ids
+    val seeds = e.orderBy($"vec_id").limit(8)
+      .collect().map(_.getLong(0)).toSet
+    out.select($"cluster").distinct().collect()
+      .foreach(r => assert(seeds.contains(r.getLong(0))))
+  }
+
+  test("kmeans objective (sum of squared distances) never increases with iterations") {
+    val e = Tables.embeddings(spark, sf)
+    val obj = (1 to 3).map { it =>
+      Clustering.kmeansAssignments(e, "vec_id", "embedding", k = 8, iters = it)
+        .agg(sum($"dist")).collect()(0).getDouble(0)
+    }
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"objective rose: $obj")
+    }
+  }
+
+  test("q_kmeans gate: planted clusters recovered exactly on any layout") {
+    val base = canon(SparkEntry.queries("q_kmeans")(spark, sf))
+    assert(base.nonEmpty)
+    // expected from pure id arithmetic
+    val n = Tables.embeddings(spark, sf).count()
+    val sizes = (0L until n).groupBy(_ % 8).view.mapValues(_.size.toLong).toMap
+    val expected = (0L until n).map { id =>
+      Seq(id % 8, sizes(id % 8), id).map(_.toString).mkString("|")
+    }.sorted
+    // canon sorts columns alphabetically: cluster_rep, cluster_size, vec_id
+    assert(base == expected)
+  }
+
+  test("sqDist: exact on known vectors, zero on self") {
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(Clustering.sqDist($"a", $"b").as("d"),
+        Clustering.sqDist($"a", $"a").as("z"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 25.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+}
