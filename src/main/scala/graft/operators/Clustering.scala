@@ -117,6 +117,80 @@ object Clustering {
        |  COUNT(*) OVER (PARTITION BY c) AS cluster_size
        |FROM m ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ q_semdedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector whose cosine to a LOWER-ID cluster-mate
+    * exceeds the threshold — keeping one representative per semantic
+    * near-dup group.
+    *
+    * Scale shape: the pair scan is WITHIN-CLUSTER only — an equi-join on
+    * the cluster id, never an all-pairs join — so cost is Σ(cluster²),
+    * controlled by k (real deployments size k ≈ n / 5000 to bound
+    * cluster population; the paper uses k in the tens of thousands for
+    * 100M-scale corpora). The drop rule "∃ lower-id near-dup in my
+    * cluster" needs only a distinct on the higher id of each hit pair —
+    * no iterative grouping — and scoring runs the native codegen
+    * cosine. */
+  val SemDedupThreshold = 0.99
+
+  /** (idCol, keep: boolean). */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val id = col(idCol)
+    val assigned = kmeansAssignments(points, idCol, vecCol, k, iters)
+      .select(id, col("cluster"))
+    val withVec = assigned.join(
+      points.select(id, col(vecCol).cast("array<float>").as("__vf")), idCol)
+    val a = withVec.select(id.as("__a"), col("cluster"), col("__vf").as("__va"))
+    val b = withVec.select(id.as("__b"), col("cluster"), col("__vf").as("__vb"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("__a") < col("__b"))
+      .filter(VectorFunctions.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    points.select(id)
+      .join(drops, Seq(idCol), "left")
+      .select(id, coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
+
+  /** Driver-visible gate: the planted frame gets two structure levels —
+    * the k one-hot clusters above, plus 4 "subgroups" per cluster at a
+    * +2.0 secondary component. Same-subgroup cosine ≈ 0.9999 (dup);
+    * cross-subgroup within a cluster ≈ 0.96 (kept apart — also proves
+    * the threshold actually separates); cross-cluster ≈ 0. Expected
+    * keeps are the min id of each (cluster, subgroup) = exactly the ids
+    * below k·4 — pure id arithmetic for the oracle. */
+  val SemSubgroups = 4
+
+  private def semPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jitter: Int => Column = d =>
+      (pmod(xxhash64($"vec_id", lit(d + 1000)), lit(1000)).cast("double")
+        / 1000.0 - 0.5) * 0.1
+    val cluster = pmod($"vec_id", lit(KmeansK.toLong))
+    val sub = pmod(floor($"vec_id" / KmeansK), lit(SemSubgroups.toLong))
+    val emb = array((0 until KmeansDim).map { d =>
+      when(cluster === d, lit(10.0)).otherwise(lit(0.0)) +
+        when(sub === (d - KmeansK), lit(2.0)).otherwise(lit(0.0)) +
+        jitter(d)
+    }: _*)
+    Tables.embeddings(s, dir).select($"vec_id", emb.as("planted"))
+  }
+
+  private def semDedupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = semPlanted(s, dir)
+    semDedup(pts, "vec_id", "planted", KmeansK, KmeansIters, SemDedupThreshold)
+      .orderBy($"vec_id")
+  }
+
+  private val semDedupGateSql =
+    s"""SELECT vec_id, vec_id < ${KmeansK * SemSubgroups} AS keep
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_kmeans", kmeansGate, Some(kmeansGateSql), bench = true))
+    NamedQuery("q_kmeans", kmeansGate, Some(kmeansGateSql), bench = true),
+    NamedQuery("q_semdedup", semDedupGate, Some(semDedupGateSql), bench = true))
 }

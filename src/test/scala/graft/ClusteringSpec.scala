@@ -46,6 +46,32 @@ class ClusteringSpec extends GraftSuite {
     assert(base == expected)
   }
 
+  test("semDedup kernel: drops exactly the higher-id member of a near-dup pair") {
+    // 1 cluster region at x≈(10,0), containing a near-dup pair {10, 11}
+    // and a distinct member 12; far region {13} alone
+    val pts = Seq(
+      (10L, Array(10.0f, 0.0f)),
+      (11L, Array(10.001f, 0.0f)),    // near-dup of 10 (cos ≈ 1)
+      (12L, Array(10.0f, 4.0f)),      // same region, cos ≈ 0.93 → kept
+      (13L, Array(0.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDedup(pts, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true))
+  }
+
+  test("q_semdedup gate is layout-independent and keeps exactly k*subgroups reps") {
+    val df = SparkEntry.queries("q_semdedup")(spark, sf)
+    val rows = df.collect()
+    val kept = rows.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val expectKept = (0L until
+      (graft.operators.Clustering.KmeansK *
+        graft.operators.Clustering.SemSubgroups).toLong).toSet
+    assert(kept == expectKept)
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+  }
+
   test("sqDist: exact on known vectors, zero on self") {
     val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f)))
       .toDF("a", "b")
