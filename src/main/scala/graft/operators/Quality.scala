@@ -178,7 +178,92 @@ object Quality {
        |GROUP BY priority ORDER BY priority""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_mad_outliers
+  /** Robust outlier detection via Median Absolute Deviation — the
+    * break-down-resistant alternative to mean±3σ (one wild value moves a
+    * mean; it cannot move a median). Per group: median and MAD as
+    * kth-smallest ORDER STATISTICS (the q_winsorize exactness recipe —
+    * actual data values, zero interpolation/rounding, bit-stable
+    * cross-engine), then count values outside
+    * median ± 3 · (1.4826 · MAD), the normal-consistent 3σ-equivalent.
+    *
+    * The k-th smallest VALUE is well-defined under ties even though
+    * row_number's tie order isn't — which is exactly why the bound is an
+    * order statistic and not an average-of-middle-two median.
+    *
+    * Scale: two per-group sorts (values, then deviations) — the
+    * oracle-exact baseline; at billions of rows per group the bounds
+    * swap to approx_percentile and the flagging pass is unchanged
+    * (q_quantile_stats asserts that exact-vs-approx split). */
+  /** Kernel: per-group (median, mad, n, n_outliers) for any
+    * (group, value) frame. */
+  def madProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val o = df.select(g, col(valueCol).as("__v"))
+    val wv = Window.partitionBy(g).orderBy(col("__v"))
+    val wn = Window.partitionBy(g)
+    val med = o.select(g, col("__v"),
+        row_number().over(wv).as("__rn"), count(lit(1)).over(wn).as("__n"))
+      .groupBy(g)
+      .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("__v")))
+        .as("median"))
+    val dev = o.join(broadcast(med), Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("median")))
+    val wd = Window.partitionBy(g).orderBy(col("__d"))
+    val mad = dev.select(g, col("__d"),
+        row_number().over(wd).as("__rn"), count(lit(1)).over(wn).as("__n"))
+      .groupBy(g)
+      .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("__d")))
+        .as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(g)
+      .agg(
+        min(col("median")).as("median"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__d") > col("mad") * 4.4478, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    madProfile(
+      Tables.orders(s, dir)
+        .select($"o_orderpriority".as("priority"), $"o_totalprice".as("v")),
+      "priority", "v")
+      .orderBy($"priority")
+  }
+
+  private val madOutliersSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority, o_totalprice AS v FROM orders),
+      |rv AS (
+      |  SELECT priority, v,
+      |    row_number() OVER (PARTITION BY priority ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY priority) AS n
+      |  FROM o),
+      |med AS (
+      |  SELECT priority, MAX(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS median
+      |  FROM rv GROUP BY priority),
+      |dev AS (
+      |  SELECT priority, median, abs(v - median) AS d
+      |  FROM o JOIN med USING (priority)),
+      |rd AS (
+      |  SELECT priority, d,
+      |    row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+      |    COUNT(*) OVER (PARTITION BY priority) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT priority, MAX(CASE WHEN rn = ceil(n * 0.5) THEN d END) AS mad
+      |  FROM rd GROUP BY priority)
+      |SELECT priority, MIN(median) AS median, MIN(mad) AS mad,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN d > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev JOIN mad USING (priority)
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_mad_outliers", madOutliers, Some(madOutliersSql), bench = true),
     NamedQuery("q_quantile_stats", quantileStats, Some(quantileStatsSql), bench = true),
     NamedQuery("q_quality_cutoff", qualityCutoff, Some(qualityCutoffSql), bench = true),
     NamedQuery("q_rare_terms", rareTerms, Some(rareTermsSql), bench = true),

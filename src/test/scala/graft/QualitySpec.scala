@@ -51,6 +51,32 @@ class QualitySpec extends GraftSuite {
     }
   }
 
+  test("madProfile: hand-computed median/MAD on a planted group; outlier flagged") {
+    import spark.implicits._
+    // values 1..9 plus one wild 1000: median = 5th smallest = 5,
+    // deviations sorted 0,1,1,2,2,3,3,4,4,995 → MAD = 5th = 2,
+    // bound = 2 * 4.4478 ≈ 8.9 → only the 1000 is outside
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0)).toDF("g", "v")
+    val r = graft.operators.Quality.madProfile(df, "g", "v").collect()(0)
+    assert(r.getString(0) == "a")
+    assert(r.getDouble(1) == 5.0, "median")
+    assert(r.getDouble(2) == 2.0, "mad")
+    assert(r.getLong(3) == 10L)
+    assert(r.getLong(4) == 1L, "only the wild value is an outlier")
+  }
+
+  test("madProfile is robust: one wild value cannot move the median or MAD") {
+    import spark.implicits._
+    val base = (1 to 99).map(v => ("a", v.toDouble))
+    val clean = graft.operators.Quality.madProfile(base.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    val dirty = graft.operators.Quality.madProfile(
+      (base :+ (("a", 1e12))).toDF("g", "v"), "g", "v").collect()(0)
+    // median 50 and MAD 25 stay put (rank shifts by at most one place)
+    assert(math.abs(dirty.getDouble(1) - clean.getDouble(1)) <= 1.0)
+    assert(math.abs(dirty.getDouble(2) - clean.getDouble(2)) <= 1.0)
+  }
+
   test("rare-terms df table joins broadcast — corpus explode never shuffles twice") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
