@@ -155,4 +155,24 @@ object SketchFunctions {
   def misraGries(c: Column, k: Int): Column =
     ExpressionUtils.column(
       MisraGriesAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Bloom-filter aggregate over xxhash64(col) — Spark's own runtime-
+    * filter sketch (org.apache.spark.util.sketch.BloomFilter), exposed
+    * for explicit membership prefilters. `expectedItems` sizes the bit
+    * array (~1% fpp at the default bits-per-item). */
+  def bloomAgg(c: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(org.apache.spark.sql.functions.xxhash64(c)),
+        expectedItems).toAggregateExpression())
+
+  /** might_contain(bloomBinary, col): false ⇒ DEFINITELY absent from the
+    * aggregated set; true ⇒ present or a false positive. NULL bloom
+    * (empty build side) returns NULL — callers decide the semantics
+    * (an empty history means "definitely new"). */
+  def mightContain(bloom: Column, c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom),
+        ExpressionUtils.expression(org.apache.spark.sql.functions.xxhash64(c))))
 }

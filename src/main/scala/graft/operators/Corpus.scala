@@ -142,6 +142,46 @@ object Corpus {
       |  SELECT 1 FROM d h WHERE h.half < '8' AND h.digest = b.digest)
       |ORDER BY keep_id""".stripMargin
 
+  // ----------------------------------------------------- q_incremental_dedup_bloom
+  /** Bloom-prefiltered incremental dedup — the same answer as
+    * q_incremental_dedup, through the plan that wins when the batch is
+    * overwhelmingly NEW content (the steady state of a crawl): build
+    * Spark's own bloom sketch over the history digests (one pass, a
+    * few MB regardless of history size), broadcast it with the one-row
+    * cross join, and route each batch digest by `might_contain`:
+    *  - false → DEFINITELY not in history: ships straight to the output,
+    *    never entering the anti-join;
+    *  - true → present OR a false positive (~1%): only these reach the
+    *    exact digest anti-join.
+    * The expensive exchange therefore carries ~(true dups + 1% fp) of
+    * the batch instead of all of it, and exactness is preserved because
+    * the bloom only ever short-circuits definite negatives. A NULL
+    * sketch (empty history) coalesces to "definitely new". */
+  val BloomExpectedItems = 1000000L
+
+  private def incrementalDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchFunctions
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("digest"),
+        saltedSlice("split:", $"doc_id").as("half"))
+    val history = docs.filter($"half" < "8").select($"digest")
+    // might_contain requires its sketch as a scalar subquery (the
+    // InjectRuntimeFilter plumbing) — not a joined attribute
+    val bloom = org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(
+      history.agg(SketchFunctions.bloomAgg($"digest", BloomExpectedItems)))
+    val batch = docs.filter($"half" >= "8")
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies_in_batch"))
+      .withColumn("__maybe",
+        coalesce(SketchFunctions.mightContain(bloom, $"digest"), lit(false)))
+      .select($"digest", $"keep_id", $"n_copies_in_batch", $"__maybe")
+    val definitelyNew = batch.filter(!$"__maybe").drop("__maybe")
+    val survivors = batch.filter($"__maybe").drop("__maybe")
+      .join(history.distinct(), Seq("digest"), "left_anti")
+    definitelyNew.unionByName(survivors).orderBy($"keep_id")
+  }
+
   // -------------------------------------------------------------- q_token_histogram
   /** Token-length distribution per source — the corpus-report histogram
     * behind context-length and packing decisions. Bucket arithmetic is
@@ -259,6 +299,9 @@ object Corpus {
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupSql), bench = true),
+    // same oracle: the bloom path must produce the identical answer
+    NamedQuery("q_incremental_dedup_bloom", incrementalDedupBloom,
       Some(incrementalDedupSql), bench = true),
     NamedQuery("q_cap_per_source", capPerSource,
       Some(capPerSourceSql), bench = true),

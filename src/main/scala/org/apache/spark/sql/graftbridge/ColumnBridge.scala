@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A one-row one-column DataFrame as a scalar-subquery Column — the
+    * form expressions like `might_contain` require their sketch input
+    * in (the same way InjectRuntimeFilter plumbs its bloom build side).
+    * Identical subquery instances are deduplicated by ReuseSubquery. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }

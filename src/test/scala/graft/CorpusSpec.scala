@@ -63,6 +63,43 @@ class CorpusSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("bloom incremental dedup: identical answer to the exact path, bloom in plan") {
+    val exact = SparkEntry.queries("q_incremental_dedup")(spark, sf)
+    val bloom = SparkEntry.queries("q_incremental_dedup_bloom")(spark, sf)
+    assertSameRows(exact, bloom)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from plan:\n$plan")
+  }
+
+  test("bloom prefilter: empty history routes every batch digest to definitely-new") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val history = Seq.empty[String].toDF("digest")
+    val bloom = ColumnBridge.scalarSubquery(
+      history.agg(SketchFunctions.bloomAgg($"digest", 100L)))
+    val out = Seq("d1", "d2").toDF("digest")
+      .withColumn("maybe",
+        coalesce(SketchFunctions.mightContain(bloom, $"digest"), lit(false)))
+      .collect().map(_.getBoolean(1))
+    assert(out.forall(_ == false), "NULL bloom must coalesce to definitely-new")
+  }
+
+  test("bloom membership: no false negatives on the aggregated set") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val members = (0 until 1000).map(i => s"digest$i")
+    val bloom = ColumnBridge.scalarSubquery(
+      members.toDF("digest")
+        .agg(SketchFunctions.bloomAgg($"digest", 10000L)))
+    val missed = members.toDF("digest")
+      .filter(!SketchFunctions.mightContain(bloom, $"digest"))
+      .count()
+    assert(missed == 0, "bloom false negative — membership guarantee broken")
+  }
+
   test("shard assignment drives a partitioned writer: pruned reads, round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
     try {
