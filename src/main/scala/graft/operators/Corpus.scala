@@ -142,6 +142,55 @@ object Corpus {
       |  SELECT 1 FROM d h WHERE h.half < '8' AND h.digest = b.digest)
       |ORDER BY keep_id""".stripMargin
 
+  // ----------------------------------------------------------------- q_mix_sample
+  /** Temperature mixing APPLIED: turn q_mix_weights' per-source ratios
+    * into an actual sampled corpus, deterministically. Each source's
+    * ratio becomes an integer threshold floor(ratio · 16^6); a doc is
+    * kept iff the first 6 hex chars of its salted md5, read as an
+    * integer, fall below the threshold — so the realized rate tracks the
+    * ratio to ~6·10^-8, the selection is seed- and layout-free, and the
+    * anchor source (ratio exactly 1.0 → threshold 16^6) keeps every doc
+    * with no edge case. The ratio itself is the bit-exact construction
+    * q_mix_weights proves (integer token counts → one sqrt → one
+    * window-MAX-normalized division), so floor lands identically in both
+    * engines. Per-source thresholds broadcast onto the corpus scan: one
+    * row-local filter pass, no extra shuffle. */
+  private def mixSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = sqrt($"n_tokens".cast("double"))
+    val rates = Tables.documents(s, dir)
+      .select($"source", TextAnalysis.bpeTokensCol($"text").as("t"))
+      .groupBy($"source").agg(sum($"t").as("n_tokens"))
+      .select($"source",
+        floor(w / max(w).over(Window.partitionBy()) * 16777216.0)
+          .cast("long").as("thr"))
+    val hexInt = conv(
+      substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 6),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .join(broadcast(rates), Seq("source"))
+      .filter(hexInt < $"thr")
+      .select($"doc_id", $"source", $"thr")
+      .orderBy($"doc_id")
+  }
+
+  private val mixSampleSql =
+    s"""WITH s AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+       |      / max(sqrt(CAST(n_tokens AS DOUBLE))) OVER () * 16777216.0) AS BIGINT)
+       |      AS thr
+       |  FROM s)
+       |SELECT d.doc_id, d.source, r.thr
+       |FROM documents d JOIN r USING (source)
+       |WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) < r.thr
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------- q_incremental_dedup_bloom
   /** Bloom-prefiltered incremental dedup — the same answer as
     * q_incremental_dedup, through the plan that wins when the batch is
@@ -298,6 +347,7 @@ object Corpus {
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
+    NamedQuery("q_mix_sample", mixSample, Some(mixSampleSql), bench = true),
     NamedQuery("q_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql), bench = true),
     // same oracle: the bloom path must produce the identical answer

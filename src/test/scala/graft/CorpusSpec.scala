@@ -63,6 +63,26 @@ class CorpusSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("q_mix_sample: realized per-source rates track the mix ratios") {
+    val ratios = SparkEntry.queries("q_mix_weights")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val totals = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("q_mix_sample")(spark, sf)
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ratios.foreach { case (src, ratio) =>
+      val realized = sampled.getOrElse(src, 0L).toDouble / totals(src)
+      // small-n binomial noise: allow a wide but meaningful band
+      assert(math.abs(realized - ratio) < 0.25,
+        s"$src: realized $realized vs ratio $ratio")
+    }
+    // the anchor source (ratio 1.0) keeps every doc — no edge case
+    val anchor = ratios.maxBy(_._2)._1
+    assert(ratios(anchor) == 1.0)
+    assert(sampled(anchor) == totals(anchor), "anchor source must keep all docs")
+  }
+
   test("bloom incremental dedup: identical answer to the exact path, bloom in plan") {
     val exact = SparkEntry.queries("q_incremental_dedup")(spark, sf)
     val bloom = SparkEntry.queries("q_incremental_dedup_bloom")(spark, sf)
