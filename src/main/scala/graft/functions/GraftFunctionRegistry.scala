@@ -62,6 +62,9 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_int8_quant_stats"),
       info("graft_int8_quant_stats", "_FUNC_(emb) - int8 quantization (scale, max_abs_err)"),
       arity("graft_int8_quant_stats", 1)(args => Int8QuantStats(args(0)))),
+    (FunctionIdentifier("graft_zorder"),
+      info("graft_zorder", "_FUNC_(x, y) - Morton z-order interleave of two 16-bit buckets"),
+      arity("graft_zorder", 2)(args => ZOrder2(args(0), args(1)))),
     (FunctionIdentifier("graft_misra_gries"),
       info("graft_misra_gries", "_FUNC_(col, k) - Misra-Gries heavy-hitter candidate set"),
       arity("graft_misra_gries", 2)(args => {

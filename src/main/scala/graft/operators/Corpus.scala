@@ -142,6 +142,40 @@ object Corpus {
       |  SELECT 1 FROM d h WHERE h.half < '8' AND h.digest = b.digest)
       |ORDER BY keep_id""".stripMargin
 
+  // --------------------------------------------------------------------- q_zorder
+  /** Z-order clustering key over (customer, order-day) — the
+    * two-dimensional layout sort behind OPTIMIZE ZORDER BY: writing the
+    * fact table in zkey order puts rows close in BOTH dimensions into
+    * the same files, so file-level min/max stats prune 2-D range
+    * predicates (customer range × date range) that a single-column sort
+    * serves only for its leading column. The interleave is the native
+    * codegen ZOrder2 expression (functions/LayoutExprs.scala) — row-
+    * local, one global range-sort, the exact shape of a layout-optimize
+    * write job. The oracle recomputes the Morton key bit-by-bit in SQL,
+    * so a single wrong interleaved bit hash-fails the row. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.LayoutFunctions
+    val x = pmod($"o_custkey", lit(65536L))
+    val y = pmod(datediff($"o_orderdate", lit("1992-01-01").cast("date")),
+      lit(65536)).cast("long")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", x.as("zx"), y.as("zy"),
+        LayoutFunctions.zorder(x, y).as("zkey"))
+      .orderBy($"zkey", $"o_orderkey")
+  }
+
+  private val zorderSql =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey % 65536 AS zx,
+      |    datediff('day', DATE '1992-01-01', o_orderdate) % 65536 AS zy
+      |  FROM orders)
+      |SELECT o_orderkey, zx, zy,
+      |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+      |    (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i+1))))
+      |    AS BIGINT) AS zkey
+      |FROM b ORDER BY zkey, o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------- q_mix_sample
   /** Temperature mixing APPLIED: turn q_mix_weights' per-source ratios
     * into an actual sampled corpus, deterministically. Each source's
@@ -348,6 +382,7 @@ object Corpus {
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_mix_sample", mixSample, Some(mixSampleSql), bench = true),
+    NamedQuery("q_zorder", zorderLayout, Some(zorderSql), bench = true),
     NamedQuery("q_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql), bench = true),
     // same oracle: the bloom path must produce the identical answer

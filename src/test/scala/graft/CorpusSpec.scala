@@ -63,6 +63,37 @@ class CorpusSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("zorder: known interleaves, codegen agrees with the JVM kernel") {
+    import graft.functions.{LayoutFunctions, LayoutImpl}
+    // hand-checked Morton values
+    assert(LayoutImpl.zorder2(1, 0) == 1L)
+    assert(LayoutImpl.zorder2(0, 1) == 2L)
+    assert(LayoutImpl.zorder2(3, 3) == 15L)
+    assert(LayoutImpl.zorder2(0xFFFF, 0) == 0x55555555L)
+    assert(LayoutImpl.zorder2(0, 0xFFFF) == 0xAAAAAAAAL)
+    // masking: only the low 16 bits participate
+    assert(LayoutImpl.zorder2(0x10001, 0) == 1L)
+    val pairs = Seq((5L, 9L), (123L, 456L), (65535L, 65535L), (0L, 0L))
+    val got = pairs.toDF("x", "y")
+      .select(LayoutFunctions.zorder($"x", $"y")).collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (x, y) => LayoutImpl.zorder2(x, y) })
+  }
+
+  test("zorder locality: sorting by zkey keeps 2-D quadrants contiguous") {
+    import graft.functions.LayoutImpl
+    // 16x16 grid: after a z-sort, every run of 64 consecutive keys is
+    // exactly one 8x8 quadrant — the property file-level min/max pruning
+    // relies on (a lexicographic (x,y) sort interleaves quadrants instead)
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val sorted = cells.sortBy { case (x, y) => LayoutImpl.zorder2(x, y) }
+    sorted.grouped(64).zipWithIndex.foreach { case (quad, _) =>
+      val qx = quad.map(_._1 / 8).distinct
+      val qy = quad.map(_._2 / 8).distinct
+      assert(qx.size == 1 && qy.size == 1,
+        s"z-run spans quadrants: x=$qx y=$qy")
+    }
+  }
+
   test("q_mix_sample: realized per-source rates track the mix ratios") {
     val ratios = SparkEntry.queries("q_mix_weights")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
