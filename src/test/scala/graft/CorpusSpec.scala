@@ -94,6 +94,43 @@ class CorpusSpec extends GraftSuite {
     }
   }
 
+  test("zorder layout: a 2-D box filter materializes far fewer rows than a shuffled layout") {
+    import graft.functions.LayoutFunctions
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    try {
+      val o = Tables.orders(spark, sf)
+      val keyed = o.select($"o_orderkey",
+        pmod($"o_custkey", lit(65536L)).as("zx"),
+        pmod(datediff($"o_orderdate", lit("1992-01-01").cast("date")),
+          lit(65536)).cast("long").as("zy"))
+        .withColumn("zkey", LayoutFunctions.zorder($"zx", $"zy"))
+      keyed.repartitionByRange(8, $"zkey")
+        .write.mode("overwrite").parquet(s"$dir/zsorted")
+      keyed.repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/shuffled")
+      // min/max stats prune a 2-D box exactly when a file's (zx, zy)
+      // bounding box is small — measure the per-file bounding-box area
+      // each layout exposes to the pruner (engine-agnostic, deterministic,
+      // unlike scan metrics, which parquet's page-level column indexes
+      // zero out for BOTH layouts on selective boxes at test scale)
+      def meanBBoxArea(path: String): Double = {
+        val areas = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(((max($"zx") - min($"zx") + 1) *
+            (max($"zy") - min($"zy") + 1)).as("area"))
+          .collect().map(_.getLong(1))
+        areas.sum.toDouble / areas.length
+      }
+      val zArea = meanBBoxArea(s"$dir/zsorted")
+      val rArea = meanBBoxArea(s"$dir/shuffled")
+      assert(zArea < rArea / 4,
+        s"z-sort mean file bbox $zArea vs shuffled $rArea — no locality win")
+      // and both layouts hold the same rows
+      assert(spark.read.parquet(s"$dir/zsorted").count() ==
+        spark.read.parquet(s"$dir/shuffled").count())
+    } finally rmTree(dir)
+  }
+
   test("q_mix_sample: realized per-source rates track the mix ratios") {
     val ratios = SparkEntry.queries("q_mix_weights")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
