@@ -334,6 +334,153 @@ object Dedup {
       |  CAST(2 + doc_id % 3 AS BIGINT) AS cluster_size
       |FROM documents ORDER BY cluster_id""".stripMargin
 
+  /** Connected components in O(log d) rounds: alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+    * Same contract as [[resolveClusters]] (labels = smallest reachable
+    * id), different round complexity: min-label propagation needs
+    * diameter-many rounds, star contraction roughly halves the diameter
+    * every round, so path-shaped components of length d converge in
+    * ~2·log₂(d) rounds instead of d. This is the resolver to reach for
+    * when components are NOT shallow — e.g. chained near-dup editions
+    * (v1~v2~v3~…) or URL/redirect graphs — where propagation's
+    * per-round barrier count would dominate the job.
+    *
+    * Round shape (all id-only, no payload):
+    *  - large-star: one shuffle keyed on the node (window MIN over the
+    *    symmetrized neighbor list) — every neighbor larger than u links
+    *    to u's minimum; components stay connected, long tails fold in
+    *    half;
+    *  - small-star: one shuffle keyed on the LARGER endpoint of each
+    *    edge — a node and its smaller neighbors all link to their
+    *    minimum;
+    *  - one distinct per star op bounds the edge multiset (emitted
+    *    stars overlap), and a per-round localCheckpoint cuts lineage
+    *    exactly like the propagation resolver.
+    * Convergence: LS∘SS is deterministic and monotone in the paper's
+    * potential, so "round output == round input" IS the fixed point —
+    * checked with a count + one-sided exceptAll at `checkEvery`
+    * boundaries. At the fixed point every component is a star rooted at
+    * its minimum id, so labels fall out of the edge list directly; a
+    * final left-join re-attaches nodes whose only edges were
+    * self-loops (stars drop them, the propagation resolver keeps them). */
+  def resolveClustersStar(pairs: DataFrame, maxIter: Int = 16,
+      checkEvery: Int = 2): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(checkEvery >= 1 && checkEvery <= 10,
+      s"checkEvery must be in [1, 10], got $checkEvery")
+    // every node ever seen, including self-loop-only ones — re-attached
+    // at the end so the output node set matches resolveClusters exactly
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical undirected state: (lo, hi), lo < hi, set-valued
+    var canon = pairs
+      .select(least($"doc_a", $"doc_b").as("lo"),
+        greatest($"doc_a", $"doc_b").as("hi"))
+      .filter($"lo" =!= $"hi")
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: per node u over the SYMMETRIZED neighbor list, every
+    // strictly-larger neighbor v links to m = min(Γ(u) ∪ {u}); m ≤ u < v,
+    // so (m, v) is already canonical and never a self-loop
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"lo".as("u"), $"hi".as("v"))
+        .unionByName(e.select($"hi".as("u"), $"lo".as("v")))
+      sym
+        .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
+        .filter($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi"))
+        .distinct()
+    }
+
+    // small-star: per node u over its SMALLER neighbors (each canonical
+    // edge processed once, at its larger endpoint), u and all of Γ<(u)
+    // link to m = min(Γ<(u)); emits (m, x) for x ∈ Γ<(u) ∪ {u}, x ≠ m
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"u")
+      e.select($"hi".as("u"), $"lo".as("v"))
+        .withColumn("m", min($"v").over(w))
+        .select(
+          explode(array(
+            struct($"m".as("lo"), $"u".as("hi")),
+            struct(least($"v", $"m").as("lo"), greatest($"v", $"m").as("hi"))))
+            .as("e"))
+        .select($"e.lo", $"e.hi")
+        .filter($"lo" =!= $"hi")
+        .distinct()
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(canon))
+      i += 1
+      if (i % checkEvery == 0 || i == maxIter) {
+        val mat = next.localCheckpoint(true)
+        // set equality on set-valued frames: equal counts + one empty
+        // one-sided diff ⇒ equal sets ⇒ fixed point of a deterministic,
+        // monotone round function
+        converged = mat.count() == canon.count() &&
+          mat.exceptAll(canon).isEmpty
+        canon = mat
+      } else {
+        canon = next
+      }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"resolveClustersStar did not converge in $maxIter rounds — raise " +
+        s"maxIter (rounds needed ≈ 2·log₂(component diameter))")
+    // fixed point = stars rooted at component minima: edge (lo, hi) IS
+    // the label assignment hi -> lo; roots and self-loop-only nodes
+    // label themselves
+    val labels = canon.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+  }
+
+  // ------------------------------------------------------------- q_cluster_star
+  /** Driver-visible gate for the star resolver, on the graph shape that
+    * motivates it: per document a planted copy CHAIN of 24 + doc_id % 8
+    * copies (ids doc_id + k·PlantOffset, consecutive edges only) — path
+    * components of diameter 24-32, beyond the propagation resolver's
+    * default 20-round cap, resolved here in ≤ 16 star rounds. The
+    * expected answer is pure id arithmetic (cluster id = original
+    * doc_id, size = 25 + doc_id % 8), so a split, merged, or mis-rooted
+    * component surfaces as a hash-mismatched CORRECTNESS row.
+    * DedupSpec asserts propagation at the default cap refuses exactly
+    * this graph while the star resolver labels it identically to
+    * uncapped propagation. */
+  val StarChainBase = 24
+  val StarChainMod = 8
+
+  private def clusterStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "clusterStar")
+    val P = Similarity.PlantOffset
+    val edges = docs.select($"doc_id",
+        explode(sequence(lit(1L),
+          lit(StarChainBase.toLong) + pmod($"doc_id", lit(StarChainMod.toLong))))
+          .as("k"))
+      .select(($"doc_id" + ($"k" - 1) * P).as("doc_a"),
+        ($"doc_id" + $"k" * P).as("doc_b"))
+    resolveClustersStar(edges)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy($"cluster_id")
+  }
+
+  private val clusterStarSql =
+    s"""SELECT doc_id AS cluster_id,
+       |  CAST(${StarChainBase + 1} + doc_id % $StarChainMod AS BIGINT)
+       |    AS cluster_size
+       |FROM documents ORDER BY cluster_id""".stripMargin
+
   private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
@@ -628,6 +775,8 @@ object Dedup {
     NamedQuery("q_dedup_clusters", dedupClusters, None, bench = true),
     NamedQuery("q_cluster_propagation", clusterPropagation,
       Some(clusterPropagationSql), bench = true),
+    NamedQuery("q_cluster_star", clusterStar, Some(clusterStarSql),
+      bench = true),
     NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
     NamedQuery("q_simhash_recall", simhashRecall, Some(simhashRecallSql)),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))

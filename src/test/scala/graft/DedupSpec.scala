@@ -165,6 +165,52 @@ class DedupSpec extends GraftSuite {
     assert(Dedup.resolveClusters(empty).count() == 0)
   }
 
+  // ------------------------------------------------- star contraction resolver
+  test("resolveClustersStar matches propagation on chains, cliques, and pairs") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),                 // component {1,2,3} via 2
+      (10L, 11L), (11L, 12L), (12L, 13L), // chain -> {10..13}
+      (20L, 21L), (21L, 20L),             // duplicate edge both directions
+      (30L, 30L),                         // self-loop-only node
+      (40L, 41L), (40L, 42L), (41L, 42L)) // triangle
+      .toDF("doc_a", "doc_b")
+    val star = canon(Dedup.resolveClustersStar(pairs))
+    val prop = canon(Dedup.resolveClusters(pairs))
+    assert(star == prop, s"star vs propagation labeling differs:\n$star\nvs\n$prop")
+  }
+
+  test("resolveClustersStar converges in O(log d) rounds on a deep chain " +
+      "that exceeds propagation's default cap") {
+    // a 64-edge path: diameter 64 — propagation at its default 20-round
+    // cap must refuse it; star contraction needs ~2·log₂(64) rounds
+    val deep = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(deep).collect()
+    }
+    val star = canon(Dedup.resolveClustersStar(deep, maxIter = 16))
+    val truth = canon(Dedup.resolveClusters(deep, maxIter = 80))
+    assert(star == truth, "star labeling must equal uncapped propagation")
+    assert(star.forall(_.startsWith("0|")), "chain must collapse to cluster 0")
+  }
+
+  test("resolveClustersStar on an empty pair set returns an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.resolveClustersStar(empty).count() == 0)
+  }
+
+  test("q_cluster_star: planted deep chains resolve to id-arithmetic clusters") {
+    val out = SparkEntry.queries("q_cluster_star")(spark, sf).collect()
+    val docIds = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.map(_.getLong(0)).toSeq == docIds.toSeq,
+      "every original doc must root exactly one cluster")
+    out.foreach { r =>
+      val expected = Dedup.StarChainBase + 1 + r.getLong(0) % Dedup.StarChainMod
+      assert(r.getLong(1) == expected,
+        s"cluster ${r.getLong(0)}: size ${r.getLong(1)} != $expected")
+    }
+  }
+
   test("resolveClusters batched convergence polling: same labels, fewer driver jobs") {
     // a 10-node chain needs ~9 propagation rounds — deep enough that
     // polling every 3rd round visibly cuts driver barriers
