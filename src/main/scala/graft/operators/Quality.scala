@@ -262,7 +262,71 @@ object Quality {
       |FROM dev JOIN mad USING (priority)
       |GROUP BY priority ORDER BY priority""".stripMargin
 
+  // --------------------------------------------------------------- q_standardize
+  /** Per-group feature scaling — z-score and min-max — the featurization
+    * step before any learned quality classifier or embedding model sees
+    * tabular signals. PARTITIONING-INVARIANT like q_correlation: the
+    * per-group moments (n, Σx, Σx²) are exact DECIMAL sums, min/max are
+    * exact, and each row's scaled values are then a fixed IEEE sequence
+    * (sub, div, sqrt) over bit-identical doubles — reproducible on any
+    * cluster layout and in any engine, zero rounding in the oracle.
+    *
+    * Scale shape: one aggregation keyed by the group (partial map-side
+    * combine — five numbers per group cross the wire), then the tiny
+    * stats frame broadcast-joins back onto the fact side. The facts are
+    * NEVER shuffled: contrast a window formulation, which would move
+    * every row to sort it inside its group just to attach group stats. */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val g = col(groupCol)
+    val x = col(valueCol)
+    val stats = df.groupBy(g).agg(
+      count(x).as("__n"),
+      graft.functions.Exact.dsum(x, scale).as("__sx"),
+      graft.functions.Exact.dsum(x * x, 2 * scale).as("__sxx"),
+      min(x).as("__min"),
+      max(x).as("__max"))
+    val n = col("__n").cast("double")
+    val mean = col("__sx") / n
+    // sample stddev from exact sufficient statistics
+    val sd = sqrt((n * col("__sxx") - col("__sx") * col("__sx")) /
+      (n * (n - lit(1.0))))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z_score", (x - mean) / sd)
+      .withColumn("min_max",
+        (x - col("__min")) / (col("__max") - col("__min")))
+      .drop("__n", "__sx", "__sxx", "__min", "__max")
+  }
+
+  private def standardizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    standardize(Tables.customer(s, dir), "c_mktsegment", "c_acctbal")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        $"z_score", $"min_max")
+      .orderBy($"c_custkey")
+  }
+
+  private val standardizeSql = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH stats AS (
+       |  SELECT c_mktsegment, COUNT(c_acctbal) AS n,
+       |    ${sqlDsum("c_acctbal")} AS sx,
+       |    ${sqlDsum("c_acctbal * c_acctbal", 4)} AS sxx,
+       |    MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+       |  FROM customer GROUP BY c_mktsegment)
+       |SELECT c_custkey, c_mktsegment, c_acctbal,
+       |  (c_acctbal - sx / CAST(n AS DOUBLE))
+       |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+       |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z_score,
+       |  (c_acctbal - mn) / (mx - mn) AS min_max
+       |FROM customer JOIN stats USING (c_mktsegment)
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_standardize", standardizeQuery, Some(standardizeSql),
+      bench = true),
     NamedQuery("q_mad_outliers", madOutliers, Some(madOutliersSql), bench = true),
     NamedQuery("q_quantile_stats", quantileStats, Some(quantileStatsSql), bench = true),
     NamedQuery("q_quality_cutoff", qualityCutoff, Some(qualityCutoffSql), bench = true),

@@ -317,7 +317,91 @@ object TextAnalysis {
       regexp_replace(c, pat, tag)
     }
 
+  // --------------------------------------------------------------------- q_bm25
+  /** BM25-family retrieval scoring of the corpus against a fixed term
+    * query — the ranking function behind lexical retrieval, used in
+    * training-data pipelines to pull topic-relevant documents and to
+    * mine lexical hard negatives for embedding models. The classic ln()
+    * idf is replaced by its odds ratio (N - df + 0.5)/(df + 0.5) — ln is
+    * monotone, so rankings are preserved — because ln's last-ulp is
+    * library-dependent while +,*,/ are exact IEEE ops: scores are
+    * bit-identical in any engine and on any cluster layout, so the
+    * oracle needs zero rounding (same policy as q_correlation).
+    *
+    * Scale shape: term frequencies and document length are ROW-LOCAL
+    * (size(filter(words))) — the corpus is never exploded and never
+    * shuffled; the only aggregation is the one-row corpus-stats frame
+    * (N, Σdl, per-term df — partial map-side), broadcast back as a
+    * single-row join. Top-k lands in TakeOrderedAndProject. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+  val Bm25TopK = 50
+
+  /** Kernel: BM25 odds-ratio scores of `docs` against `terms`; one row
+    * per term-bearing doc with dl, per-term tf, and the score. */
+  def bm25Score(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = split($"text", " ", -1)
+    val perDoc = docs.select(
+      $"doc_id" +: size(words).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(words, w => w === lit(t))).as(s"tf$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n") +: sum($"dl").as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = $"sdl".cast("double") / $"n"
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      (($"n" - df + 0.5) / (df + 0.5)) *
+        (tf * (Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * ($"dl" / avgdl)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select($"doc_id" +: $"dl" +:
+        terms.indices.map(i => col(s"tf$i")) :+ score.as("score"): _*)
+  }
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Score(Tables.documents(s, dir), Bm25Terms)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(Bm25TopK)
+  }
+
+  private val bm25Sql = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    // e0 suffixes force DOUBLE literals: DuckDB parses bare decimal
+    // literals as DECIMAL and would route the idf ratio through decimal
+    // division (different rounding in the last ulp)
+    val score = Bm25Terms.indices.map { i =>
+      s"""((n - df$i + 0.5e0) / (df$i + 0.5e0))
+         |    * (tf$i * ${Bm25K1 + 1.0}e0)
+         |    / (tf$i + ${Bm25K1}e0 * ((${1.0 - Bm25B}e0) + ${Bm25B}e0 * (dl / (CAST(sdl AS DOUBLE) / n))))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sdl, $dfs FROM perdoc)
+       |SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf$i").mkString(", ")},
+       |  $score AS score
+       |FROM perdoc CROSS JOIN stats
+       |WHERE ${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} > 0
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bm25", bm25, Some(bm25Sql), bench = true),
     NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     NamedQuery("q_token_count", tokenCount, Some(tokenCountSql), bench = true),
     NamedQuery("q_lang_id", langId, Some(langIdSql), bench = true),

@@ -168,7 +168,76 @@ object Upsert {
       |  FROM changes)
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Point-in-time ("as was") join: each fact row joined to the dim
+    * VERSION valid at its event date — the read side of SCD-2, and the
+    * lookup every backtest / training-data snapshot needs (joining
+    * today's attributes onto historical events is label leakage).
+    *
+    * Scale shape: this is deliberately NOT a range join. The version
+    * interval predicate rides as a residual filter on a plain KEY
+    * equi-join — per key there are only a handful of versions, so the
+    * equi-join bounds the multiplicity and Spark plans a hash/sort-merge
+    * join on the key (broadcast when the dim fits), never an
+    * interval-bucketed or nested-loop plan. The fact side arrives
+    * already partitioned by the join key and is never re-shuffled for
+    * the validity check. */
+  def pointInTime(facts: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, eventCol: String): DataFrame = {
+    val valid = facts(eventCol) >= dim("valid_from") &&
+      (dim("valid_to").isNull || facts(eventCol) < dim("valid_to"))
+    facts.join(dim, facts(factKey) === dim(dimKey) && valid)
+      .drop(dim(dimKey))
+  }
+
+  // ------------------------------------------------------------------ q_scd2_pit
+  /** Orders joined to the customer balance "as was" on the order date:
+    * the SCD-2 dim seeds every customer open from 1992-01-01, every
+    * 100th customer re-versions effective 1995-06-01 (+500 balance) —
+    * so TPC-H order dates (1992-1998) straddle the version boundary and
+    * both the closed and the open slice are exercised. One row per
+    * order; a wrong-version pick changes aswas_acctbal and fails the
+    * hash compare. */
+  private def scd2PitQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seed = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal",
+        to_date(lit("1992-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    val changes = Tables.customer(s, dir)
+      .filter($"c_custkey" % 100 === 0)
+      .select($"c_custkey", ($"c_acctbal" + 500.0).as("c_acctbal"),
+        to_date(lit("1995-06-01")).as("effective"))
+    val dim = scd2(seed, changes, "c_custkey", "effective")
+    val facts = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".cast("date").as("o_date"))
+    pointInTime(facts, dim, "o_custkey", "c_custkey", "o_date")
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_date", "yyyy-MM-dd").as("order_date"),
+        $"c_acctbal".as("aswas_acctbal"),
+        date_format($"valid_from", "yyyy-MM-dd").as("version_from"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val scd2PitSql =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    DATE '1992-01-01' AS valid_from,
+      |    CASE WHEN c_custkey % 100 = 0 THEN DATE '1995-06-01' END AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 500.0, DATE '1995-06-01', NULL
+      |  FROM customer WHERE c_custkey % 100 = 0)
+      |SELECT o_orderkey, o_custkey,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |  c_acctbal AS aswas_acctbal,
+      |  strftime(valid_from, '%Y-%m-%d') AS version_from
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |  AND CAST(o_orderdate AS DATE) >= valid_from
+      |  AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_upsert", upsertQuery, Some(upsertSql), bench = true),
-    NamedQuery("q_scd2", scd2Query, Some(scd2Sql), bench = true))
+    NamedQuery("q_scd2", scd2Query, Some(scd2Sql), bench = true),
+    NamedQuery("q_scd2_pit", scd2PitQuery, Some(scd2PitSql), bench = true))
 }

@@ -85,4 +85,41 @@ class QualitySpec extends GraftSuite {
       assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // ---------------------------------------------------------------- standardize
+  test("standardize: z-scores have zero mean / unit variance per group; " +
+      "min_max spans [0,1]") {
+    import graft.operators.Quality
+    val out = Quality.standardize(Tables.customer(spark, sf),
+      "c_mktsegment", "c_acctbal")
+    val byGroup = out.select($"c_mktsegment", $"z_score", $"min_max")
+      .collect().groupBy(_.getString(0))
+    byGroup.foreach { case (g, rows) =>
+      val zs = rows.map(_.getDouble(1))
+      val n = zs.length
+      assert(math.abs(zs.sum / n) < 1e-9, s"group $g: z mean != 0")
+      assert(math.abs(zs.map(z => z * z).sum / (n - 1) - 1.0) < 1e-9,
+        s"group $g: z variance != 1")
+      val mm = rows.map(_.getDouble(2))
+      assert(math.abs(mm.min) < 1e-12 && math.abs(mm.max - 1.0) < 1e-12,
+        s"group $g: min_max must span [0,1] exactly")
+    }
+  }
+
+  test("standardize is partitioning-invariant (exact decimal moments)") {
+    import graft.operators.Quality
+    val c = Tables.customer(spark, sf)
+    val a = canon(Quality.standardize(c, "c_mktsegment", "c_acctbal"))
+    val b = canon(Quality.standardize(c.repartition(13), "c_mktsegment",
+      "c_acctbal"))
+    assert(a == b, "scaled values must be bit-identical on any layout")
+  }
+
+  test("standardize broadcasts the stats frame — facts never shuffle") {
+    import graft.operators.Quality
+    val plan = Quality.standardize(Tables.customer(spark, sf),
+      "c_mktsegment", "c_acctbal").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group stats must re-attach by broadcast:\n$plan")
+  }
 }

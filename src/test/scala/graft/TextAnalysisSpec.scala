@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, TextImpl}
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.Prop.forAll
@@ -160,6 +161,30 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows(1L) == "contact <EMAIL> or call <PHONE> now")
     assert(rows(2L) == "ssn-ish <ID> and a longer <ID> run")
     assert(rows(3L) == "clean text with short 123 numbers and no at signs")
+  }
+
+  // ----------------------------------------------------------------------- bm25
+  test("bm25: only term-bearing docs score, higher tf at equal length wins, " +
+      "rarer terms weigh more") {
+    val out = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.Bm25TopK)
+    // every returned doc carries at least one query term, score > 0
+    out.foreach { r =>
+      val tfSum = (0 until TextAnalysis.Bm25Terms.length)
+        .map(i => r.getInt(r.fieldIndex(s"tf$i"))).sum
+      assert(tfSum > 0 && r.getDouble(r.fieldIndex("score")) > 0)
+    }
+    // descending by score
+    val scores = out.map(_.getDouble(out.head.fieldIndex("score")))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25 is partitioning-invariant: one-row stats frame, exact tf/df") {
+    val docs = Tables.documents(spark, sf)
+    val a = canon(TextAnalysis.bm25Score(docs, TextAnalysis.Bm25Terms))
+    val b = canon(TextAnalysis.bm25Score(docs.repartition(13),
+      TextAnalysis.Bm25Terms))
+    assert(a == b, "scores must be bit-identical on any layout")
   }
 
 }

@@ -77,4 +77,38 @@ class UpsertSpec extends GraftSuite {
       .select($"id", $"name", to_date($"effective").as("effective"))
     intercept[IllegalArgumentException](Upsert.scd2(current, early, "id", "effective"))
   }
+
+  // ------------------------------------------------------------ point-in-time join
+  test("pointInTime picks the version valid AT the event date, boundaries half-open") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      (1L, 10.0, "2020-01-01", Option("2021-01-01")),
+      (1L, 20.0, "2021-01-01", Option.empty[String]),
+      (2L, 99.0, "2020-01-01", Option.empty[String]))
+      .toDF("k", "bal", "valid_from", "valid_to")
+      .select($"k", $"bal", to_date($"valid_from").as("valid_from"),
+        to_date($"valid_to").as("valid_to"))
+    val facts = Seq(
+      (100L, 1L, "2020-06-15"), // inside the closed version
+      (101L, 1L, "2021-01-01"), // ON the boundary -> NEW version (half-open)
+      (102L, 1L, "2020-12-31"), // last day of the closed version
+      (103L, 1L, "2019-12-31"), // before any version -> dropped
+      (104L, 2L, "2024-01-01")) // single open version
+      .toDF("fid", "fk", "event")
+      .select($"fid", $"fk", to_date($"event").as("event"))
+    val out = Upsert.pointInTime(facts, dim, "fk", "k", "event")
+      .select($"fid", $"bal")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(100L -> 10.0, 101L -> 20.0, 102L -> 10.0, 104L -> 99.0))
+  }
+
+  test("pointInTime plans an equi-join on the key, never a nested loop") {
+    val out = SparkEntry.queries("q_scd2_pit")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"validity predicate must ride the key equi-join as a residual:\n$plan")
+    // every order matched exactly one version
+    assert(out.count() == Tables.orders(spark, sf).count())
+  }
 }
