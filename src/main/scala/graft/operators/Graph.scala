@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the relational tables — PageRank as
+  * the representative fixed-iteration "Pregel-lite" workload (entity
+  * importance over an interaction graph; in a corpus pipeline the same
+  * loop scores link/citation importance for document quality).
+  *
+  * Scale design (100 TB):
+  *  - each iteration is ONE shuffle pair: join ranks onto the
+  *    (edge, out-degree) frame keyed by src, then aggregate
+  *    contributions keyed by dst — the textbook distributed PageRank
+  *    round, nothing touches node payloads;
+  *  - the degree-annotated edge frame is iteration-invariant: built
+  *    once, localCheckpoint'd, reused every round (no per-round
+  *    recomputation of degrees, no growing lineage);
+  *  - arithmetic is INTEGER micro-units (1e6 per node seed, DIV for
+  *    shares, 85/100 damping) — sums of longs are associative, so
+  *    ranks are bit-identical on any partitioning and any engine, and
+  *    the DuckDB oracle replays the exact iteration in a recursive
+  *    CTE with zero tolerance. Float PageRank would be merge-order
+  *    dependent; integer truncation loses < 100 units/node/round,
+  *    irrelevant for ranking and fully deterministic. */
+object Graph {
+
+  val PageRankIters = 5
+  /** Initial rank mass per node, in micro-units. */
+  val RankUnit = 1000000L
+
+  /** Fixed-iteration integer PageRank over a directed edge list
+    * (columns `src`, `dst`). Every node must have at least one
+    * out-edge (symmetrize the graph first for interaction data —
+    * dangling-mass redistribution is deliberately out of scope). */
+  def pageRank(edges: DataFrame, iters: Int = PageRankIters): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select($"src", $"dst").distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // iteration-invariant: degree-annotated edges, built once
+    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select($"src".as("node")).distinct()
+    var ranks = nodes.withColumn("rank", lit(RankUnit)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy($"node")
+        .agg(sum($"contrib").as("m"))
+      // symmetrized graph: every node has an in-edge, so the inner
+      // shape of the contribution frame already covers all nodes
+      ranks = contribs
+        .select($"node",
+          (lit(RankUnit * 15 / 100) + expr("85 * m DIV 100")).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  // -------------------------------------------------------------------- q_pagerank
+  /** PageRank over the symmetrized customer↔supplier interaction graph
+    * (an edge per distinct trading pair from orders⋈lineitem; suppliers
+    * offset into their own id space). The oracle replays the identical
+    * integer iteration as a DuckDB recursive CTE — a split rank at any
+    * node after 5 rounds fails the hash compare exactly. */
+  val SupplierOffset = 10000000L
+
+  private def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    pageRank(edges)
+      .select($"node", $"rank")
+      .orderBy($"node")
+  }
+
+  private val pageRankSql =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |pr(iter, node, rank) AS (
+       |  SELECT 0, node, CAST($RankUnit AS BIGINT) FROM nodes
+       |  UNION ALL
+       |  SELECT c.iter + 1, c.node,
+       |    CAST(${RankUnit * 15 / 100} + (85 * c.m) // 100 AS BIGINT)
+       |  FROM (
+       |    SELECT pr.iter AS iter, e.dst AS node,
+       |      SUM(pr.rank // d.outdeg) AS m
+       |    FROM pr
+       |    JOIN edges e ON pr.node = e.src
+       |    JOIN deg d ON e.src = d.src
+       |    WHERE pr.iter < $PageRankIters
+       |    GROUP BY pr.iter, e.dst) c)
+       |SELECT node, rank FROM pr WHERE iter = $PageRankIters
+       |ORDER BY node""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_pagerank", pageRankQuery, Some(pageRankSql), bench = true))
+}
