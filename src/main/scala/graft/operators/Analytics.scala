@@ -143,6 +143,134 @@ object Analytics {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------- q_cube_agg
+  /** Status × priority totals over EVERY grouping-set combination —
+    * CUBE's four levels (detail, per-status, per-priority, grand total)
+    * in the same single Expand + one aggregation shuffle as ROLLUP, plus
+    * the `grouping_id` bitmask that distinguishes a subtotal row's NULL
+    * from a genuine NULL key (the disambiguation ROLLUP output lacks). */
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n_orders",
+        $"total_price")
+      .orderBy($"gid", asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  private val cubeAggSql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q_seasonality
+  /** Month-of-year seasonal index of order revenue: each calendar
+    * month's average order value as parts-per-million of the overall
+    * average — the classical seasonal-naive profile for a monthly
+    * series. INTEGER arithmetic throughout (DECIMAL-routed cents, then
+    * integer DIV at ppm grain), so the index is bit-identical on any
+    * partitioning and any engine; one aggregation shuffle to 12 rows,
+    * grand totals via an unpartitioned window over those 12 rows (no
+    * second scan of orders). */
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(month($"o_orderdate").as("m"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"), count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("avg_cents", expr("cents DIV n_orders"))
+      .withColumn("overall_avg_cents",
+        expr("sum(cents) OVER () DIV sum(n_orders) OVER ()"))
+      .withColumn("index_ppm", expr("(avg_cents * 1000000) DIV overall_avg_cents"))
+      .select($"m", $"n_orders", $"cents", $"avg_cents", $"overall_avg_cents",
+        $"index_ppm")
+      .orderBy($"m")
+  }
+
+  private val seasonalitySql =
+    s"""WITH monthly AS (
+       |  SELECT CAST(month(o_orderdate) AS INT) AS m,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents,
+       |    COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1)
+       |SELECT m, n_orders, cents,
+       |  cents // n_orders AS avg_cents,
+       |  CAST(SUM(cents) OVER () // SUM(n_orders) OVER () AS BIGINT)
+       |    AS overall_avg_cents,
+       |  CAST((cents // n_orders) * 1000000
+       |       // (SUM(cents) OVER () // SUM(n_orders) OVER ()) AS BIGINT)
+       |    AS index_ppm
+       |FROM monthly ORDER BY m""".stripMargin
+
+  // --------------------------------------------------------------- q_range_window
+  /** Trailing-30-day spend per order — a RANGE frame over an integer
+    * day index (every other window in this repo uses ROWS frames; range
+    * frames are the shape trailing-period metrics need, and peers on
+    * the same day must aggregate together, which a ROWS frame gets
+    * wrong). Cents are DECIMAL-routed longs, so the trailing sum is
+    * bit-identical on any partitioning; the window partitions by
+    * customer — per-task state only, no global sort. */
+  private def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-29, 0)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1992-01-01")).cast("long").as("day"),
+        ($"o_totalprice".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"))
+      .withColumn("trail30_cents", sum($"cents").over(w))
+      .orderBy($"o_orderkey")
+  }
+
+  private val rangeWindowSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+      |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trail30_cents
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- q_equidepth_hist
+  /** Equi-depth (decile) histogram of customer balances per market
+    * segment: ntile(10) over a TIE-BROKEN total order (balance, custkey)
+    * so bucket assignment is deterministic, then one aggregation for
+    * count / bounds / exact mass per bucket. The classic stats-collection
+    * shape for optimizer histograms and feature binning: a single
+    * key-partitioned window pass plus one shuffle to 10 rows per group. */
+  private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("bucket", ntile(10).over(w).cast("int"))
+      .groupBy($"c_mktsegment", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"c_acctbal").as("lo"), max($"c_acctbal").as("hi"),
+        dsum($"c_acctbal").as("mass"))
+      .orderBy($"c_mktsegment", $"bucket")
+  }
+
+  private val equidepthHistSql =
+    s"""WITH b AS (
+       |  SELECT c_mktsegment, c_acctbal,
+       |    CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+       |                         ORDER BY c_acctbal, c_custkey) AS INT) AS bucket
+       |  FROM customer)
+       |SELECT c_mktsegment, bucket, COUNT(*) AS n,
+       |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+       |  ${sqlDsum("c_acctbal")} AS mass
+       |FROM b GROUP BY 1, 2 ORDER BY c_mktsegment, bucket""".stripMargin
+
   // -------------------------------------------------------------- q_decontaminate
   /** Remove every candidate document sharing an 8-word shingle with the
     * held-out ("benchmark") source — the standard training-data
@@ -659,6 +787,11 @@ object Analytics {
     NamedQuery("q_rolling_avg", rollingAvg, Some(rollingAvgSql), bench = true),
     NamedQuery("q_ewma", ewma, Some(ewmaSql), bench = true),
     NamedQuery("q_rollup_agg", rollupAgg, Some(rollupAggSql), bench = true),
+    NamedQuery("q_cube_agg", cubeAgg, Some(cubeAggSql), bench = true),
+    NamedQuery("q_seasonality", seasonality, Some(seasonalitySql), bench = true),
+    NamedQuery("q_range_window", rangeWindow, Some(rangeWindowSql), bench = true),
+    NamedQuery("q_equidepth_hist", equidepthHist, Some(equidepthHistSql),
+      bench = true),
     NamedQuery("q_decontaminate", decontaminateQuery, Some(decontaminateSql), bench = true),
     NamedQuery("q_hash_sample", hashSample, Some(hashSampleSql), bench = true),
     NamedQuery("q_window_suite", windowSuite, Some(windowSuiteSql), bench = true),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`:
@@ -761,7 +762,77 @@ object Dedup {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q_line_dedup
+  /** Passage-level exact dedup with document reassembly — the C4/
+    * RefinedWeb "line dedup" step: documents are cut into fixed
+    * `SegWords`-word segments (the corpus has no newlines, so the
+    * segment stands in for the line), each segment survives only at its
+    * corpus-globally FIRST occurrence (min (doc_id, seg_idx)), and every
+    * document is rebuilt from its surviving segments.
+    *
+    * Scale design: the winner election is one window pass partitioned by
+    * the 16-byte segment digest — segment text rides that single shuffle
+    * here; at 100 TB the same plan runs digest-only ((md5, doc_id,
+    * seg_idx) ~40 bytes/row) with winners semi-joined back against the
+    * deterministically re-segmented corpus, trading one extra map pass
+    * for never shuffling text. Reassembly is the second shuffle
+    * (groupBy doc_id), emitting counts + a digest of the cleaned text,
+    * never the full text. */
+  val SegWords = 12
+
+  /** Per-doc segment survival after corpus-wide first-occurrence dedup:
+    * (doc_id, n_segs, n_kept, clean_md5) where clean_md5 hashes the
+    * document rebuilt from surviving segments in order. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      segWords: Int = SegWords): DataFrame = {
+    val segs = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("__words"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          expr(s"(size(__words) - 1) div $segWords"))).as(Seq("__i", "__s")),
+        col("__words"))
+      .select(col(idCol), col("__i").as("seg_idx"),
+        concat_ws(" ", slice(col("__words"), col("__s") * segWords + 1, lit(segWords)))
+          .as("seg_text"))
+    val wFirst = Window.partitionBy(md5(col("seg_text")))
+      .orderBy(col(idCol), col("seg_idx"))
+    segs
+      .withColumn("__rk", row_number().over(wFirst))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ",
+          sort_array(collect_list(when(col("__rk") === 1,
+            struct(col("seg_idx"), col("seg_text"))))).getField("seg_text")))
+          .as("clean_md5"))
+  }
+
+  private def lineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineDedup(Tables.documents(s, dir), "text", "doc_id").orderBy($"doc_id")
+  }
+
+  private val lineDedupSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |    array_to_string(
+       |      words[i * $SegWords + 1 : i * $SegWords + $SegWords], ' ') AS seg_text
+       |  FROM w, unnest(generate_series(0, (len(words) - 1) // $SegWords)) t(i)),
+       |ranked AS (
+       |  SELECT doc_id, seg_idx, seg_text,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(seg_text)
+       |                       ORDER BY doc_id, seg_idx) AS rk
+       |  FROM segs)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg_text END, ' '
+       |                          ORDER BY seg_idx), '')) AS clean_md5
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_line_dedup", lineDedupQuery, Some(lineDedupSql), bench = true),
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     NamedQuery("q_dup_ngrams", dupNgrams, Some(dupNgramsSql), bench = true),
     // q_ngram_jaccard / q_dedup_embedding are the deliberate bounded O(n²)

@@ -254,4 +254,71 @@ class AnalyticsSpec extends GraftSuite {
     }
     assert(gaps > 0, "data must contain gaps for this test to mean anything")
   }
+
+  test("cube: every grouping set present; subtotals re-aggregate the detail") {
+    val out = SparkEntry.queries("q_cube_agg")(spark, sf).collect()
+    val byGid = out.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L),
+      s"CUBE over 2 keys must emit 4 grouping sets, got ${byGid.keySet}")
+    // grand total (gid=3) equals the sum of the detail level (gid=0)
+    val detailN = byGid(0L).map(_.getLong(3)).sum
+    val grandN = byGid(3L).map(_.getLong(3)).sum
+    assert(byGid(3L).size == 1 && detailN == grandN,
+      s"grand total must re-aggregate detail: $detailN vs $grandN")
+    // per-status subtotal rows (gid=1: priority nulled) match detail sums
+    val perStatusDetail = byGid(0L).groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val perStatusSub = byGid(1L).map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(perStatusSub == perStatusDetail,
+      s"per-status subtotals diverge: $perStatusSub vs $perStatusDetail")
+  }
+
+  test("seasonality: integer index consistent across columns; months complete") {
+    val out = SparkEntry.queries("q_seasonality")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 12),
+      "all 12 calendar months must appear in order")
+    val overall = out.map(_.getLong(4)).distinct
+    assert(overall.length == 1, s"overall average must be one constant: $overall")
+    out.foreach { r =>
+      val (n, cents, avg, idx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(avg == cents / n, s"avg_cents must be integer cents/n in row $r")
+      assert(idx == avg * 1000000L / overall.head,
+        s"index_ppm must be exact integer ppm in row $r")
+    }
+  }
+
+  test("range window: trailing-30-day sum matches a direct per-row recompute") {
+    val rows = SparkEntry.queries("q_range_window")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byCust = rows.groupBy(_._1)
+    rows.take(500).foreach { case (cust, day, _, trail) =>
+      val expect = byCust(cust)
+        .filter(t => t._2 >= day - 29 && t._2 <= day).map(_._3).sum
+      assert(trail == expect,
+        s"trailing sum for cust=$cust day=$day: got $trail want $expect")
+    }
+    // RANGE vs ROWS distinction: same-day peers must share the same frame
+    val peers = rows.groupBy(t => (t._1, t._2)).filter(_._2.length > 1)
+    peers.foreach { case ((c, d), g) =>
+      assert(g.map(_._4).distinct.length == 1,
+        s"same-day orders for cust=$c day=$d must see identical trailing sums")
+    }
+  }
+
+  test("equi-depth histogram: depths within 1, bounds nest, mass adds up") {
+    val out = SparkEntry.queries("q_equidepth_hist")(spark, sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (seg, bs) =>
+      assert(bs.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"$seg must have buckets 1..10")
+      val ns = bs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$seg depths must differ by at most 1: $ns")
+      val ordered = bs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3),
+          s"$seg bucket bounds must not overlap")
+      case _ => ()
+      }
+    }
+  }
 }

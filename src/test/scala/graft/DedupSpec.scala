@@ -363,4 +363,36 @@ class DedupSpec extends GraftSuite {
       graft.operators.Dedup.DupNgramWidth).orderBy($"doc_id")
     assert(canon(re) == base)
   }
+
+  test("line dedup: first occurrence wins, losers rebuilt without shared segments") {
+    // segWords=3: doc1 = [a b c][d e f]; doc2 = [a b c][x y z]; doc3 = [a b c]
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.lineDedup(docs, "text", "doc_id", segWords = 3)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == ((1L, 2L, 2L, m("a b c d e f"))), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 2L, 1L, m("x y z"))), s"doc2: ${out(1)}")
+    // doc3 loses its only segment: empty rebuild hashes the empty string
+    assert(out(2) == ((3L, 1L, 0L, m(""))), s"doc3: ${out(2)}")
+  }
+
+  test("line dedup: within-doc repeats collapse; layout-invariant") {
+    val docs = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val one = operators.Dedup.lineDedup(docs, "text", "doc_id", segWords = 3)
+      .collect()(0)
+    assert(one.getLong(1) == 3 && one.getLong(2) == 1,
+      s"only the first of three identical segments survives: $one")
+    val base = canon(operators.Dedup.lineDedup(
+      Tables.documents(spark, sf), "text", "doc_id"))
+    val re = canon(operators.Dedup.lineDedup(
+      Tables.documents(spark, sf).repartition(7), "text", "doc_id"))
+    assert(re == base, "winner election must not depend on partitioning")
+  }
 }
