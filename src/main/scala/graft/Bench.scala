@@ -59,7 +59,15 @@ object Bench {
     var times = Vector.empty[(String, Double)]
     var bytes = Vector.empty[(String, (Long, Long))]
     var failures = Vector.empty[(String, String)]
-    SparkEntry.benchQueries.foreach { nq =>
+    // local-iteration filter (comma-separated names); driver sets nothing
+    // -> full curated set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.benchQueries.filter(q => names(q.name))
+      case None => SparkEntry.benchQueries
+    }
+    selected.foreach { nq =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var metrics: Option[(Long, Long)] = None

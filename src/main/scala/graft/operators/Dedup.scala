@@ -396,7 +396,10 @@ object Dedup {
         .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
         .filter($"v" > $"u")
         .select($"m".as("lo"), $"v".as("hi"))
-        .distinct()
+      // no distinct here: small-star dedups at round end, and the input
+      // was a set, so LS emits each (m, v) at most twice (once per
+      // endpoint's star) — one exchange per round saved for a <=2x
+      // transient multiset, which the very next window absorbs
     }
 
     // small-star: per node u over its SMALLER neighbors (each canonical
@@ -425,8 +428,17 @@ object Dedup {
         val mat = next.localCheckpoint(true)
         // set equality on set-valued frames: equal counts + one empty
         // one-sided diff ⇒ equal sets ⇒ fixed point of a deterministic,
-        // monotone round function
-        converged = mat.count() == canon.count() &&
+        // monotone round function. The (count, hash-sum) signature is a
+        // CHEAP NEGATIVE FILTER only — two tiny aggregates per side vs
+        // exceptAll's shuffle — so the expensive exact check runs once,
+        // at the true fixed point; a colliding signature merely costs
+        // one extra exceptAll, never a wrong answer
+        def sig(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            coalesce(sum(xxhash64($"lo", $"hi")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        converged = sig(mat) == sig(canon) &&
           mat.exceptAll(canon).isEmpty
         canon = mat
       } else {

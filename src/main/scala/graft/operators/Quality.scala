@@ -324,7 +324,51 @@ object Quality {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q_drift_tvd
+  /** Distribution-drift detection between two eras of the order stream:
+    * per price band, era counts and rates, plus the per-band rate gap —
+    * the ingredients of total-variation distance (TVD = Σ|p_a - p_b|/2),
+    * the drift alarm a long-running ingest pipeline runs on every new
+    * batch. INTEGER throughout: counts are longs, rates are ppm via
+    * integer DIV against window grand totals, the gap is an absolute
+    * difference of ppms — bit-identical on any partitioning and engine
+    * (a float KL/PSI would be neither). One scan, one shuffle to ~20
+    * band rows; the window totals run over those bands, not the facts. */
+  val DriftEraSplit = "1998-07-01"
+  val DriftBandWidth = 25000
+
+  private def driftTvd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(floor($"o_totalprice" / DriftBandWidth).cast("long").as("band"))
+      .agg(
+        sum(when($"o_orderdate" < to_timestamp(lit(DriftEraSplit)), 1L)
+          .otherwise(0L)).as("n_a"),
+        sum(when($"o_orderdate" >= to_timestamp(lit(DriftEraSplit)), 1L)
+          .otherwise(0L)).as("n_b"))
+      .withColumn("rate_a_ppm", expr("n_a * 1000000 DIV sum(n_a) OVER ()"))
+      .withColumn("rate_b_ppm", expr("n_b * 1000000 DIV sum(n_b) OVER ()"))
+      .withColumn("gap_ppm", abs($"rate_a_ppm" - $"rate_b_ppm"))
+      .orderBy($"band")
+  }
+
+  private val driftTvdSql =
+    s"""WITH bands AS (
+       |  SELECT CAST(floor(o_totalprice / $DriftBandWidth) AS BIGINT) AS band,
+       |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '$DriftEraSplit'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '$DriftEraSplit'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM orders GROUP BY 1)
+       |SELECT band, n_a, n_b,
+       |  CAST(n_a * 1000000 // SUM(n_a) OVER () AS BIGINT) AS rate_a_ppm,
+       |  CAST(n_b * 1000000 // SUM(n_b) OVER () AS BIGINT) AS rate_b_ppm,
+       |  CAST(abs(n_a * 1000000 // SUM(n_a) OVER ()
+       |         - n_b * 1000000 // SUM(n_b) OVER ()) AS BIGINT) AS gap_ppm
+       |FROM bands ORDER BY band""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_drift_tvd", driftTvd, Some(driftTvdSql), bench = true),
     NamedQuery("q_standardize", standardizeQuery, Some(standardizeSql),
       bench = true),
     NamedQuery("q_mad_outliers", madOutliers, Some(madOutliersSql), bench = true),

@@ -373,7 +373,59 @@ object Similarity {
       |  FROM embeddings)
       |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------------------- q_gram_matrix
+  /** Upper-triangle Gram matrix Σ q·qᵀ over the INT8-QUANTIZED corpus —
+    * the accumulation step behind PCA / whitening / covariance stats on
+    * an embedding corpus. Quantizing first (same floor(x/scale + 0.5)
+    * arithmetic as q_embedding_quantize, identical doubles cross-engine)
+    * makes every product and sum INTEGER — the distributed sum is exact
+    * and partitioning-invariant, where a float gram accumulation would
+    * be merge-order noise in the low bits on every cluster layout.
+    *
+    * Plan shape: pair contributions are generated ROW-LOCALLY (nested
+    * sequence transform → one explode), then partial aggregation
+    * collapses each partition to ≤ d(d+1)/2 rows before the single
+    * shuffle — i.e. per-partition gram accumulation then merge, the
+    * textbook distributed formulation, expressed declaratively. */
+  private def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val scaleCol = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = when(scaleCol === 0,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / scaleCol + lit(0.5)).cast("long")))
+    val pairs = flatten(transform(sequence(lit(0), size($"q") - 1), i =>
+      transform(sequence(i, size($"q") - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at($"q", i + 1) * element_at($"q", j + 1)).as("p")))))
+    Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .select(explode(pairs).as("c"))
+      .groupBy($"c.i".cast("long").as("i"), $"c.j".cast("long").as("j"))
+      .agg(sum($"c.p").as("gram"))
+      .orderBy($"i", $"j")
+  }
+
+  private val gramMatrixSql =
+    """WITH e AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT CASE WHEN scale = 0
+      |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+      |  END AS q FROM s)
+      |SELECT i - 1 AS i, j - 1 AS j, CAST(SUM(q[i] * q[j]) AS BIGINT) AS gram
+      |FROM q,
+      |  unnest(generate_series(1, len(q))) t1(i),
+      |  unnest(generate_series(i, len(q))) t2(j)
+      |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_gram_matrix", gramMatrix, Some(gramMatrixSql), bench = true),
     // q_hard_negatives is the deliberate bounded O(n²) oracle baseline for
     // hardNegativesIvf — benching it would time the brute force, not an
     // engine path (same rationale as q_dedup_embedding)

@@ -122,4 +122,21 @@ class QualitySpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"group stats must re-attach by broadcast:\n$plan")
   }
+
+  test("drift TVD: rates are exact integer ppm, eras partition the orders") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_drift_tvd")(spark, sf).collect()
+    val (totA, totB) = (out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(totA + totB == nOrders, "every order must land in exactly one era")
+    assert(totA > 0 && totB > 0, "both eras must be populated for drift to mean anything")
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * 1000000L / totA, s"rate_a in $r")
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / totB, s"rate_b in $r")
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)), s"gap in $r")
+    }
+    // TVD in ppm: half the gap mass; bounded by construction
+    val tvd = out.map(_.getLong(5)).sum / 2
+    assert(tvd >= 0 && tvd <= 1000000L, s"TVD must be a probability in ppm: $tvd")
+  }
 }

@@ -305,4 +305,25 @@ class SimilaritySpec extends GraftSuite {
         s"vec ${r.getAs[Long]("vec_id")}: got ($s0, $e0), expected ($scale, $maxErr)")
     }
   }
+
+  test("gram matrix: matches a driver-side recompute on the quantized corpus") {
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val d = emb.head.length
+    val expect = Array.ofDim[Long](d, d)
+    emb.foreach { v =>
+      val scale = v.map(math.abs).max / 127.0
+      val q = if (scale == 0) Array.fill(d)(0L)
+        else v.map(x => math.floor(x / scale + 0.5).toLong)
+      for (i <- 0 until d; j <- i until d) expect(i)(j) += q(i) * q(j)
+    }
+    val out = SparkEntry.queries("q_gram_matrix")(spark, sf).collect()
+    assert(out.length == d * (d + 1) / 2, "one row per upper-triangle cell")
+    out.foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      assert(g == expect(i)(j), s"gram($i,$j): got $g want ${expect(i)(j)}")
+    }
+    // diagonal of a squared-quantity matrix is non-negative
+    assert(out.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getLong(2) >= 0))
+  }
 }
