@@ -186,7 +186,72 @@ object Multimodal {
        |  COUNT(DISTINCT frame_hex) AS n_distinct_frames
        |FROM f GROUP BY 1, 2 ORDER BY media_type, frame_idx""".stripMargin
 
+  // -------------------------------------------------------------- q_media_dedup
+  /** Exact media dedup — the image/audio dedup step of a multimodal
+    * pipeline: assets group by PAYLOAD DIGEST within a modality, the
+    * smallest doc_id is the canonical copy, duplicate groups are
+    * reported with their reclaimable byte count. Only the 16-byte
+    * digest (plus doc_id and the byte length) ever shuffles — payload
+    * bytes stay in the scan, exactly like the text exact-dedup path;
+    * at 100 TB of media that difference IS the operator. Equality by
+    * digest admits the usual ~2^-128 md5-collision caveat (shared with
+    * q_dedup_exact); the oracle groups by raw payload, so a collision
+    * would surface as a CORRECTNESS mismatch rather than hide. */
+  /** Plant ids 3× the shared offset so `id % 3` — the modality routing —
+    * is preserved and the copy dedups against its original INSIDE its
+    * modality group. */
+  val MediaPlantOffset = 3L * graft.operators.Similarity.PlantOffset
+
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = assets(s, dir).toDF()
+    graft.operators.Similarity.requirePlantable(
+      Tables.documents(s, dir), "doc_id", "mediaDedup")
+    // planted exact copies (every 10th asset) through the REAL digest
+    // grouping: the fixture corpus has no exact payload duplicates within
+    // a modality, so without planting the report would be vacuously empty
+    val withCopies = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + MediaPlantOffset).as("doc_id"),
+          $"media_type", $"payload"))
+    withCopies
+      .select($"media_type", $"doc_id",
+        md5($"payload").as("digest"), length($"payload").as("n_bytes"))
+      .groupBy($"media_type", $"digest")
+      .agg(
+        min($"doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max($"n_bytes").cast("long").as("bytes_each"))
+      .filter($"n_copies" >= 2)
+      .select($"media_type", $"keep_id", $"n_copies",
+        ($"bytes_each" * ($"n_copies" - 1)).as("bytes_reclaimed"))
+      .orderBy($"media_type", $"keep_id")
+  }
+
+  private val mediaDedupSql =
+    s"""WITH a0 AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |    encode(text) AS payload
+      |  FROM documents),
+      |a AS (
+      |  SELECT * FROM a0
+      |  UNION ALL
+      |  SELECT doc_id + ${3L * graft.operators.Similarity.PlantOffset},
+      |    media_type, payload
+      |  FROM a0 WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT media_type, payload, MIN(doc_id) AS keep_id,
+      |    COUNT(*) AS n_copies,
+      |    CAST(MAX(octet_length(payload)) AS BIGINT) AS bytes_each
+      |  FROM a GROUP BY 1, 2)
+      |SELECT media_type, keep_id, n_copies,
+      |  CAST(bytes_each * (n_copies - 1) AS BIGINT) AS bytes_reclaimed
+      |FROM g WHERE n_copies >= 2
+      |ORDER BY media_type, keep_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql), bench = true),
-    NamedQuery("q_frame_stats", frameStats, Some(frameStatsSql), bench = true))
+    NamedQuery("q_frame_stats", frameStats, Some(frameStatsSql), bench = true),
+    NamedQuery("q_media_dedup", mediaDedup, Some(mediaDedupSql), bench = true))
 }

@@ -67,4 +67,22 @@ class MultimodalSpec extends GraftSuite {
     assert(partitionBatches.length == 4)
     assert(partitionBatches.sum == a.count())
   }
+
+  test("media dedup: planted copies collapse onto their original, bytes accounted") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_media_dedup")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(out.length == planted, "one duplicate group per planted copy")
+    val bytesByDoc = docs
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val keep = r.getLong(1)
+      assert(keep % 10 == 0, s"canonical copy must be the original: $r")
+      assert(r.getLong(2) == 2, s"planted groups have exactly 2 members: $r")
+      assert(r.getLong(3) == bytesByDoc(keep).toLong,
+        s"reclaimed bytes must equal one payload: $r")
+    }
+  }
 }
