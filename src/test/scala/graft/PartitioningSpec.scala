@@ -43,6 +43,35 @@ class PartitioningSpec extends GraftSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // Completes the runtime-optimization proof set (SkewSpec: AQE skew
+    // split; RuntimeFilterSpec: bloom runtime filter): a selective filter
+    // on a DIMENSION must prune partitions of a fact table partitioned by
+    // the join key — planning time cannot know which partitions survive,
+    // so the pruning subquery must be injected at runtime. At 100 TB this
+    // is the difference between scanning one date partition and all of
+    // them whenever the filter sits on the dim side.
+    withTempDir { dir =>
+      val path = dir.getAbsolutePath + "/docs_by_lang"
+      Tables.documents(spark, sf)
+        .write.partitionBy("lang").mode("overwrite").parquet(path)
+      val fact = spark.read.parquet(path)
+      // dim: one row per lang, filtered to a single one NOT by the join
+      // column value itself (so static pruning can't see it)
+      val dim = Tables.documents(spark, sf)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("tag", md5($"lang"))
+      val selective = dim.filter($"tag" === md5(lit("en")))
+      val joined = fact.join(selective, Seq("lang"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        "PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
+        s"no dynamic pruning subquery on the fact scan:\n$plan")
+      assert(joined.count() ==
+        Tables.documents(spark, sf).filter($"lang" === "en").count())
+    }
+  }
+
   test("repartition controls output file count (the small-files lever)") {
     // the Spark-native form of the reference's linspace batch sizing
     // (SURVEY.md §2.9 F9): output parallelism is declared, not emergent
