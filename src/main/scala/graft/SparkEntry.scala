@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Checks.all ++ operators.Upsert.all ++
       operators.Chunking.all ++ operators.Corpus.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
-      operators.Linkage.all ++
+      operators.Linkage.all ++ operators.Audit.all ++
       streaming.Sessionize.all ++ pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

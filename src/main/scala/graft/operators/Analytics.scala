@@ -778,7 +778,144 @@ object Analytics {
        |FROM c WHERE n * $HeavyHitterK > (SELECT total FROM t)
        |ORDER BY n DESC, word""".stripMargin
 
+  // ------------------------------------------------------------ q_cohort_retention
+  /** Cohort retention triangle: customers grouped by first-order month,
+    * tracked by how many are active N months later. Retention is ppm via
+    * integer DIV against the cohort size, so every cell is an integer —
+    * bit-stable cross-engine.
+    *
+    * Scale shape: orders reduce to DISTINCT (custkey, month) first (one
+    * shuffle with map-side partials, output ≤ customers × months), the
+    * cohort frame is a second aggregation on the SAME custkey key (AQE
+    * reuses the exchange), the custkey-keyed join never touches raw
+    * orders, and the final (cohort, months_since) rollup plus the
+    * cohort-size join are triangle-sized (months²) — broadcast. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = Tables.orders(s, dir)
+      .select($"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .distinct()
+    val cohorts = active.groupBy($"o_custkey")
+      .agg(min($"month").as("cohort_month"))
+    val cells = active.join(cohorts, Seq("o_custkey"))
+      .withColumn("months_since",
+        months_between(
+          to_date(concat($"month", lit("-01"))),
+          to_date(concat($"cohort_month", lit("-01")))).cast("long"))
+      .groupBy($"cohort_month", $"months_since")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy($"cohort_month")
+      .agg(count(lit(1)).as("cohort_n"))
+    cells.join(broadcast(sizes), Seq("cohort_month"))
+      .withColumn("retention_ppm",
+        expr("n_active * 1000000 DIV cohort_n"))
+      .select($"cohort_month", $"months_since", $"n_active", $"cohort_n",
+        $"retention_ppm")
+      .orderBy($"cohort_month", $"months_since")
+  }
+
+  private val cohortRetentionSql =
+    """WITH active AS (
+      |  SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders),
+      |cohorts AS (
+      |  SELECT o_custkey, MIN(month) AS cohort_month
+      |  FROM active GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_month,
+      |    date_diff('month', CAST(cohort_month || '-01' AS DATE),
+      |              CAST(month || '-01' AS DATE)) AS months_since,
+      |    COUNT(*) AS n_active
+      |  FROM active JOIN cohorts USING (o_custkey)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_month, COUNT(*) AS cohort_n FROM cohorts GROUP BY 1)
+      |SELECT cohort_month, months_since, n_active, cohort_n,
+      |  n_active * 1000000 // cohort_n AS retention_ppm
+      |FROM cells JOIN sizes USING (cohort_month)
+      |ORDER BY cohort_month, months_since""".stripMargin
+
+  // ----------------------------------------------------------------- q_funnel
+  /** Ordered event funnel over the event stream: signup → view → click →
+    * purchase, each step's timestamp strictly after the previous step's.
+    * This is the EXACT chained formulation — min(view AFTER signup), not
+    * the min-per-type approximation that miscounts a user whose only
+    * pre-signup view precedes a post-signup one. Emits one row per stage
+    * with user counts and ppm conversion vs stage 1 (integer DIV).
+    *
+    * Scale shape: each stage is a user_id-keyed aggregation over the
+    * slim (user, ts) projection of one event type, joined to the
+    * previous stage's one-row-per-user frame on the SAME key — four
+    * aggregations, all partial-agg'd map-side, no raw-event re-shuffle
+    * across stages at any point. Event-time ties (ts equal to the
+    * previous stage) are excluded on both engines identically: the data
+    * is exactly µs-precision, which both engines compare losslessly. */
+  /** Kernel: per-stage (user_id, t_prev = first completion time) frames
+    * for an ordered step list over an (user_id, event_type, ts) frame —
+    * stage k+1 counts only events strictly after the user's stage-k
+    * completion. */
+  def funnelUsers(e: DataFrame, steps: Seq[String]): Seq[(String, DataFrame)] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def stageAfter(prev: DataFrame, eventType: String): DataFrame =
+      e.filter(col("event_type") === eventType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .select(col("user_id"), col("t").as("t_prev"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    steps.tail.scanLeft(steps.head -> first) { case ((_, prev), step) =>
+      step -> stageAfter(prev, step)
+    }
+  }
+
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val stages = funnelUsers(e, Seq("signup", "view", "click", "purchase"))
+    val counts = stages.zipWithIndex
+      .map { case ((step, df), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$step").as("stage"), $"n_users")
+      }
+      .reduce(_.unionAll(_))
+    val base = stages.head._2.agg(count(lit(1)).as("base_n"))
+    counts.crossJoin(broadcast(base))
+      .withColumn("conversion_ppm", expr("n_users * 1000000 DIV base_n"))
+      .select($"stage", $"n_users", $"conversion_ppm")
+      .orderBy($"stage")
+  }
+
+  private val funnelSql =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+      |counts AS (
+      |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_view', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_click', COUNT(*) FROM s3
+      |  UNION ALL SELECT '4_purchase', COUNT(*) FROM s4)
+      |SELECT stage, n_users,
+      |  n_users * 1000000 // (SELECT COUNT(*) FROM s1) AS conversion_ppm
+      |FROM counts ORDER BY stage""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),
+      bench = true),
+    NamedQuery("q_funnel", funnel, Some(funnelSql), bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
       bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,

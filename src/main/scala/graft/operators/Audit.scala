@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance audits a training-data pipeline runs before release:
+  * k-anonymity over quasi-identifiers (can any row be re-identified from
+  * the attribute combination it carries?) and a one-scan per-column
+  * profile (the Deequ/dbt-style summary that gates ingest).
+  *
+  * Scale design (100 TB):
+  *  - k-anonymity is two keyed aggregations (full QI, generalized QI) —
+  *    each one shuffle with map-side partial counts; group-size frames
+  *    are QI-cardinality-sized (tiny), so the generalization join
+  *    broadcasts. The fact table never moves twice.
+  *  - the profiler reads the table ONCE: all per-column null counts,
+  *    min/max, and exact distinct counts in a single aggregate (Spark
+  *    plans multi-distinct via one Expand + one shuffle — column-count ×
+  *    row partial states, never a per-column job). At corpus scale the
+  *    exact distincts swap to approx_count_distinct (mergeable HLL,
+  *    one pass, no Expand) — the same exact-vs-approx split
+  *    q_quantile_stats and q_approx_distinct assert elsewhere.
+  */
+object Audit {
+
+  /** Group sizes below this are re-identifiable ("at risk"). */
+  val KThreshold = 10
+
+  // -------------------------------------------------------------- q_k_anonymity
+  /** k-anonymity audit over the (nation, market-segment) quasi-identifier
+    * pair on `customer`, with one generalization step (drop the segment):
+    * per QI group, the group size under the full QI and under the
+    * generalized QI, and whether each is below k. The generalized size is
+    * what the group's k WOULD become after suppressing the segment —
+    * the first rung of the generalization lattice a release audit climbs
+    * until every group clears k. Counts and flags are integer/boolean —
+    * nothing to round, bit-stable cross-engine. */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val full = c.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("k_full"))
+    val gen = c.groupBy($"c_nationkey").agg(count(lit(1)).as("k_generalized"))
+    full.join(broadcast(gen), Seq("c_nationkey"))
+      .select(
+        $"c_nationkey", $"c_mktsegment", $"k_full",
+        ($"k_full" < KThreshold).as("at_risk_full"),
+        $"k_generalized",
+        ($"k_generalized" < KThreshold).as("at_risk_generalized"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  private val kAnonymitySql =
+    s"""WITH full_qi AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS k_full
+       |  FROM customer GROUP BY 1, 2),
+       |gen_qi AS (
+       |  SELECT c_nationkey, COUNT(*) AS k_generalized
+       |  FROM customer GROUP BY 1)
+       |SELECT c_nationkey, c_mktsegment, k_full,
+       |  k_full < $KThreshold AS at_risk_full,
+       |  k_generalized,
+       |  k_generalized < $KThreshold AS at_risk_generalized
+       |FROM full_qi JOIN gen_qi USING (c_nationkey)
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------- q_profile_columns
+  /** One row per column of `orders`: row count, null count, exact
+    * distinct count, and typed min/max — numerics (and timestamps, as
+    * exact epoch-millisecond integers) in `min_num`/`max_num`, strings in
+    * `min_text`/`max_text`. Keeping the numeric and string extrema in
+    * separate typed columns avoids cross-engine float-to-string
+    * formatting entirely: every emitted value is an integer, an input
+    * double, or an input string. */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val tsCols = Seq("o_orderdate")
+    def stats(c: String, minMax: String => org.apache.spark.sql.Column) = Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(minMax(c)).as(s"${c}__min"),
+      max(minMax(c)).as(s"${c}__max"))
+    val aggs =
+      numCols.flatMap(stats(_, c => col(c).cast("double"))) ++
+        strCols.flatMap(stats(_, col)) ++
+        // o_orderdate is TIMESTAMP_NTZ; the session pins UTC, so the
+        // LTZ cast is numerically the identity and unix_millis matches
+        // DuckDB's epoch_ms over the same naive value.
+        tsCols.flatMap(stats(_,
+          c => unix_millis(col(c).cast("timestamp_ltz")).cast("double")))
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // unpivot the single stats row into one output row per column
+    val numeric = numCols ++ tsCols
+    val rows = (numeric ++ strCols).map { c =>
+      val isNum = numeric.contains(c)
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        (if (isNum) col(s"${c}__min") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"${c}__max") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__min")).as("min_text"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__max")).as("max_text"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select($"s.*")
+      .orderBy($"col_name")
+  }
+
+  private val profileColumnsSql = {
+    def num(c: String, expr: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN($expr) AS min_num, MAX($expr) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  MIN($c) AS min_text, MAX($c) AS max_text
+         |FROM orders""".stripMargin
+    Seq(
+      num("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+      num("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+      num("o_totalprice", "o_totalprice"),
+      num("o_orderdate", "CAST(epoch_ms(o_orderdate) AS DOUBLE)"),
+      str("o_orderstatus"),
+      str("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql), bench = true),
+    NamedQuery("q_profile_columns", profileColumns, Some(profileColumnsSql),
+      bench = true))
+}

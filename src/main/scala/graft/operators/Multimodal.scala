@@ -250,8 +250,96 @@ object Multimodal {
       |FROM g WHERE n_copies >= 2
       |ORDER BY media_type, keep_id""".stripMargin
 
+  // ------------------------------------------------------------ q_media_neardup
+  /** Segment-hash NEAR-duplicate detection for media — the banded
+    * complement to q_media_dedup's exact digest grouping: each payload is
+    * cut into 4 equal byte segments, each segment hashed, and two assets
+    * of the same modality and byte length are near-duplicates when ≥ 3 of
+    * 4 segment hashes agree (the pigeonhole recipe q_simhash_dedup uses:
+    * a corruption confined to one segment CANNOT evade all four bands).
+    * This is the coarse prefilter real media pipelines run before a
+    * perceptual-hash verify — re-encoded thumbnails and tail-corrupted
+    * uploads collide with their originals on the untouched segments.
+    *
+    * Driver-visible gate: every asset ≥ 64 bytes gets a planted copy
+    * (id + MediaPlantOffset, modality preserved) with its LAST 8 BYTES
+    * overwritten — same length, one corrupted segment — pushed through
+    * the real segment/band join; the oracle recomputes the expected
+    * answer from first principles in hex space (segments 1–3 equal by
+    * construction; segment 4 equal iff the original tail already was the
+    * corruption bytes), so a broken band join, boundary off-by-one, or
+    * dropped pair fails the hash compare.
+    *
+    * Scale design: only (doc_id, modality, n_bytes, seg_idx, seg_hash)
+    * ever shuffles — 4 slim rows per asset, payload bytes stay in the
+    * scan. The band join is an equi-join keyed on (modality, n_bytes,
+    * seg_idx, seg_hash); bucket sizes are content-duplicate-group-sized
+    * (tiny), so no skew guard is needed, and the ≥ 3-of-4 verify is a
+    * count over the joined pairs, never a payload re-read. Hash equality
+    * stands in for byte equality with the usual ~2^-64 caveat
+    * (q_dedup_exact rationale); the oracle compares real bytes, so a
+    * collision would surface as a mismatch, not hide. */
+  val NearDupMinBytes = 64
+  val NearDupSegments = 4
+
+  private def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Similarity.requirePlantable(
+      Tables.documents(s, dir), "doc_id", "mediaNearDup")
+    val P = MediaPlantOffset
+    val src = assets(s, dir).toDF()
+      .withColumn("n_bytes", length($"payload"))
+      .filter($"n_bytes" >= NearDupMinBytes)
+    val corrupted = src.select(
+      ($"doc_id" + P).as("doc_id"), $"media_type",
+      concat(expr("substring(payload, 1, n_bytes - 8)"),
+        encode(lit("XXXXXXXX"), "UTF-8")).as("payload"),
+      $"n_bytes")
+    val segs = src.unionByName(corrupted)
+      .select($"doc_id", $"media_type", $"n_bytes",
+        explode(array((0 until NearDupSegments).map { i =>
+          struct(lit(i).as("seg_idx"),
+            xxhash64(expr(s"substring(payload, ($i * n_bytes) DIV 4 + 1, " +
+              s"(${i + 1} * n_bytes) DIV 4 - ($i * n_bytes) DIV 4)"))
+              .as("seg_hash"))
+        }: _*)).as("s"))
+      .select($"doc_id", $"media_type", $"n_bytes",
+        $"s.seg_idx", $"s.seg_hash")
+    val pairs = segs.select($"media_type", $"n_bytes", $"seg_idx",
+        $"seg_hash", $"doc_id".as("a"))
+      .join(segs.select($"media_type", $"n_bytes", $"seg_idx", $"seg_hash",
+        $"doc_id".as("b")),
+        Seq("media_type", "n_bytes", "seg_idx", "seg_hash"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count_distinct($"seg_idx").as("n_seg_matches"))
+      .filter($"n_seg_matches" >= NearDupSegments - 1)
+    src.select($"doc_id")
+      .join(pairs.filter($"b" === $"a" + P)
+        .select($"a".as("doc_id"), $"n_seg_matches"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_seg_matches", lit(0L)).as("n_seg_matches"),
+        $"n_seg_matches".isNotNull.as("found"))
+      .orderBy($"doc_id")
+  }
+
+  private val mediaNearDupSql =
+    s"""WITH a0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= $NearDupMinBytes)
+       |SELECT doc_id,
+       |  CAST(3 + CASE WHEN substring(h, 2 * (n - 8) + 1, 16)
+       |                     = hex(encode('XXXXXXXX'))
+       |           THEN 1 ELSE 0 END AS BIGINT) AS n_seg_matches,
+       |  TRUE AS found
+       |FROM a0 ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql), bench = true),
     NamedQuery("q_frame_stats", frameStats, Some(frameStatsSql), bench = true),
-    NamedQuery("q_media_dedup", mediaDedup, Some(mediaDedupSql), bench = true))
+    NamedQuery("q_media_dedup", mediaDedup, Some(mediaDedupSql), bench = true),
+    NamedQuery("q_media_neardup", mediaNearDup, Some(mediaNearDupSql),
+      bench = true))
 }

@@ -609,6 +609,37 @@ object Relational {
        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------------- q_sliding_window
+  /** HOPPING-window aggregation (1-hour windows every 30 minutes) — the
+    * overlapping complement to q_event_window_agg's tumbling bucket:
+    * each event lands in exactly size/slide = 2 windows. Spark's window()
+    * expands rows to their windows ROW-LOCALLY (a generator inside the
+    * scan stage), so the only shuffle is the grouped aggregation — at
+    * 100 TB the cost is (size/slide)× the tumbling shuffle, linear in the
+    * overlap, never a self-join. The oracle derives the same two window
+    * starts per event arithmetically (bucket, bucket − 30 min). */
+  private def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val slidingWindowSql =
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+       |            time_bucket(INTERVAL '30 minutes', ts)
+       |              - INTERVAL '30 minutes']) AS w
+       |  FROM events)
+       |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   // ---------------------------------------------------------- q_json_extract
   /** Semi-structured extraction from the `props` JSON string column.
     * Spelled with regexp_extract on both sides (same RE dialect subset);
@@ -649,6 +680,7 @@ object Relational {
     NamedQuery("q_fill_missing", fillMissing, Some(fillMissingSql), bench = true),
     NamedQuery("q_schema_normalize", schemaNormalize, Some(schemaNormalizeSql), bench = true),
     NamedQuery("q_event_window_agg", eventWindowAgg, Some(eventWindowAggSql), bench = true),
+    NamedQuery("q_sliding_window", slidingWindow, Some(slidingWindowSql), bench = true),
     NamedQuery("q_json_extract", jsonExtract, Some(jsonExtractSql), bench = true),
     NamedQuery("q_approx_distinct", approxDistinct, Some(approxDistinctSql), bench = true),
     NamedQuery("q_date_window", dateWindow, Some(dateWindowSql), bench = true))

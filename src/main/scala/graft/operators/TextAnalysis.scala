@@ -400,7 +400,55 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_cooccurrence
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
+    * extraction: unordered word pairs within distance ≤ 2, counted
+    * corpus-wide, top 50 by (count desc, pair asc — a unique total
+    * order, so LIMIT is deterministic). Words under 4 chars are dropped
+    * (the q_rare_terms stopword guard).
+    *
+    * Scale shape: pairs are generated ROW-LOCALLY from the token array
+    * (two zip_with slices — adjacent and distance-2 — inside codegen),
+    * so there is no positions self-join; the only shuffle is the final
+    * (w1, w2)-keyed count with map-side partials, and the top-50 is a
+    * TakeOrdered, never a global sort. The oracle deliberately uses the
+    * OTHER formulation (positions self-join on generate_subscripts) —
+    * agreement is differential evidence both are right. */
+  private def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ", -1)
+    def pairsAt(k: Int): Column = {
+      val n = greatest(size(words) - k, lit(0))
+      zip_with(
+        slice(words, lit(1), n), slice(words, lit(1 + k), n),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+    }
+    Tables.documents(s, dir)
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter(length($"w1") >= 4 && length($"w2") >= 4)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  private val cooccurrenceSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS word,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+      |  FROM w a JOIN w b
+      |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+      |  WHERE length(a.word) >= 4 AND length(b.word) >= 4)
+      |SELECT w1, w2, COUNT(*) AS cnt FROM pairs
+      |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cooccurrence", cooccurrence, Some(cooccurrenceSql),
+      bench = true),
     NamedQuery("q_bm25", bm25, Some(bm25Sql), bench = true),
     NamedQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     NamedQuery("q_token_count", tokenCount, Some(tokenCountSql), bench = true),

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Analytics, Audit}
+import org.apache.spark.sql.functions._
+
+/** Governance audits + behavioral analytics: funnel chaining semantics on
+  * hand-built streams, and structural properties of the k-anonymity,
+  * profiler, cohort, and co-occurrence queries (whose cell-exact answers
+  * the DuckDB oracle checks).
+  */
+class AuditSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "sec")
+      .select($"user_id", $"event_type", timestamp_seconds($"sec").as("ts"))
+
+  test("funnel kernel: steps must complete strictly in order") {
+    // user 1: view BEFORE signup only -> reaches stage 1, not stage 2.
+    // user 2: signup -> view -> click in order -> reaches stage 3.
+    // user 3: signup and view at the SAME second -> tie is not 'after'.
+    val e = ev(
+      (1L, "view", 5L), (1L, "signup", 10L),
+      (2L, "signup", 10L), (2L, "view", 20L), (2L, "click", 30L),
+      (3L, "signup", 10L), (3L, "view", 10L))
+    val stages = Analytics.funnelUsers(e, Seq("signup", "view", "click"))
+    val byStep = stages.map { case (k, df) =>
+      k -> df.select($"user_id").as[Long].collect().sorted.toSeq
+    }.toMap
+    assert(byStep("signup") == Seq(1L, 2L, 3L))
+    assert(byStep("view") == Seq(2L), "pre-signup and same-instant views must not count")
+    assert(byStep("click") == Seq(2L))
+  }
+
+  test("funnel kernel: later re-occurrences can complete a stage") {
+    // view before AND after signup: the post-signup one counts.
+    val e = ev((1L, "view", 5L), (1L, "signup", 10L), (1L, "view", 15L))
+    val stages = Analytics.funnelUsers(e, Seq("signup", "view")).toMap
+    val t = stages("view").select($"t_prev").as[java.sql.Timestamp].collect()
+    assert(t.map(_.getTime).toSeq == Seq(15000L))
+  }
+
+  test("q_funnel: counts are monotone non-increasing, base converts at 1e6 ppm") {
+    val rows = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    assert(rows.length == 4)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, s"funnel must narrow: $counts")
+    assert(rows.head.getLong(2) == 1000000L)
+  }
+
+  test("q_cohort_retention: month-0 row IS the cohort size, cells sum to activity") {
+    val out = SparkEntry.queries("q_cohort_retention")(spark, sf)
+    val m0 = out.filter($"months_since" === 0)
+    assert(m0.filter($"n_active" =!= $"cohort_n").count() == 0,
+      "every cohort member is active in the cohort month")
+    assert(m0.filter($"retention_ppm" =!= 1000000L).count() == 0)
+    val totalCells = out.agg(sum($"n_active")).as[Long].head()
+    val distinctActive = Tables.orders(spark, sf)
+      .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM")).distinct()
+      .count()
+    assert(totalCells == distinctActive,
+      "retention cells must partition the distinct (customer, month) activity")
+  }
+
+  test("q_k_anonymity: flags agree with recomputed group sizes") {
+    val out = SparkEntry.queries("q_k_anonymity")(spark, sf)
+    assert(out.filter($"at_risk_full" =!= ($"k_full" < Audit.KThreshold))
+      .count() == 0)
+    assert(out
+      .filter($"at_risk_generalized" =!= ($"k_generalized" < Audit.KThreshold))
+      .count() == 0)
+    // generalization can only merge groups: k_generalized >= k_full
+    assert(out.filter($"k_generalized" < $"k_full").count() == 0)
+    val total = Tables.customer(spark, sf).count()
+    val summed = out.agg(sum($"k_full")).as[Long].head()
+    assert(summed == total, "full-QI groups must partition the table")
+  }
+
+  test("q_profile_columns: null counts, key uniqueness, typed extrema slots") {
+    val out = SparkEntry.queries("q_profile_columns")(spark, sf).collect()
+    assert(out.length == 6)
+    val n = Tables.orders(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getLong(1) == n, s"n_rows must be the table count: $r")
+      assert(r.getLong(2) == 0L, s"synthetic orders has no nulls: $r")
+      val isText = r.getString(0) == "o_orderstatus" ||
+        r.getString(0) == "o_orderpriority"
+      assert(r.isNullAt(if (isText) 4 else 6),
+        s"extrema must land in exactly one typed slot: $r")
+    }
+    val keyRow = out.find(_.getString(0) == "o_orderkey").get
+    assert(keyRow.getLong(3) == n, "o_orderkey must profile as unique")
+  }
+
+  test("q_cooccurrence agrees with a positions self-join formulation") {
+    val docs = Tables.documents(spark, sf)
+    val pos = docs.select($"doc_id",
+        posexplode(split($"text", " ", -1)).as(Seq("pos", "word")))
+      .filter(length($"word") >= 4)
+    val a = pos.select($"doc_id", $"pos".as("pa"), $"word".as("wa"))
+    val b = pos.select($"doc_id", $"pos".as("pb"), $"word".as("wb"))
+    val expected = a.join(b, Seq("doc_id"))
+      .filter($"pb" - $"pa" === 1 || $"pb" - $"pa" === 2)
+      .select(least($"wa", $"wb").as("w1"), greatest($"wa", $"wb").as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w1", $"w2").limit(50)
+    assertSameRows(SparkEntry.queries("q_cooccurrence")(spark, sf), expected)
+  }
+}

@@ -85,4 +85,20 @@ class MultimodalSpec extends GraftSuite {
         s"reclaimed bytes must equal one payload: $r")
     }
   }
+
+  test("media near-dup: tail corruption cannot evade the segment bands") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_media_neardup")(spark, sf).collect()
+    val eligible = Tables.documents(spark, sf)
+      .filter(length(encode(col("text"), "UTF-8")) >=
+        operators.Multimodal.NearDupMinBytes)
+      .count()
+    assert(out.length == eligible, "one verdict row per eligible asset")
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"planted near-dup must be found: $r")
+      val n = r.getLong(1)
+      assert(n == 3L || n == 4L,
+        s"a one-segment corruption leaves 3 of 4 segments intact: $r")
+    }
+  }
 }

@@ -151,4 +151,13 @@ class RelationalSpec extends GraftSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getBoolean(2), s"estimate out of tolerance: $r"))
   }
+
+  test("sliding windows double-count each event exactly (size/slide = 2)") {
+    import org.apache.spark.sql.functions._
+    val slid = run("q_sliding_window")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(slid == 2 * events,
+      s"1h/30min hopping windows must hold each event twice: $slid vs $events")
+  }
 }
