@@ -42,9 +42,11 @@ object Graph {
     *   MB of (long, long)); pass false past that and the join falls
     *   back to shuffle on src. */
   def pageRank(edges: DataFrame, iters: Int = PageRankIters,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = true, checkpointEvery: Int = 3): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(checkpointEvery >= 1 && checkpointEvery <= 5,
+      s"checkpointEvery must be in [1, 5], got $checkpointEvery")
     val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     // iteration-invariant: degree-annotated edges, built once
@@ -64,8 +66,14 @@ object Graph {
       ranks = contribs
         .select($"node",
           (lit(RankUnit * 15 / 100) + expr("85 * m DIV 100")).as("rank"))
-        .localCheckpoint(true)
       i += 1
+      // lineage cut every k rounds, not every round: an eager
+      // localCheckpoint is a full blocking job, and at node-frame sizes
+      // the per-round materialization costs more than re-planning a few
+      // nested rounds; k bounds both the plan depth and the re-execution
+      // window, same knob as resolveClusters' batched convergence poll
+      if (i % checkpointEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
