@@ -377,7 +377,56 @@ object Corpus {
       |  CAST(COALESCE(SUM(n_new), 0) AS BIGINT) AS docs_new
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // -------------------------------------------------------------- q_global_index
+  /** Contiguous global sequence numbers 1..n in key order — the sample
+    * indexing a resumable training run addresses batches by — WITHOUT
+    * the single-task global window. `row_number() OVER (ORDER BY key)`
+    * plans every row through ONE task; this kernel instead:
+    *   1. range-repartitions by the key (the orderBy exchange — range
+    *      bounds from Spark's reservoir sample, partitions ordered by
+    *      key);
+    *   2. numbers rows WITHIN each range partition (a partitioned
+    *      window — parallel);
+    *   3. turns per-partition counts into starting offsets with one
+    *      window over the #partitions-row count frame — the only
+    *      single-task stage touches partition-count rows, never data —
+    *      and broadcasts the offsets back.
+    * Requires a UNIQUE key (ties spanning a range boundary would make
+    * the numbering layout-dependent); the caller's key choice is the
+    * contract, as with every deterministic-order operator here. */
+  def globalIndex(df: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol)
+    val parts = df.repartitionByRange(key)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    parts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(key)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("global_idx", col("__rn") + col("__offset"))
+      .drop("__pid", "__rn", "__offset")
+  }
+
+  private def globalIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    globalIndex(Tables.orders(s, dir).select($"o_orderkey"), "o_orderkey")
+      .orderBy($"o_orderkey")
+  }
+
+  private val globalIndexSql =
+    """SELECT o_orderkey,
+      |  row_number() OVER (ORDER BY o_orderkey) AS global_idx
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_global_index", globalIndexQuery, Some(globalIndexSql),
+      bench = true),
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),

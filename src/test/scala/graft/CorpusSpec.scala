@@ -280,4 +280,32 @@ class CorpusSpec extends GraftSuite {
       assert(tot >= lo * n && tot < (lo + operators.Corpus.HistBucketWidth) * n + n)
     }
   }
+
+  test("globalIndex: contiguous 1..n in key order, layout-invariant") {
+    import spark.implicits._
+    val base = Tables.orders(spark, sf).select($"o_orderkey")
+    val a = operators.Corpus.globalIndex(base, "o_orderkey")
+    val b = operators.Corpus.globalIndex(base.repartition(7), "o_orderkey")
+    assertSameRows(a, b)
+    val rows = a.orderBy($"global_idx")
+      .select($"o_orderkey", $"global_idx").as[(Long, Long)].collect()
+    assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq,
+      "indices must be the contiguous sequence 1..n")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+      "index order must follow key order")
+  }
+
+  test("globalIndex: the data-side window is partitioned, never one task") {
+    val df = operators.Corpus.globalIndex(
+      Tables.orders(spark, sf).select(col("o_orderkey")), "o_orderkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // row_number over the data must be keyed by __pid; the only
+    // SinglePartition stage is the offsets frame (partition-count rows)
+    assert(plan.contains("row_number"), plan)
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(windowLines.exists(_.contains("__pid")),
+      s"data window must partition by __pid:\n$plan")
+  }
 }
