@@ -232,8 +232,101 @@ object Graph {
       |FROM deg LEFT JOIN per_node ON deg.node = per_node.node
       |ORDER BY deg.node""".stripMargin
 
+  // ------------------------------------------------------------- q_label_prop
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by the smallest
+    * label — the deterministic LPA variant (async/random LPA is
+    * irreproducible by construction; a data pipeline needs the same
+    * communities on every run). Fixed `iters` rounds, no convergence
+    * probe — LPA oscillates on bipartite structures, so production runs
+    * are round-capped anyway.
+    *
+    * Per round: ranks-style broadcast of the node-sized label frame onto
+    * the edge frame, one (dst, label) count aggregation, one per-dst
+    * window to pick the (count desc, label asc) argmin — two exchanges
+    * on the same dst key (AQE reuses the exchange). Integer counts +
+    * integer tie-break: bit-identical on any layout and any engine; the
+    * oracle replays the exact rounds in a recursive CTE. */
+  val LabelPropIters = 3
+
+  /** Deterministic synchronous LPA over a directed edge list (symmetrize
+    * first for undirected semantics, as with pageRank). Nodes with no
+    * in-edge keep their own label. */
+  def labelPropagation(edges: DataFrame, iters: Int = LabelPropIters,
+      broadcastLabels: Boolean = true): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
+    val nodes = e.select($"src".as("node")).unionByName(
+      e.select($"dst".as("node"))).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", $"node")
+    var i = 0
+    while (i < iters) {
+      val labelSide = labels.withColumnRenamed("node", "src")
+      val byDst = e
+        .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "src")
+        .groupBy($"dst".as("node"), $"label")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"node").orderBy($"n".desc, $"label".asc)
+      val adopted = byDst
+        .withColumn("__r", row_number().over(w))
+        .filter($"__r" === 1)
+        .select($"node", $"label")
+      // isolated/receiving-nothing nodes keep their current label
+      labels = nodes
+        .join(adopted, Seq("node"), "left")
+        .select($"node", coalesce($"label", $"node").as("label"))
+      i += 1
+      if (i % 3 == 0 || i == iters) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
+  private def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    labelPropagation(edges)
+      .select($"node", $"label")
+      .orderBy($"node")
+  }
+
+  private val labelPropSql =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |lp(iter, node, label) AS (
+       |  SELECT 0, node, node FROM nodes
+       |  UNION ALL
+       |  SELECT c.iter + 1, c.node, c.label FROM (
+       |    SELECT g.iter AS iter, g.node AS node, g.label AS label,
+       |      row_number() OVER (PARTITION BY g.iter, g.node
+       |        ORDER BY g.n DESC, g.label ASC) AS r
+       |    FROM (
+       |      SELECT lp.iter AS iter, e.dst AS node, lp.label AS label,
+       |        COUNT(*) AS n
+       |      FROM lp
+       |      JOIN edges e ON lp.node = e.src
+       |      WHERE lp.iter < $LabelPropIters
+       |      GROUP BY lp.iter, e.dst, lp.label) g) c
+       |  WHERE c.r = 1)
+       |SELECT node, label FROM lp WHERE iter = $LabelPropIters
+       |ORDER BY node""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_pagerank", pageRankQuery, Some(pageRankSql), bench = true),
+    NamedQuery("q_label_prop", labelPropQuery, Some(labelPropSql), bench = true),
     NamedQuery("q_triangle_count", triangleCount, Some(triangleCountSql),
       bench = true))
 }

@@ -64,4 +64,23 @@ class GraphSpec extends GraftSuite {
     assert(mean(supps) > mean(custs),
       s"supplier hubs should outrank customers: ${mean(supps)} vs ${mean(custs)}")
   }
+
+  test("label propagation: disjoint cliques converge to their minimum id") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val out = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
+  }
+
+  test("label propagation is layout-invariant and tie-breaks deterministically") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L), (2L, 3L), (4L, 2L), (2L, 4L))
+      .toDF("src", "dst")
+    val a = canon(Graph.labelPropagation(edges, iters = 4))
+    val b = canon(Graph.labelPropagation(edges.repartition(5), iters = 4))
+    assert(a == b, "LPA must be bit-identical on any partitioning")
+  }
 }
