@@ -110,6 +110,47 @@ object Checks {
       |   WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P'))
       |ORDER BY check_name""".stripMargin
 
+  // ----------------------------------------------------------------- q_benford
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-amounts alarm for financial data: observed first-digit
+    * rates vs Benford's log₁₀(1 + 1/d) expectation, with the per-digit
+    * gap (the χ²/TVD ingredients, same integer-ppm discipline as
+    * q_drift_tvd). INTEGER end to end: the first digit comes from the
+    * BIGINT string form of floor(v) — never float log10, whose behavior
+    * at exact powers of ten differs across engines — and the expected
+    * rates are ppm constants. One row-local scan pass, one 9-row
+    * aggregate; the window totals run over the 9 digit rows. */
+  private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_totalprice" >= 1)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("rate_ppm", expr("n * 1000000 DIV sum(n) OVER ()"))
+      .withColumn("benford_ppm",
+        element_at(array(BenfordPpm.map(lit): _*), $"digit"))
+      .withColumn("gap_ppm", abs($"rate_ppm" - $"benford_ppm"))
+      .orderBy($"digit")
+  }
+
+  private val benfordSql =
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1),
+       |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+       |SELECT digit, n,
+       |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS rate_ppm,
+       |  CAST([${BenfordPpm.mkString(",")}][digit] AS BIGINT) AS benford_ppm,
+       |  CAST(abs(n * 1000000 // SUM(n) OVER ()
+       |         - [${BenfordPpm.mkString(",")}][digit]) AS BIGINT) AS gap_ppm
+       |FROM c ORDER BY digit""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_quality_checks", qualityChecks, Some(qualityChecksSql), bench = true))
+    NamedQuery("q_quality_checks", qualityChecks, Some(qualityChecksSql), bench = true),
+    NamedQuery("q_benford", benford, Some(benfordSql), bench = true))
 }

@@ -400,6 +400,50 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_normalize_text
+  /** Canonical text normalization — the first pass of every corpus
+    * pipeline, and the transform exact-dedup keys on (two documents that
+    * differ only in case/whitespace/punctuation spacing SHOULD collide):
+    * lowercase, strip characters outside [a-z0-9 basic punctuation],
+    * collapse whitespace runs to one space, trim. IDEMPOTENT by
+    * construction (spec-proved: normalize ∘ normalize = normalize), so
+    * re-running an ingest stage can't change digests. Row-local chained
+    * codegen regexp passes (the q_pii_redact shape) — scan-speed at
+    * 100 TB, zero shuffle; the aggregation here exists only to give the
+    * oracle a compact certificate (per-language digest-distinct counts
+    * before/after). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 .,;:!?'-]", " "),
+      " +", " "))
+
+  private def normalizeTextQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", $"text", normalizeText($"text").as("norm"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(md5($"text")).as("n_distinct_raw"),
+        count_distinct(md5($"norm")).as("n_distinct_norm"),
+        sum((length($"text") - length($"norm")).cast("long"))
+          .as("chars_removed"))
+      .orderBy($"lang")
+  }
+
+  private val normalizeTextSql =
+    """WITH n AS (
+      |  SELECT lang, text,
+      |    trim(regexp_replace(
+      |      regexp_replace(lower(text), '[^a-z0-9 .,;:!?''-]', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_raw,
+      |  COUNT(DISTINCT md5(norm)) AS n_distinct_norm,
+      |  CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ q_cooccurrence
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
     * extraction: unordered word pairs within distance ≤ 2, counted
@@ -447,6 +491,8 @@ object TextAnalysis {
       |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_normalize_text", normalizeTextQuery, Some(normalizeTextSql),
+      bench = true),
     NamedQuery("q_cooccurrence", cooccurrence, Some(cooccurrenceSql),
       bench = true),
     NamedQuery("q_bm25", bm25, Some(bm25Sql), bench = true),

@@ -73,4 +73,20 @@ class ChecksSpec extends GraftSuite {
     intercept[IllegalArgumentException](Checks.uniqueViolations(clean, Seq.empty))
     intercept[IllegalArgumentException](Checks.nonNullViolations(clean, Seq.empty))
   }
+
+  test("benford audit: digits 1-9 partition the rows, ppm accounting closes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_benford")(spark, SparkSpec.sfSmoke).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9),
+      "every leading digit must appear on the synthetic totals")
+    val n = rows.map(_.getLong(1)).sum
+    val expected = Tables.orders(spark, SparkSpec.sfSmoke)
+      .filter(col("o_totalprice") >= 1).count()
+    assert(n == expected, "digit groups must partition the eligible rows")
+    val ppm = rows.map(_.getLong(2)).sum
+    assert(ppm > 1000000L - 9 && ppm <= 1000000L,
+      s"integer-DIV rates must sum to 1e6 minus truncation: $ppm")
+    rows.foreach(r => assert(r.getLong(4) ==
+      math.abs(r.getLong(2) - r.getLong(3)), s"gap must be |rate-benford|: $r"))
+  }
 }

@@ -179,6 +179,28 @@ class TextAnalysisSpec extends GraftSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("normalizeText is idempotent and case/whitespace-insensitive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val raw = Seq("  Hello,   WORLD!! ", "tabs\tand\nnewlines here",
+      "already clean text.", "Unicode café × stripped")
+      .toDF("text")
+    val once = raw.select(TextAnalysis.normalizeText($"text").as("n1"))
+    val twice = once.select($"n1".as("text"))
+      .select(TextAnalysis.normalizeText($"text").as("n1"))
+    assertSameRows(once, twice)
+    val vals = once.as[String].collect().toSeq
+    assert(vals.forall(v => v == v.toLowerCase), "must be lowercase")
+    assert(vals.forall(!_.contains("  ")), "no whitespace runs")
+    assert(vals.forall(v => v == v.trim), "trimmed")
+    // case/extra-space variants of the same content collide
+    val a = Seq("Hello,  World!").toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].head()
+    val b = Seq("hello, world!").toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].head()
+    assert(a == b)
+  }
+
   test("bm25 is partitioning-invariant: one-row stats frame, exact tf/df") {
     val docs = Tables.documents(spark, sf)
     val a = canon(TextAnalysis.bm25Score(docs, TextAnalysis.Bm25Terms))
