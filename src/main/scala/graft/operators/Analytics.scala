@@ -778,6 +778,91 @@ object Analytics {
        |FROM c WHERE n * $HeavyHitterK > (SELECT total FROM t)
        |ORDER BY n DESC, word""".stripMargin
 
+  // ------------------------------------------------------- q_time_weighted_avg
+  /** Time-weighted average order value per customer — the
+    * irregular-series integration a financial pipeline uses for average
+    * balances: each order's value is weighted by the number of days it
+    * "stood" (until the customer's next order; the final order has no
+    * horizon and is excluded, the standard left-closed convention).
+    * The weighted sum routes day-weighted 2-dp products through DECIMAL
+    * (Exact rationale) so the aggregation is partitioning-invariant; the
+    * final average is one IEEE division on bit-identical inputs.
+    * One customer-keyed window (lead) + one aggregation on the same key. */
+  private def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val spans = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_totalprice")
+      .withColumn("days",
+        datediff(lead($"o_orderdate", 1).over(w), $"o_orderdate"))
+      .filter($"days".isNotNull && $"days" > 0)
+    spans.groupBy($"o_custkey")
+      .agg(
+        dsum($"o_totalprice" * $"days").as("weighted_total"),
+        sum($"days").cast("long").as("total_days"),
+        count(lit(1)).as("n_spans"))
+      .withColumn("twa", $"weighted_total" / $"total_days")
+      .orderBy($"o_custkey")
+  }
+
+  private val timeWeightedAvgSql =
+    s"""WITH spans AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    date_diff('day', o_orderdate,
+       |      lead(o_orderdate) OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate, o_orderkey)) AS days
+       |  FROM orders)
+       |SELECT o_custkey,
+       |  ${sqlDsum("o_totalprice * days")} AS weighted_total,
+       |  CAST(SUM(days) AS BIGINT) AS total_days,
+       |  COUNT(*) AS n_spans,
+       |  ${sqlDsum("o_totalprice * days")} / CAST(SUM(days) AS BIGINT) AS twa
+       |FROM spans WHERE days IS NOT NULL AND days > 0
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------- q_debounce
+  /** Gap-based event debouncing — the stream-hygiene pass that drops
+    * same-type events re-fired within a cooldown of the PREVIOUS RAW
+    * event (one lag window; the "within cooldown of the last KEPT
+    * event" variant is a recursive fold, deliberately not this — the
+    * lag spelling is the one that runs as a single window at scale).
+    * Emits per-type retention accounting. Timestamp arithmetic is
+    * integer microseconds; nothing to round. */
+  val DebounceCooldownMin = 10
+
+  private def debounce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("kept", $"prev_ts".isNull ||
+        unix_micros($"ts") - unix_micros($"prev_ts") >
+          DebounceCooldownMin * 60L * 1000000L)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy($"event_type")
+  }
+
+  private val debounceSql =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    lag(ts) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS prev_ts, ts
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN prev_ts IS NULL
+       |    OR epoch_us(ts) - epoch_us(prev_ts) > ${DebounceCooldownMin * 60L * 1000000L}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN prev_ts IS NULL
+       |    OR epoch_us(ts) - epoch_us(prev_ts) > ${DebounceCooldownMin * 60L * 1000000L}
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ q_cohort_retention
   /** Cohort retention triangle: customers grouped by first-order month,
     * tracked by how many are active N months later. Retention is ppm via
@@ -916,6 +1001,9 @@ object Analytics {
     NamedQuery("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),
       bench = true),
     NamedQuery("q_funnel", funnel, Some(funnelSql), bench = true),
+    NamedQuery("q_time_weighted_avg", timeWeightedAvg,
+      Some(timeWeightedAvgSql), bench = true),
+    NamedQuery("q_debounce", debounce, Some(debounceSql), bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
       bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,

@@ -444,6 +444,72 @@ object TextAnalysis {
       |  CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed
       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------- q_collocations
+  /** Collocation (phrase) mining: adjacent word bigrams ranked by
+    * INTEGER lift — observed pair count vs the independence expectation,
+    * lift = n_pair · N / (n₁ · n₂), the PMI exponential. Computed
+    * entirely in 64-bit integer arithmetic (DIV — no float log, nothing
+    * to round cross-engine): n_pair·N ≤ N² stays in range through
+    * billions of tokens, exactly where a real phrase-mining pass runs.
+    * Support floor n_pair ≥ 5 (the classic Mikolov phrase threshold
+    * shape), top 50 by (lift, n_pair, pair) — a unique total order.
+    *
+    * Scale shape: bigrams generate ROW-LOCALLY (zip_with, no self-join);
+    * unigram counts attach by two word-keyed broadcast joins (the
+    * filtered pair frame after the support floor is vocabulary-sized);
+    * the token-count anchor is a one-row broadcast (q_date_window
+    * recipe). */
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ", -1)
+    val docs = Tables.documents(s, dir)
+    val tokens = docs.select(explode(words).as("w"))
+      .filter(length($"w") >= 4)
+    val uni = tokens.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val n = greatest(size(words) - 1, lit(0))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(words, lit(1), n), slice(words, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter(length($"w1") >= 4 && length($"w2") >= 4)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 5)
+    val total = tokens.agg(count(lit(1)).as("n_tokens"))
+    pairs
+      .join(broadcast(uni.select($"w".as("w1"), $"n_w".as("n1"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"n_w".as("n2"))), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", expr("n_pair * n_tokens DIV (n1 * n2)"))
+      .select($"w1", $"w2", $"n_pair", $"n1", $"n2", $"lift")
+      .orderBy($"lift".desc, $"n_pair".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  private val collocationsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS n_w FROM toks WHERE length(w) >= 4 GROUP BY 1),
+      |total AS (
+      |  SELECT COUNT(*) AS n_tokens FROM toks WHERE length(w) >= 4),
+      |pairs AS (
+      |  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE length(a.w) >= 4 AND length(b.w) >= 4
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, n_pair, u1.n_w AS n1, u2.n_w AS n2,
+      |  n_pair * n_tokens // (u1.n_w * u2.n_w) AS lift
+      |FROM pairs
+      |JOIN uni u1 ON pairs.w1 = u1.w
+      |JOIN uni u2 ON pairs.w2 = u2.w
+      |CROSS JOIN total
+      |ORDER BY lift DESC, n_pair DESC, w1, w2 LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ q_cooccurrence
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
     * extraction: unordered word pairs within distance ≤ 2, counted
@@ -492,6 +558,8 @@ object TextAnalysis {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_normalize_text", normalizeTextQuery, Some(normalizeTextSql),
+      bench = true),
+    NamedQuery("q_collocations", collocations, Some(collocationsSql),
       bench = true),
     NamedQuery("q_cooccurrence", cooccurrence, Some(cooccurrenceSql),
       bench = true),

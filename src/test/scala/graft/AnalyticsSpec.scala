@@ -321,4 +321,36 @@ class AnalyticsSpec extends GraftSuite {
       }
     }
   }
+
+  test("collocations: support floor holds and pair counts bound unigram counts") {
+    val rows = SparkEntry.queries("q_collocations")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np >= 5, s"support floor: $r")
+      assert(np <= n1 && np <= n2, s"a pair can't outnumber its words: $r")
+    }
+    val lifts = rows.map(_.getLong(5)).toSeq
+    assert(lifts == lifts.sorted.reverse, "must rank by lift desc")
+  }
+
+  test("time-weighted average: accounting identity and value bounds") {
+    val rows = SparkEntry.queries("q_time_weighted_avg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wt, days, twa) = (r.getDouble(1), r.getLong(2), r.getDouble(4))
+      assert(days > 0, s"spans must carry positive duration: $r")
+      assert(twa == wt / days, s"twa must be the single division: $r")
+    }
+  }
+
+  test("debounce: kept + dropped = total, every type accounted") {
+    val rows = SparkEntry.queries("q_debounce")(spark, sf).collect()
+    assert(rows.length == 5, "all five event types must appear")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"retention accounting must close: $r")
+      assert(r.getLong(2) >= 1, s"each (user, type) keeps its first event: $r")
+    }
+  }
 }
