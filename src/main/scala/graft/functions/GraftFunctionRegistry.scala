@@ -47,6 +47,9 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_trigram_hashes"),
       info("graft_trigram_hashes", "_FUNC_(text) - sorted distinct 3-gram hashes"),
       arity("graft_trigram_hashes", 1)(args => TriGramHashes(args(0)))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "_FUNC_(s) - Unicode NFC canonical composition"),
+      arity("graft_nfc", 1)(args => NfcNormalize(args(0)))),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash of a token array"),
       arity("graft_simhash", 1)(args => SimHash64(args(0)))),

@@ -153,6 +153,16 @@ object TextImpl {
     * verification of LSH candidates (array_intersect on sorted longs). */
   def triGramSet(s: UTF8String): ArrayData = sortedDistinct(triGramHashMultiset(s))
 
+  /** Unicode NFC (canonical composition). Allocation-free when the input
+    * is already normalized — the overwhelmingly common case, checked by
+    * Normalizer's quick-check pass without building the composed string. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Sorted distinct word-n-gram hashes: one pass over the text, no
     * shingle strings materialized. */
   def wordNGramSet(s: UTF8String, n: Int): ArrayData =
@@ -297,10 +307,34 @@ case class WordNGramHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** nfc_normalize(string) -> string: Unicode canonical composition (NFC).
+  * Spark has no normalization builtin, and dedup/digest keys over
+  * user-supplied text MUST be normalization-invariant — "café" composed
+  * and decomposed are byte-different but the same text. Implemented as a
+  * native expression (not a UDF) so it runs inside whole-stage codegen;
+  * the common already-normalized case is allocation-free via
+  * Normalizer.isNormalized. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.functions.lit
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
   def rollingFingerprint(text: Column, window: Int): Column =
     ExpressionUtils.column(RollingFingerprint(
       ExpressionUtils.expression(text), ExpressionUtils.expression(lit(window))))

@@ -444,6 +444,48 @@ object TextAnalysis {
       |  CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed
       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------- q_nfc_normalize
+  /** Unicode-normalization certificate: the corpus is deterministically
+    * DE-composed (every "e" replaced by "e" + U+0301 COMBINING ACUTE —
+    * a canonical-equivalence-preserving corruption of the byte form),
+    * then recomposed through the native NfcNormalize expression. Per
+    * language: how many docs changed byte form, how many characters
+    * composition removed (= the planted combining marks), and the
+    * distinct-digest count of the recomposed text. The oracle replays
+    * the identical plant through DuckDB's nfc_normalize — two
+    * INDEPENDENT Unicode implementations (ICU-style C++ vs
+    * java.text.Normalizer) must agree byte-for-byte on every document,
+    * which is the strongest cross-checking a normalizer can get.
+    * Row-local, scan-speed, zero shuffle before the certificate agg. */
+  private def nfcNormalizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = regexp_replace($"text", "e", "e\u0301")
+    Tables.documents(s, dir)
+      .select($"lang", dec.as("dec"))
+      .select($"lang", $"dec",
+        TextFunctions.nfcNormalize($"dec").as("norm"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"norm" =!= $"dec", 1L).otherwise(0L)).as("n_changed"),
+        sum((length($"dec") - length($"norm")).cast("long"))
+          .as("marks_composed"),
+        count_distinct(md5($"norm")).as("n_distinct_norm"))
+      .orderBy($"lang")
+  }
+
+  private val nfcNormalizeSql =
+    """WITH d AS (
+      |  SELECT lang, replace(text, 'e', 'e' || chr(769)) AS dec
+      |  FROM documents),
+      |n AS (SELECT lang, dec, nfc_normalize(dec) AS norm FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN norm <> dec THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(length(dec) - length(norm)) AS BIGINT) AS marks_composed,
+      |  COUNT(DISTINCT md5(norm)) AS n_distinct_norm
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------- q_collocations
   /** Collocation (phrase) mining: adjacent word bigrams ranked by
     * INTEGER lift — observed pair count vs the independence expectation,
@@ -560,6 +602,8 @@ object TextAnalysis {
     NamedQuery("q_normalize_text", normalizeTextQuery, Some(normalizeTextSql),
       bench = true),
     NamedQuery("q_collocations", collocations, Some(collocationsSql),
+      bench = true),
+    NamedQuery("q_nfc_normalize", nfcNormalizeQuery, Some(nfcNormalizeSql),
       bench = true),
     NamedQuery("q_cooccurrence", cooccurrence, Some(cooccurrenceSql),
       bench = true),

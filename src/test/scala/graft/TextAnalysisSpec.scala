@@ -29,6 +29,28 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("nfc normalize: composes known sequences, identity on normalized text") {
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val rows = Seq(decomposed, composed, "plain ascii", "")
+      .toDF("s")
+      .select($"s", TextFunctions.nfcNormalize($"s").as("n"))
+      .collect()
+    assert(rows(0).getString(1) == composed, "must compose combining marks")
+    assert(rows(1).getString(1) == composed, "composed input is a fixed point")
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "")
+    // matches the JVM kernel through the codegen path
+    rows.foreach { r =>
+      assert(r.getString(1) == java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC))
+    }
+    // digest keys collide across byte forms after normalization
+    val digests = Seq(decomposed, composed).toDF("s")
+      .select(md5(TextFunctions.nfcNormalize($"s"))).distinct().count()
+    assert(digests == 1L, "NFC must make canonical-equivalent texts collide")
+  }
+
   test("simhash of identical token arrays is identical; near-dup is Hamming-close") {
     val base = (1 to 50).map(i => s"tok$i")
     val nearDup = base.updated(3, "changed")
