@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SCD-1 upsert (MERGE semantics without transactional storage): rows
   * from `updates` replace same-key rows in `existing` wholesale, new
@@ -236,8 +237,62 @@ object Upsert {
       |  AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------- q_incremental_agg
+  /** Incremental materialized-aggregate maintenance — the
+    * streaming-materialized-view shape in batch: a stored per-customer
+    * aggregate STATE (count + DECIMAL spend sum) is merged with the
+    * partial aggregate of a NEW batch, without rescanning history facts.
+    * Works because (count, decimal-sum) is a MERGEABLE state: the merge
+    * is itself a sum, associative and exact — merging daily batches in
+    * any order, or recomputing from scratch, gives bit-identical results
+    * (UpsertSpec proves the associativity on a 3-way split; the oracle
+    * IS the from-scratch recompute over all facts).
+    *
+    * Scale shape: the new batch partial-aggregates map-side to at most
+    * one row per touched key before the merge shuffle, and the state
+    * side is aggregate-sized (keys, not facts) — the cost per refresh is
+    * O(batch + touched keys), independent of history volume. This is
+    * the batch analog of q_event_window_agg's streaming aggregation and
+    * the digest-only q_incremental_dedup. */
+  val IncrementalSplit = "2001-01-01"
+
+  /** Mergeable per-key state: (n_orders, spend as DECIMAL(28,2)). */
+  def orderAggState(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(28, 2))).as("spend_dec"))
+
+  /** Merge any number of mergeable states (union + re-sum). */
+  def mergeAggStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("spend_dec")).as("spend_dec"))
+  }
+
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val cut = to_timestamp(lit(IncrementalSplit))
+    val state = orderAggState(orders.filter($"o_orderdate" < cut))
+    val batch = orderAggState(orders.filter($"o_orderdate" >= cut))
+    mergeAggStates(Seq(state, batch))
+      .select($"o_custkey", $"n_orders",
+        $"spend_dec".cast("double").as("total_spend"))
+      .orderBy($"o_custkey")
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+      |    AS total_spend
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_upsert", upsertQuery, Some(upsertSql), bench = true),
     NamedQuery("q_scd2", scd2Query, Some(scd2Sql), bench = true),
-    NamedQuery("q_scd2_pit", scd2PitQuery, Some(scd2PitSql), bench = true))
+    NamedQuery("q_scd2_pit", scd2PitQuery, Some(scd2PitSql), bench = true),
+    NamedQuery("q_incremental_agg", incrementalAgg, Some(incrementalAggSql),
+      bench = true))
 }

@@ -111,4 +111,18 @@ class UpsertSpec extends GraftSuite {
     // every order matched exactly one version
     assert(out.count() == Tables.orders(spark, sf).count())
   }
+
+  test("incremental agg state merge is associative and order-insensitive") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    // three arbitrary disjoint covering slices by key residue
+    val slices = (0 to 2).map(r =>
+      Upsert.orderAggState(orders.filter(pmod(col("o_orderkey"), lit(3)) === r)))
+    val once = Upsert.mergeAggStates(slices)
+    val nested = Upsert.mergeAggStates(Seq(
+      Upsert.mergeAggStates(Seq(slices(2), slices(0))), slices(1)))
+    val scratch = Upsert.orderAggState(orders)
+    assertSameRows(once, scratch)
+    assertSameRows(nested, scratch)
+  }
 }
