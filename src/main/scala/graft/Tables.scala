@@ -31,8 +31,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (s.conf.getOption(key).forall(_ != "true")) s.conf.set(key, "true")
+    // integer DIV, not `/1000` — epoch NANOS (~1.7e18) exceeds a double's
+    // 53-bit integer range, so float division can land ±1µs off the
+    // truncated value DuckDB's epoch_us computes
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

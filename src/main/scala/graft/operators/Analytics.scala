@@ -821,6 +821,56 @@ object Analytics {
        |FROM spans WHERE days IS NOT NULL AND days > 0
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ----------------------------------------------------------------- q_islands
+  /** Gaps-and-islands: merge each user's event stream into activity
+    * islands — maximal runs where consecutive events are ≤ `IslandGapMin`
+    * apart — the classic interval-union shape behind session billing,
+    * uptime accounting, and validity-interval compaction. One user-keyed
+    * sort pass computes BOTH window functions (gap flag via lag, island
+    * id via running sum of flags — same window spec, one Exchange+Sort);
+    * the per-island rollup then groups on (user, island). Timestamps
+    * leave as exact epoch microseconds; span arithmetic is integer. */
+  val IslandGapMin = 10
+
+  private def islands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = IslandGapMin * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_us", unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("is_start",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("island_id", sum($"is_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"island_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("start_us"),
+        max(unix_micros($"ts")).as("end_us"))
+      .withColumn("span_us", $"end_us" - $"start_us")
+      .orderBy($"user_id", $"island_id")
+  }
+
+  private val islandsSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+       |         > ${IslandGapMin * 60L * 1000000L}
+       |      THEN 1 ELSE 0 END AS is_start
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, ts,
+       |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+       |  FROM flagged)
+       |SELECT user_id, island_id, COUNT(*) AS n_events,
+       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+       |FROM numbered GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin
+
   // ----------------------------------------------------------------- q_debounce
   /** Gap-based event debouncing — the stream-hygiene pass that drops
     * same-type events re-fired within a cooldown of the PREVIOUS RAW
@@ -1004,6 +1054,7 @@ object Analytics {
     NamedQuery("q_time_weighted_avg", timeWeightedAvg,
       Some(timeWeightedAvgSql), bench = true),
     NamedQuery("q_debounce", debounce, Some(debounceSql), bench = true),
+    NamedQuery("q_islands", islands, Some(islandsSql), bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
       bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,

@@ -66,6 +66,42 @@ object Skew {
       |WHERE rn <= 3
       |ORDER BY custkey, rank""".stripMargin
 
+  // ------------------------------------------------------------ q_skew_report
+  /** Join-key skew diagnosis — the report a pipeline runs BEFORE picking
+    * a join strategy (broadcast / salt / AQE-split): for each candidate
+    * key of `lineitem`, the distinct-key count, the hottest key's row
+    * count, and its corpus share in ppm. A share over ~1/partitions is
+    * the straggler warning. Two-level aggregation per key (per-key counts
+    * partial-agg map-side, then a 4-number rollup); the three key reports
+    * run as independent branches of one union. Integer throughout. */
+  private def skewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def report(keyCol: String): DataFrame =
+      li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_distinct_keys"),
+          max($"n").as("max_key_rows"),
+          sum($"n").as("n_rows"))
+        .select(
+          lit(keyCol).as("key_name"), $"n_distinct_keys", $"max_key_rows",
+          expr("max_key_rows * 1000000 DIV n_rows").as("max_share_ppm"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(report)
+      .reduce(_.unionByName(_))
+      .orderBy($"key_name")
+  }
+
+  private val skewReportSql = {
+    def rep(c: String) =
+      s"""SELECT '$c' AS key_name, COUNT(*) AS n_distinct_keys,
+         |  MAX(n) AS max_key_rows,
+         |  CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS max_share_ppm
+         |FROM (SELECT $c, COUNT(*) AS n FROM lineitem GROUP BY 1)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(rep)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_topk_per_key", topkPerKey, Some(topkPerKeySql), bench = true))
+    NamedQuery("q_topk_per_key", topkPerKey, Some(topkPerKeySql), bench = true),
+    NamedQuery("q_skew_report", skewReport, Some(skewReportSql), bench = true))
 }

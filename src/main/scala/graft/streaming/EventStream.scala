@@ -39,7 +39,7 @@ object EventStream {
     * glob), with the nanos→micros timestamp conversion of Tables.events. */
   def readEvents(s: SparkSession, path: String): DataFrame =
     s.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** 1-hour event-time windows per event_type with a 1-hour watermark —
     * identical spec to the batch q_event_window_agg, so results are

@@ -344,6 +344,29 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("islands: events partition into islands, gap law holds at boundaries") {
+    import graft.operators.Analytics
+    val out = SparkEntry.queries("q_islands")(spark, sf).collect()
+    val perUser = out.groupBy(_.getLong(0))
+    val events = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == events,
+      "islands must partition every event")
+    val gapUs = Analytics.IslandGapMin * 60L * 1000000L
+    perUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        "island ids must be contiguous per user")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) > gapUs,
+            s"consecutive islands must be separated by more than the gap: $a | $b")
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getLong(4) >= r.getLong(3),
+        s"island end must not precede start: $r"))
+    }
+  }
+
   test("debounce: kept + dropped = total, every type accounted") {
     val rows = SparkEntry.queries("q_debounce")(spark, sf).collect()
     assert(rows.length == 5, "all five event types must appear")

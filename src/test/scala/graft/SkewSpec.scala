@@ -104,4 +104,20 @@ class SkewSpec extends GraftSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("skew report: accounting identities against recomputed key stats") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_skew_report")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    rows.foreach { r =>
+      val (nd, mx, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd == li.select(col(r.getString(0))).distinct().count(),
+        s"distinct-key count must match: $r")
+      assert(mx >= n / nd, s"max key >= mean by pigeonhole: $r")
+      assert(ppm == mx * 1000000L / n, s"share must be max/total in ppm: $r")
+    }
+  }
 }
