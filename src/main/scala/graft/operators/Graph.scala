@@ -194,10 +194,19 @@ object Graph {
 
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val pairs = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    // co-purchase pairs WITHOUT the lineitem self-join: one orderkey
+    // shuffle collects each order's part list, pairs generate row-locally
+    // from the sorted array (orders hold ~7 lines — k² is scan noise);
+    // the self-join formulation lives on in the oracle SQL, so agreement
+    // is differential. Same dedup (triangleCounts distincts pairs).
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1),
+          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select($"p.u", $"p.v")
     triangleCounts(pairs).orderBy($"node")
   }
 
