@@ -843,7 +843,61 @@ object Dedup {
        |                          ORDER BY seg_idx), '')) AS clean_md5
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q_golden_record
+  /** Survivorship — the step AFTER dedup finds a duplicate group: merge
+    * the group's conflicting metadata into one golden record under
+    * explicit, deterministic rules (here: smallest id is the surviving
+    * key, lexicographically-first source wins, provenance keeps the
+    * sorted source list — every rule an order statistic or a sorted set,
+    * so both engines agree bit-for-bit; "first non-null by recency"
+    * would be the same shape over a timestamp order).
+    *
+    * The fixture corpus has no exact text duplicates (dedupExact plants
+    * its own), so conflicts are planted: every 10th document gets a
+    * byte-identical copy under a DIFFERENT source ('mirror') at
+    * id + PlantOffset — through the REAL digest grouping, with the full
+    * expected answer (ids, source sets, winners) replayed by the oracle.
+    * Only (digest, doc_id, source, n_chars) shuffles — never the text. */
+  private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "goldenRecord")
+    val base = docs.select($"doc_id", $"source", $"n_chars", $"text")
+    val withCopies = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + Similarity.PlantOffset).as("doc_id"),
+          lit("mirror").as("source"), $"n_chars", $"text"))
+    withCopies
+      .select(md5($"text").as("digest"), $"doc_id", $"source", $"n_chars")
+      .groupBy($"digest")
+      .agg(
+        min($"doc_id").as("keep_id"),
+        count(lit(1)).as("n_records"),
+        min($"source").as("source_won"),
+        concat_ws("|", sort_array(collect_set($"source"))).as("sources"),
+        max($"n_chars").as("n_chars"))
+      .filter($"n_records" >= 2)
+      .select($"keep_id", $"n_records", $"source_won", $"sources", $"n_chars")
+      .orderBy($"keep_id")
+  }
+
+  private val goldenRecordSql =
+    s"""WITH a AS (
+       |  SELECT doc_id, source, n_chars, text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Similarity.PlantOffset}, 'mirror', n_chars, text
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_records,
+       |  MIN(source) AS source_won,
+       |  list_aggregate(list_sort(list_distinct(list(source))), 'string_agg', '|') AS sources,
+       |  MAX(n_chars) AS n_chars
+       |FROM a GROUP BY text HAVING COUNT(*) >= 2
+       |ORDER BY keep_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_golden_record", goldenRecord, Some(goldenRecordSql),
+      bench = true),
     NamedQuery("q_line_dedup", lineDedupQuery, Some(lineDedupSql), bench = true),
     NamedQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     NamedQuery("q_dup_ngrams", dupNgrams, Some(dupNgramsSql), bench = true),

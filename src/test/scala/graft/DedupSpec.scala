@@ -395,4 +395,20 @@ class DedupSpec extends GraftSuite {
       Tables.documents(spark, sf).repartition(7), "text", "doc_id"))
     assert(re == base, "winner election must not depend on partitioning")
   }
+
+  test("golden record: original survives, mirror loses, provenance kept") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_golden_record")(spark, sf).collect()
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(out.length == planted, "one merged group per planted mirror copy")
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, s"survivor must be the original id: $r")
+      assert(r.getLong(1) == 2, s"groups are (original, mirror) pairs: $r")
+      assert(r.getString(2) == r.getString(3).split('|').min,
+        s"the lexicographically-first source must win: $r")
+      assert(r.getString(3).split('|').contains("mirror"),
+        s"provenance must record the losing source: $r")
+    }
+  }
 }
