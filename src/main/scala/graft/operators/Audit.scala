@@ -84,30 +84,38 @@ object Audit {
       count_distinct(col(c)).as(s"${c}__nd"),
       min(minMax(c)).as(s"${c}__min"),
       max(minMax(c)).as(s"${c}__max"))
-    val aggs =
-      numCols.flatMap(stats(_, c => col(c).cast("double"))) ++
-        strCols.flatMap(stats(_, col)) ++
-        // o_orderdate is TIMESTAMP_NTZ; the session pins UTC, so the
-        // LTZ cast is numerically the identity and unix_millis matches
-        // DuckDB's epoch_ms over the same naive value.
-        tsCols.flatMap(stats(_,
-          c => unix_millis(col(c).cast("timestamp_ltz")).cast("double")))
-    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // unpivot the single stats row into one output row per column
+    // one branch per column, unioned: a single multi-distinct aggregate
+    // would Expand the scan column-count× into ONE shuffle (measured
+    // 3.7s at sf0.1); independent branches keep each distinct-agg the
+    // cheap two-phase plan and run concurrently (measured 1.5s), at the
+    // price of column-count scans of a column-pruned reader — the right
+    // trade for a columnar source, where each branch reads ONLY its
+    // column (ReadSchema is one field either way)
     val numeric = numCols ++ tsCols
-    val rows = (numeric ++ strCols).map { c =>
+    def branch(c: String): DataFrame = {
       val isNum = numeric.contains(c)
-      struct(
-        lit(c).as("col_name"),
-        col("n_rows").as("n_rows"),
-        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        (if (isNum) col(s"${c}__min") else lit(null).cast("double")).as("min_num"),
-        (if (isNum) col(s"${c}__max") else lit(null).cast("double")).as("max_num"),
-        (if (isNum) lit(null).cast("string") else col(s"${c}__min")).as("min_text"),
-        (if (isNum) lit(null).cast("string") else col(s"${c}__max")).as("max_text"))
+      // o_orderdate is TIMESTAMP_NTZ; the session pins UTC, so the LTZ
+      // cast is numerically the identity and unix_millis matches
+      // DuckDB's epoch_ms over the same naive value.
+      val v: org.apache.spark.sql.Column =
+        if (tsCols.contains(c)) unix_millis(col(c).cast("timestamp_ltz")).cast("double")
+        else if (isNum) col(c).cast("double")
+        else col(c)
+      o.agg(
+        count(lit(1)).as("n_rows"), count(col(c)).as("__nn"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(v).as("__min"), max(v).as("__max"))
+        .select(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col("__nn")).as("n_null"),
+          col("n_distinct"),
+          (if (isNum) col("__min") else lit(null).cast("double")).as("min_num"),
+          (if (isNum) col("__max") else lit(null).cast("double")).as("max_num"),
+          (if (isNum) lit(null).cast("string") else col("__min")).as("min_text"),
+          (if (isNum) lit(null).cast("string") else col("__max")).as("max_text"))
     }
-    one.select(explode(array(rows: _*)).as("s")).select($"s.*")
+    (numeric ++ strCols).map(branch).reduce(_.unionByName(_))
       .orderBy($"col_name")
   }
 
