@@ -821,6 +821,50 @@ object Analytics {
        |FROM spans WHERE days IS NOT NULL AND days > 0
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------- q_attribution
+  /** Last-touch attribution: each purchase is credited to the campaign
+    * (the `k` property) of the user's most recent PRECEDING view — the
+    * ad-analytics shape behind every conversion report. One user-keyed
+    * sort pass: last(view.k) IGNORE NULLS over rows-unbounded-preceding
+    * carries the live campaign forward onto every event, purchases then
+    * filter out — an as-of join with no join operator (the AsOf.scala
+    * union+window recipe on a single table). Unattributed purchases
+    * (no prior view) keep campaign −1: reported, never dropped.
+    * Campaign ids and counts are integers; ties at equal timestamps
+    * break on event_id on both engines. */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .withColumn("k",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"))
+      .withColumn("campaign",
+        last(when($"event_type" === "view", $"k"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"campaign", lit(-1)).as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count_distinct($"user_id").as("n_buyers"))
+      .orderBy($"campaign")
+  }
+
+  private val attributionSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |carried AS (
+      |  SELECT user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN k END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS campaign
+      |  FROM e)
+      |SELECT COALESCE(campaign, -1) AS campaign,
+      |  COUNT(*) AS n_purchases, COUNT(DISTINCT user_id) AS n_buyers
+      |FROM carried WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY campaign""".stripMargin
+
   // ----------------------------------------------------------------- q_islands
   /** Gaps-and-islands: merge each user's event stream into activity
     * islands — maximal runs where consecutive events are ≤ `IslandGapMin`
@@ -1055,6 +1099,7 @@ object Analytics {
       Some(timeWeightedAvgSql), bench = true),
     NamedQuery("q_debounce", debounce, Some(debounceSql), bench = true),
     NamedQuery("q_islands", islands, Some(islandsSql), bench = true),
+    NamedQuery("q_attribution", attribution, Some(attributionSql), bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
       bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,

@@ -65,6 +65,45 @@ object Audit {
        |FROM full_qi JOIN gen_qi USING (c_nationkey)
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------- q_l_diversity
+  /** l-diversity — k-anonymity's necessary complement: a group can be
+    * large (k-anonymous) yet expose its members anyway if everyone in it
+    * shares the same SENSITIVE value. Per (nation) QI group: group size,
+    * distinct sensitive values (market segment standing in for the
+    * sensitive attribute), the best-represented segment's share in ppm,
+    * and the l < 3 flag. One two-level aggregation: (nation, segment)
+    * counts partial-agg map-side, the nation rollup runs over
+    * QI-cardinality rows. Integer counts, integer DIV share. */
+  val LThreshold = 3
+
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"c_nationkey")
+      .agg(
+        sum($"n").cast("long").as("k"),
+        count(lit(1)).as("l_distinct"),
+        max($"n").cast("long").as("top_segment_rows"))
+      .select(
+        $"c_nationkey", $"k", $"l_distinct",
+        expr("top_segment_rows * 1000000 DIV k").as("top_segment_ppm"),
+        ($"l_distinct" < LThreshold).as("at_risk"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val lDiversitySql =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c_nationkey,
+       |  CAST(SUM(n) AS BIGINT) AS k,
+       |  COUNT(*) AS l_distinct,
+       |  CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top_segment_ppm,
+       |  COUNT(*) < $LThreshold AS at_risk
+       |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ---------------------------------------------------------- q_profile_columns
   /** One row per column of `orders`: row count, null count, exact
     * distinct count, and typed min/max — numerics (and timestamps, as
@@ -146,6 +185,7 @@ object Audit {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql), bench = true),
+    NamedQuery("q_l_diversity", lDiversity, Some(lDiversitySql), bench = true),
     NamedQuery("q_profile_columns", profileColumns, Some(profileColumnsSql),
       bench = true))
 }

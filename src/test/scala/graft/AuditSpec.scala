@@ -92,6 +92,33 @@ class AuditSpec extends GraftSuite {
     assert(keyRow.getLong(3) == n, "o_orderkey must profile as unique")
   }
 
+  test("q_l_diversity: accounting identities against the customer table") {
+    val out = SparkEntry.queries("q_l_diversity")(spark, sf)
+    val total = Tables.customer(spark, sf).count()
+    assert(out.agg(sum($"k")).as[Long].head() == total,
+      "QI groups must partition the table")
+    assert(out.filter($"l_distinct" < 1 || $"l_distinct" > 5).count() == 0,
+      "distinct segments per nation bounded by the 5-value domain")
+    assert(out.filter($"at_risk" =!= ($"l_distinct" < Audit.LThreshold))
+      .count() == 0)
+    // top segment share can't be below the uniform floor 1/l
+    assert(out.filter($"top_segment_ppm" * $"l_distinct" <
+      lit(1000000L) - $"l_distinct").count() == 0)
+  }
+
+  test("q_attribution: every purchase lands in exactly one campaign bucket") {
+    val out = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(out.map(_.getLong(1)).sum == purchases,
+      "attribution must account for every purchase, attributed or not")
+    out.foreach { r =>
+      assert(r.getInt(0) >= -1 && r.getInt(0) <= 99, s"campaign domain: $r")
+      assert(r.getLong(2) <= r.getLong(1),
+        s"buyers cannot exceed purchases: $r")
+    }
+  }
+
   test("q_cooccurrence agrees with a positions self-join formulation") {
     val docs = Tables.documents(spark, sf)
     val pos = docs.select($"doc_id",
