@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming last-touch attribution — the stateful-stream twin of the
+  * batch `q_attribution` carry window: per user, the most recent view's
+  * campaign is keyed state that every later purchase reads, surviving
+  * across micro-batches (a view in Monday's batch attributes a purchase
+  * in Friday's). State is ONE (timestamp, campaign) pair per user —
+  * O(users), not O(events) — and never expires by design: last-touch
+  * has no horizon (a real deployment would add an attribution-window
+  * timeout exactly like Sessionize's EventTimeTimeout).
+  *
+  * AttributionStreamSpec proves stream == batch on identical input, and
+  * that the carry crosses an activation boundary (view in file 1,
+  * purchase in file 2, two AvailableNow runs over one checkpoint).
+  */
+object Attribute {
+
+  case class AttEvent(user_id: Long, ts_us: Long, event_id: Long,
+                      event_type: String, k: Int)
+  case class LastView(ts_us: Long, event_id: Long, k: Int)
+  case class Attribution(user_id: Long, purchase_event_id: Long, campaign: Int)
+
+  /** Fold a batch of one user's events (sorted by event time) into the
+    * carried last-view state; emit one attribution per purchase. */
+  private def stateFn(user: Long, events: Iterator[AttEvent],
+                      state: GroupState[LastView]): Iterator[Attribution] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var last = state.getOption
+    val out = Seq.newBuilder[Attribution]
+    sorted.foreach { e =>
+      if (e.event_type == "view") last = Some(LastView(e.ts_us, e.event_id, e.k))
+      else out += Attribution(user, e.event_id, last.map(_.k).getOrElse(-1))
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  private def attributions(s: SparkSession, watchDir: String) = {
+    import s.implicits._
+    EventStream.readEvents(s, watchDir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type",
+        coalesce(regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"),
+          lit(-1)).as("k"))
+      .as[AttEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(stateFn)
+  }
+
+  /** One-shot streaming attribution over a watched events directory
+    * (memory sink — the parity harness). */
+  def runAttributionStream(s: SparkSession, watchDir: String,
+                           queryName: String): DataFrame = {
+    val q = attributions(s, watchDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+
+  /** Durable variant: parquet sink + checkpoint, so the per-user carry
+    * state AND the processed-file log survive re-activation — the memory
+    * sink cannot recover from a checkpoint. Returns all attributions
+    * emitted so far. */
+  def runAttributionStreamDurable(s: SparkSession, watchDir: String,
+                                  outDir: String, checkpointDir: String): DataFrame = {
+    val q = attributions(s, watchDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+}
