@@ -848,6 +848,75 @@ object Analytics {
        |FROM spans WHERE days IS NOT NULL AND days > 0
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------ q_mode_per_group
+  /** Deterministic MODE per group — the most frequent order priority per
+    * status, ties broken by the smallest value (the same argmin recipe
+    * as label propagation's adoption rule; float-free, so bit-stable).
+    * Two-level: (status, priority) counts partial-agg map-side, the
+    * argmin window runs over status-cardinality × priority-cardinality
+    * rows, never the facts. */
+  private def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"n".desc, $"o_orderpriority".asc)
+    counts
+      .withColumn("__r", row_number().over(w))
+      .filter($"__r" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"),
+        $"n".as("mode_rows"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val modePerGroupSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY n DESC, o_orderpriority ASC) AS rn FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_rows
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------- q_running_distinct
+  /** Cumulative distinct buyers per day — the DAU/"users to date" curve.
+    * Windowed COUNT(DISTINCT) does not exist in Spark (the state is a
+    * set, not mergeable a row at a time); the scalable spelling is
+    * FIRST-SEEN FLAGS: a user's first purchase day (one user-keyed agg),
+    * daily counts of first-seens, then one running sum over the
+    * days-cardinality frame. The heavy shuffle is the per-user
+    * aggregation; the ordered window touches ~hundreds of day rows. The
+    * oracle uses the same formulation spelled relationally. */
+  private def runningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("day"))
+    val daily = firstSeen.groupBy($"day")
+      .agg(count(lit(1)).as("new_buyers"))
+    daily
+      .withColumn("buyers_to_date",
+        sum($"new_buyers").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"new_buyers", $"buyers_to_date")
+      .orderBy($"day")
+  }
+
+  private val runningDistinctSql =
+    """WITH first_seen AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS new_buyers FROM first_seen GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, new_buyers,
+      |  CAST(SUM(new_buyers) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS buyers_to_date
+      |FROM daily ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------- q_attribution
   /** Last-touch attribution: each purchase is credited to the campaign
     * (the `k` property) of the user's most recent PRECEDING view — the
@@ -1127,6 +1196,10 @@ object Analytics {
     NamedQuery("q_debounce", debounce, Some(debounceSql), bench = true),
     NamedQuery("q_islands", islands, Some(islandsSql), bench = true),
     NamedQuery("q_attribution", attribution, Some(attributionSql), bench = true),
+    NamedQuery("q_mode_per_group", modePerGroup, Some(modePerGroupSql),
+      bench = true),
+    NamedQuery("q_running_distinct", runningDistinct, Some(runningDistinctSql),
+      bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),
       bench = true),
     NamedQuery("q_supplier_nation_share", supplierNationShare,
