@@ -805,6 +805,66 @@ object Analytics {
        |FROM c WHERE n * $HeavyHitterK > (SELECT total FROM t)
        |ORDER BY n DESC, word""".stripMargin
 
+  // ------------------------------------------------------------------- q_clv
+  /** Discounted customer lifetime value — Σ monthly_spend(m) · d(m),
+    * the classic finance aggregate, with the discount factor computed
+    * EXACTLY: d(m) = (100/101)^m (≈ 1% monthly rate) evaluated as an
+    * integer fold `acc · 100 DIV 101` from a parts-per-billion seed
+    * (cents × ppb stays under 2^63 for any realistic monthly spend) —
+    * no float pow, whose libm rounding differs across engines. The fold
+    * is a row-local `aggregate(sequence(1, m), …)` over the ~tens-of-
+    * months frame (DuckDB mirrors it with list_reduce), so both engines
+    * run the identical integer recurrence. Spend routes cents-exact
+    * through DECIMAL; the discounted product divides integers; the final
+    * CLV is one exact decimal sum per customer. Shuffles: one
+    * (customer, month) rollup, one customer rollup — both partial-agg'd. */
+  val ClvPpbSeed = 1000000000L // d(0) in parts-per-billion
+
+  private def clv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey",
+        months_between(date_trunc("month", $"o_orderdate"),
+          to_date(lit("1995-01-01"))).cast("int").as("m"))
+      .agg(dsum($"o_totalprice").as("spend"))
+    monthly
+      // m = 0 guard: Spark's sequence(1, 0) DESCENDS instead of being
+      // empty — the fold must run exactly m times
+      .withColumn("d_ppb",
+        expr(s"CASE WHEN m = 0 THEN ${ClvPpbSeed}L ELSE " +
+          s"aggregate(sequence(1, m), ${ClvPpbSeed}L, " +
+          "(acc, x) -> acc * 100 DIV 101) END"))
+      .withColumn("spend_cents", round($"spend" * 100).cast("long"))
+      .withColumn("disc_cents",
+        expr(s"spend_cents * d_ppb DIV ${ClvPpbSeed}L"))
+      .groupBy($"o_custkey")
+      .agg(
+        sum($"spend_cents").as("spend_cents"),
+        sum($"disc_cents").as("clv_cents"),
+        count(lit(1)).as("n_months"))
+      .orderBy($"o_custkey")
+  }
+
+  private val clvSql =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey,
+       |    date_diff('month', DATE '1995-01-01',
+       |              date_trunc('month', o_orderdate)) AS m,
+       |    ${sqlDsum("o_totalprice")} AS spend
+       |  FROM orders GROUP BY 1, 2),
+       |disc AS (
+       |  SELECT o_custkey,
+       |    CAST(round(spend * 100) AS BIGINT) AS spend_cents,
+       |    list_reduce(
+       |      list_prepend(CAST($ClvPpbSeed AS BIGINT), range(m)),
+       |      (acc, x) -> acc * 100 // 101) AS d_ppb
+       |  FROM monthly)
+       |SELECT o_custkey,
+       |  CAST(SUM(spend_cents) AS BIGINT) AS spend_cents,
+       |  CAST(SUM(spend_cents * d_ppb // $ClvPpbSeed) AS BIGINT) AS clv_cents,
+       |  COUNT(*) AS n_months
+       |FROM disc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------- q_time_weighted_avg
   /** Time-weighted average order value per customer — the
     * irregular-series integration a financial pipeline uses for average
@@ -1198,6 +1258,7 @@ object Analytics {
     NamedQuery("q_attribution", attribution, Some(attributionSql), bench = true),
     NamedQuery("q_mode_per_group", modePerGroup, Some(modePerGroupSql),
       bench = true),
+    NamedQuery("q_clv", clv, Some(clvSql), bench = true),
     NamedQuery("q_running_distinct", runningDistinct, Some(runningDistinctSql),
       bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),

@@ -334,6 +334,18 @@ class AnalyticsSpec extends GraftSuite {
     assert(lifts == lifts.sorted.reverse, "must rank by lift desc")
   }
 
+  test("clv: discounting never exceeds nominal spend, factors stay positive") {
+    val rows = SparkEntry.queries("q_clv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (spend, clv) = (r.getLong(1), r.getLong(2))
+      assert(clv <= spend, s"a discount factor <= 1 cannot inflate value: $r")
+      assert(clv > 0 && spend > 0, s"positive spend must keep positive CLV: $r")
+      // 80 months at 1%/month still retains > 40% of value
+      assert(clv * 5 >= spend * 2, s"discount deeper than the horizon allows: $r")
+    }
+  }
+
   test("time-weighted average: accounting identity and value bounds") {
     val rows = SparkEntry.queries("q_time_weighted_avg")(spark, sf).collect()
     assert(rows.nonEmpty)
