@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** SCD-1 upsert (MERGE semantics without transactional storage): rows
@@ -289,7 +290,57 @@ object Upsert {
       |    AS total_spend
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q_cdc_apply
+  /** CDC changelog application — the lakehouse MERGE a streaming
+    * ingest compacts to: an ordered log of (seq, op ∈ I/U/D, key,
+    * payload) collapses to final table state by LAST-OP-WINS per key,
+    * with a terminal D deleting the row. This is the op-log complement
+    * to q_upsert (clean snapshot in) and q_scd2 (history out).
+    *
+    * The changelog is built deterministically from `customer`: an insert
+    * for every row, an update (balance + 1000) for every 5th key, a
+    * delete for every 7th — so the oracle holds the complete expected
+    * answer. Apply = one key-partitioned window (max seq), one filter;
+    * the only shuffle is keyed by the primary key, partial-agg'd — the
+    * plan that survives a TB-scale changelog. */
+  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val inserts = c.select($"c_custkey".as("key"), lit(1L).as("seq"),
+      lit("I").as("op"), $"c_acctbal".as("bal"))
+    val updates = c.filter($"c_custkey" % 5 === 0)
+      .select($"c_custkey".as("key"), lit(2L).as("seq"),
+        lit("U").as("op"), ($"c_acctbal" + 1000.0).as("bal"))
+    val deletes = c.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey".as("key"), lit(3L).as("seq"),
+        lit("D").as("op"), lit(null).cast("double").as("bal"))
+    val log = inserts.unionByName(updates).unionByName(deletes)
+    val w = Window.partitionBy($"key").orderBy($"seq".desc)
+    log
+      .withColumn("__r", row_number().over(w))
+      .filter($"__r" === 1 && $"op" =!= "D")
+      .select($"key", $"op".as("last_op"), $"bal")
+      .orderBy($"key")
+  }
+
+  private val cdcApplySql =
+    """WITH log AS (
+      |  SELECT c_custkey AS key, 1 AS seq, 'I' AS op, c_acctbal AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'U', c_acctbal + 1000.0
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 3, 'D', NULL
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS r
+      |  FROM log)
+      |SELECT key, op AS last_op, bal FROM last
+      |WHERE r = 1 AND op <> 'D' ORDER BY key""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cdc_apply", cdcApply, Some(cdcApplySql), bench = true),
     NamedQuery("q_upsert", upsertQuery, Some(upsertSql), bench = true),
     NamedQuery("q_scd2", scd2Query, Some(scd2Sql), bench = true),
     NamedQuery("q_scd2_pit", scd2PitQuery, Some(scd2PitSql), bench = true),

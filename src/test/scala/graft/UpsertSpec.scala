@@ -112,6 +112,23 @@ class UpsertSpec extends GraftSuite {
     assert(out.count() == Tables.orders(spark, sf).count())
   }
 
+  test("cdc apply: last op wins, deletes remove, updates land, inserts stay") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.foreach { case (k, bal) =>
+      if (k % 7 == 0) assert(!out.contains(k), s"deleted key $k must vanish")
+      else if (k % 5 == 0)
+        assert(out(k) == ("U", bal + 1000.0), s"update must win for $k")
+      else assert(out(k) == ("I", bal), s"untouched insert must survive for $k")
+    }
+    assert(out.keySet == base.keySet.filterNot(_ % 7 == 0),
+      "no phantom keys may appear")
+  }
+
   test("incremental agg state merge is associative and order-insensitive") {
     import org.apache.spark.sql.functions._
     val orders = Tables.orders(spark, sf)
