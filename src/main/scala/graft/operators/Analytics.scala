@@ -908,6 +908,129 @@ object Analytics {
        |FROM spans WHERE days IS NOT NULL AND days > 0
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------- q_forecast_backtest
+  /** Forecast backtesting — the evaluation harness any demand-planning
+    * pipeline needs before trusting a model: per order-priority series,
+    * the mean absolute error of the two standard zero-parameter
+    * baselines (naive-1 "same as last month", seasonal-naive-12 "same
+    * month last year") over every backtestable month, plus which one
+    * won. INTEGER CENTS end to end (the error of a float model would be
+    * a different query; the harness itself must not round): monthly
+    * totals are exact DECIMAL sums emitted as cents, lags are windows
+    * over the months-cardinality series frame, MAE is a total DIV count.
+    * Shuffles: one (priority, month) rollup of the facts; the windows
+    * and the final rollup touch ~priorities × months rows. */
+  private def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(round(dsum($"o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"priority").orderBy($"month")
+    monthly
+      .withColumn("lag1", lag($"cents", 1).over(w))
+      .withColumn("lag12", lag($"cents", 12).over(w))
+      .filter($"lag12".isNotNull)
+      .groupBy($"priority")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(abs($"cents" - $"lag1")).as("ae1"),
+        sum(abs($"cents" - $"lag12")).as("ae12"))
+      .select($"priority", $"n_months",
+        expr("ae1 DIV n_months").as("mae_naive1_cents"),
+        expr("ae12 DIV n_months").as("mae_seasonal_cents"),
+        ($"ae12" < $"ae1").as("seasonal_wins"))
+      .orderBy($"priority")
+  }
+
+  private val forecastBacktestSql = {
+    s"""WITH monthly AS (
+       |  SELECT o_orderpriority AS priority,
+       |    strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(round(${sqlDsum("o_totalprice")} * 100) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT priority, cents,
+       |    lag(cents, 1) OVER w AS lag1, lag(cents, 12) OVER w AS lag12
+       |  FROM monthly WINDOW w AS (PARTITION BY priority ORDER BY month)),
+       |agg AS (
+       |  SELECT priority, COUNT(*) AS n_months,
+       |    CAST(SUM(abs(cents - lag1)) AS BIGINT) AS ae1,
+       |    CAST(SUM(abs(cents - lag12)) AS BIGINT) AS ae12
+       |  FROM lagged WHERE lag12 IS NOT NULL GROUP BY 1)
+       |SELECT priority, n_months,
+       |  ae1 // n_months AS mae_naive1_cents,
+       |  ae12 // n_months AS mae_seasonal_cents,
+       |  ae12 < ae1 AS seasonal_wins
+       |FROM agg ORDER BY priority""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q_basket_rules
+  /** Market-basket association rules over co-purchased parts: for the
+    * top pairs by support, both directional confidences and the lift —
+    * all in integer ppm (support·1e6 DIV basket count; confidence·1e6
+    * DIV antecedent support; lift = conf·1e6 DIV consequent rate), so
+    * nothing rounds differently anywhere. Pairs generate ROW-LOCALLY
+    * from each order's sorted part set (the q_triangle_count build);
+    * per-item supports attach by two broadcast joins on the
+    * support-floored pair frame. Top 50 by (pair support, pair) — a
+    * unique total order. */
+  private def basketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .localCheckpoint(true)
+    val nBaskets = baskets.select(count(lit(1)).as("n_baskets"))
+    val itemSupport = baskets
+      .select(explode($"parts").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairSupport = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select($"p.a", $"p.b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 3)
+    pairSupport
+      .join(broadcast(itemSupport.select($"item".as("a"), $"n_item".as("n_a"))), "a")
+      .join(broadcast(itemSupport.select($"item".as("b"), $"n_item".as("n_b"))), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select($"a", $"b", $"n_pair", $"n_a", $"n_b",
+        expr("n_pair * 1000000 DIV n_baskets").as("support_ppm"),
+        expr("n_pair * 1000000 DIV n_a").as("conf_a_to_b_ppm"),
+        expr("n_pair * 1000000 DIV n_b").as("conf_b_to_a_ppm"),
+        expr("n_pair * n_baskets DIV (n_a * n_b)").as("lift"))
+      .orderBy($"n_pair".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  private val basketRulesSql =
+    """WITH baskets AS (
+      |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+      |items AS (
+      |  SELECT item, COUNT(*) AS n_item FROM (
+      |    SELECT unnest(parts) AS item FROM baskets) GROUP BY 1),
+      |pairs AS (
+      |  SELECT p.a, p.b, COUNT(*) AS n_pair FROM (
+      |    SELECT unnest(flatten(list_transform(parts, (x, i) ->
+      |      list_transform(parts[i+1:], y -> {'a': x, 'b': y})))) AS p
+      |    FROM baskets) t
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT a, b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+      |  n_pair * 1000000 // n_baskets AS support_ppm,
+      |  n_pair * 1000000 // ia.n_item AS conf_a_to_b_ppm,
+      |  n_pair * 1000000 // ib.n_item AS conf_b_to_a_ppm,
+      |  n_pair * n_baskets // (ia.n_item * ib.n_item) AS lift
+      |FROM pairs
+      |JOIN items ia ON pairs.a = ia.item
+      |JOIN items ib ON pairs.b = ib.item
+      |CROSS JOIN n
+      |ORDER BY n_pair DESC, a, b LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ q_mode_per_group
   /** Deterministic MODE per group — the most frequent order priority per
     * status, ties broken by the smallest value (the same argmin recipe
@@ -1259,6 +1382,10 @@ object Analytics {
     NamedQuery("q_mode_per_group", modePerGroup, Some(modePerGroupSql),
       bench = true),
     NamedQuery("q_clv", clv, Some(clvSql), bench = true),
+    NamedQuery("q_basket_rules", basketRules, Some(basketRulesSql),
+      bench = true),
+    NamedQuery("q_forecast_backtest", forecastBacktest,
+      Some(forecastBacktestSql), bench = true),
     NamedQuery("q_running_distinct", runningDistinct, Some(runningDistinctSql),
       bench = true),
     NamedQuery("q_heavy_hitters", heavyHittersQuery, Some(heavyHittersSql),

@@ -334,6 +334,32 @@ class AnalyticsSpec extends GraftSuite {
     assert(lifts == lifts.sorted.reverse, "must rank by lift desc")
   }
 
+  test("basket rules: confidence bounded by 1e6, pair support bounds item support") {
+    val rows = SparkEntry.queries("q_basket_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np <= na && np <= nb, s"pair can't outnumber its items: $r")
+      assert(r.getLong(6) <= 1000000L && r.getLong(7) <= 1000000L,
+        s"confidence is a probability in ppm: $r")
+      assert(r.getLong(0) < r.getLong(1),
+        s"pairs are canonical a < b: $r")
+    }
+  }
+
+  test("forecast backtest: every priority series backtests the same window") {
+    val rows = SparkEntry.queries("q_forecast_backtest")(spark, sf).collect()
+    assert(rows.length == 5)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.forall(_ > 12),
+      "every priority must have a year-deep backtest window")
+    assert(ns.max - ns.min <= 12,
+      s"sibling series may differ only by sparse-month gaps: ${ns.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, s"MAE is nonnegative: $r")
+    }
+  }
+
   test("clv: discounting never exceeds nominal spend, factors stay positive") {
     val rows = SparkEntry.queries("q_clv")(spark, sf).collect()
     assert(rows.nonEmpty)
