@@ -72,6 +72,77 @@ object Sources {
        |FROM read_json('$JsonFixturePath', format='newline_delimited')
        |ORDER BY ticker""".stripMargin
 
+  // ------------------------------------------------------------- q_bad_records
+  /** Malformed-input handling — the bad-records channel every real
+    * ingest needs: a CSV with unparsable numerics and under-arity rows
+    * is read PERMISSIVE with a corrupt-record column, and rows split
+    * into good/bad with per-channel accounting instead of failing the
+    * job (or silently dropping, DROPMALFORMED's trap). The oracle
+    * re-derives the same split from the RAW LINES (DuckDB reads the file
+    * un-delimited and applies the explicit goodness rule: at least two
+    * fields — extra tokens are dropped, Spark's PERMISSIVE behavior —
+    * and a parseable price), so the two engines agree on the
+    * classification from first principles, not shared parser quirks.
+    * Good-channel totals route through DECIMAL as always. */
+  val BadCsvFixturePath = "/tmp/graft_fixtures/prices_dirty.csv"
+  private val dirtyRows = Seq(
+    "aapl,189.25",
+    "msft,notanumber",   // unparsable numeric -> bad
+    "nvda,878.01",
+    ",77.10",            // empty ticker -> structurally fine, null ticker
+    "tsla,177.80,extra", // EXTRA tokens are tolerated (Spark drops them)
+    "amzn",              // missing field -> bad
+    "xom,113.40")
+
+  private def writeBadCsvFixture(): Unit = {
+    val f = new java.io.File(BadCsvFixturePath)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath,
+      ("ticker,price" +: dirtyRows).mkString("", "\n", "\n"))
+  }
+
+  private def badRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    writeBadCsvFixture()
+    val schema = "ticker STRING, price DOUBLE, _corrupt STRING"
+    val raw = s.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(BadCsvFixturePath)
+    // the channel rule is EXPLICIT — a required field present and
+    // parseable — not the parser's corrupt flag alone: Spark PERMISSIVE
+    // pads missing trailing tokens with null WITHOUT flagging them, so
+    // "price IS NULL" is part of the contract, matching the oracle's
+    // first-principles rule exactly
+    raw
+      .select(when($"_corrupt".isNull && $"price".isNotNull, "good")
+        .otherwise("bad").as("status"), $"price")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(when($"status" === "good", $"price")).as("good_price_total"))
+      .orderBy($"status")
+  }
+
+  private val badRecordsSql =
+    s"""WITH raw AS (
+       |  SELECT raw FROM read_csv('$BadCsvFixturePath',
+       |    columns={'raw': 'VARCHAR'}, delim='', header=false, quote='')
+       |  WHERE raw <> 'ticker,price'),
+       |parsed AS (
+       |  SELECT string_split(raw, ',') AS parts FROM raw),
+       |judged AS (
+       |  SELECT CASE WHEN len(parts) >= 2
+       |                AND TRY_CAST(parts[2] AS DOUBLE) IS NOT NULL
+       |              THEN 'good' ELSE 'bad' END AS status,
+       |    CASE WHEN len(parts) >= 2 THEN TRY_CAST(parts[2] AS DOUBLE) END AS price
+       |  FROM parsed)
+       |SELECT status, COUNT(*) AS n_rows,
+       |  ${sqlDsum("CASE WHEN status = 'good' THEN price END")}
+       |    AS good_price_total
+       |FROM judged GROUP BY status ORDER BY status""".stripMargin
+
   // ------------------------------------------------------------- q_sql_serving
   /** S6: the serving path — `spark.sql` over the registered table views,
     * in the shape of the reference's `industry_averages` dashboard query
@@ -111,5 +182,6 @@ object Sources {
     // a timing on them measures fixture IO, so they are correctness-only
     NamedQuery("q_csv_scan", csvScan, Some(csvScanSql)),
     NamedQuery("q_json_scan", jsonScan, Some(jsonScanSql)),
+    NamedQuery("q_bad_records", badRecords, Some(badRecordsSql)),
     NamedQuery("q_sql_serving", sqlServing, Some(sqlServingSql), bench = true))
 }
