@@ -71,6 +71,61 @@ object AsOf {
        |  ON e.user_id = h.user_id AND e.ts >= h.avail_ts
        |ORDER BY event_id""".stripMargin
 
+  /** FORWARD as-of: attach the EARLIEST right row at-or-after the left
+    * time (the "next quote / next restock" direction). Same join-free
+    * union+window recipe, reversed: a DESCENDING time order with a
+    * backward carry is exactly a forward carry in event time. Right rows
+    * sort before left rows at equal __t, preserving ">=" semantics. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
+        valueCols.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__is_left") === 1).drop("__t", "__is_left")
+  }
+
+  // ----------------------------------------------------- q_asof_join_forward
+  /** The forward direction: for every event, the total of its user's
+    * NEXT hour window starting at-or-after the event — the
+    * "what happens next" label-building shape, the deliberate mirror of
+    * the leakage-safe backward feature query above. */
+  private def asofForwardQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val hourly = e
+      .groupBy($"user_id", window($"ts", "1 hour")("start").as("avail_ts"))
+      .agg(dsum($"value").as("next_hour_total"))
+    asofJoinForward(
+      e.select($"event_id", $"user_id", $"ts"),
+      hourly, "user_id", "ts", "avail_ts", Seq("next_hour_total"))
+      .select($"event_id", $"user_id", $"next_hour_total")
+      .orderBy($"event_id")
+  }
+
+  private val asofForwardSql =
+    s"""WITH h AS (
+       |  SELECT user_id,
+       |    time_bucket(INTERVAL '1 hour', ts) AS avail_ts,
+       |    ${sqlDsum("value")} AS next_hour_total
+       |  FROM events GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id,
+       |  (SELECT h.next_hour_total FROM h
+       |   WHERE h.user_id = e.user_id AND h.avail_ts >= e.ts
+       |   ORDER BY h.avail_ts ASC LIMIT 1) AS next_hour_total
+       |FROM events e ORDER BY event_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_asof_join", asofQuery, Some(asofQuerySql), bench = true))
+    NamedQuery("q_asof_join", asofQuery, Some(asofQuerySql), bench = true),
+    NamedQuery("q_asof_join_forward", asofForwardQuery, Some(asofForwardSql),
+      bench = true))
 }

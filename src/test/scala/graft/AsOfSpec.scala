@@ -41,4 +41,18 @@ class AsOfSpec extends GraftSuite {
     // a user's chronologically first event can have no completed prior hour
     assert(df.filter($"prev_hour_total".isNull).count() > 0)
   }
+
+  test("forward asof attaches the earliest at-or-after row, inclusive at ties") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 5L, 10L), (1L, 9L, 11L), (2L, 1L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 3L, "r3"), (1L, 7L, "r7"), (1L, 9L, "r9"))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofJoinForward(left, right, "k", "t", "rt", Seq("v"))
+      .select($"lid", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(10L).contains("r7"), "t=5 must see the NEXT right row (7)")
+    assert(out(11L).contains("r9"), "equal timestamps are inclusive (>=)")
+    assert(out(12L).isEmpty, "keys with no right rows stay null, not dropped")
+  }
 }
