@@ -662,6 +662,39 @@ object Analytics {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
       |ORDER BY o_custkey, set_op""".stripMargin
 
+  // ------------------------------------------------------------ q_set_ops_all
+  /** INTERSECT ALL / EXCEPT ALL — the MULTISET variants: occurrence
+    * counts matter (min of the two sides for intersect, truncated
+    * difference for except), the semantics de-duplication audits need
+    * when "how many copies" is the question. Spark plans both via a
+    * per-key occurrence-count aggregation + join — still one shuffle per
+    * side on the same key. Emitted as per-customer occurrence counts so
+    * the multiset answer is visible, not just the bag size. */
+  private def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.intersectAll(open).withColumn("set_op", lit("intersect_all"))
+      .unionByName(f.exceptAll(open).withColumn("set_op", lit("except_all")))
+      .groupBy($"o_custkey", $"set_op")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"o_custkey", $"set_op")
+  }
+
+  private val setOpsAllSql =
+    """SELECT o_custkey, set_op, COUNT(*) AS n_occurrences FROM (
+      |  SELECT o_custkey, 'intersect_all' AS set_op FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT o_custkey, 'except_all' FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      |GROUP BY 1, 2 ORDER BY o_custkey, set_op""".stripMargin
+
   // -------------------------------------------------------------- q_count_distinct
   /** Exact COUNT(DISTINCT) per group — plans as a two-phase expand/
     * partial-distinct aggregation, the exact companion to the HLL
@@ -1411,5 +1444,6 @@ object Analytics {
     NamedQuery("q_resample_ffill", resampleFfill, Some(resampleFfillSql), bench = true),
     NamedQuery("q_interpolate", interpolate, Some(interpolateSql), bench = true),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
+    NamedQuery("q_set_ops_all", setOpsAll, Some(setOpsAllSql), bench = true),
     NamedQuery("q_count_distinct", countDistinct, Some(countDistinctSql), bench = true))
 }
