@@ -113,6 +113,86 @@ object Linkage {
        |FROM db LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (dirty_id)
        |ORDER BY db.dirty_id""".stripMargin
 
+  // --------------------------------------------------------- q_sorted_neighborhood
+  /** Sorted-neighborhood record linkage — the BLOCK-FREE complement to
+    * q_fuzzy_join's equi-blocking: sort all records by a key, candidate
+    * pairs are the records within `SnmWindow` ranks of each other, verify
+    * on the candidates only. The method of choice when no clean blocking
+    * key exists; cost is n·w pairs instead of Σ block².
+    *
+    * Scale shape: the global sort rank comes from Corpus.globalIndex
+    * (range repartition + per-partition numbering — NO single-task
+    * window over the data), pair generation explodes w rank probes per
+    * row and equi-joins on rank (id-only rows through the shuffle), and
+    * the levenshtein verify runs on candidates only. A corruption can
+    * displace a record's sort position — the known SNM weakness, handled
+    * in production with multi-pass keys — so the gate's tail corruption
+    * is chosen to displace at most `SnmWindow` ranks.
+    *
+    * Gate: every 10th customer gets a copy (id + PlantOffset) with its
+    * name's LAST char overwritten; match rule = levenshtein ≤ 1 AND
+    * equal balance (synthetic sibling names also sit at distance 1, so
+    * the balance equality is what separates a planted twin from sort
+    * neighbors). The oracle replays rank/window/verify from first
+    * principles; found=TRUE for every plant is asserted in LinkageSpec. */
+  val SnmWindow = 10
+
+  private def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    Similarity.requirePlantable(c, "c_custkey", "sortedNeighborhood")
+    val P = Similarity.PlantOffset
+    val base = c.select($"c_custkey".as("id"), $"c_name".as("name"),
+      $"c_acctbal".as("bal"))
+    val planted = base.unionByName(
+      base.filter($"id" % 10 === 0).select(
+        ($"id" + P).as("id"),
+        concat(substring($"name", 1, 17), lit("X")).as("name"), $"bal"))
+    val ranked = Corpus.globalIndex(planted, "name")
+      .select($"global_idx".as("rank"), $"id", $"name", $"bal")
+    val probes = ranked.select($"rank", $"id", $"name", $"bal",
+        explode(expr(s"sequence(rank + 1, rank + $SnmWindow)")).as("probe"))
+    val pairs = probes.join(
+        ranked.select($"rank".as("probe"), $"id".as("id_b"),
+          $"name".as("name_b"), $"bal".as("bal_b")), Seq("probe"))
+      .filter(levenshtein($"name", $"name_b") <= 1 && $"bal" === $"bal_b")
+      .select($"id".as("a"), $"id_b".as("b"))
+    val hits = pairs
+      .filter($"b" === $"a" + P).select($"a".as("id"))
+      .unionByName(pairs.filter($"a" === $"b" + P).select($"b".as("id")))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    base.filter($"id" % 10 === 0).select($"id")
+      .join(hits, Seq("id"), "left")
+      .select($"id", coalesce($"__hit", lit(false)).as("found"))
+      .orderBy($"id")
+  }
+
+  private val sortedNeighborhoodSql =
+    s"""WITH planted AS (
+       |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + ${Similarity.PlantOffset},
+       |    substring(c_name, 1, 17) || 'X', c_acctbal
+       |  FROM customer WHERE c_custkey % 10 = 0),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY name) AS rank FROM planted),
+       |pairs AS (
+       |  SELECT a.id AS a, b.id AS b
+       |  FROM ranked a JOIN ranked b
+       |    ON b.rank BETWEEN a.rank + 1 AND a.rank + $SnmWindow
+       |  WHERE levenshtein(a.name, b.name) <= 1 AND a.bal = b.bal),
+       |hits AS (
+       |  SELECT a AS id FROM pairs WHERE b = a + ${Similarity.PlantOffset}
+       |  UNION
+       |  SELECT b FROM pairs WHERE a = b + ${Similarity.PlantOffset})
+       |SELECT c_custkey AS id, c_custkey IN (SELECT id FROM hits) AS found
+       |FROM customer WHERE c_custkey % 10 = 0
+       |ORDER BY id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_fuzzy_join", fuzzyJoinQuery, Some(fuzzyJoinSql), bench = true))
+    NamedQuery("q_fuzzy_join", fuzzyJoinQuery, Some(fuzzyJoinSql), bench = true),
+    NamedQuery("q_sorted_neighborhood", sortedNeighborhood,
+      Some(sortedNeighborhoodSql), bench = true))
 }

@@ -46,6 +46,15 @@ class LinkageSpec extends GraftSuite {
     }
   }
 
+  test("q_sorted_neighborhood: every planted twin is found within the window") {
+    val out = SparkEntry.queries("q_sorted_neighborhood")(spark, sf).collect()
+    val planted = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 10 === 0).count()
+    assert(out.length == planted, "one verdict per planted twin")
+    out.foreach(r => assert(r.getBoolean(1),
+      s"a tail corruption displaces at most SnmWindow ranks, must be found: $r"))
+  }
+
   test("q_fuzzy_join: tail-corrupted rows are NULL, all others match themselves") {
     val out = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
     out.foreach { r =>
