@@ -278,11 +278,15 @@ object Graph {
         .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "src")
         .groupBy($"dst".as("node"), $"label")
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy($"node").orderBy($"n".desc, $"label".asc)
+      // argmin as an AGGREGATION, not a sort window: max of the struct
+      // (n, -label) is (most frequent, then smallest label) — partial
+      // aggregation collapses each node's candidates map-side, where the
+      // equivalent row_number window would sort the whole candidate
+      // frame inside each round
       val adopted = byDst
-        .withColumn("__r", row_number().over(w))
-        .filter($"__r" === 1)
-        .select($"node", $"label")
+        .groupBy($"node")
+        .agg(max(struct($"n", (-$"label").as("neg"))).as("m"))
+        .select($"node", (-$"m.neg").as("label"))
       // isolated/receiving-nothing nodes keep their current label
       labels = nodes
         .join(adopted, Seq("node"), "left")
