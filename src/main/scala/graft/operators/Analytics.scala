@@ -861,10 +861,12 @@ object Analytics {
           to_date(lit("1995-01-01"))).cast("int").as("m"))
       .agg(dsum($"o_totalprice").as("spend"))
     monthly
-      // m = 0 guard: Spark's sequence(1, 0) DESCENDS instead of being
-      // empty — the fold must run exactly m times
+      // m <= 0 guard: Spark's sequence(1, m) DESCENDS for m < 1 instead
+      // of being empty (the oracle's range(m) IS empty there) — the fold
+      // must run exactly max(m, 0) times. Months before the anchor are
+      // not discounted (factor 1), the same clamp the oracle computes.
       .withColumn("d_ppb",
-        expr(s"CASE WHEN m = 0 THEN ${ClvPpbSeed}L ELSE " +
+        expr(s"CASE WHEN m <= 0 THEN ${ClvPpbSeed}L ELSE " +
           s"aggregate(sequence(1, m), ${ClvPpbSeed}L, " +
           "(acc, x) -> acc * 100 DIV 101) END"))
       .withColumn("spend_cents", round($"spend" * 100).cast("long"))
@@ -1019,10 +1021,7 @@ object Analytics {
       .select(explode($"parts").as("item"))
       .groupBy($"item").agg(count(lit(1)).as("n_item"))
     val pairSupport = baskets
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts) - i - 1),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(explode(expr(Graph.sortedPairsExpr("parts", "a", "b"))).as("p"))
       .select($"p.a", $"p.b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
       .filter($"n_pair" >= 3)

@@ -27,15 +27,25 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, valueCols,
+      forward = false)
+
+  /** Shared union+window carry for both directions: backward orders time
+    * ascending (carry = latest at-or-before), forward descending (carry =
+    * earliest at-or-after). Right rows sort BEFORE left rows at equal
+    * __t in either direction, giving inclusive <= / >= semantics. */
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
     val r = right.select(
       (col(key) +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
         valueCols.map(col)): _*)
-    // right rows sort BEFORE left rows at equal __t -> "<=" semantics
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__is_left"))
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(col(key)).orderBy(timeOrder, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val attached = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
       case (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
@@ -72,27 +82,13 @@ object AsOf {
        |ORDER BY event_id""".stripMargin
 
   /** FORWARD as-of: attach the EARLIEST right row at-or-after the left
-    * time (the "next quote / next restock" direction). Same join-free
-    * union+window recipe, reversed: a DESCENDING time order with a
-    * backward carry is exactly a forward carry in event time. Right rows
-    * sort before left rows at equal __t, preserving ">=" semantics. */
+    * time (the "next quote / next restock" direction) — the backward
+    * carry run over a descending time order. */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTime: String, rightTime: String,
-                      valueCols: Seq[String]): DataFrame = {
-    val l = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__is_left", lit(1))
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
-        valueCols.map(col)): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").desc, col("__is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      case (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__is_left") === 1).drop("__t", "__is_left")
-  }
+                      valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, valueCols,
+      forward = true)
 
   // ----------------------------------------------------- q_asof_join_forward
   /** The forward direction: for every event, the total of its user's

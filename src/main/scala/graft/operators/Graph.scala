@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   *    irrelevant for ranking and fully deterministic. */
 object Graph {
 
+  /** Row-local unordered pair generation over a SORTED array column —
+    * (arr[i], arr[j]) for i < j as struct(f1, f2), entirely inside
+    * codegen (1-based slice arithmetic: element i+1 onward follows the
+    * i-th lambda element). Shared by triangleCount's co-purchase build
+    * and Analytics.basketRules so the off-by-one-prone bounds live once. */
+  private[operators] def sortedPairsExpr(arrayCol: String,
+      f1: String, f2: String): String =
+    s"""flatten(transform($arrayCol, (x, i) ->
+       |  transform(slice($arrayCol, i + 2, size($arrayCol) - i - 1),
+       |    y -> struct(x AS $f1, y AS $f2))))""".stripMargin
+
   val PageRankIters = 5
   /** Initial rank mass per node, in micro-units. */
   val RankUnit = 1000000L
@@ -202,10 +213,7 @@ object Graph {
     val pairs = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts) - i - 1),
-          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(explode(expr(sortedPairsExpr("parts", "u", "v"))).as("p"))
       .select($"p.u", $"p.v")
     triangleCounts(pairs).orderBy($"node")
   }

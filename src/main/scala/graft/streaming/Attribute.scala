@@ -25,15 +25,21 @@ object Attribute {
   case class Attribution(user_id: Long, purchase_event_id: Long, campaign: Int)
 
   /** Fold a batch of one user's events (sorted by event time) into the
-    * carried last-view state; emit one attribution per purchase. */
+    * carried last-view state; emit one attribution per purchase. A view
+    * only ADVANCES the carry — a late-arriving (out-of-order) view older
+    * than the carried state must not regress it, or stream and batch
+    * (which sorts globally) would diverge across batch boundaries. */
   private def stateFn(user: Long, events: Iterator[AttEvent],
                       state: GroupState[LastView]): Iterator[Attribution] = {
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
     var last = state.getOption
     val out = Seq.newBuilder[Attribution]
     sorted.foreach { e =>
-      if (e.event_type == "view") last = Some(LastView(e.ts_us, e.event_id, e.k))
-      else out += Attribution(user, e.event_id, last.map(_.k).getOrElse(-1))
+      if (e.event_type == "view") {
+        if (last.forall(l =>
+          Ordering[(Long, Long)].gt((e.ts_us, e.event_id), (l.ts_us, l.event_id))))
+          last = Some(LastView(e.ts_us, e.event_id, e.k))
+      } else out += Attribution(user, e.event_id, last.map(_.k).getOrElse(-1))
     }
     last.foreach(state.update)
     out.result().iterator
@@ -43,10 +49,15 @@ object Attribute {
     import s.implicits._
     EventStream.readEvents(s, watchDir)
       .filter($"event_type".isin("view", "purchase"))
+      .withColumn("k_raw",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"))
+      // a view with no parseable campaign must not touch the carry —
+      // the batch twin's last(..., ignoreNulls) skips it; dropping it
+      // here keeps the two paths identical (purchases pass regardless,
+      // their own k is never read)
+      .filter($"event_type" === "purchase" || $"k_raw".isNotNull)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
-        $"event_type",
-        coalesce(regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"),
-          lit(-1)).as("k"))
+        $"event_type", coalesce($"k_raw", lit(-1)).as("k"))
       .as[AttEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),

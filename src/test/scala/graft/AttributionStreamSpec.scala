@@ -59,4 +59,32 @@ class AttributionStreamSpec extends GraftSuite {
         s"carry state must survive the activation boundary: ${rows.toSeq}")
     } finally rmTree(base.toFile)
   }
+
+  test("a late out-of-order view must not regress the carried state") {
+    val base = freshDir()
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ckpt = s"$base/ckpt"
+    def ev(rows: (Long, Long, Long, String, Int)*) =
+      rows.toDF("user_id", "sec", "event_id", "event_type", "kv")
+        .select($"event_id", ($"sec" * 1000000000L).as("ts"), $"user_id",
+          $"event_type", lit(0.0).as("value"),
+          format_string("{\"k\": %d}", $"kv").as("props"))
+    try {
+      val out = s"$base/out"
+      // activation 1 carries view(ts=200, k=42)
+      ev((7L, 200L, 1L, "view", 42)).coalesce(1)
+        .write.parquet(s"$in/batch1")
+      Attribute.runAttributionStreamDurable(spark, s"$in/*/", out, ckpt)
+      // activation 2 delivers a BACKFILLED older view plus the purchase:
+      // batch semantics (global event-time order) attribute to k=42
+      ev((7L, 100L, 2L, "view", 9), (7L, 300L, 3L, "purchase", 0))
+        .coalesce(1).write.parquet(s"$in/batch2")
+      val rows = Attribute.runAttributionStreamDurable(
+        spark, s"$in/*/", out, ckpt).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getInt(2) == 42,
+        s"an older view must not overwrite a newer carry: ${rows.toSeq}")
+    } finally rmTree(base.toFile)
+  }
 }
