@@ -105,6 +105,13 @@ class SkewSpec extends GraftSuite {
     }
   }
 
+  test("join-size prediction is exact on the real join") {
+    val r = SparkEntry.queries("q_join_size")(spark, sf).collect().head
+    assert(r.getBoolean(2), s"Σ n_a·n_b must equal the joined row count: $r")
+    assert(r.getLong(0) == Tables.lineitem(spark, sf).count(),
+      "orderkey is unique in orders, so the join size IS the lineitem count")
+  }
+
   test("skew report: accounting identities against recomputed key stats") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_skew_report")(spark, sf).collect()
