@@ -35,15 +35,40 @@ object TextImpl {
     x ^ (x >>> 31)
   }
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5 over UTF-8 bytes: the LAST 8 digest bytes,
+    * little-endian — bit-for-bit what DuckDB's `md5_number_lower`
+    * computes. Chosen as the SimHash token hash (over the faster FNV
+    * mix) precisely for that property: fingerprints become CROSS-ENGINE
+    * REPLAYABLE, so the q_simhash_* oracles recompute them from raw
+    * text instead of trusting ours — and at 100 TB, signatures that any
+    * engine can independently reproduce are what make incremental dedup
+    * runs auditable. (MD5 here is a hash of already-public text for
+    * similarity bucketing, not a security boundary.) */
+  def md5Lower64(s: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** SimHash over an array of tokens: per 64-bit lane, +1 for a set bit,
-    * -1 for a clear bit, output bit = sign of the lane sum. */
+    * -1 for a clear bit, output bit = sign of the lane sum. Token hash
+    * is [[md5Lower64]], so a SQL oracle replays fingerprints exactly. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i), 0L)
+        val h = md5Lower64(tokens.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -118,11 +118,6 @@ object Audit {
     val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")
     val tsCols = Seq("o_orderdate")
-    def stats(c: String, minMax: String => org.apache.spark.sql.Column) = Seq(
-      count(col(c)).as(s"${c}__nn"),
-      count_distinct(col(c)).as(s"${c}__nd"),
-      min(minMax(c)).as(s"${c}__min"),
-      max(minMax(c)).as(s"${c}__max"))
     // one branch per column, unioned: a single multi-distinct aggregate
     // would Expand the scan column-count× into ONE shuffle (measured
     // 3.7s at sf0.1); independent branches keep each distinct-agg the

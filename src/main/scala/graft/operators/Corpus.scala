@@ -396,8 +396,19 @@ object Corpus {
     * contract, as with every deterministic-order operator here. */
   def globalIndex(df: DataFrame, keyCol: String): DataFrame = {
     val key = col(keyCol)
+    // localCheckpoint PINS the sampled range bounds: the offsets branch
+    // and the numbering branch below both consume `parts`, and
+    // correctness requires them to see the SAME partitioning. Without
+    // the checkpoint that holds only while physical exchange reuse
+    // dedupes two identical subtrees — a plan rewrite (or disabling
+    // reuse) would let each branch sample bounds independently, and the
+    // __pid offsets would no longer match the numbering layout
+    // (duplicate/gapped indices). Materializing once also means the
+    // expensive range sort runs ONCE however many times the caller
+    // consumes the indexed frame (sortedNeighborhood probes it twice).
     val parts = df.repartitionByRange(key)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

@@ -30,6 +30,17 @@ object Dedup {
     * reducer; standard practice in web-scale dedup). */
   val MaxBucket = 1000
 
+  /** Words dropped from the tail of each planted near-dup copy (3-word
+    * floor) — word-shingle Jaccard of a typical 40-60-word doc against
+    * its truncation lands ≈ 0.9. Declared HERE, above the oracle-SQL
+    * vals that interpolate it (object init order: a val referenced
+    * before its declaration line reads as 0). */
+  val TruncateWords = 5
+
+  /** Exact-Jaccard admission threshold for verified near-dup pairs —
+    * shared by the pair, cluster, and recall gates and their oracles. */
+  val MinHashRecallJaccard = 0.8
+
   /** Exact Jaccard similarity of two set-valued (distinct-element) array
     * columns: |a ∩ b| / |a ∪ b|. */
   def jaccard(a: Column, b: Column): Column = {
@@ -281,23 +292,57 @@ object Dedup {
 
   // ------------------------------------------------------------ q_dedup_clusters
   /** MinHash pairs -> exact-Jaccard verification -> connected components:
-    * the full near-dup dedup decision. Output is one row per clustered
-    * doc with its cluster id (= smallest member, the keep-doc) and the
-    * cluster size. No SQL oracle (LSH candidate generation is not
-    * SQL-expressible); DedupSpec covers the clustering kernel. */
+    * the full near-dup dedup decision, end to end. Runs over the planted
+    * corpus (see [[minhashVerifiedPairs]]) so the expected answer is
+    * derivable: the oracle brute-forces the same ≥-threshold pair set in
+    * SQL and replays the connected components with a recursive-CTE
+    * min-label propagation — components here mix natural near-dup pairs,
+    * planted (doc, trunc) pairs, and cross pairs, so a split or merged
+    * component from EITHER the candidate generator or the resolver
+    * surfaces as a hash mismatch. Output is one row per clustered doc
+    * with its cluster id (= smallest member, the keep-doc) and size. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val verified = minhashCandidates(Tables.documents(s, dir),
-        numHashes = 16, rowsPerBand = 2)
-      .filter(jaccard($"hs_a", $"hs_b") >= 0.5)
-      .select($"doc_a", $"doc_b")
-    val clusters = resolveClusters(verified)
-    clusters
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "dedupClusters")
+    val verified = minhashVerifiedPairs(docs).select($"doc_a", $"doc_b")
+    resolveClusters(verified)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"cluster_id", $"doc_id")
   }
+
+  /** Fixed propagation depth for the oracle's recursive CTE. Spark's
+    * resolveClusters iterates to a VERIFIED fixed point; SQL recursion
+    * can't poll, so the oracle runs a depth comfortably above the
+    * largest component diameter the planted fixture can produce
+    * (near-dup components are clique-ish: diameters stay ≤ ~4). A too-
+    * shallow depth would show up as a mismatch, never a false pass. */
+  private val ClusterOracleIters = 10
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE ${minhashPlantedSetsSql},
+       |e0 AS (SELECT doc_a, doc_b FROM verified),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM e0
+       |  UNION SELECT doc_b, doc_a FROM e0
+       |  UNION SELECT doc_a, doc_a FROM e0
+       |  UNION SELECT doc_b, doc_b FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |lp(iter, node, label) AS (
+       |  SELECT 0, node, node FROM nodes
+       |  UNION ALL
+       |  SELECT lp.iter + 1, e.dst, MIN(lp.label)
+       |  FROM lp JOIN edges e ON lp.node = e.src
+       |  WHERE lp.iter < $ClusterOracleIters
+       |  GROUP BY lp.iter + 1, e.dst),
+       |final AS (
+       |  SELECT node AS doc_id, label AS cluster_id
+       |  FROM lp WHERE iter = $ClusterOracleIters)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM final ORDER BY cluster_id, doc_id""".stripMargin
 
   // ------------------------------------------------------ q_cluster_propagation
   /** Driver-visible gate for the iterative cluster resolver — the
@@ -494,14 +539,81 @@ object Dedup {
        |    AS cluster_size
        |FROM documents ORDER BY cluster_id""".stripMargin
 
+  /** The shared planted corpus behind the MinHash pair/cluster/recall
+    * gates: base docs ∪ one truncated near-dup per doc (last
+    * `TruncateWords` words dropped, 3-word floor) at id + PlantOffset.
+    * Truncation is a list slice, so a SQL oracle can replay the copies
+    * — and their exact Jaccard — from the base table alone. */
+  def plantedNearDupDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = split($"text", " ", -1)
+    val trunc = concat_ws(" ",
+      slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
+    docs.select($"doc_id", $"text")
+      .unionByName(docs.select(
+        ($"doc_id" + Similarity.PlantOffset).as("doc_id"), trunc.as("text")))
+  }
+
+  /** The full MinHash near-dup DECISION kernel over the planted corpus:
+    * real banded candidate generation → one payload re-join → exact
+    * shingle-set Jaccard ≥ `MinHashRecallJaccard` admission. The output
+    * pair set mixes three deterministic populations — the corpus's
+    * NATURAL near-dup pairs (the fixture ships ~25 at j ≥ 0.9), the 414
+    * planted (doc, trunc) self-pairs, and cross pairs (doc_i, trunc_j)
+    * where i's text nearly duplicates j's — all of which a brute-force
+    * SQL oracle enumerates exactly. */
+  def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    minhashCandidates(plantedNearDupDocs(docs), numHashes = 16, rowsPerBand = 2)
+      .select($"doc_a", $"doc_b", jaccard($"hs_a", $"hs_b").as("jaccard"))
+      .filter($"jaccard" >= MinHashRecallJaccard)
+  }
+
+  /** Verified near-dup PAIRS through the production path, oracle-pinned:
+    * the DuckDB side recomputes the complete ≥-threshold pair set by
+    * brute force (fixture-bounded), so banding recall, the hash re-join,
+    * and the exact-Jaccard verifier are all on the hook — a single
+    * missed or spurious pair, or one wrong Jaccard double, fails the
+    * hash compare. (Formerly emitted the raw top-100 candidate list,
+    * which no SQL oracle can replay — a rows-only CORRECTNESS row.) */
   private def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashCandidates(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 2)
-      .select($"doc_a", $"doc_b",
-        jaccard($"hs_a", $"hs_b").as("jaccard"))
-      .orderBy(round($"jaccard", 6).desc, $"doc_a", $"doc_b")
-      .limit(100)
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "minhashDedup")
+    minhashVerifiedPairs(docs).orderBy($"doc_a", $"doc_b")
   }
+
+  /** Shingle-set CTE shared by the pair and cluster oracles: word lists,
+    * truncated word lists, the planted union, and per-doc shingle sets. */
+  private def minhashPlantedSetsSql: String =
+    s"""t AS (
+       |  SELECT doc_id, w, w[1:greatest(len(w) - $TruncateWords, 3)] AS wt
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |planted AS (
+       |  SELECT doc_id, w FROM t
+       |  UNION ALL
+       |  SELECT doc_id + ${Similarity.PlantOffset}, wt FROM t),
+       |d AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(generate_series(1, len(w) - 2),
+       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END) AS sh
+       |  FROM planted),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh)
+       |         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b, jaccard FROM pairs
+       |  WHERE jaccard >= $MinHashRecallJaccard)""".stripMargin
+
+  private val minhashDedupSql =
+    s"""WITH ${minhashPlantedSetsSql}
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------- q_minhash_recall
   /** Driver-visible recall gate for the MinHash+LSH path: plant one
@@ -524,10 +636,8 @@ object Dedup {
     * real pipeline does) before pointing this gate at such a corpus.
     * A MinHash recall miss or an exact-Jaccard bug both surface as hash
     * mismatches. Same scale shape as the path it checks: 2n-row id-only
-    * banding. */
-  val TruncateWords = 5
-  val MinHashRecallJaccard = 0.8
-
+    * banding. (TruncateWords / MinHashRecallJaccard are declared at the
+    * top of the object — init-order contract of the oracle vals.) */
   private def minhashRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -535,9 +645,7 @@ object Dedup {
     val w = split($"text", " ", -1)
     val trunc = concat_ws(" ",
       slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
-    val planted = docs.select($"doc_id", $"text")
-      .unionByName(docs.select(
-        ($"doc_id" + Similarity.PlantOffset).as("doc_id"), trunc.as("text")))
+    val planted = plantedNearDupDocs(docs)
     // exact side over the native one-pass shingle-hash sets — the same
     // basis the minhash verifier uses, and value-identical to the
     // oracle's string-shingle Jaccard (64-bit hashes: a within-doc
@@ -625,25 +733,62 @@ object Dedup {
       .filter($"hamming" <= SimHashMaxHamming)
   }
 
+  /** Banded SimHash near-dup pairs with their hamming distances, FULLY
+    * oracle-pinned: the token hash is md5-lower-64 (= DuckDB's
+    * `md5_number_lower`), so the oracle recomputes every fingerprint
+    * from raw text, brute-forces the complete ≤-`SimHashMaxHamming`
+    * pair set (fixture-bounded), and the banded path must reproduce it
+    * exactly — banding recall is structural (pigeonhole over 4 16-bit
+    * bands), so equality holds whenever no bucket overflows `MaxBucket`.
+    * A wrong fingerprint bit, a dropped band, or a hamming off-by-one
+    * all fail the hash compare. (Formerly rows-only: the FNV-based
+    * fingerprint was not SQL-replayable.) */
   private def simhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     simhashPairs(Tables.documents(s, dir))
-      .orderBy($"hamming", $"doc_a", $"doc_b")
-      .limit(100)
+      .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Per-doc SimHash fingerprint CTE (UBIGINT) — the exact replay of
+    * TextImpl.simhash: md5_number_lower per word (empty tokens kept,
+    * matching split(text, ' ', -1)), ±1 per bit lane, bit = sign>0. */
+  private def simhashFpSql: String =
+    """w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |h AS (SELECT doc_id, md5_number_lower(word) AS h FROM w),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN (1::UBIGINT << b) ELSE 0::UBIGINT END AS bitval
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) t
+      |  GROUP BY doc_id, b),
+      |fp AS (SELECT doc_id, SUM(bitval)::UBIGINT AS fp FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val simhashDedupSql =
+    s"""WITH $simhashFpSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $SimHashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------- q_simhash_recall
-  /** Driver-visible equivalence gate for the banded SimHash path: the
-    * banded pairs must be EXACTLY the brute-force all-pairs hamming <=
-    * `SimHashMaxHamming` set (pigeonhole: <=3 differing bits across 4
-    * 16-bit bands leave at least one band equal — recall is structural,
-    * not probabilistic, absent hot-bucket drops; and banding post-filters
-    * on the same hamming bound, so it can't over-report). Output is the
-    * symmetric difference, expected EMPTY; the oracle is the empty set,
-    * so any disagreement surfaces as a driver-visible row. Non-vacuous
-    * because q_simhash_dedup shows the shared pair set is non-empty.
-    * The brute-force side is the deliberate O(n²) baseline — bounded
-    * below; the banded side is the 100 TB path. */
+  /** Driver-visible equivalence gate for the banded SimHash path, as a
+    * NON-VACUOUS one-row count summary: the banded pair set must equal
+    * the brute-force all-pairs hamming ≤ `SimHashMaxHamming` set
+    * (pigeonhole: ≤3 differing bits across 4 16-bit bands leave at
+    * least one band equal — recall is structural, not probabilistic,
+    * absent hot-bucket drops; and banding post-filters on the same
+    * hamming bound, so it can't over-report). The row carries both set
+    * sizes and both one-sided difference counts; the ORACLE recomputes
+    * the brute count INDEPENDENTLY from replayed md5 fingerprints, so
+    * a simhashPairs regression to the empty set (the failure mode a
+    * bare empty-symmetric-difference check would miss) now mismatches
+    * on n_banded_pairs, and the fixture's non-zero pair count is
+    * pinned by data, not assumption. The brute-force side is the
+    * deliberate O(n²) baseline — bounded below, unbenched; the banded
+    * side is the 100 TB path. */
   val MaxBruteForceRows = 100000L
 
   private def simhashRecall(s: SparkSession, dir: String): DataFrame = {
@@ -657,16 +802,29 @@ object Dedup {
     val brute = a.join(b, $"doc_a" < $"doc_b")
       .filter(bit_count($"fp_a".bitwiseXOR($"fp_b")) <= SimHashMaxHamming)
       .select($"doc_a", $"doc_b")
+      .withColumn("__in_brute", lit(true))
     val banded = simhashPairs(docs).select($"doc_a", $"doc_b")
-    brute.exceptAll(banded).withColumn("only_in", lit("brute"))
-      .unionByName(banded.exceptAll(brute).withColumn("only_in", lit("banded")))
-      .orderBy($"doc_a", $"doc_b", $"only_in")
+      .withColumn("__in_banded", lit(true))
+    banded.join(brute, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count($"__in_banded").as("n_banded_pairs"),
+        count($"__in_brute").as("n_brute_pairs"),
+        coalesce(sum(when($"__in_brute".isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_banded"),
+        coalesce(sum(when($"__in_banded".isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_brute"))
   }
 
   private val simhashRecallSql =
-    """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
-      |  CAST(NULL AS VARCHAR) AS only_in
-      |WHERE FALSE""".stripMargin
+    s"""WITH $simhashFpSql,
+       |cnt AS (
+       |  SELECT COUNT(*) AS n
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= $SimHashMaxHamming)
+       |SELECT n AS n_banded_pairs, n AS n_brute_pairs,
+       |  CAST(0 AS BIGINT) AS n_only_banded,
+       |  CAST(0 AS BIGINT) AS n_only_brute
+       |FROM cnt""".stripMargin
 
   // ---------------------------------------------------------- q_dedup_embedding
   /** Embedding-cosine near-dup: top-100 most similar embedding pairs.
@@ -906,15 +1064,18 @@ object Dedup {
     // benching them would time the brute force, not an engine path
     NamedQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     NamedQuery("q_edit_distance", editDistance, Some(editDistanceSql)),
-    NamedQuery("q_minhash_dedup", minhashDedup, None, bench = true),
+    NamedQuery("q_minhash_dedup", minhashDedup, Some(minhashDedupSql),
+      bench = true),
     NamedQuery("q_minhash_recall", minhashRecall, Some(minhashRecallSql),
       bench = true),
-    NamedQuery("q_dedup_clusters", dedupClusters, None, bench = true),
+    NamedQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      bench = true),
     NamedQuery("q_cluster_propagation", clusterPropagation,
       Some(clusterPropagationSql), bench = true),
     NamedQuery("q_cluster_star", clusterStar, Some(clusterStarSql),
       bench = true),
-    NamedQuery("q_simhash_dedup", simhashDedup, None, bench = true),
+    NamedQuery("q_simhash_dedup", simhashDedup, Some(simhashDedupSql),
+      bench = true),
     NamedQuery("q_simhash_recall", simhashRecall, Some(simhashRecallSql)),
     NamedQuery("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

@@ -214,6 +214,20 @@ object Similarity {
         perturbed.as("embedding")))
   }
 
+  /** Per-original-vector plant-hit frame — the shared kernel of the
+    * recall gates and rate summaries: ids whose planted near-dup came
+    * out of the REAL candidate generator. */
+  private def annPlantHits(candGen: DataFrame => DataFrame,
+      e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    candGen(plantNearDups(e))
+      .filter($"vec_b" === $"vec_a" + PlantOffset ||
+        $"vec_a" === $"vec_b" + PlantOffset)
+      .select(least($"vec_a", $"vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+  }
+
   /** Driver-visible recall gate for a bucketed candidate generator: run
     * the REAL candidate path over the shipped corpus plus planted
     * near-dups and emit a per-query-vector `found` boolean. The oracle
@@ -227,20 +241,68 @@ object Similarity {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     requirePlantable(e, "vec_id", "annRecall")
-    val hits = candGen(plantNearDups(e))
-      .filter($"vec_b" === $"vec_a" + PlantOffset ||
-        $"vec_a" === $"vec_b" + PlantOffset)
-      .select(least($"vec_a", $"vec_b").as("vec_id"))
-      .distinct()
-      .withColumn("__hit", lit(true))
     e.select($"vec_id")
-      .join(hits, Seq("vec_id"), "left")
+      .join(annPlantHits(candGen, e), Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"__hit", lit(false)).as("found"))
       .orderBy($"vec_id")
   }
 
   private val annRecallSql =
     "SELECT vec_id, TRUE AS found FROM embeddings ORDER BY vec_id"
+
+  /** One-row recall RATE summary per ANN method: (n_plants, n_found,
+    * recall_ppm) with ppm integer-exact (BIGINT multiply-then-DIV, no
+    * float). The recall gates answer pass/fail per plant; this row is
+    * the movement meter — after a parameter change (bands, probes, K)
+    * a recall regression shows up as the exact ppm delta, not just a
+    * flipped boolean. Oracle expects full recall: ppm = 1,000,000. */
+  private def annRecallRate(candGen: DataFrame => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    requirePlantable(e, "vec_id", "annRecallRate")
+    e.select($"vec_id")
+      .join(annPlantHits(candGen, e), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_plants"),
+        sum(when($"__hit", 1L).otherwise(0L)).as("n_found"))
+      .select($"n_plants", $"n_found",
+        expr("n_found * 1000000 DIV n_plants").as("recall_ppm"))
+  }
+
+  private val annRecallRateSql =
+    """SELECT COUNT(*) AS n_plants, COUNT(*) AS n_found,
+      |  CAST(1000000 AS BIGINT) AS recall_ppm
+      |FROM embeddings""".stripMargin
+
+  // ----------------------------------------- q_ann_lsh / q_ann_ivf (main)
+  /** The full ANN query path with a driver-checkable expected answer:
+    * plant one near-duplicate per vector (cos ≈ 0.9997 — far above the
+    * corpus's natural max pairwise cosine of ~0.5), run the REAL
+    * candidate generator + exact-cosine re-scoring + per-query top-1,
+    * and emit each original vector's nearest neighbor. The expected
+    * answer is pure id arithmetic — the plant wins top-1 for every
+    * query — so a candidate-generation miss, a scoring bug, or a
+    * ranking tie-break drift all surface as hash-mismatched CORRECTNESS
+    * rows. (The previous formulation emitted the raw candidate top-k,
+    * which no SQL oracle can replay — the driver recorded it rows-only.)
+    * Same scale shape as production ANN: 2n-row id-only candidate join,
+    * one payload re-join for scoring. */
+  private def annPlantedTop1(candGen: DataFrame => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    requirePlantable(e, "vec_id", "annPlantedTop1")
+    val planted = plantNearDups(e)
+    scoreAndRank(candGen(planted), planted, topK = 1)
+      .filter($"vec_a" < PlantOffset)
+      .select($"vec_a".as("vec_id"), $"vec_b".as("nn_id"),
+        ($"vec_b" === $"vec_a" + PlantOffset).as("nn_is_plant"))
+      .orderBy($"vec_id")
+  }
+
+  private val annPlantedTop1Sql =
+    s"""SELECT vec_id, vec_id + $PlantOffset AS nn_id, TRUE AS nn_is_plant
+       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // -------------------------------------------------------- q_embedding_quantize
   /** Symmetric int8 quantization of the embedding column — the standard
@@ -435,10 +497,17 @@ object Similarity {
     NamedQuery("q_embedding_centroids", embeddingCentroids,
       Some(embeddingCentroidsSql), bench = true),
     NamedQuery("q_embedding_cosine_topk", cosineTopk, Some(cosineTopkSql), bench = true),
-    NamedQuery("q_ann_lsh", (s, d) => annLsh(s, d), None, bench = true),
-    NamedQuery("q_ann_ivf", (s, d) => annIvf(s, d), None, bench = true),
+    NamedQuery("q_ann_lsh", annPlantedTop1(annCandidateIds),
+      Some(annPlantedTop1Sql), bench = true),
+    NamedQuery("q_ann_ivf", annPlantedTop1(ivfCandidateIds),
+      Some(annPlantedTop1Sql), bench = true),
     NamedQuery("q_ann_lsh_recall", annRecall(annCandidateIds),
       Some(annRecallSql), bench = true),
     NamedQuery("q_ann_ivf_recall", annRecall(ivfCandidateIds),
-      Some(annRecallSql), bench = true))
+      Some(annRecallSql), bench = true),
+    // rate rows ride the same kernel as the recall gates — unbenched
+    NamedQuery("q_ann_lsh_rate", annRecallRate(annCandidateIds),
+      Some(annRecallRateSql)),
+    NamedQuery("q_ann_ivf_rate", annRecallRate(ivfCandidateIds),
+      Some(annRecallRateSql)))
 }

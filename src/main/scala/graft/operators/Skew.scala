@@ -108,37 +108,25 @@ object Skew {
     * explosive) join itself. This is the sizing check a pipeline runs
     * with q_skew_report before committing to a join strategy — at 100 TB
     * the formula costs two partial-agg shuffles of slim count rows while
-    * the join it predicts could be unrunnable. The query ALSO runs the
-    * real join (fixture-sized here) and emits both numbers plus their
-    * equality — and the oracle recomputes both sides independently, so
-    * Spark's formula, Spark's join, DuckDB's formula, and DuckDB's join
-    * must all agree on the same integer. */
+    * the join it predicts could be unrunnable. The validation IS the
+    * cross-engine compare: Spark runs ONLY the formula (the shipped
+    * operator — no join materialization on this side at all, so the
+    * bench times the formula), while the ORACLE materializes the real
+    * join in DuckDB and counts it; the two integers must hash-match. */
   private def joinSize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val oCounts = Tables.orders(s, dir)
       .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("n_a"))
     val lCounts = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("n_b"))
-    val predicted = oCounts.join(lCounts, "k")
-      .agg(sum($"n_a" * $"n_b").as("predicted_rows"))
-    val actual = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .agg(count(lit(1)).as("actual_rows"))
-    predicted.crossJoin(actual)
-      .select($"predicted_rows", $"actual_rows",
-        ($"predicted_rows" === $"actual_rows").as("prediction_exact"))
+    // coalesce: an empty key intersection must predict 0, matching COUNT(*)
+    oCounts.join(lCounts, "k")
+      .agg(coalesce(sum($"n_a" * $"n_b"), lit(0L)).as("join_rows"))
   }
 
   private val joinSizeSql =
-    """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS n_a FROM orders GROUP BY 1),
-      |b AS (SELECT l_orderkey AS k, COUNT(*) AS n_b FROM lineitem GROUP BY 1),
-      |p AS (SELECT CAST(SUM(n_a * n_b) AS BIGINT) AS predicted_rows
-      |      FROM a JOIN b USING (k)),
-      |x AS (SELECT COUNT(*) AS actual_rows
-      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-      |SELECT predicted_rows, actual_rows,
-      |  predicted_rows = actual_rows AS prediction_exact
-      |FROM p CROSS JOIN x""".stripMargin
+    """SELECT COUNT(*) AS join_rows
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_topk_per_key", topkPerKey, Some(topkPerKeySql), bench = true),

@@ -13,9 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * has no horizon (a real deployment would add an attribution-window
   * timeout exactly like Sessionize's EventTimeTimeout).
   *
-  * AttributionStreamSpec proves stream == batch on identical input, and
+  * AttributionStreamSpec proves stream == batch on in-order input, and
   * that the carry crosses an activation boundary (view in file 1,
   * purchase in file 2, two AvailableNow runs over one checkpoint).
+  * Parity limit (documented, spec-pinned): a purchase arriving in a
+  * LATER micro-batch with event time older than the carried view is
+  * emitted as -1, where batch may attribute it to an older view —
+  * see stateFn.
   */
 object Attribute {
 
@@ -25,10 +29,22 @@ object Attribute {
   case class Attribution(user_id: Long, purchase_event_id: Long, campaign: Int)
 
   /** Fold a batch of one user's events (sorted by event time) into the
-    * carried last-view state; emit one attribution per purchase. A view
-    * only ADVANCES the carry — a late-arriving (out-of-order) view older
-    * than the carried state must not regress it, or stream and batch
-    * (which sorts globally) would diverge across batch boundaries. */
+    * carried last-view state; emit one attribution per purchase. BOTH
+    * sides of the carry are guarded by event-time order:
+    *  - a late-arriving (out-of-order) view older than the carried state
+    *    must not regress it, or stream and batch (which sorts globally)
+    *    would diverge across batch boundaries;
+    *  - symmetrically, a late-arriving PURCHASE with event time older
+    *    than the carried view must not be attributed to that future
+    *    view. The state holds only the single newest view, so the view
+    *    that batch would attribute such a purchase to is gone — emit -1
+    *    (unattributed). This is the one documented stream/batch
+    *    divergence: batch, sorting globally, may attribute a backfilled
+    *    purchase to an older view; recovering that here would need a
+    *    bounded view HISTORY (or an event-time watermark delaying
+    *    emission), which last-touch-with-O(1)-state deliberately trades
+    *    away. AttributionStreamSpec pins both the parity cases and this
+    *    divergence case. */
   private def stateFn(user: Long, events: Iterator[AttEvent],
                       state: GroupState[LastView]): Iterator[Attribution] = {
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
@@ -39,7 +55,14 @@ object Attribute {
         if (last.forall(l =>
           Ordering[(Long, Long)].gt((e.ts_us, e.event_id), (l.ts_us, l.event_id))))
           last = Some(LastView(e.ts_us, e.event_id, e.k))
-      } else out += Attribution(user, e.event_id, last.map(_.k).getOrElse(-1))
+      } else {
+        val k = last match {
+          case Some(l) if Ordering[(Long, Long)]
+            .lt((l.ts_us, l.event_id), (e.ts_us, e.event_id)) => l.k
+          case _ => -1
+        }
+        out += Attribution(user, e.event_id, k)
+      }
     }
     last.foreach(state.update)
     out.result().iterator

@@ -87,4 +87,36 @@ class AttributionStreamSpec extends GraftSuite {
         s"an older view must not overwrite a newer carry: ${rows.toSeq}")
     } finally rmTree(base.toFile)
   }
+
+  test("a late purchase older than the carried view is NOT attributed to it") {
+    val base = freshDir()
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ckpt = s"$base/ckpt"
+    def ev(rows: (Long, Long, Long, String, Int)*) =
+      rows.toDF("user_id", "sec", "event_id", "event_type", "kv")
+        .select($"event_id", ($"sec" * 1000000000L).as("ts"), $"user_id",
+          $"event_type", lit(0.0).as("value"),
+          format_string("{\"k\": %d}", $"kv").as("props"))
+    try {
+      val out = s"$base/out"
+      // activation 1 carries view(ts=200, k=42)
+      ev((7L, 200L, 1L, "view", 42)).coalesce(1)
+        .write.parquet(s"$in/batch1")
+      Attribute.runAttributionStreamDurable(spark, s"$in/*/", out, ckpt)
+      // activation 2 delivers a BACKFILLED purchase at ts=100 — event time
+      // OLDER than the carried view. Attributing it to the ts=200 view
+      // would claim a view caused a purchase that happened before it;
+      // the carry has no older view history, so the stream emits -1
+      // (the documented divergence from batch, which could attribute it
+      // to a pre-ts=100 view if one existed)
+      ev((7L, 100L, 2L, "purchase", 0)).coalesce(1)
+        .write.parquet(s"$in/batch2")
+      val rows = Attribute.runAttributionStreamDurable(
+        spark, s"$in/*/", out, ckpt).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getInt(2) == -1,
+        s"a purchase must never be attributed to a FUTURE view: ${rows.toSeq}")
+    } finally rmTree(base.toFile)
+  }
 }

@@ -282,8 +282,16 @@ class DedupSpec extends GraftSuite {
     assert(rows.forall(r => r.getDouble(1) >= Dedup.MinHashRecallJaccard))
   }
 
-  test("simhash recall gate: banded-vs-brute symmetric difference is empty") {
-    assert(SparkEntry.queries("q_simhash_recall")(spark, sf).count() == 0)
+  test("simhash recall gate: banded == brute, non-vacuously") {
+    val r = SparkEntry.queries("q_simhash_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    val Array(nBanded, nBrute, onlyBanded, onlyBrute) =
+      Array(r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+        r.head.getLong(3))
+    assert(nBanded == nBrute && onlyBanded == 0 && onlyBrute == 0,
+      s"banded/brute disagree: $nBanded vs $nBrute, diffs $onlyBanded/$onlyBrute")
+    assert(nBanded > 0, "fixture must contain at least one hamming<=3 pair " +
+      "or the equivalence is vacuous")
   }
 
   test("edit distance: zero iff equal prefixes, bounded by prefix length") {

@@ -7,8 +7,9 @@ package graft
 class RowCheckSpec extends GraftSuite {
   /** Queries whose CORRECT answer is the empty set (disagreement /
     * symmetric-difference gates) — for these the smoke check asserts the
-    * query runs, and emptiness is itself the pass condition. */
-  private val emptyByDesign = Set("q_simhash_recall")
+    * query runs, and emptiness is itself the pass condition. (Currently
+    * none: q_simhash_recall became a one-row count summary in round 4.) */
+  private val emptyByDesign = Set.empty[String]
 
   test("every named query returns rows at sf0.001") {
     val bad = SparkEntry.all.flatMap { q =>

@@ -106,9 +106,19 @@ class SkewSpec extends GraftSuite {
   }
 
   test("join-size prediction is exact on the real join") {
-    val r = SparkEntry.queries("q_join_size")(spark, sf).collect().head
-    assert(r.getBoolean(2), s"Σ n_a·n_b must equal the joined row count: $r")
-    assert(r.getLong(0) == Tables.lineitem(spark, sf).count(),
+    // the query ships ONLY the formula (the driver's DuckDB oracle
+    // materializes the real join); this spec is the Spark-side twin of
+    // that check, on the fixture-bounded join
+    val predicted = SparkEntry.queries("q_join_size")(spark, sf)
+      .collect().head.getLong(0)
+    val actual = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .count()
+    assert(predicted == actual,
+      s"Σ n_a·n_b must equal the joined row count: $predicted vs $actual")
+    assert(predicted == Tables.lineitem(spark, sf).count(),
       "orderkey is unique in orders, so the join size IS the lineitem count")
   }
 
