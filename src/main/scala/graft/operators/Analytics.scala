@@ -536,10 +536,16 @@ object Analytics {
     * bits depend on partition order (merge order of the co-moment
     * buffers), so two runs of the same job on different cluster layouts
     * can disagree. Here the five sufficient statistics (Sx, Sy, Sxy,
-    * Sxx, Syy) are exact DECIMAL sums (2dp inputs, 4dp products), and
-    * corr/slope are a fixed arithmetic sequence over those bit-identical
-    * doubles — deterministic on any layout and reproducible in any
-    * engine, with zero rounding in the oracle. */
+    * Sxx, Syy) are exact DECIMAL sums (2dp inputs, 4dp products) —
+    * deterministic on any layout — and corr/slope are a fixed
+    * arithmetic sequence over their double images, rounded to 9dp in
+    * the output: once a scaled sum exceeds 2^53 (Syy does at ~2e12 in
+    * raw units), DuckDB's decimal→double conversion double-rounds
+    * (int128→double, then ÷10^scale) where the JVM's BigDecimal
+    * converts in one correctly-rounded step, so the engines' doubles
+    * can differ by an ulp (~1e-15 relative; observed at sf0.001). The
+    * 9dp rounding absorbs that conversion ulp with six orders of
+    * margin while keeping every digit a user would read. */
   private def correlation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stats = Tables.lineitem(s, dir)
@@ -551,12 +557,20 @@ object Analytics {
         dsum($"l_quantity" * $"l_extendedprice", 4).as("sxy"),
         dsum($"l_quantity" * $"l_quantity", 4).as("sxx"),
         dsum($"l_extendedprice" * $"l_extendedprice", 4).as("syy"))
+    // cast every exact DECIMAL sum to double BEFORE any arithmetic:
+    // decimal×decimal products would be precision-truncated by each
+    // engine's own decimal rules (observed: a 2-ulp corr disagreement at
+    // sf0.001), while double×double is the identical IEEE sequence in
+    // both — the sums themselves are exact, so the casts lose nothing
+    // the formula's doubles could keep
     val nd = $"n".cast("double")
-    val covN = nd * $"sxy" - $"sx" * $"sy"
+    val Seq(sx, sy, sxy, sxx, syy) =
+      Seq("sx", "sy", "sxy", "sxx", "syy").map(c => col(c).cast("double"))
+    val covN = nd * sxy - sx * sy
     stats.select($"l_returnflag", $"n",
-      (covN / (sqrt(nd * $"sxx" - $"sx" * $"sx") *
-        sqrt(nd * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
-      (covN / (nd * $"sxx" - $"sx" * $"sx")).as("slope_price_per_qty"))
+      round(covN / (sqrt(nd * sxx - sx * sx) *
+        sqrt(nd * syy - sy * sy)), 9).as("corr_qty_price"),
+      round(covN / (nd * sxx - sx * sx), 9).as("slope_price_per_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -568,14 +582,20 @@ object Analytics {
        |    ${sqlDsum("l_quantity * l_extendedprice", 4)} AS sxy,
        |    ${sqlDsum("l_quantity * l_quantity", 4)} AS sxx,
        |    ${sqlDsum("l_extendedprice * l_extendedprice", 4)} AS syy
-       |  FROM lineitem GROUP BY l_returnflag)
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+       |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+       |    CAST(syy AS DOUBLE) AS syy
+       |  FROM t)
        |SELECT l_returnflag, n,
-       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-       |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-       |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
-       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-       |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_price_per_qty
-       |FROM t ORDER BY l_returnflag""".stripMargin
+       |  round((nd * sxy - sx * sy)
+       |    / (sqrt(nd * sxx - sx * sx)
+       |       * sqrt(nd * syy - sy * sy)), 9) AS corr_qty_price,
+       |  round((nd * sxy - sx * sy)
+       |    / (nd * sxx - sx * sx), 9) AS slope_price_per_qty
+       |FROM d ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------ q_array_agg
   /** Array aggregation: collect the group's members into a value. The

@@ -178,9 +178,97 @@ object Audit {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q_pii_redact
+  /** PII detection + masking over document text — the scrub step every
+    * training-data release runs before text leaves the governed zone:
+    * emails, phone numbers, and SSN-shaped ids are counted and replaced
+    * with type tokens, and the redacted text is digested for the
+    * downstream exact-dedup pass (PII masking BEFORE dedup, so two docs
+    * differing only in the leaked identifier collapse).
+    *
+    * Patterns are deliberately engine-portable regex (character classes,
+    * bounded repeats, \b — identical semantics in Java's engine and
+    * DuckDB's RE2), and redaction order is fixed SSN → phone → email so
+    * overlapping digit shapes resolve identically everywhere.
+    *
+    * Driver-visible gate: the fixture corpus contains no digits or '@'
+    * at all (verified — detection over raw fixture text would be
+    * vacuous), so deterministic PII is PLANTED by id arithmetic — doc_id
+    * % 4 picks none/email/phone/SSN, the identifier embeds the doc_id —
+    * and the REAL regex kernel runs over the planted text. The oracle
+    * replays plant + detect + mask + digest from first principles, so a
+    * missed match, a wrong replacement, or an order swap fails the hash
+    * compare.
+    *
+    * Scale shape: row-local regex inside whole-stage codegen (compiled
+    * pattern cached per task), one scan pass, zero shuffles before the
+    * output sort — the ideal 100 TB operator. */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Kernel: count and mask the three PII shapes in `textCol`. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_ssns", regexp_count(t, lit(SsnPat)))
+      .withColumn("n_phones",
+        regexp_count(regexp_replace(t, SsnPat, "<SSN>"), lit(PhonePat)))
+      .withColumn("n_emails", regexp_count(t, lit(EmailPat)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, SsnPat, "<SSN>"),
+            PhonePat, "<PHONE>"),
+          EmailPat, "<EMAIL>"))
+  }
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // plant one PII shape per doc by id arithmetic (mod-4 rotation);
+    // the identifier carries the doc_id so every planted value is unique
+    val planted = docs.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 4 === 1,
+          concat(lit(" contact a"), $"doc_id", lit("@mail.com now")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit(" call 555-"), lpad($"doc_id" % 10000, 4, "0"),
+            lit(" today")))
+        .when($"doc_id" % 4 === 3,
+          concat(lit(" id 123-45-"), lpad($"doc_id" % 10000, 4, "0"),
+            lit(" leaked")))
+        .otherwise(lit(""))).as("text"))
+    redactPii(planted, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ssns",
+        md5($"text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val piiRedactSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 1 THEN ' contact a' || doc_id || '@mail.com now'
+       |      WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |      WHEN 3 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leaked'
+       |      ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$SsnPat', '<SSN>', 'g'), '$PhonePat'))
+       |    AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$SsnPat')) AS INTEGER) AS n_ssns,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$SsnPat', '<SSN>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+       |    '$EmailPat', '<EMAIL>', 'g')) AS clean_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql), bench = true),
     NamedQuery("q_l_diversity", lDiversity, Some(lDiversitySql), bench = true),
+    NamedQuery("q_pii_redact", piiRedact, Some(piiRedactSql), bench = true),
     NamedQuery("q_profile_columns", profileColumns, Some(profileColumnsSql),
       bench = true))
 }

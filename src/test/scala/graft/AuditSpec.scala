@@ -133,4 +133,44 @@ class AuditSpec extends GraftSuite {
       .orderBy($"cnt".desc, $"w1", $"w2").limit(50)
     assertSameRows(SparkEntry.queries("q_cooccurrence")(spark, sf), expected)
   }
+
+  test("redactPii: counts, masking, ordering, and idempotence") {
+    import graft.operators.Audit
+    val df = Seq(
+      (1L, "mail me at jo.do+x@corp.io or jane@a.co thanks"),
+      (2L, "call 555-1234 or 555-9876"),
+      (3L, "ssn 123-45-6789 but phone 555-1234 too"),
+      (4L, "clean text no pii at all"),
+      (5L, "digits 12345 and 123-456 are not pii shapes")
+    ).toDF("doc_id", "text")
+    val out = Audit.redactPii(df, "text").orderBy($"doc_id").collect()
+    def r(i: Int) = out(i)
+    assert(r(0).getAs[Int]("n_emails") == 2 && r(0).getAs[Int]("n_phones") == 0)
+    assert(r(0).getAs[String]("text") == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(r(1).getAs[Int]("n_phones") == 2 && r(1).getAs[Int]("n_ssns") == 0)
+    // SSN must win over the phone-shaped tail it contains (order fixed)
+    assert(r(2).getAs[Int]("n_ssns") == 1 && r(2).getAs[Int]("n_phones") == 1)
+    assert(r(2).getAs[String]("text") == "ssn <SSN> but phone <PHONE> too")
+    assert(r(3).getAs[String]("text") == "clean text no pii at all")
+    assert(r(4).getAs[Int]("n_emails") + r(4).getAs[Int]("n_phones") +
+      r(4).getAs[Int]("n_ssns") == 0, "loose digit runs are not PII shapes")
+    // idempotence: redacting already-redacted text changes nothing
+    val once = Audit.redactPii(df, "text").select($"doc_id", $"text")
+    val twice = Audit.redactPii(once, "text").select($"doc_id", $"text")
+    assertSameRows(once, twice)
+  }
+
+  test("q_pii_redact: every planted identifier is caught, none survive") {
+    val out = SparkEntry.queries("q_pii_redact")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (e, p, s) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      val expected = (id % 4) match {
+        case 1 => (1, 0, 0); case 2 => (0, 1, 0); case 3 => (0, 0, 1)
+        case _ => (0, 0, 0)
+      }
+      assert((e, p, s) == expected, s"doc $id: counts ($e,$p,$s) != $expected")
+    }
+  }
 }

@@ -295,6 +295,26 @@ class CorpusSpec extends GraftSuite {
       "index order must follow key order")
   }
 
+  test("globalIndex: correct with physical exchange reuse DISABLED") {
+    // the offsets branch and the numbering branch both consume the
+    // range-partitioned frame; before the eager localCheckpoint pinned
+    // it, correctness silently depended on ReuseExchange deduping two
+    // identical subtrees — with reuse off, each branch would sample its
+    // own range bounds and the offsets could mismatch the numbering
+    // layout (duplicate/gapped indices). This pins the fix.
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val idx = operators.Corpus.globalIndex(
+          Tables.orders(spark, sf).select($"o_orderkey").repartition(5),
+          "o_orderkey")
+        .select($"global_idx").as[Long].collect().sorted
+      assert(idx.toSeq == (1L to idx.length).toSeq,
+        "indices must stay contiguous 1..n without exchange reuse")
+    } finally spark.conf.set("spark.sql.exchange.reuse", saved)
+  }
+
   test("globalIndex: the data-side window is partitioned, never one task") {
     val df = operators.Corpus.globalIndex(
       Tables.orders(spark, sf).select(col("o_orderkey")), "o_orderkey")
