@@ -56,6 +56,10 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_hash64"),
       info("graft_hash64", "_FUNC_(s, seed) - seeded 64-bit text hash"),
       arity("graft_hash64", 2)(args => Hash64(args(0), args(1)))),
+    (FunctionIdentifier("graft_md5_lower64"),
+      info("graft_md5_lower64",
+        "_FUNC_(s) - lower 64 bits of MD5 (= DuckDB md5_number_lower)"),
+      arity("graft_md5_lower64", 1)(args => Md5Lower64(args(0)))),
     (FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "_FUNC_(text, window) - winnowing fingerprint"),
       arity("graft_fingerprint", 2)(args => RollingFingerprint(args(0), args(1)))),

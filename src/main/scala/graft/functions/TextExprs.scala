@@ -332,6 +332,25 @@ case class WordNGramHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** md5_lower64(string) -> long — the lower 64 bits of MD5 (last 8
+  * digest bytes, little-endian), equal to DuckDB's `md5_number_lower`.
+  * The cross-engine-replayable content hash behind SimHash tokens and
+  * deterministic split assignment: any engine (or a Python auditor)
+  * can recompute the exact value from the text alone. */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_lower64 expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.md5Lower64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.md5Lower64($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Lower64 =
+    copy(child = c)
+}
+
 /** nfc_normalize(string) -> string: Unicode canonical composition (NFC).
   * Spark has no normalization builtin, and dedup/digest keys over
   * user-supplied text MUST be normalization-invariant — "café" composed
@@ -377,6 +396,8 @@ object TextFunctions {
   }
   def trigramHashes(text: Column): Column =
     ExpressionUtils.column(TriGramHashes(ExpressionUtils.expression(text)))
+  def md5Lower64(text: Column): Column =
+    ExpressionUtils.column(Md5Lower64(ExpressionUtils.expression(text)))
   def wordNgramHashes(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     ExpressionUtils.column(WordNGramHashes(

@@ -73,6 +73,70 @@ object Corpus {
       |                     ORDER BY skey, doc_id) AS pos
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q_split_assign
+  /** Leakage-safe train/val/test assignment: the split key is the
+    * lower-64 md5 of the document TEXT (not the id), so byte-identical
+    * duplicates — however and whenever they entered the corpus — land
+    * in the SAME split, and holdout content cannot leak into training
+    * via a second copy under a different id. (Near-dups are the
+    * minhash/simhash passes' job, run BEFORE splitting; content-hash
+    * assignment is the standard last line of defense.) The hash is
+    * md5-lower-64 (= DuckDB `md5_number_lower`), so the oracle — or any
+    * other engine — recomputes every assignment from text alone; the
+    * sign bit is masked before the modulus so Spark's signed long and
+    * DuckDB's UBIGINT agree exactly.
+    *
+    * Emits the per-doc assignment plus each (source, split)'s ppm share
+    * of its source — the stratification report that catches a split
+    * accidentally correlating with a source. Row-local hash, two slim
+    * window passes; the corpus text never enters an exchange. */
+  val SplitValPct = 10
+  val SplitTestPct = 20
+
+  /** Kernel: add deterministic `bucket` (0-99) and `split` columns
+    * derived from the content hash of `textCol`. */
+  def assignSplits(df: DataFrame, textCol: String): DataFrame = {
+    val bucket = pmod(
+      graft.functions.TextFunctions.md5Lower64(col(textCol))
+        .bitwiseAND(lit(Long.MaxValue)),
+      lit(100L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < SplitValPct, "val")
+          .when(col("bucket") < SplitTestPct, "test")
+          .otherwise("train"))
+  }
+
+  private def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assignSplits(Tables.documents(s, dir), "text")
+      .select($"doc_id", $"source", $"split")
+      .withColumn("__n_ss",
+        count(lit(1)).over(Window.partitionBy($"source", $"split")))
+      .withColumn("__n_s",
+        count(lit(1)).over(Window.partitionBy($"source")))
+      .select($"doc_id", $"source", $"split",
+        expr("__n_ss * 1000000 DIV __n_s").as("share_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val splitAssignSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST((md5_number_lower(text) & ${Long.MaxValue}::UBIGINT) % 100
+       |         AS BIGINT) AS bucket
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN bucket < $SplitValPct THEN 'val'
+       |         WHEN bucket < $SplitTestPct THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM b)
+       |SELECT doc_id, source, split,
+       |  COUNT(*) OVER (PARTITION BY source, split) * 1000000
+       |    // COUNT(*) OVER (PARTITION BY source) AS share_ppm
+       |FROM sp ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q_mix_weights
   /** Temperature-based source mixing (the standard alpha-sampling recipe:
     * weight ∝ tokens^alpha with alpha = 0.5, flattening the source
@@ -439,6 +503,7 @@ object Corpus {
     NamedQuery("q_global_index", globalIndexQuery, Some(globalIndexSql),
       bench = true),
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
+    NamedQuery("q_split_assign", splitAssign, Some(splitAssignSql), bench = true),
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_mix_sample", mixSample, Some(mixSampleSql), bench = true),

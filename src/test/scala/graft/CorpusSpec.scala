@@ -295,6 +295,27 @@ class CorpusSpec extends GraftSuite {
       "index order must follow key order")
   }
 
+  test("assignSplits: byte-identical texts always share a split (leakage-safe)") {
+    import spark.implicits._
+    // duplicate content under fresh ids — the leak vector the content
+    // hash exists to close
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val dup = base.select(($"doc_id" + 7777777L).as("doc_id"), $"text")
+    val assigned = operators.Corpus.assignSplits(base.unionByName(dup), "text")
+    val splitsPerText = assigned.groupBy($"text")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1)
+    assert(splitsPerText.count() == 0,
+      "a text appearing under two ids must land in exactly one split")
+    // the three splits all materialize and roughly track 80/10/10
+    val counts = assigned.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") / n > 0.6 && counts("val") / n < 0.25 &&
+      counts("test") / n < 0.25, s"implausible split sizes: $counts")
+  }
+
   test("globalIndex: correct with physical exchange reuse DISABLED") {
     // the offsets branch and the numbering branch both consume the
     // range-partitioned frame; before the eager localCheckpoint pinned
