@@ -137,6 +137,69 @@ object Corpus {
        |    // COUNT(*) OVER (PARTITION BY source) AS share_ppm
        |FROM sp ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q_split_leakage
+  /** Eval-integrity audit: NEAR-duplicate pairs that span train/eval
+    * splits. Content-hash assignment (q_split_assign) pins exact
+    * duplicates to one split, but near-duplicates hash differently and
+    * can straddle the boundary — the leak that inflates eval scores —
+    * which is exactly why the minhash dedup pass must run BEFORE
+    * splitting. This query runs the REAL banded candidate generator +
+    * exact-Jaccard verify over the natural corpus (no planting: the
+    * fixture ships ~25 genuine near-dup pairs), joins each side's split,
+    * and reports every pair with a `leaks` flag. The oracle brute-forces
+    * the same pair set and replays the same md5 split assignment, so
+    * both the detector and the split key are on the hook. Id-only
+    * banding + two slim split joins — same scale shape as the dedup
+    * pass itself. */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val verified = Dedup.minhashCandidates(docs, numHashes = 16, rowsPerBand = 2)
+      .select($"doc_a", $"doc_b",
+        Dedup.jaccard($"hs_a", $"hs_b").as("jaccard"))
+      .filter($"jaccard" >= Dedup.MinHashRecallJaccard)
+    val splits = assignSplits(docs, "text").select($"doc_id", $"split")
+    verified
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard", $"split_a", $"split_b",
+        ($"split_a" =!= $"split_b").as("leaks"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val splitLeakageSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(generate_series(1, len(w) - 2),
+       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh)
+       |         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |v AS (SELECT * FROM p WHERE jaccard >= ${Dedup.MinHashRecallJaccard}),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < $SplitValPct THEN 'val'
+       |         WHEN bucket < $SplitTestPct THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST((md5_number_lower(text) & ${Long.MaxValue}::UBIGINT) % 100
+       |           AS BIGINT) AS bucket
+       |    FROM documents))
+       |SELECT v.doc_a, v.doc_b, v.jaccard,
+       |  sa.split AS split_a, sb.split AS split_b,
+       |  sa.split <> sb.split AS leaks
+       |FROM v
+       |JOIN sp sa ON v.doc_a = sa.doc_id
+       |JOIN sp sb ON v.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q_mix_weights
   /** Temperature-based source mixing (the standard alpha-sampling recipe:
     * weight ∝ tokens^alpha with alpha = 0.5, flattening the source
@@ -504,6 +567,8 @@ object Corpus {
       bench = true),
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),
     NamedQuery("q_split_assign", splitAssign, Some(splitAssignSql), bench = true),
+    NamedQuery("q_split_leakage", splitLeakage, Some(splitLeakageSql),
+      bench = true),
     NamedQuery("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql), bench = true),
     NamedQuery("q_mix_weights", mixWeights, Some(mixWeightsSql), bench = true),
     NamedQuery("q_mix_sample", mixSample, Some(mixSampleSql), bench = true),
