@@ -33,6 +33,62 @@ class MultimodalSpec extends GraftSuite {
     val metas = Multimodal.extractMeta(a).collect()
     assert(metas.forall(m => m.width >= 64 && m.height >= 64))
     assert(metas.forall(m => m.n_bytes > 0))
+    // the fixture ships text bytes, not media: all rows take the
+    // quarantine/fallback channel
+    assert(metas.forall(!_.decoded))
+  }
+
+  /** A real w×h PNG (or JPEG) with a deterministic two-tone pixel
+    * pattern, encoded through the JDK codec. */
+  private def realImage(w: Int, h: Int, rgb: Int, fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) rgb else 0x000000)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, buf)
+    buf.toByteArray
+  }
+
+  test("REAL image decode: genuine PNG/JPEG bytes through the batched path") {
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", realImage(17, 9, 0xff0000)),
+      Multimodal.Asset(2L, "image", realImage(64, 64, 0x00ff00)),
+      Multimodal.Asset(3L, "image", realImage(3, 5, 0x0000ff, fmt = "jpg")),
+      Multimodal.Asset(4L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDS().repartition(3)
+    val metas = Multimodal.extractMeta(assets).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).decoded && metas(1L).width == 17 && metas(1L).height == 9)
+    assert(metas(2L).decoded && metas(2L).width == 64 && metas(2L).height == 64)
+    assert(metas(3L).decoded && metas(3L).width == 3 && metas(3L).height == 5,
+      "JPEG dimensions must decode exactly (lossy pixels, exact geometry)")
+    assert(!metas(4L).decoded, "text bytes must take the fallback channel")
+  }
+
+  test("REAL thumbnail resize: decoded pixels, exact output geometry, determinism") {
+    // solid-color source: every resampled pixel must stay that color
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, 0xff0000)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", buf.toByteArray),
+      Multimodal.Asset(2L, "image", "undecodable".getBytes("UTF-8")))
+      .toDS()
+    val thumbs = Multimodal.thumbnails(assets, 8, 8).collect()
+    assert(thumbs.map(_.doc_id).toSeq == Seq(1L),
+      "undecodable payloads are dropped from the resize path")
+    val t = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs.head.thumb))
+    assert(t.getWidth == 8 && t.getHeight == 8)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert((t.getRGB(x, y) & 0xffffff) == 0xff0000,
+        s"solid red must survive area-averaging resize at ($x,$y)")
+    // byte-deterministic across partitionings (lossless re-encode)
+    val t2 = Multimodal.thumbnails(assets.repartition(5), 8, 8).collect()
+    assert(t2.head.thumb.toSeq == thumbs.head.thumb.toSeq)
   }
 
   test("frame sampling: n frames per asset, frames are payload slices") {
