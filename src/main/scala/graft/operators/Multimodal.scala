@@ -132,6 +132,42 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                       n_frames: Long, duration_ms: Long, decoded: Boolean)
+
+  /** REAL audio decode via the JDK's bundled parsers (javax.sound.sampled
+    * — WAV/AIFF/AU ship with the JVM): sample rate, channel count, frame
+    * count, duration. Same per-partition batched shape and
+    * `decoded=false` quarantine channel as the image path; compressed
+    * formats (mp3/ogg) would need external codecs the sandbox lacks. */
+  def extractAudioMeta(in: Dataset[Asset]): Dataset[AudioMeta] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { batch =>
+      batch.map { a =>
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(a.payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val durMs =
+                if (frames >= 0 && fmt.getFrameRate > 0)
+                  (frames * 1000L / fmt.getFrameRate.toLong)
+                else -1L
+              Some(AudioMeta(a.doc_id, fmt.getSampleRate.toInt,
+                fmt.getChannels, frames, durMs, decoded = true))
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        parsed.getOrElse(
+          AudioMeta(a.doc_id, -1, -1, -1L, -1L, decoded = false))
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling (video/audio analog): n evenly-spaced fixed-size

@@ -38,13 +38,12 @@ object Attribute {
     *    than the carried view must not be attributed to that future
     *    view. The state holds only the single newest view, so the view
     *    that batch would attribute such a purchase to is gone — emit -1
-    *    (unattributed). This is the one documented stream/batch
-    *    divergence: batch, sorting globally, may attribute a backfilled
-    *    purchase to an older view; recovering that here would need a
-    *    bounded view HISTORY (or an event-time watermark delaying
-    *    emission), which last-touch-with-O(1)-state deliberately trades
-    *    away. AttributionStreamSpec pins both the parity cases and this
-    *    divergence case. */
+    *    (unattributed). This is the documented stream/batch divergence
+    *    of the O(1)-state variant: batch, sorting globally, may
+    *    attribute a backfilled purchase to an older view. The
+    *    [[stateFnHistory]] variant below recovers batch parity for that
+    *    case with O(histSize) state. AttributionStreamSpec pins the
+    *    parity cases, this divergence case, and the recovery. */
   private def stateFn(user: Long, events: Iterator[AttEvent],
                       state: GroupState[LastView]): Iterator[Attribution] = {
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
@@ -85,6 +84,71 @@ object Attribute {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(stateFn)
+  }
+
+  /** Bounded VIEW-HISTORY state — the richer-state upgrade that recovers
+    * batch parity for late purchases: instead of one carried view, keep
+    * the newest `histSize` views per user (newest-first), and attribute
+    * each purchase to the newest view STRICTLY OLDER than it — exactly
+    * the batch carry semantics, now answerable for backfilled purchases
+    * as long as the view batch would attribute to is among the retained
+    * `histSize` newest. State is O(histSize) per user, still
+    * corpus-size-independent; emission remains append-only, so a late
+    * VIEW improves only future attributions (an already-emitted -1 is
+    * final — full retro-parity would need a watermark-delayed emission,
+    * a latency trade this operator deliberately does not make). */
+  case class ViewHistory(views: Seq[LastView])
+
+  val DefaultViewHistory = 8
+
+  private def stateFnHistory(histSize: Int)(
+      user: Long, events: Iterator[AttEvent],
+      state: GroupState[ViewHistory]): Iterator[Attribution] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var hist = state.getOption.map(_.views).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[Attribution]
+    sorted.foreach { e =>
+      if (e.event_type == "view") {
+        hist = (LastView(e.ts_us, e.event_id, e.k) +: hist)
+          .sortBy(v => (-v.ts_us, -v.event_id))
+          .take(histSize)
+      } else {
+        val k = hist.find(v =>
+          Ordering[(Long, Long)].lt((v.ts_us, v.event_id), (e.ts_us, e.event_id)))
+          .map(_.k).getOrElse(-1)
+        out += Attribution(user, e.event_id, k)
+      }
+    }
+    state.update(ViewHistory(hist))
+    out.result().iterator
+  }
+
+  /** Durable history-state attribution — [[runAttributionStreamDurable]]
+    * with `stateFnHistory` replacing the single-view carry. */
+  def runAttributionStreamHistory(s: SparkSession, watchDir: String,
+                                  outDir: String, checkpointDir: String,
+                                  histSize: Int = DefaultViewHistory): DataFrame = {
+    import s.implicits._
+    val q = EventStream.readEvents(s, watchDir)
+      .filter($"event_type".isin("view", "purchase"))
+      .withColumn("k_raw",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"))
+      .filter($"event_type" === "purchase" || $"k_raw".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type", coalesce($"k_raw", lit(-1)).as("k"))
+      .as[AttEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(stateFnHistory(histSize) _)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
   }
 
   /** One-shot streaming attribution over a watched events directory

@@ -119,4 +119,59 @@ class AttributionStreamSpec extends GraftSuite {
         s"a purchase must never be attributed to a FUTURE view: ${rows.toSeq}")
     } finally rmTree(base.toFile)
   }
+
+  test("view-history state recovers batch parity for backfilled purchases") {
+    val base = freshDir()
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ckpt = s"$base/ckpt"
+    def ev(rows: (Long, Long, Long, String, Int)*) =
+      rows.toDF("user_id", "sec", "event_id", "event_type", "kv")
+        .select($"event_id", ($"sec" * 1000000000L).as("ts"), $"user_id",
+          $"event_type", lit(0.0).as("value"),
+          format_string("{\"k\": %d}", $"kv").as("props"))
+    try {
+      val out = s"$base/out"
+      // activation 1 carries TWO views: ts=100 (k=9) and ts=200 (k=42)
+      ev((7L, 100L, 1L, "view", 9), (7L, 200L, 2L, "view", 42))
+        .coalesce(1).write.parquet(s"$in/batch1")
+      Attribute.runAttributionStreamHistory(spark, s"$in/*/", out, ckpt)
+      // activation 2 backfills a purchase BETWEEN them (ts=150): batch
+      // attributes it to the ts=100 view (k=9); the single-carry variant
+      // emits -1 (spec above); the history variant recovers k=9
+      ev((7L, 150L, 3L, "purchase", 0)).coalesce(1)
+        .write.parquet(s"$in/batch2")
+      val rows = Attribute.runAttributionStreamHistory(
+        spark, s"$in/*/", out, ckpt).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getInt(2) == 9,
+        s"history state must attribute the backfilled purchase to the " +
+          s"newest OLDER view, matching batch: ${rows.toSeq}")
+    } finally rmTree(base.toFile)
+  }
+
+  test("view-history state still never attributes to a future view") {
+    val base = freshDir()
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ckpt = s"$base/ckpt"
+    def ev(rows: (Long, Long, Long, String, Int)*) =
+      rows.toDF("user_id", "sec", "event_id", "event_type", "kv")
+        .select($"event_id", ($"sec" * 1000000000L).as("ts"), $"user_id",
+          $"event_type", lit(0.0).as("value"),
+          format_string("{\"k\": %d}", $"kv").as("props"))
+    try {
+      val out = s"$base/out"
+      ev((7L, 200L, 1L, "view", 42)).coalesce(1)
+        .write.parquet(s"$in/batch1")
+      Attribute.runAttributionStreamHistory(spark, s"$in/*/", out, ckpt)
+      // purchase older than EVERY retained view -> -1, same as batch
+      // with no earlier view
+      ev((7L, 100L, 2L, "purchase", 0)).coalesce(1)
+        .write.parquet(s"$in/batch2")
+      val rows = Attribute.runAttributionStreamHistory(
+        spark, s"$in/*/", out, ckpt).collect()
+      assert(rows.length == 1 && rows.head.getInt(2) == -1, rows.toSeq.toString)
+    } finally rmTree(base.toFile)
+  }
 }

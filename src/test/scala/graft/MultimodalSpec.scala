@@ -66,6 +66,35 @@ class MultimodalSpec extends GraftSuite {
     assert(!metas(4L).decoded, "text bytes must take the fallback channel")
   }
 
+  test("REAL audio decode: genuine WAV bytes yield exact format metadata") {
+    import javax.sound.sampled._
+    // synthesize a real 16-bit mono 8kHz WAV: 400 frames of a square wave
+    def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      for (i <- pcm.indices) pcm(i) = (if ((i / 64) % 2 == 0) 0x40 else -0x40).toByte
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", wav(8000f, 1, 400)),
+      Multimodal.Asset(2L, "audio", wav(44100f, 2, 4410)),
+      Multimodal.Asset(3L, "audio", "not audio".getBytes("UTF-8")))
+      .toDS().repartition(2)
+    val metas = Multimodal.extractAudioMeta(assets).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).decoded && metas(1L).sample_rate == 8000 &&
+      metas(1L).channels == 1 && metas(1L).n_frames == 400 &&
+      metas(1L).duration_ms == 50, metas(1L).toString)
+    assert(metas(2L).decoded && metas(2L).sample_rate == 44100 &&
+      metas(2L).channels == 2 && metas(2L).n_frames == 4410 &&
+      metas(2L).duration_ms == 100, metas(2L).toString)
+    assert(!metas(3L).decoded, "text bytes must take the fallback channel")
+  }
+
   test("REAL thumbnail resize: decoded pixels, exact output geometry, determinism") {
     // solid-color source: every resampled pixel must stay that color
     val img = new java.awt.image.BufferedImage(64, 64,
