@@ -562,7 +562,60 @@ object Corpus {
       |  row_number() OVER (ORDER BY o_orderkey) AS global_idx
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------- q_weighted_sample
+  /** Probability-proportional-to-size sampling without replacement —
+    * sequential Poisson sampling (Ohlsson 1998): each row draws a
+    * deterministic uniform u from its content key, ranks by u / weight,
+    * and the k smallest ranks per source are the sample. Long documents
+    * are proportionally more likely to be drawn — the right shape for
+    * token-budgeted corpus subsampling, where sampling docs uniformly
+    * under-represents long-document mass.
+    *
+    * Exactness: the rank key u/w is computed as INTEGER `(u * 10^6) DIV
+    * w` with u truncated to 40 bits, so u * 10^6 < 2^60 never overflows
+    * a long and both engines produce bit-identical keys; ties (same
+    * quantized key) break on doc_id. u derives from md5-lower-64 of a
+    * salted doc key (`graft_md5_lower64` = DuckDB `md5_number_lower`),
+    * so the draw is replayable by any engine from the data alone.
+    *
+    * Scale shape: key computation is row-local in the scan; per-source
+    * top-k is one hash-partitioned window with rank pushdown
+    * (WindowGroupLimit prunes to k per partition map-side) — no global
+    * sort, no driver involvement. */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val u = graft.functions.TextFunctions
+      .md5Lower64(concat(lit("ws:"), $"doc_id".cast("string")))
+        .bitwiseAND(lit((1L << 40) - 1))
+    val withKey = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars", u.as("u"))
+      .select($"doc_id", $"source", $"n_chars",
+        expr("u * 1000000 DIV n_chars").as("wkey"))
+    withKey
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"wkey", $"doc_id")))
+      .filter($"rk" <= k)
+      .select($"source", $"rk", $"doc_id", $"n_chars", $"wkey")
+      .orderBy($"source", $"rk")
+  }
+
+  private val weightedSampleSql =
+    """WITH k AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST((md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+      |      & ((1::UBIGINT << 40) - 1)) AS BIGINT) * 1000000 // n_chars AS wkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_chars, wkey,
+      |    row_number() OVER (PARTITION BY source ORDER BY wkey, doc_id) AS rk
+      |  FROM k)
+      |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars, wkey
+      |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_weighted_sample", weightedSample, Some(weightedSampleSql),
+      bench = true),
     NamedQuery("q_global_index", globalIndexQuery, Some(globalIndexSql),
       bench = true),
     NamedQuery("q_shard_assign", shardAssign, Some(shardAssignSql), bench = true),

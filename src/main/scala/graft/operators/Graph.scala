@@ -188,16 +188,26 @@ object Graph {
     // never wedge-volume.
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbrs"))
-    val tri = oriented
+    // One row per closing EDGE carrying the full intersect array: the a-
+    // and b-corner counts aggregate from size(cs) WITHOUT exploding, and
+    // only the c corner explodes (one row per triangle, not three).
+    // Materialized once (localCheckpoint) because three aggregations
+    // consume it — re-running the broadcast joins + intersects three
+    // times costs more than the triangle-volume materialization.
+    val closed = oriented
       .join(broadcast(adj.select($"src", $"nbrs".as("nbrs_u"))), Seq("src"))
       .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nbrs_v"))),
         Seq("dst"))
       .select($"src".as("a"), $"dst".as("b"),
-        explode(array_intersect($"nbrs_u", $"nbrs_v")).as("c"))
-    val perNode = tri.select($"a".as("node"))
-      .unionAll(tri.select($"b"))
-      .unionAll(tri.select($"c"))
-      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        array_intersect($"nbrs_u", $"nbrs_v").as("cs"))
+      .select($"a", $"b", $"cs", size($"cs").cast("long").as("k"))
+      .filter($"k" > 0)
+      .localCheckpoint(true)
+    val perNode = closed.groupBy($"a".as("node")).agg(sum($"k").as("n_tri"))
+      .unionAll(closed.groupBy($"b".as("node")).agg(sum($"k").as("n_tri")))
+      .unionAll(closed.select(explode($"cs").as("node"))
+        .groupBy($"node").agg(count(lit(1)).cast("long").as("n_tri")))
+      .groupBy($"node").agg(sum($"n_tri").as("n_tri"))
     deg.select($"node")
       .join(perNode, Seq("node"), "left")
       .select($"node", coalesce($"n_tri", lit(0L)).as("n_tri"))

@@ -349,4 +349,34 @@ class CorpusSpec extends GraftSuite {
     assert(windowLines.exists(_.contains("__pid")),
       s"data window must partition by __pid:\n$plan")
   }
+
+  test("weighted sample: a 1000x-heavier doc is drawn, a 1-char doc is not") {
+    import spark.implicits._
+    // one source, 200 docs of weight 10, one doc of weight 100000: under
+    // PPS the heavy doc's rank key is ~10000x smaller in expectation than
+    // any light doc's, so it must land in the k=20 sample; conversely the
+    // probability every light doc outranks a given light doc is symmetric
+    // -- only the heavy-doc inclusion is a sound deterministic claim.
+    val docs = ((1L to 200L).map(i => (i, "t", "s", 10L))
+      :+ (999L, "t", "s", 100000L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("wsample").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sampled = SparkEntry.queries("q_weighted_sample")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sampled.contains(999L),
+      "PPS must include the dominant-weight doc")
+    assert(sampled.size == 20, "k=20 per source")
+    rmTree(new java.io.File(dir))
+  }
+
+  test("weighted sample: rank keys are integer-exact and layout-invariant") {
+    val a = canon(SparkEntry.queries("q_weighted_sample")(spark, sf))
+    val shuffled = Tables.documents(spark, sf).repartition(17)
+    val dir = java.nio.file.Files.createTempDirectory("wsample2").toString
+    shuffled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b = canon(SparkEntry.queries("q_weighted_sample")(spark, dir))
+    assert(a == b)
+    rmTree(new java.io.File(dir))
+  }
 }
