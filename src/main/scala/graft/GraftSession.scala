@@ -19,8 +19,8 @@ object GraftSession {
 
   def create(appName: String, cpus: Int = envCpus,
              adaptive: Boolean = true,
-             shufflePartitions: Option[Int] = None): SparkSession =
-    SparkSession.builder()
+             shufflePartitions: Option[Int] = None): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
@@ -31,4 +31,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // native-expression SQL names (graft_*) available in every entry
+    // point, not just sessions that ran the registry spec; idempotent
+    // (re-registration overwrites with identical builders)
+    graft.functions.GraftFunctionRegistry.register(s)
+    s
+  }
 }

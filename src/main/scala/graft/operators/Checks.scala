@@ -150,7 +150,65 @@ object Checks {
        |         - [${BenfordPpm.mkString(",")}][digit]) AS BIGINT) AS gap_ppm
        |FROM c ORDER BY digit""".stripMargin
 
+  // ------------------------------------------------------------- q_fd_check
+  /** Functional-dependency audit — does column A determine column B?
+    * The schema-inference / constraint-mining primitive (profiling
+    * suites run batteries of these): for each candidate FD, report how
+    * many determinant values exist, how many VIOLATE (map to >1 distinct
+    * dependent value), and the worst fan-out. One FD that genuinely
+    * holds (l_orderkey → o_custkey through the order) and one that
+    * genuinely fails (o_custkey → o_orderpriority: customers order at
+    * many priorities) keep both detector directions on the hook.
+    *
+    * Scale shape: per FD one hash-agg keyed on the determinant (map-side
+    * partial count-distinct via the two-level groupBy), reduced to a
+    * single summary row — O(distinct determinants) shuffle, constant
+    * output. */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(lhs))
+      .agg(count_distinct(col(rhs)).as("n_rhs"))
+      .agg(
+        count(lit(1)).as("n_lhs_values"),
+        sum(when($"n_rhs" > 1, 1L).otherwise(0L)).as("n_violating"),
+        max($"n_rhs").as("max_fanout"))
+  }
+
+  private def fdCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val held = fdViolations(orders, "o_orderkey", "o_custkey")
+      .select(lit("o_orderkey->o_custkey").as("fd"), $"n_lhs_values",
+        $"n_violating", $"max_fanout")
+    val violated = fdViolations(orders, "o_custkey", "o_orderpriority")
+      .select(lit("o_custkey->o_orderpriority").as("fd"), $"n_lhs_values",
+        $"n_violating", $"max_fanout")
+    held.unionByName(violated)
+      .select($"fd", $"n_lhs_values", $"n_violating", $"max_fanout",
+        ($"n_violating" === 0).as("holds"))
+      .orderBy($"fd")
+  }
+
+  private val fdCheckSql =
+    """WITH f1 AS (
+      |  SELECT 'o_orderkey->o_custkey' AS fd, COUNT(*) AS n_lhs_values,
+      |    SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+      |    MAX(n_rhs) AS max_fanout
+      |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
+      |        FROM orders GROUP BY 1)),
+      |f2 AS (
+      |  SELECT 'o_custkey->o_orderpriority' AS fd, COUNT(*) AS n_lhs_values,
+      |    SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+      |    MAX(n_rhs) AS max_fanout
+      |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+      |        FROM orders GROUP BY 1)),
+      |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+      |SELECT fd, n_lhs_values, CAST(n_violating AS BIGINT) AS n_violating,
+      |  max_fanout, n_violating = 0 AS holds
+      |FROM u ORDER BY fd""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_quality_checks", qualityChecks, Some(qualityChecksSql), bench = true),
-    NamedQuery("q_benford", benford, Some(benfordSql), bench = true))
+    NamedQuery("q_benford", benford, Some(benfordSql), bench = true),
+    NamedQuery("q_fd_check", fdCheck, Some(fdCheckSql), bench = true))
 }

@@ -355,9 +355,63 @@ object Graph {
        |SELECT node, label FROM lp WHERE iter = $LabelPropIters
        |ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------ q_link_predict
+  /** Common-neighbor link prediction over the customer↔supplier
+    * bipartite graph: score customer PAIRS by how many suppliers they
+    * share — the collaborative-filtering candidate generator ("users
+    * who buy from the same suppliers") and the simplest classical
+    * link-prediction baseline. Top-k pairs by (score, u, v) — a unique
+    * total order, so the cut is deterministic.
+    *
+    * Scale shape: wedges generate ROW-LOCALLY from each supplier's
+    * sorted customer list (one orderkey-side shuffle to build the
+    * lists), then one (u, v) hash-agg; no self-join. Hub suppliers are
+    * the k² hazard, so fan-out is explicitly CAPPED: suppliers with
+    * more than MaxFanout distinct customers are excluded (the standard
+    * mitigation — a supplier half the corpus buys from predicts
+    * nothing anyway, exactly like a stopword). The cap is part of the
+    * operator's semantics and the oracle applies the identical cap. */
+  val MaxFanout = 500
+
+  private def linkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+    val wedges = pairs
+      .groupBy($"supp")
+      .agg(sort_array(collect_set($"cust")).as("custs"))
+      .filter(size($"custs").between(2, MaxFanout))
+      .select(explode(expr(sortedPairsExpr("custs", "u", "v"))).as("p"))
+      .select($"p.u", $"p.v")
+    wedges.groupBy($"u", $"v")
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy($"n_common".desc, $"u", $"v")
+      .limit(50)
+  }
+
+  private val linkPredictSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |deg AS (
+       |  SELECT supp, COUNT(*) AS d FROM pairs GROUP BY supp),
+       |ok AS (
+       |  SELECT p.cust, p.supp FROM pairs p JOIN deg USING (supp)
+       |  WHERE deg.d BETWEEN 2 AND $MaxFanout),
+       |wedges AS (
+       |  SELECT a.cust AS u, b.cust AS v
+       |  FROM ok a JOIN ok b ON a.supp = b.supp AND a.cust < b.cust)
+       |SELECT u, v, COUNT(*) AS n_common
+       |FROM wedges GROUP BY u, v
+       |ORDER BY n_common DESC, u, v LIMIT 50""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_pagerank", pageRankQuery, Some(pageRankSql), bench = true),
     NamedQuery("q_label_prop", labelPropQuery, Some(labelPropSql), bench = true),
     NamedQuery("q_triangle_count", triangleCount, Some(triangleCountSql),
+      bench = true),
+    NamedQuery("q_link_predict", linkPredict, Some(linkPredictSql),
       bench = true))
 }

@@ -78,7 +78,91 @@ object Scoring {
        |FROM w JOIN b USING (word)
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q_dsir_weights
+  /** DSIR-style importance weights for data selection (Xie et al. 2023):
+    * score every document by how much its hashed-bigram feature
+    * distribution looks like a TARGET domain versus the RAW corpus —
+    * the signal used to up-sample target-like web data into a training
+    * mix. Target here = the lexicographically first `source` (a real
+    * deployment passes a curated reference corpus; the dataflow is
+    * identical).
+    *
+    * Exactness: the per-feature log-likelihood ratio is quantized to
+    * integer bits — `floor(log2(cnt_target + 1)) − floor(log2(cnt_raw
+    * + 1))` via binary-string length — so per-doc sums are
+    * partitioning-invariant integers (the q_lm_surprisal recipe).
+    * Features are md5-bucketed bigrams (10k buckets), replayable by any
+    * engine from the text alone.
+    *
+    * Scale shape: the bucket-stats frame is FIXED SIZE (10k rows) no
+    * matter the corpus — aggregated with map-side partials, broadcast
+    * back; the corpus-side explode never shuffles by feature. */
+  val DsirBuckets = 10000
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bigrams = docs
+      .select($"doc_id", $"source",
+        expr(s"regexp_extract_all(lower(text), '$WordPat', 0)").as("ws"))
+      .select($"doc_id", $"source",
+        explode(expr(
+          """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+            |  (x, i) -> concat(x, ' ', element_at(ws, i + 2)))""".stripMargin))
+          .as("bg"))
+      .select($"doc_id", $"source",
+        (graft.functions.TextFunctions.md5Lower64($"bg")
+          .bitwiseAND(lit(Long.MaxValue)) % DsirBuckets).as("bucket"))
+    val target = docs.agg(min($"source").as("target_source"))
+    val stats = bigrams.crossJoin(broadcast(target))
+      .groupBy($"bucket")
+      .agg(
+        sum(when($"source" === $"target_source", 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .select($"bucket",
+        ((length(bin($"cnt_t" + 1)) - 1) - (length(bin($"cnt_r" + 1)) - 1))
+          .cast("long").as("ratio_bits"))
+    bigrams.join(broadcast(stats), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"ratio_bits").as("dsir_bits"))
+      .select($"doc_id", $"n_bigrams", $"dsir_bits",
+        expr("dsir_bits * 1000 DIV n_bigrams").as("mean_millibits"))
+      .orderBy($"doc_id")
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '$WordPat') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(ws[1:len(ws)-1], (x, i) -> x || ' ' || ws[i+1]))
+       |      AS bg
+       |  FROM w WHERE len(ws) >= 2),
+       |bk AS (
+       |  SELECT doc_id, source,
+       |    CAST((md5_number_lower(bg) & ${Long.MaxValue}::UBIGINT) % $DsirBuckets
+       |      AS BIGINT) AS bucket
+       |  FROM bg),
+       |t AS (SELECT min(source) AS target_source FROM documents),
+       |st AS (
+       |  SELECT bucket,
+       |    CAST(length(printf('%b', CAST(
+       |      SUM(CASE WHEN source = t.target_source THEN 1 ELSE 0 END) + 1
+       |      AS BIGINT))) - 1 AS BIGINT)
+       |    - CAST(length(printf('%b', CAST(COUNT(*) + 1 AS BIGINT))) - 1
+       |      AS BIGINT) AS ratio_bits
+       |  FROM bk, t GROUP BY bucket, t.target_source)
+       |SELECT bk.doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(st.ratio_bits) AS BIGINT) AS dsir_bits,
+       |  CAST(SUM(st.ratio_bits) AS BIGINT) * 1000 // COUNT(*) AS mean_millibits
+       |FROM bk JOIN st USING (bucket)
+       |GROUP BY bk.doc_id ORDER BY bk.doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
+      bench = true),
+    NamedQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql),
       bench = true))
 }

@@ -486,7 +486,76 @@ object Similarity {
       |  unnest(generate_series(i, len(q))) t2(j)
       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------------------ q_jl_project
+  /** Johnson–Lindenstrauss random projection over the QUANTIZED vector
+    * corpus — the dimensionality-reduction step that makes massive-scale
+    * candidate generation cheap (project 64-d to 16-d, bucket or index
+    * in the small space, rescore survivors in the full space). The sign
+    * matrix (Achlioptas ±1 construction) derives from md5 of the (in,
+    * out) index pair, so any engine regenerates it from nothing.
+    *
+    * Exactness: projecting FLOAT vectors sums floats in arbitrary order
+    * (merge-order-dependent); projecting the int8-QUANTIZED vectors —
+    * which the corpus stores anyway (q_embedding_quantize) — makes every
+    * dot product exact 64-bit integer arithmetic on any partitioning.
+    * The quantization step itself reproduces bit-for-bit cross-engine
+    * (single IEEE ops in index order, the q_embedding_quantize design),
+    * so floor(x/scale + 0.5) casts to the identical integer everywhere.
+    *
+    * Scale shape: the sign matrix is d_in × d_out literals generated
+    * row-locally inside the lambda — nothing is joined, nothing
+    * shuffles; output is one row per (vector, out-dim) pair, and the
+    * whole operator is a single scan-projection. */
+  val JlOutDims = 16
+
+  private def jlProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = s.range(1, JlOutDims + 1).select($"id".cast("int").as("j"))
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        VectorFunctions.int8QuantStats($"embedding").as("q"))
+      .select($"vec_id",
+        expr("""transform(embedding, x ->
+          |  CASE WHEN q.scale = 0D THEN 0L
+          |  ELSE CAST(floor(CAST(x AS DOUBLE) / q.scale + 0.5D) AS BIGINT)
+          |  END)""".stripMargin).as("qv"))
+      .crossJoin(broadcast(dims))
+      .select($"vec_id", $"j",
+        aggregate(
+          transform($"qv", (x, i) => {
+            val sign = graft.functions.TextFunctions.md5Lower64(
+              concat(lit("jl:"), $"j".cast("string"), lit(":"),
+                (i + 1).cast("string"))).bitwiseAND(lit(1L))
+            x * when(sign === 1L, lit(1L)).otherwise(lit(-1L))
+          }),
+          lit(0L), (acc, v) => acc + v).as("y"))
+      .orderBy($"vec_id", $"j")
+  }
+
+  private val jlProjectSql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM q),
+       |qv AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+       |      ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+       |  FROM sc)
+       |SELECT vec_id, CAST(d.j AS INTEGER) AS j,
+       |  CAST(list_sum(list_transform(qv, (x, i) ->
+       |    x * (CASE WHEN (md5_number_lower(
+       |          'jl:' || CAST(d.j AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+       |          & 1::UBIGINT) = 1 THEN 1 ELSE -1 END))) AS BIGINT) AS y
+       |FROM qv, generate_series(1, $JlOutDims) AS d(j)
+       |ORDER BY vec_id, j""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_jl_project", jlProject, Some(jlProjectSql), bench = true),
     NamedQuery("q_gram_matrix", gramMatrix, Some(gramMatrixSql), bench = true),
     // q_hard_negatives is the deliberate bounded O(n²) oracle baseline for
     // hardNegativesIvf — benching it would time the brute force, not an
