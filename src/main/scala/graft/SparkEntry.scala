@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++
+      operators.Annotate.all ++
       streaming.Sessionize.all ++ pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

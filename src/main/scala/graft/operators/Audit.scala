@@ -265,7 +265,99 @@ object Audit {
        |    '$EmailPat', '<EMAIL>', 'g')) AS clean_md5
        |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q_forget_cascade
+  /** Right-to-be-forgotten cascade audit: given a deletion-request set
+    * (customers with c_custkey % 97 == 0 — a real deployment reads a
+    * requests table), delete those customers, their orders, and those
+    * orders' lineitems, and report per table (rows_before, rows_deleted,
+    * rows_after) plus an md5-sum digest of the SURVIVING keys — the
+    * digest makes "exactly the right rows remain" driver-visible, not
+    * just the counts.
+    *
+    * Scale shape: the request list is deletion-request-sized (tiny vs
+    * the corpus), so the customer and orders legs anti-join against a
+    * BROADCAST request frame — the fact tables never shuffle. The
+    * lineitem leg keys on deleted ORDERS (corpus-derived, possibly
+    * large), so it anti-joins on a slim orderkey-only frame via the
+    * regular shuffle path — the shape that still works when a bulk
+    * erasure hits millions of orders. Digests sum bounded residues
+    * (md5 % 1e9+7 over <= 6M rows at sf0.1 stays far under 2^63). */
+  private def forgetCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val requests = customer.filter($"c_custkey" % 97 === 0)
+      .select($"c_custkey".as("req_key"))
+    def digest(key: org.apache.spark.sql.Column) =
+      sum(graft.functions.TextFunctions
+        .md5Lower64(concat(lit("k:"), key))
+        .bitwiseAND(lit(Long.MaxValue)) % 1000000007L)
+    val custAfter = customer
+      .join(broadcast(requests), $"c_custkey" === $"req_key", "left_anti")
+    val ordDeleted = orders
+      .join(broadcast(requests), $"o_custkey" === $"req_key", "left_semi")
+    val ordAfter = orders
+      .join(broadcast(requests), $"o_custkey" === $"req_key", "left_anti")
+    // slim corpus-derived key frame: NOT broadcast by contract (a bulk
+    // erasure makes it large); the anti join shuffles orderkeys only
+    val delOrderKeys = ordDeleted.select($"o_orderkey".as("del_okey"))
+    val lineAfter = lineitem
+      .join(delOrderKeys, $"l_orderkey" === $"del_okey", "left_anti")
+    def leg(tbl: String, before: DataFrame, after: DataFrame,
+            key: org.apache.spark.sql.Column): DataFrame = {
+      val b = before.agg(count(lit(1)).as("rows_before"))
+      val a = after.agg(count(lit(1)).as("rows_after"),
+        digest(key).as("survivor_digest"))
+      b.crossJoin(a).select(lit(tbl).as("tbl"), $"rows_before",
+        ($"rows_before" - $"rows_after").as("rows_deleted"),
+        $"rows_after", $"survivor_digest")
+    }
+    leg("customer", customer, custAfter, $"c_custkey".cast("string"))
+      .unionByName(leg("orders", orders, ordAfter,
+        $"o_orderkey".cast("string")))
+      // lineitem's key is composite (orderkey, linenumber)
+      .unionByName(leg("lineitem", lineitem, lineAfter,
+        concat($"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string"))))
+      .orderBy($"tbl")
+  }
+
+  private val forgetCascadeSql =
+    """WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |ca AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM req)),
+      |oa AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM req)),
+      |dok AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM req)),
+      |la AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dok)),
+      |u AS (
+      |  SELECT 'customer' AS tbl,
+      |    (SELECT count(*) FROM customer) AS rows_before,
+      |    (SELECT count(*) FROM ca) AS rows_after,
+      |    (SELECT SUM(CAST(md5_number_lower('k:' || CAST(c_custkey AS VARCHAR))
+      |       & 9223372036854775807::UBIGINT AS BIGINT) % 1000000007)
+      |     FROM ca) AS survivor_digest
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM oa),
+      |    (SELECT SUM(CAST(md5_number_lower('k:' || CAST(o_orderkey AS VARCHAR))
+      |       & 9223372036854775807::UBIGINT AS BIGINT) % 1000000007)
+      |     FROM oa)
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM la),
+      |    (SELECT SUM(CAST(md5_number_lower('k:' || CAST(l_orderkey AS VARCHAR)
+      |       || ':' || CAST(l_linenumber AS VARCHAR))
+      |       & 9223372036854775807::UBIGINT AS BIGINT) % 1000000007)
+      |     FROM la))
+      |SELECT tbl, rows_before, rows_before - rows_after AS rows_deleted,
+      |  rows_after, CAST(survivor_digest AS BIGINT) AS survivor_digest
+      |FROM u ORDER BY tbl""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_forget_cascade", forgetCascade, Some(forgetCascadeSql),
+      bench = true),
     NamedQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql), bench = true),
     NamedQuery("q_l_diversity", lDiversity, Some(lDiversitySql), bench = true),
     NamedQuery("q_pii_redact", piiRedact, Some(piiRedactSql), bench = true),

@@ -367,7 +367,86 @@ object Quality {
        |         - n_b * 1000000 // SUM(n_b) OVER ()) AS BIGINT) AS gap_ppm
        |FROM bands ORDER BY band""".stripMargin
 
+  // ------------------------------------------------------------ q_code_detect
+  /** Heuristic code-vs-prose detection — the corpus-routing signal every
+    * LLM data pipeline needs (code goes to the code mix with different
+    * dedup/quality rules; prose goes to the text mix). Features are the
+    * standard cheap ones: indented-line ratio, code-symbol character
+    * ratio, and language-keyword hits; the verdict is a fixed threshold
+    * over them. Code documents are PLANTED by id arithmetic (the
+    * q_pii_redact precedent — the fixture is pure prose, so a Python-ish
+    * snippet is appended to every doc_id % 7 == 0 doc); the detector
+    * must flag exactly those 1/7 and nothing else, so both the feature
+    * extraction and the thresholds are on the hook in both directions.
+    *
+    * Exactness: every feature is integer (counts and ppm via integer
+    * division); keyword occurrences count via the length-difference
+    * trick, engine-portable with zero regex dialect risk.
+    *
+    * Scale shape: entirely row-local chained string ops inside
+    * whole-stage codegen — scan-speed at 100 TB, zero shuffle. */
+  private def codeDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def occurrences(t: org.apache.spark.sql.Column, kw: String) =
+      (length(t) - length(replace(t, lit(kw), lit("")))) / kw.length
+    val planted = when($"doc_id" % 7 === 0,
+      concat($"text", lit("\ndef f"), ($"doc_id" % 10).cast("string"),
+        lit("(x):\n    return x + "), ($"doc_id" % 10).cast("string"),
+        lit(";"))).otherwise($"text")
+    Tables.documents(s, dir)
+      .select($"doc_id", planted.as("t"))
+      .select($"doc_id",
+        size(split($"t", "\n", -1)).cast("long").as("n_lines"),
+        size(filter(split($"t", "\n", -1),
+          l => l.startsWith("    ") || l.startsWith("\t")))
+          .cast("long").as("indent_lines"),
+        (length($"t") -
+          length(regexp_replace($"t", "[{}();=<>\\[\\]]", "")))
+          .cast("long").as("sym_chars"),
+        length($"t").cast("long").as("n_chars"),
+        (occurrences($"t", "def ") + occurrences($"t", "return") +
+          occurrences($"t", "import ")).cast("long").as("kw_hits"))
+      .select($"doc_id", $"n_lines", $"indent_lines", $"sym_chars",
+        $"kw_hits",
+        expr("indent_lines * 1000000 DIV n_lines").as("indent_ppm"),
+        expr("sym_chars * 1000000 DIV n_chars").as("sym_ppm"))
+      .withColumn("is_code",
+        $"kw_hits" > 0 && ($"indent_ppm" > 100000 || $"sym_ppm" > 5000))
+      .orderBy($"doc_id")
+  }
+
+  private val codeDetectSql =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+      |    text || chr(10) || 'def f' || CAST(doc_id % 10 AS VARCHAR)
+      |      || '(x):' || chr(10) || '    return x + '
+      |      || CAST(doc_id % 10 AS VARCHAR) || ';'
+      |    ELSE text END AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(split(t, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(split(t, chr(10)),
+      |      l -> l LIKE '    %' OR l LIKE chr(9) || '%')) AS BIGINT)
+      |      AS indent_lines,
+      |    CAST(length(t) - length(regexp_replace(t, '[{}();=<>\[\]]', '',
+      |      'g')) AS BIGINT) AS sym_chars,
+      |    CAST(length(t) AS BIGINT) AS n_chars,
+      |    CAST((length(t) - length(replace(t, 'def ', ''))) // 4
+      |      + (length(t) - length(replace(t, 'return', ''))) // 6
+      |      + (length(t) - length(replace(t, 'import ', ''))) // 7
+      |      AS BIGINT) AS kw_hits
+      |  FROM d)
+      |SELECT doc_id, n_lines, indent_lines, sym_chars, kw_hits,
+      |  indent_lines * 1000000 // n_lines AS indent_ppm,
+      |  sym_chars * 1000000 // n_chars AS sym_ppm,
+      |  kw_hits > 0 AND (indent_lines * 1000000 // n_lines > 100000
+      |    OR sym_chars * 1000000 // n_chars > 5000) AS is_code
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_code_detect", codeDetect, Some(codeDetectSql),
+      bench = true),
     NamedQuery("q_drift_tvd", driftTvd, Some(driftTvdSql), bench = true),
     NamedQuery("q_standardize", standardizeQuery, Some(standardizeSql),
       bench = true),

@@ -598,7 +598,106 @@ object TextAnalysis {
       |SELECT w1, w2, COUNT(*) AS cnt FROM pairs
       |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------ q_winnow
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003) — the guarantee-bearing document fingerprint for
+    * copy/plagiarism detection: hash every k-gram (k=4 words), slide a
+    * window of w=4 hashes, keep each window's minimum (rightmost on
+    * ties). Any shared substring of length >= k+w-1 words between two
+    * documents is GUARANTEED to share at least one selected fingerprint
+    * — the property that makes winnowing the standard over naive
+    * min-sampling. Output is the full selected (doc_id, pos, fp) set,
+    * so selection positions, tie direction, and dedup are all
+    * oracle-pinned.
+    *
+    * Hashes are md5-lower-64 of the gram text (bit-for-bit DuckDB's
+    * `md5_number_lower`), so the oracle recomputes everything from raw
+    * text. The argmin scan uses `<=` so later equal minima replace
+    * earlier ones — the rightmost-tie rule mirrored by the oracle's
+    * `max(pos)` over window minima.
+    *
+    * Scale shape: entirely row-local array lambdas (O(n·w) per doc)
+    * followed by one explode — no shuffle until the caller aggregates
+    * fingerprints; a cross-corpus copy-detection join then shuffles
+    * only (fp, doc_id, pos) triples, never text. */
+  /** Winnowing kernel over a (doc_id, text) frame: k-word grams, window
+    * of w gram hashes, rightmost minimum per window, distinct selections.
+    *
+    * Intermediates (word array, hash array) are bound as LAMBDA
+    * VARIABLES via transform(array(X), v -> body) instead of projection
+    * aliases: CollapseProject inlines an alias into every element_at of
+    * every lambda, re-running the regexp + gram build per element —
+    * O(words²) per doc, measured 10× slower at sf0.001. A lambda
+    * variable is evaluated once per row and cannot be inlined.
+    * slice(sequence(1, greatest(n,1)), 1, greatest(n,0)) = 1..n even
+    * for n <= 0 — plain sequence(1, 0) counts DOWN in Spark. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4,
+                         w: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    docs
+      .select($"doc_id", expr(
+        s"""element_at(transform(
+           |  array(regexp_extract_all(lower(text), '[a-z]+', 0)), ws ->
+           |  element_at(transform(array(transform(
+           |      slice(sequence(1, greatest(size(ws) - ${k - 1}, 1)), 1,
+           |            greatest(size(ws) - ${k - 1}, 0)),
+           |      i -> graft_md5_lower64(concat_ws(' ', slice(ws, i, $k)))
+           |           & 9223372036854775807)), hs ->
+           |    array_distinct(transform(
+           |      slice(sequence(1, greatest(size(hs) - ${w - 1}, 1)), 1,
+           |            greatest(size(hs) - ${w - 1}, 0)),
+           |      j -> aggregate(sequence(0, ${w - 1}),
+           |        named_struct('pos', -1, 'fp', CAST(-1 AS BIGINT)),
+           |        (acc, o) ->
+           |          IF(acc.pos = -1 OR element_at(hs, j + o) <= acc.fp,
+           |            named_struct('pos', j + o,
+           |                         'fp', element_at(hs, j + o)),
+           |            acc))))), 1)), 1)""".stripMargin).as("sel"))
+      .select($"doc_id", explode($"sel").as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.fp".as("fp"))
+  }
+
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowFingerprints(Tables.documents(s, dir))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  private val winnowSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws) - 3, 0)),
+      |      j -> struct_pack(pos := CAST(j AS INTEGER),
+      |        h := CAST(md5_number_lower(ws[j] || ' ' || ws[j+1] || ' '
+      |          || ws[j+2] || ' ' || ws[j+3])
+      |          & 9223372036854775807::UBIGINT AS BIGINT)))) AS s
+      |  FROM w),
+      |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+      |m AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      |js AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, greatest(CAST(ng AS INTEGER) - 3, 0)))
+      |      AS wj
+      |  FROM m),
+      |win AS (
+      |  SELECT g.doc_id, js.wj, g.pos, g.h
+      |  FROM js JOIN g ON g.doc_id = js.doc_id
+      |    AND g.pos BETWEEN js.wj AND js.wj + 3),
+      |mn AS (SELECT doc_id, wj, min(h) AS mh FROM win GROUP BY doc_id, wj),
+      |sel AS (
+      |  SELECT w2.doc_id, CAST(max(w2.pos) AS INTEGER) AS pos, w2.h AS fp
+      |  FROM win w2 JOIN mn ON w2.doc_id = mn.doc_id AND w2.wj = mn.wj
+      |    AND w2.h = mn.mh
+      |  GROUP BY w2.doc_id, w2.wj, w2.h)
+      |SELECT DISTINCT doc_id, pos, fp FROM sel
+      |ORDER BY doc_id, pos""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_winnow", winnow, Some(winnowSql), bench = true),
     NamedQuery("q_normalize_text", normalizeTextQuery, Some(normalizeTextSql),
       bench = true),
     NamedQuery("q_collocations", collocations, Some(collocationsSql),

@@ -173,4 +173,28 @@ class AuditSpec extends GraftSuite {
       assert((e, p, s) == expected, s"doc $id: counts ($e,$p,$s) != $expected")
     }
   }
+
+  test("forget cascade: counts reconcile and no deleted-customer data survives") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_forget_cascade")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem"))
+    out.values.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"before != deleted + after in $r")
+    }
+    // independent replay of the cascade frontier on the fixture
+    val reqs = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey")
+    val nReq = reqs.count()
+    assert(out("customer").getLong(2) == nReq)
+    val delOrders = Tables.orders(spark, sf)
+      .join(reqs, $"o_custkey" === $"c_custkey", "left_semi")
+    assert(out("orders").getLong(2) == delOrders.count())
+    val delLines = Tables.lineitem(spark, sf)
+      .join(delOrders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+    assert(out("lineitem").getLong(2) == delLines.count())
+    assert(nReq > 0, "plant selected no deletion requests — audit is vacuous")
+  }
 }

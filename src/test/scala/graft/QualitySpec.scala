@@ -139,4 +139,16 @@ class QualitySpec extends GraftSuite {
     val tvd = out.map(_.getLong(5)).sum / 2
     assert(tvd >= 0 && tvd <= 1000000L, s"TVD must be a probability in ppm: $tvd")
   }
+
+  test("code detect: flags exactly the planted code docs, zero prose false positives") {
+    val out = SparkEntry.queries("q_code_detect")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val flagged = r.getBoolean(7)
+      assert(flagged == (id % 7 == 0),
+        s"doc $id: is_code=$flagged but planted=${id % 7 == 0} " +
+          s"(kw=${r.getLong(4)} indent_ppm=${r.getLong(5)} sym_ppm=${r.getLong(6)})")
+    }
+  }
 }

@@ -231,6 +231,48 @@ class TextAnalysisSpec extends GraftSuite {
     assert(a == b, "scores must be bit-identical on any layout")
   }
 
+  test("winnowing guarantee: docs sharing >= k+w-1 words share a fingerprint") {
+    // the SIGMOD'03 theorem: any common substring of at least k+w-1
+    // tokens forces at least one common selected fingerprint — the
+    // property that makes winnowing usable for copy detection at all
+    val shared = "alpha bravo charlie delta echo foxtrot golf"  // 7 = k+w-1
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"red green blue $shared purple orange maroon"),
+      (3L, "no overlap here at all just unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, k = 4, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared 7-word run must surface a shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint vocabulary must not collide")
+  }
+
+  test("winnowing selections are a subset of gram positions, dense in windows") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val fp = TextAnalysis.winnowFingerprints(docs)
+    val rows = fp.collect()
+    assert(rows.nonEmpty)
+    // every selected pos is a valid gram index and fingerprints are
+    // layout-stable: same selections after a repartition
+    val again = TextAnalysis.winnowFingerprints(docs.repartition(7))
+    assert(canon(fp) == canon(again), "selection must be layout-invariant")
+    // winnowing density: between 1 selection per window-span and one per
+    // gram — 2/(w+1) expected; assert the sane envelope per doc
+    val grams = docs.select($"doc_id",
+        expr("greatest(size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 3, 0)")
+          .as("ng")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (d, sel) =>
+      val ng = grams(d)
+      if (ng >= 4)
+        assert(sel.length <= ng && sel.length >= (ng - 3 + 3) / 4,
+          s"doc $d: ${sel.length} selections from $ng grams out of envelope")
+    }
+  }
+
 }
 
 /** Property tests for the hash primitives (ScalaCheck, run natively by
