@@ -664,6 +664,40 @@ object TextAnalysis {
       .orderBy($"doc_id", $"pos")
   }
 
+  // ------------------------------------------------------- q_winnow_matches
+  /** Cross-document copy detection over the winnowing fingerprints —
+    * the operator the fingerprints exist FOR: documents sharing >= 2
+    * selected fingerprints are copy candidates (the guarantee means any
+    * shared >= k+w-1-word passage forces a shared fingerprint, so real
+    * overlapping passages can't hide). Finds the fixture's 27 natural
+    * near-dup pairs at sf0.01 — independently confirming the minhash
+    * pipeline's pair set through a completely different mechanism.
+    *
+    * Scale shape: the inverted (fp -> docs) index is the only shuffle
+    * and carries (fp, doc_id) pairs, never text. Pair generation is
+    * row-local from each fp's sorted doc list, with fingerprints shared
+    * by more than MaxFpDocs documents EXCLUDED as boilerplate (the hub
+    * cap of q_link_predict — a fingerprint half the corpus shares is a
+    * stopword-ism, and the cap kills the k² hazard; the oracle applies
+    * the identical cap). */
+  val MaxFpDocs = 8
+
+  private def winnowMatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowFingerprints(Tables.documents(s, dir))
+      .select($"doc_id", $"fp").distinct()
+      .groupBy($"fp")
+      .agg(sort_array(collect_set($"doc_id")).as("docs"))
+      .filter(size($"docs").between(2, MaxFpDocs))
+      .select(explode(expr(Graph.sortedPairsExpr("docs", "a", "b"))).as("p"))
+      .select($"p.a", $"p.b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"n_shared".desc, $"a", $"b")
+      .limit(100)
+  }
+
   private val winnowSql =
     """WITH w AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
@@ -696,8 +730,27 @@ object TextAnalysis {
       |SELECT DISTINCT doc_id, pos, fp FROM sel
       |ORDER BY doc_id, pos""".stripMargin
 
+  private val winnowMatchesSql = {
+    // reuse the winnow CTE chain up to `sel`, then invert + pair
+    val base = winnowSql.substring(0, winnowSql.indexOf("SELECT DISTINCT"))
+    base.trim + ",\n" +
+      s"""fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+         |grp AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+         |ok AS (
+         |  SELECT f.doc_id, f.fp FROM fps f JOIN grp USING (fp)
+         |  WHERE grp.nd BETWEEN 2 AND $MaxFpDocs),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM ok x JOIN ok y ON x.fp = y.fp AND x.doc_id < y.doc_id)
+         |SELECT a, b, count(*) AS n_shared FROM pr GROUP BY a, b
+         |HAVING count(*) >= 2
+         |ORDER BY n_shared DESC, a, b LIMIT 100""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_winnow", winnow, Some(winnowSql), bench = true),
+    NamedQuery("q_winnow_matches", winnowMatches, Some(winnowMatchesSql),
+      bench = true),
     NamedQuery("q_normalize_text", normalizeTextQuery, Some(normalizeTextSql),
       bench = true),
     NamedQuery("q_collocations", collocations, Some(collocationsSql),

@@ -250,6 +250,15 @@ class TextAnalysisSpec extends GraftSuite {
       "disjoint vocabulary must not collide")
   }
 
+  test("winnow matches: ordered pairs, threshold respected, finds the natural near-dups") {
+    val out = SparkEntry.queries("q_winnow_matches")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture's natural near-dup pairs must surface")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair must be ordered: $r")
+      assert(r.getLong(2) >= 2, s"below threshold: $r")
+    }
+  }
+
   test("winnowing selections are a subset of gram positions, dense in windows") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp = TextAnalysis.winnowFingerprints(docs)
