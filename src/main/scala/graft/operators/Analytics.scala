@@ -1422,7 +1422,55 @@ object Analytics {
       |  n_users * 1000000 // (SELECT COUNT(*) FROM s1) AS conversion_ppm
       |FROM counts ORDER BY stage""".stripMargin
 
+  // ----------------------------------------------------------- q_traj_dedup
+  /** Behavioral-trajectory deduplication — the sequence-level dedup an
+    * agent-training pipeline runs over interaction logs: a trajectory is
+    * one user-day's event-type sequence in event order, and byte-equal
+    * trajectories across users/days are duplicate behavior patterns
+    * (training on millions of identical "view>click>purchase" traces
+    * is the sequence version of duplicate documents). Reports each
+    * duplicated trajectory with occurrence and distinct-user counts —
+    * top 50 by (n_sessions, traj), a unique total order.
+    *
+    * Event order within a day is (ts, event_id) — event_id breaks
+    * same-µs ties identically on both engines.
+    *
+    * Scale shape: ONE (user, day)-keyed aggregation builds trajectories
+    * (map-side partial collect), then one slim traj-keyed count — the
+    * trajectory frame is sessions-sized, carries short type strings
+    * (at 100 TB: the md5 of the trajectory, same as every other digest
+    * path here), and never re-touches raw events. */
+  private def trajDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        $"event_type")
+      .groupBy($"user_id", $"day")
+      .agg(sort_array(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        concat_ws(">", expr("transform(evs, x -> x.event_type)")).as("traj"))
+      .groupBy($"traj")
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct($"user_id").as("n_users"),
+        min($"user_id").as("example_user"))
+      .filter($"n_sessions" >= 2)
+      .orderBy($"n_sessions".desc, $"traj")
+      .limit(50)
+  }
+
+  private val trajDedupSql =
+    """WITH t AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS traj
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT traj, count(*) AS n_sessions,
+      |  count(DISTINCT user_id) AS n_users, min(user_id) AS example_user
+      |FROM t GROUP BY traj HAVING count(*) >= 2
+      |ORDER BY n_sessions DESC, traj LIMIT 50""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_traj_dedup", trajDedup, Some(trajDedupSql), bench = true),
     NamedQuery("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),
       bench = true),
     NamedQuery("q_funnel", funnel, Some(funnelSql), bench = true),
