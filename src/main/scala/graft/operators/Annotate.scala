@@ -90,6 +90,149 @@ object Annotate {
        |  majority = doc_id % $NumClasses AS majority_correct
        |FROM v ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q_pref_bias
+  /** Preference-data length-bias audit — the reward-hacking check run
+    * on RLHF comparison data: if "chosen" responses are systematically
+    * longer than "rejected" ones, a reward model trained on the pairs
+    * learns length, not quality. Pairs are planted by id arithmetic
+    * (doc i vs doc i+250, choice biased 7/10 toward the longer text
+    * with an md5 coin), and the audit recomputes the bias from the
+    * resolved pairs: chosen-longer ppm and total/mean chosen-minus-
+    * rejected length delta, all integer.
+    *
+    * Scale shape: one equi-join on a derived pair key over slim
+    * (doc_id, n_chars) projections, then a single-row aggregate —
+    * map-side partials, nothing corpus-sized survives the join. */
+  private def prefBias(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val a = docs.filter($"doc_id" < 250)
+      .select($"doc_id".as("pair_id"), $"n_chars".as("len_a"))
+    val b = docs.filter($"doc_id" >= 250)
+      .select(($"doc_id" - 250).as("pair_id"), $"n_chars".as("len_b"))
+    val noise = TextFunctions
+      .md5Lower64(concat(lit("pref:"), $"pair_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val pairs = a.join(b, Seq("pair_id"))
+      .withColumn("pick_longer", noise % 10 < 7)
+      .withColumn("coin", noise % 2 === 0)
+      .withColumn("chosen_len",
+        when($"len_a" === $"len_b", when($"coin", $"len_a").otherwise($"len_b"))
+          .when($"pick_longer", greatest($"len_a", $"len_b"))
+          .otherwise(least($"len_a", $"len_b")))
+      .withColumn("rejected_len",
+        $"len_a" + $"len_b" - $"chosen_len")
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(($"chosen_len" > $"rejected_len").cast("long"))
+        .as("n_chosen_longer"),
+      sum($"chosen_len" - $"rejected_len").as("total_len_delta"))
+      .select($"n_pairs", $"n_chosen_longer",
+        expr("n_chosen_longer * 1000000 DIV n_pairs").as("chosen_longer_ppm"),
+        $"total_len_delta",
+        expr("total_len_delta * 1000 DIV n_pairs").as("mean_delta_millichars"))
+  }
+
+  private val prefBiasSql =
+    """WITH a AS (
+      |  SELECT doc_id AS pair_id, n_chars AS len_a FROM documents
+      |  WHERE doc_id < 250),
+      |b AS (
+      |  SELECT doc_id - 250 AS pair_id, n_chars AS len_b FROM documents
+      |  WHERE doc_id >= 250),
+      |p AS (
+      |  SELECT a.pair_id, len_a, len_b,
+      |    CAST(md5_number_lower('pref:' || CAST(a.pair_id AS VARCHAR))
+      |      & 9223372036854775807::UBIGINT AS BIGINT) AS noise
+      |  FROM a JOIN b ON a.pair_id = b.pair_id),
+      |c AS (
+      |  SELECT pair_id, len_a, len_b,
+      |    CASE WHEN len_a = len_b THEN
+      |           CASE WHEN noise % 2 = 0 THEN len_a ELSE len_b END
+      |         WHEN noise % 10 < 7 THEN greatest(len_a, len_b)
+      |         ELSE least(len_a, len_b) END AS chosen_len
+      |  FROM p),
+      |d AS (
+      |  SELECT pair_id, chosen_len,
+      |    len_a + len_b - chosen_len AS rejected_len
+      |  FROM c)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_chosen_longer,
+      |  CAST(SUM(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // count(*) AS chosen_longer_ppm,
+      |  CAST(SUM(chosen_len - rejected_len) AS BIGINT) AS total_len_delta,
+      |  CAST(SUM(chosen_len - rejected_len) AS BIGINT) * 1000 // count(*)
+      |    AS mean_delta_millichars
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------------------- q_leaderboard
+  /** Pairwise-comparison leaderboard — arena-style evaluation
+    * aggregation: planted matches between 8 "models" where the
+    * lower-numbered model is genuinely stronger (win probability
+    * 50 + 6·(b − a) percent, md5 dice), aggregated to per-model games,
+    * wins, and integer win-ppm, ranked deterministically. The planted
+    * strength ordering must be RECOVERED by the ranking — an end-to-end
+    * check that match explosion, per-side attribution, and the ranking
+    * cut all compose correctly.
+    *
+    * Scale shape: trials generate distributively (spark.range), each
+    * match contributes two slim (model, won) rows via union, and one
+    * keyed aggregation produces the 8-row leaderboard — map-side
+    * partials throughout. */
+  val NumModels = 8
+  val NumTrials = 5000L
+
+  private def leaderboard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def h(tag: String) = TextFunctions
+      .md5Lower64(concat(lit(tag), $"id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val t = s.range(NumTrials)
+      .withColumn("a", h("ma:") % NumModels)
+      .withColumn("b", ($"a" + 1 + h("mb:") % (NumModels - 1)) % NumModels)
+      .withColumn("p_a_win",
+        greatest(least(lit(50) + lit(6) * ($"b" - $"a"), lit(95)), lit(5)))
+      .withColumn("a_won", h("w:") % 100 < $"p_a_win")
+    val sides = t.select($"a".as("model"), $"a_won".cast("long").as("won"))
+      .unionByName(
+        t.select($"b".as("model"), (!$"a_won").cast("long").as("won")))
+    sides.groupBy($"model")
+      .agg(count(lit(1)).as("games"), sum($"won").as("wins"))
+      .select($"model", $"games", $"wins",
+        expr("wins * 1000000 DIV games").as("win_ppm"))
+      .orderBy($"win_ppm".desc, $"model")
+  }
+
+  private val leaderboardSql =
+    s"""WITH t0 AS (
+       |  SELECT i AS id,
+       |    CAST(md5_number_lower('ma:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % $NumModels AS a,
+       |    CAST(md5_number_lower('mb:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) AS hb,
+       |    CAST(md5_number_lower('w:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % 100 AS roll
+       |  FROM range(0, $NumTrials) AS r(i)),
+       |t1 AS (
+       |  SELECT id, a, (a + 1 + hb % ${NumModels - 1}) % $NumModels AS b,
+       |    roll FROM t0),
+       |t AS (
+       |  SELECT id, a, b,
+       |    roll < greatest(least(50 + 6 * (b - a), 95), 5) AS a_won
+       |  FROM t1),
+       |sides AS (
+       |  SELECT a AS model, CASE WHEN a_won THEN 1 ELSE 0 END AS won FROM t
+       |  UNION ALL
+       |  SELECT b, CASE WHEN a_won THEN 0 ELSE 1 END FROM t)
+       |SELECT model, count(*) AS games, CAST(SUM(won) AS BIGINT) AS wins,
+       |  CAST(SUM(won) AS BIGINT) * 1000000 // count(*) AS win_ppm
+       |FROM sides GROUP BY model
+       |ORDER BY win_ppm DESC, model""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_label_vote", labelVote, Some(labelVoteSql), bench = true))
+    NamedQuery("q_label_vote", labelVote, Some(labelVoteSql), bench = true),
+    NamedQuery("q_pref_bias", prefBias, Some(prefBiasSql), bench = true),
+    NamedQuery("q_leaderboard", leaderboard, Some(leaderboardSql),
+      bench = true))
 }

@@ -30,6 +30,25 @@ class AnnotateSpec extends GraftSuite {
     assert(rows.exists(r => !r.getBoolean(6)), "all docs unanimous — noise dead")
   }
 
+  test("leaderboard: ranking recovers the planted strength order exactly") {
+    val lb = SparkEntry.queries("q_leaderboard")(spark, sf).collect()
+    assert(lb.map(_.getLong(0)).toSeq == (0L until 8L),
+      "win-ppm ranking must equal the planted strength order 0..7")
+    lb.foreach(r => assert(r.getLong(1) == r.getLong(2) +
+      (r.getLong(1) - r.getLong(2)), s"games/wins inconsistent: $r"))
+    val totalGames = lb.map(_.getLong(1)).sum
+    assert(totalGames == 2 * graft.operators.Annotate.NumTrials,
+      "every trial must contribute exactly two sides")
+  }
+
+  test("pref bias: audit detects the planted 7/10 length preference") {
+    val r = SparkEntry.queries("q_pref_bias")(spark, sf).collect().head
+    val ppm = r.getLong(2)
+    assert(ppm > 550000 && ppm < 850000,
+      s"planted ~70% chosen-longer rate out of envelope: $ppm ppm")
+    assert(r.getLong(3) > 0, "length delta must be positive under the plant")
+  }
+
   test("label vote: majority recovers the true label on a strong majority of docs") {
     // per-annotator flip rate is 2/10; P(majority wrong) = P(>=2 flips)
     // = 3(0.2^2)(0.8) + 0.2^3 = 0.104 — assert well inside the envelope
