@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++
       operators.Annotate.all ++
-      streaming.Sessionize.all ++ pipeline.FinancialPipeline.all
+      streaming.Sessionize.all ++ streaming.EventStream.all ++
+      pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

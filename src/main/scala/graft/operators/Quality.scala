@@ -444,7 +444,42 @@ object Quality {
       |    OR sym_chars * 1000000 // n_chars > 5000) AS is_code
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- q_quantile_approx
+  /** Driver-visible gate for the APPROX percentile path — the mergeable
+    * sketch that replaces exact per-group percentiles at corpus scale
+    * (exact state is the group's whole value multiset; the GK sketch is
+    * bounded-memory and partial-aggregates map-side). The claim that
+    * matters is the rank-error contract, so the query emits per-language
+    * BOOLEANS: the approx p50/p99 of doc length must lie inside the
+    * exact value band at p ± 5pp — a conservative envelope over the
+    * rank-error contract (≤ n/accuracy = 1% of ranks) that stays robust
+    * where interpolated band-edge values and discrete element ranks
+    * disagree by one position (observed at the tighter ±1% band).
+    * Expected answer is TRUE everywhere — any sketch regression becomes
+    * a hash mismatch (the q_fingerprint recipe). Raw approx values stay
+    * spec-covered (QualitySpec within-epsilon assertion). */
+  private def quantileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        expr("approx_percentile(n_chars, array(0.5D, 0.99D), 100)").as("ap"),
+        expr("percentile(n_chars, array(0.45D, 0.55D, 0.94D, 1.0D))").as("ex"))
+      .select($"lang",
+        ($"ap".getItem(0) >= $"ex".getItem(0) &&
+          $"ap".getItem(0) <= $"ex".getItem(1)).as("p50_in_rank_band"),
+        ($"ap".getItem(1) >= $"ex".getItem(2) &&
+          $"ap".getItem(1) <= $"ex".getItem(3)).as("p99_in_rank_band"))
+      .orderBy($"lang")
+  }
+
+  private val quantileApproxSql =
+    """SELECT lang, TRUE AS p50_in_rank_band, TRUE AS p99_in_rank_band
+      |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_quantile_approx", quantileApprox, Some(quantileApproxSql),
+      bench = true),
     NamedQuery("q_code_detect", codeDetect, Some(codeDetectSql),
       bench = true),
     NamedQuery("q_drift_tvd", driftTvd, Some(driftTvdSql), bench = true),

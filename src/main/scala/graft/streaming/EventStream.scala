@@ -36,10 +36,18 @@ object EventStream {
     StructField("props", StringType)))
 
   /** File-source stream over an events parquet path (file or directory
-    * glob), with the nanos→micros timestamp conversion of Tables.events. */
-  def readEvents(s: SparkSession, path: String): DataFrame =
-    s.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    * glob), with the nanos→micros timestamp conversion of Tables.events.
+    * A single-FILE path streams via its parent directory + pathGlobFilter
+    * (the streaming parquet source requires a directory basePath). */
+  def readEvents(s: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val src =
+      if (f.isFile)
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else s.readStream.schema(rawSchema).parquet(path)
+    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** 1-hour event-time windows per event_type with a 1-hour watermark —
     * identical spec to the batch q_event_window_agg, so results are
@@ -188,6 +196,35 @@ object EventStream {
     q.awaitTermination()
     s.table(queryName)
   }
+
+  // ------------------------------------------------------- q_stream_replay
+  /** DRIVER-VISIBLE streaming parity: the windowed aggregation runs as a
+    * real Structured Streaming query (file source → watermark → windowed
+    * agg → AvailableNow → memory sink) and the ORACLE computes the batch
+    * answer in SQL — stream-equals-batch stops being a spec-only claim
+    * and becomes a hash-compared CORRECTNESS row. Exercises the full
+    * streaming stack: source schema pinning (nanos LONG), event-time
+    * windows, watermarking, complete-mode emission, and replay
+    * determinism (an AvailableNow replay of a static directory must be
+    * byte-equal to batch on any partitioning).
+    *
+    * Scale shape: identical plan to q_event_window_agg — the stream
+    * window() expands row-locally, one keyed shuffle per micro-batch,
+    * state bounded by open windows × types under the watermark. */
+  private def streamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runAvailableNow(s, dir + "/events.parquet", "q_stream_replay_mem")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val streamReplaySql =
+    s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val all: Seq[graft.NamedQuery] = Seq(
+    graft.NamedQuery("q_stream_replay", streamReplay, Some(streamReplaySql),
+      bench = true))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N
