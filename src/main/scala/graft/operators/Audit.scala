@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance audits a training-data pipeline runs before release:
@@ -355,7 +356,79 @@ object Audit {
       |  rows_after, CAST(survivor_digest AS BIGINT) AS survivor_digest
       |FROM u ORDER BY tbl""".stripMargin
 
+  // -------------------------------------------------------------- q_chi_square
+  /** Chi-square independence audit between ingest `source` and `lang`
+    * on `documents` — the statistical dependence check behind "is this
+    * source language-skewed?": the full contingency table (zero cells
+    * included — they carry expected mass and belong in the statistic)
+    * with each cell's observed count, expected count in milli-units,
+    * and chi-square contribution in micro-units, plus the global
+    * statistic as a rollup row (source = lang = '__total__'; dof is
+    * (|sources|−1)(|langs|−1), derivable from the cell rows).
+    * Chi-square is RATIONAL in the counts, so the whole
+    * audit is integer-quantized — `term = (d² DIV (rt·ct))·1e6 DIV N`
+    * with `d = O·N − rt·ct` — the identical operation order in both
+    * engines, bit-stable on any partitioning (d² ≤ min(rt,ct)²·N², so
+    * every intermediate fits a long at any corpus where a cell count
+    * fits an int).
+    *
+    * Scale shape: one keyed aggregation to (source, lang) cells
+    * (map-side partials); margins, the zero-cell completion cross join,
+    * and the rollup all run over the cells frame — cardinality
+    * |sources|×|langs|, never corpus-sized. */
+  private def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy($"source").agg(sum($"obs").as("rt"))
+    val cols = cells.groupBy($"lang").agg(sum($"obs").as("ct"))
+    val full = rows.crossJoin(cols)
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("n", sum($"obs").over(Window.partitionBy()))
+      .withColumn("d", $"obs" * $"n" - $"rt" * $"ct")
+      .select($"source", $"lang", $"obs",
+        expr("rt * ct * 1000 DIV n").as("expected_milli"),
+        expr("(d * d DIV (rt * ct)) * 1000000 DIV n").as("term_micro"))
+    val total = full.agg(
+      sum($"obs").as("obs"),
+      sum($"expected_milli").as("expected_milli"),
+      sum($"term_micro").as("term_micro"))
+      .select(lit("__total__").as("source"), lit("__total__").as("lang"),
+        $"obs", $"expected_milli", $"term_micro")
+    full.unionByName(total).orderBy($"source", $"lang")
+  }
+
+  private val chiSquareSql =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |full0 AS (
+      |  SELECT r.source, c.lang, COALESCE(cells.obs, 0) AS obs, rt, ct
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN cells ON cells.source = r.source AND cells.lang = c.lang),
+      |full1 AS (
+      |  SELECT source, lang, CAST(obs AS BIGINT) AS obs, rt, ct,
+      |    CAST(SUM(obs) OVER () AS BIGINT) AS n
+      |  FROM full0),
+      |full2 AS (
+      |  SELECT source, lang, obs,
+      |    rt * ct * 1000 // n AS expected_milli,
+      |    ((obs * n - rt * ct) * (obs * n - rt * ct) // (rt * ct))
+      |      * 1000000 // n AS term_micro
+      |  FROM full1),
+      |u AS (
+      |  SELECT source, lang, obs, expected_milli, term_micro FROM full2
+      |  UNION ALL
+      |  SELECT '__total__', '__total__', CAST(SUM(obs) AS BIGINT),
+      |    CAST(SUM(expected_milli) AS BIGINT), CAST(SUM(term_micro) AS BIGINT)
+      |  FROM full2)
+      |SELECT source, lang, obs, expected_milli, term_micro
+      |FROM u ORDER BY source, lang""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_chi_square", chiSquare, Some(chiSquareSql), bench = true),
     NamedQuery("q_forget_cascade", forgetCascade, Some(forgetCascadeSql),
       bench = true),
     NamedQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql), bench = true),

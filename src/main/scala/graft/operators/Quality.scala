@@ -477,7 +477,172 @@ object Quality {
     """SELECT lang, TRUE AS p50_in_rank_band, TRUE AS p99_in_rank_band
       |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------ q_gini
+  /** Per-source Gini impurity of the language mix — the label-purity
+    * statistic a corpus-routing pipeline tracks per ingest source: a
+    * source whose documents are all one language scores 0; a uniform
+    * 5-language source scores 800000 ppm (1 − 5·(1/5)²). Gini is used
+    * here (not entropy) deliberately: it is a RATIONAL function of the
+    * counts, so integer ppm quantization (`1e6 − 1e6·Σc² DIV n²`) is
+    * exact and bit-identical cross-engine — an entropy would drag in
+    * logarithms and float merge order.
+    *
+    * Scale shape: one keyed aggregation to (source, lang) counts with
+    * map-side partials, then a per-source rollup of those tiny rows —
+    * nothing corpus-sized survives the first shuffle. */
+  private def giniQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"c" * $"c").as("ssq"), max($"c").as("cmax"))
+      .select($"source", $"n_docs", $"n_langs",
+        (lit(1000000L) - expr("ssq * 1000000 DIV (n_docs * n_docs)"))
+          .as("gini_ppm"),
+        expr("cmax * 1000000 DIV n_docs").as("majority_ppm"))
+      .orderBy($"source")
+  }
+
+  private val giniSql =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    COUNT(*) AS n_langs, CAST(SUM(c * c) AS BIGINT) AS ssq,
+      |    CAST(MAX(c) AS BIGINT) AS cmax
+      |  FROM c GROUP BY source)
+      |SELECT source, n_docs, n_langs,
+      |  1000000 - ssq * 1000000 // (n_docs * n_docs) AS gini_ppm,
+      |  cmax * 1000000 // n_docs AS majority_ppm
+      |FROM g ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q_ks_test
+  /** Two-sample Kolmogorov–Smirnov statistic between the length
+    * distributions of two sources (lexicographic min vs max) — the
+    * order-statistic drift test that complements q_drift_tvd's binned
+    * TVD: KS needs no bin choice and is sensitive to location shifts
+    * the equal-width bands can smear. EXACT: D = max|F_a − F_b| is
+    * evaluated as max|cum_a·m − cum_b·n| over the distinct values — an
+    * integer numerator over the implicit denominator n·m, so the
+    * statistic is bit-identical on any partitioning (the float CDF
+    * subtraction never happens).
+    *
+    * Scale shape: one keyed aggregation to per-distinct-value counts
+    * (map-side partials; distinct lengths are bounded by the length
+    * cap, not the corpus), then the running sums over that small frame.
+    * The un-partitioned window is over distinct VALUES only — for a
+    * continuous measure one would pre-quantize to a fixed grid first,
+    * same plan shape. */
+  private def ksTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ab = docs.agg(min($"source").as("sa"), max($"source").as("sb"))
+    val perX = docs.crossJoin(broadcast(ab))
+      .filter($"source" === $"sa" || $"source" === $"sb")
+      .groupBy($"sa", $"sb", $"n_chars".as("x"))
+      .agg(
+        sum(when($"source" === $"sa", 1L).otherwise(0L)).as("ca"),
+        sum(when($"source" === $"sb", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy($"x")
+    val wAll = Window.partitionBy()
+    perX
+      .withColumn("cum_a", sum($"ca").over(wCum))
+      .withColumn("cum_b", sum($"cb").over(wCum))
+      .withColumn("n_a", sum($"ca").over(wAll))
+      .withColumn("n_b", sum($"cb").over(wAll))
+      .groupBy($"sa".as("src_a"), $"sb".as("src_b"))
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_num"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"d_num",
+        expr("d_num * 1000000 DIV (n_a * n_b)").as("d_ppm"))
+  }
+
+  private val ksTestSql =
+    """WITH ab AS (
+      |  SELECT MIN(source) AS sa, MAX(source) AS sb FROM documents),
+      |x AS (
+      |  SELECT sa, sb, n_chars AS x,
+      |    CAST(SUM(CASE WHEN source = sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = sb THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents, ab WHERE source IN (sa, sb) GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT sa, sb,
+      |    CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (ORDER BY x) AS BIGINT) AS cum_b,
+      |    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+      |  FROM x)
+      |SELECT sa AS src_a, sb AS src_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |  MAX(abs(cum_a * n_b - cum_b * n_a)) AS d_num,
+      |  MAX(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+      |    // (MAX(n_a) * MAX(n_b)) AS d_ppm
+      |FROM c GROUP BY sa, sb""".stripMargin
+
+  // ----------------------------------------------------------- q_pareto_front
+  /** Pareto-frontier (skyline) data selection per language: the
+    * documents not dominated on (length, quality) — the shape used to
+    * pick "longest at each quality level" exemplars without a scalar
+    * trade-off weight. Quality is a planted md5 score (q_pii_redact
+    * precedent) so the frontier is engine-replayable. Dominance: a
+    * beats b iff ≥ on both axes and > on at least one; equal points
+    * don't dominate each other, so duplicated frontier coordinates all
+    * survive (exercised by the plant: 1000 quality levels over ~300
+    * lengths force same-x collisions).
+    *
+    * Scale shape: the classic O(n²) NOT-EXISTS skyline is replaced by
+    * the sort-scan identity — a point is on the 2-D frontier iff its
+    * quality equals the max at its length AND strictly exceeds the
+    * running max over all greater lengths. One per-(lang, x) pre-agg
+    * (map-side partials) shrinks the window input to distinct lengths,
+    * then one windowed scan per lang; the corpus joins back by
+    * broadcast against the tiny frontier frame. */
+  private def paretoFront(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        (graft.functions.TextFunctions
+          .md5Lower64(concat(lit("pq:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)) % 1000).as("quality"))
+    val perX = pts.groupBy($"lang", $"n_chars").agg(max($"quality").as("ymax"))
+    val wPrev = Window.partitionBy($"lang").orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX
+      .withColumn("cm_prev", max($"ymax").over(wPrev))
+      .filter($"ymax" > coalesce($"cm_prev", lit(-1L)))
+      .select($"lang".as("s_lang"), $"n_chars".as("s_x"), $"ymax")
+    pts.join(broadcast(sky),
+        $"lang" === $"s_lang" && $"n_chars" === $"s_x" &&
+          $"quality" === $"ymax")
+      .select($"doc_id", $"lang", $"n_chars", $"quality")
+      .orderBy($"lang", $"n_chars", $"doc_id")
+  }
+
+  private val paretoFrontSql =
+    """WITH pts AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(md5_number_lower('pq:' || CAST(doc_id AS VARCHAR))
+      |      & 9223372036854775807::UBIGINT AS BIGINT) % 1000 AS quality
+      |  FROM documents),
+      |perx AS (
+      |  SELECT lang, n_chars, MAX(quality) AS ymax
+      |  FROM pts GROUP BY 1, 2),
+      |sky AS (
+      |  SELECT lang, n_chars, ymax,
+      |    MAX(ymax) OVER (PARTITION BY lang ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm_prev
+      |  FROM perx)
+      |SELECT p.doc_id, p.lang, p.n_chars, p.quality
+      |FROM pts p JOIN sky s
+      |  ON p.lang = s.lang AND p.n_chars = s.n_chars AND p.quality = s.ymax
+      |WHERE s.ymax > COALESCE(s.cm_prev, -1)
+      |ORDER BY p.lang, p.n_chars, p.doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_gini", giniQuery, Some(giniSql), bench = true),
+    NamedQuery("q_ks_test", ksTest, Some(ksTestSql), bench = true),
+    NamedQuery("q_pareto_front", paretoFront, Some(paretoFrontSql),
+      bench = true),
     NamedQuery("q_quantile_approx", quantileApprox, Some(quantileApproxSql),
       bench = true),
     NamedQuery("q_code_detect", codeDetect, Some(codeDetectSql),

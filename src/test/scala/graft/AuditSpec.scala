@@ -197,4 +197,31 @@ class AuditSpec extends GraftSuite {
     assert(out("lineitem").getLong(2) == delLines.count())
     assert(nReq > 0, "plant selected no deletion requests — audit is vacuous")
   }
+
+  test("chi-square audit: margins reconcile and the rollup row is the cell sum") {
+    val out = SparkEntry.queries("q_chi_square")(spark, sf).collect()
+    val (cells, totals) = out.partition(_.getString(0) != "__total__")
+    assert(totals.length == 1)
+    val total = totals.head
+    val n = Tables.documents(spark, sf).count()
+    // every (source, lang) combination present exactly once — zero cells included
+    val srcs = cells.map(_.getString(0)).distinct.length
+    val langs = cells.map(_.getString(1)).distinct.length
+    assert(cells.length == srcs * langs, "contingency table is not complete")
+    assert(cells.map(_.getLong(2)).sum == n, "observed mass != corpus size")
+    assert(total.getLong(2) == n)
+    assert(total.getLong(3) == cells.map(_.getLong(3)).sum)
+    assert(total.getLong(4) == cells.map(_.getLong(4)).sum)
+    cells.foreach { r =>
+      assert(r.getLong(4) >= 0, s"negative chi-square term in $r")
+      // expected mass in milli-units: cell expectation stays below the
+      // corpus (rt*ct <= N*min(rt,ct) => E <= min margin <= N)
+      assert(r.getLong(3) <= n * 1000, s"expected mass exceeds corpus in $r")
+    }
+    // the expected-mass rollup reconstructs ~N up to one DIV-floor per cell
+    assert(math.abs(total.getLong(3) - n * 1000) <= cells.length,
+      s"expected mass total ${total.getLong(3)} vs ${n * 1000}")
+    // dependence exists in the fixture: at least one cell deviates
+    assert(total.getLong(4) > 0, "chi-square statistic is exactly zero")
+  }
 }

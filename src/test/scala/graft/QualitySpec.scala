@@ -140,6 +140,67 @@ class QualitySpec extends GraftSuite {
     assert(tvd >= 0 && tvd <= 1000000L, s"TVD must be a probability in ppm: $tvd")
   }
 
+  test("gini: matches a driver-side brute-force recomputation exactly") {
+    val out = SparkEntry.queries("q_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val counts = rows.groupBy(_._2).map(_._2.size.toLong)
+      val n = counts.sum
+      val (gN, gL, gG, gM) = out(src)
+      assert(gN == n && gL == counts.size)
+      assert(gG == 1000000L - counts.map(c => c * c).sum * 1000000L / (n * n))
+      assert(gM == counts.max * 1000000L / n)
+      assert(gG >= 0 && gG <= 800000L, s"$src gini out of 5-class range: $gG")
+    }
+  }
+
+  test("ks statistic: equals the brute-force max CDF gap; zero against itself") {
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).collect()(0)
+    val (sa, sb) = (r.getString(0), r.getString(1))
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == sa).map(_._2).sorted
+    val b = docs.filter(_._1 == sb).map(_._2).sorted
+    val (n, m) = (a.length.toLong, b.length.toLong)
+    assert(r.getLong(2) == n && r.getLong(3) == m)
+    val dNum = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x) * m - b.count(_ <= x) * n)
+    }.max
+    assert(r.getLong(4) == dNum, s"KS numerator ${r.getLong(4)} != $dNum")
+    assert(r.getLong(5) == dNum * 1000000L / (n * m))
+    // degenerate identity check: a sample against itself has D = 0
+    val self = a.distinct.map(x =>
+      math.abs(a.count(_ <= x) * n - a.count(_ <= x) * n)).max
+    assert(self == 0L)
+  }
+
+  test("pareto front: survivors undominated, non-survivors dominated (brute force)") {
+    import graft.functions.TextFunctions
+    val pts = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars",
+        (TextFunctions.md5Lower64(concat(lit("pq:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)) % 1000).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sky = SparkEntry.queries("q_pareto_front")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val skyIds = sky.map(_._1).toSet
+    def dominates(a: (Long, String, Long, Long), b: (Long, String, Long, Long)) =
+      a._2 == b._2 && a._3 >= b._3 && a._4 >= b._4 &&
+        (a._3 > b._3 || a._4 > b._4)
+    pts.foreach { p =>
+      val dominated = pts.exists(o => dominates(o, p))
+      assert(skyIds.contains(p._1) == !dominated,
+        s"doc ${p._1}: on-front=${skyIds.contains(p._1)} dominated=$dominated")
+    }
+    assert(sky.nonEmpty && sky.length < pts.length,
+      "frontier must be a proper nonempty subset")
+  }
+
   test("code detect: flags exactly the planted code docs, zero prose false positives") {
     val out = SparkEntry.queries("q_code_detect")(spark, sf).collect()
     assert(out.nonEmpty)
