@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Annotation aggregation — the label-plumbing half of an RLHF /
@@ -230,7 +231,209 @@ object Annotate {
        |FROM sides GROUP BY model
        |ORDER BY win_ppm DESC, model""".stripMargin
 
+  // ------------------------------------------------------------------ q_kappa
+  /** Pairwise Cohen's kappa between the three annotators — the
+    * chance-corrected agreement statistic that gates annotator quality
+    * (raw agreement alone rewards always-majority-class annotators;
+    * kappa subtracts the agreement their marginals would produce by
+    * chance). One row per annotator pair: n, raw agreements, observed
+    * agreement po, chance agreement pe = Σ_c p_a(c)·p_b(c), and kappa =
+    * (po − pe)/(1 − pe) — all RATIONAL in the counts, so ppm
+    * quantization with integer DIV is exact and bit-identical
+    * cross-engine (both engines truncate integer division toward zero,
+    * so the pipeline stays exact even for negative kappas).
+    *
+    * Scale shape: labels are row-local; the pair unpivot (3 rows/doc)
+    * feeds two keyed aggregations — agreements by pair, marginal counts
+    * by (pair, class) — both with map-side partials; everything after
+    * is arithmetic over ≤ pairs×classes rows. */
+  private def kappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.documents(s, dir)
+      .select($"doc_id", plantLabel(1).as("l1"), plantLabel(2).as("l2"),
+        plantLabel(3).as("l3"))
+    val pairs = l.select($"doc_id", explode(array(
+        struct(lit("1-2").as("pair"), $"l1".as("la"), $"l2".as("lb")),
+        struct(lit("1-3").as("pair"), $"l1".as("la"), $"l3".as("lb")),
+        struct(lit("2-3").as("pair"), $"l2".as("la"), $"l3".as("lb"))))
+        .as("p"))
+      .select($"p.pair".as("pair"), $"p.la".as("la"), $"p.lb".as("lb"))
+    val agree = pairs.groupBy($"pair")
+      .agg(count(lit(1)).as("n"),
+        sum(($"la" === $"lb").cast("long")).as("n_agree"))
+    val margA = pairs.groupBy($"pair", $"la".as("cls"))
+      .agg(count(lit(1)).as("ca"))
+    val margB = pairs.groupBy($"pair", $"lb".as("cls"))
+      .agg(count(lit(1)).as("cb"))
+    val peNum = margA.join(margB, Seq("pair", "cls"), "inner")
+      .groupBy($"pair").agg(sum($"ca" * $"cb").as("pe_num"))
+    agree.join(peNum, Seq("pair"))
+      .select($"pair", $"n", $"n_agree",
+        expr("n_agree * 1000000 DIV n").as("po_ppm"),
+        expr("pe_num * 1000000 DIV (n * n)").as("pe_ppm"))
+      .select($"pair", $"n", $"n_agree", $"po_ppm", $"pe_ppm",
+        expr("(po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm)")
+          .as("kappa_ppm"))
+      .orderBy($"pair")
+  }
+
+  private val kappaSql =
+    s"""WITH l AS (
+       |  SELECT doc_id, ${plantLabelSql(1)} AS l1, ${plantLabelSql(2)} AS l2,
+       |    ${plantLabelSql(3)} AS l3
+       |  FROM documents),
+       |p AS (
+       |  SELECT '1-2' AS pair, l1 AS la, l2 AS lb FROM l
+       |  UNION ALL SELECT '1-3', l1, l3 FROM l
+       |  UNION ALL SELECT '2-3', l2, l3 FROM l),
+       |agree AS (
+       |  SELECT pair, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM p GROUP BY pair),
+       |ma AS (SELECT pair, la AS cls, CAST(COUNT(*) AS BIGINT) AS ca
+       |       FROM p GROUP BY 1, 2),
+       |mb AS (SELECT pair, lb AS cls, CAST(COUNT(*) AS BIGINT) AS cb
+       |       FROM p GROUP BY 1, 2),
+       |pe AS (
+       |  SELECT ma.pair, CAST(SUM(ca * cb) AS BIGINT) AS pe_num
+       |  FROM ma JOIN mb ON ma.pair = mb.pair AND ma.cls = mb.cls
+       |  GROUP BY ma.pair),
+       |k AS (
+       |  SELECT agree.pair, n, n_agree,
+       |    n_agree * 1000000 // n AS po_ppm,
+       |    pe_num * 1000000 // (n * n) AS pe_ppm
+       |  FROM agree JOIN pe ON agree.pair = pe.pair)
+       |SELECT pair, n, n_agree, po_ppm, pe_ppm,
+       |  (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS kappa_ppm
+       |FROM k ORDER BY pair""".stripMargin
+
+  // ----------------------------------------------------------- q_bradley_terry
+  /** Bradley–Terry strength fit over the planted arena matches — the
+    * model behind arena-style LLM leaderboards: per-model latent
+    * strengths s_i such that P(i beats j) = s_i/(s_i + s_j), fit by the
+    * standard MM iteration (Hunter 2004): s_i ← W_i / Σ_j n_ij/(s_i +
+    * s_j), renormalized to Σs = models·1e6 each round. The iteration
+    * runs in INTEGER MICRO-UNITS — per-opponent terms at 1e12 scale,
+    * identical DIV order in both engines — so 5 rounds are replayed
+    * bit-exactly by the unrolled oracle CTE chain; a drifted strength
+    * at any model after any round fails the hash compare. Recovers the
+    * planted ordering (strength strictly decreasing in model id —
+    * spec-asserted), which win-ppm alone only recovers when the match
+    * graph is balanced.
+    *
+    * Scale shape: the heavy step is the one keyed aggregation of trials
+    * to per-pair (n, wins) counts with map-side partials; iterations
+    * run over the models²-sized pair frame with the strengths frame
+    * broadcast per round (leaderboards have ≤ 1e5 entrants — dwarfed
+    * by the match volume that feeds them). Each round's 8-row result is
+    * localCheckpoint'd so the lineage stays flat. */
+  val BtIters = 5
+  val BtUnit = 1000000L
+
+  private def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def h(tag: String) = TextFunctions
+      .md5Lower64(concat(lit(tag), $"id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val t = s.range(NumTrials)
+      .withColumn("a", h("ma:") % NumModels)
+      .withColumn("b", ($"a" + 1 + h("mb:") % (NumModels - 1)) % NumModels)
+      .withColumn("p_a_win",
+        greatest(least(lit(50) + lit(6) * ($"b" - $"a"), lit(95)), lit(5)))
+      .withColumn("a_won", h("w:") % 100 < $"p_a_win")
+    val sides = t.select($"a".as("model"), $"a_won".cast("long").as("won"))
+      .unionByName(
+        t.select($"b".as("model"), (!$"a_won").cast("long").as("won")))
+    val wtot = sides.groupBy($"model")
+      .agg(count(lit(1)).as("games"), sum($"won").as("wins"))
+    // directed per-opponent match counts (m vs o), both orientations
+    val directed = t
+      .select(least($"a", $"b").as("i"), greatest($"a", $"b").as("j"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("n"))
+    val both = directed.select($"i".as("m"), $"j".as("o"), $"n")
+      .unionByName(directed.select($"j".as("m"), $"i".as("o"), $"n"))
+      .localCheckpoint(true)
+    var strengths = wtot.select($"model", lit(BtUnit).as("s"))
+      .localCheckpoint(true)
+    for (_ <- 1 to BtIters) {
+      val sm = strengths.select($"model".as("m"), $"s".as("sm"))
+      val so = strengths.select($"model".as("o"), $"s".as("so"))
+      val raw = both
+        .join(broadcast(sm), Seq("m")).join(broadcast(so), Seq("o"))
+        .groupBy($"m")
+        .agg(sum(expr("n * 1000000000000 DIV (sm + so)")).as("denom"))
+        .join(wtot.select($"model".as("m"), $"wins"), Seq("m"))
+        .select($"m".as("model"),
+          expr("wins * 1000000000000 DIV denom").as("s_raw"))
+      strengths = raw
+        .withColumn("tot",
+          sum($"s_raw").over(Window.partitionBy()))
+        .select($"model",
+          expr(s"s_raw * (${NumModels * BtUnit}) DIV tot").as("s"))
+        .localCheckpoint(true)
+    }
+    wtot.join(strengths, Seq("model"))
+      .select($"model", $"games", $"wins", $"s".as("strength_micro"))
+      .orderBy($"strength_micro".desc, $"model")
+  }
+
+  private val bradleyTerrySql = {
+    def iter(k: Int): String =
+      s"""raw$k AS (
+         |  SELECT d.m AS model,
+         |    MAX(wt.wins) * 1000000000000
+         |      // SUM(d.n * 1000000000000 // (si.s + sj.s)) AS s_raw
+         |  FROM directed d
+         |  JOIN s${k - 1} si ON si.model = d.m
+         |  JOIN s${k - 1} sj ON sj.model = d.o
+         |  JOIN wtot wt ON wt.model = d.m
+         |  GROUP BY d.m),
+         |s$k AS (
+         |  SELECT model,
+         |    CAST(s_raw * ${NumModels * BtUnit}
+         |      // (SUM(s_raw) OVER ()) AS BIGINT) AS s
+         |  FROM raw$k)""".stripMargin
+    s"""WITH t0 AS (
+       |  SELECT i AS id,
+       |    CAST(md5_number_lower('ma:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % $NumModels AS a,
+       |    CAST(md5_number_lower('mb:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) AS hb,
+       |    CAST(md5_number_lower('w:' || CAST(i AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % 100 AS roll
+       |  FROM range(0, $NumTrials) AS r(i)),
+       |t1 AS (
+       |  SELECT id, a, (a + 1 + hb % ${NumModels - 1}) % $NumModels AS b,
+       |    roll FROM t0),
+       |t AS (
+       |  SELECT id, a, b,
+       |    roll < greatest(least(50 + 6 * (b - a), 95), 5) AS a_won
+       |  FROM t1),
+       |sides AS (
+       |  SELECT a AS model, CASE WHEN a_won THEN 1 ELSE 0 END AS won FROM t
+       |  UNION ALL
+       |  SELECT b, CASE WHEN a_won THEN 0 ELSE 1 END FROM t),
+       |wtot AS (
+       |  SELECT model, count(*) AS games, CAST(SUM(won) AS BIGINT) AS wins
+       |  FROM sides GROUP BY model),
+       |pairs AS (
+       |  SELECT least(a, b) AS i, greatest(a, b) AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM t GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT i AS m, j AS o, n FROM pairs
+       |  UNION ALL SELECT j, i, n FROM pairs),
+       |s0 AS (SELECT model, CAST($BtUnit AS BIGINT) AS s FROM wtot),
+       |${(1 to BtIters).map(iter).mkString(",\n")}
+       |SELECT wtot.model, games, wins, s AS strength_micro
+       |FROM wtot JOIN s$BtIters USING (model)
+       |ORDER BY strength_micro DESC, model""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bradley_terry", bradleyTerry, Some(bradleyTerrySql),
+      bench = true),
+    NamedQuery("q_kappa", kappa, Some(kappaSql), bench = true),
     NamedQuery("q_label_vote", labelVote, Some(labelVoteSql), bench = true),
     NamedQuery("q_pref_bias", prefBias, Some(prefBiasSql), bench = true),
     NamedQuery("q_leaderboard", leaderboard, Some(leaderboardSql),

@@ -613,7 +613,47 @@ object Corpus {
       |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars, wkey
       |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------- q_curriculum
+  /** Curriculum ordering — the easy→hard training schedule: documents
+    * sorted by a difficulty band (length DIV 100 as the standard cheap
+    * proxy — curriculum papers bucket, not rank, so equal-difficulty
+    * docs stay shuffled), then md5-shuffled WITHIN each band so no
+    * source/ingest clumping survives into the schedule, then assigned
+    * a contiguous global position. The position comes from the
+    * `globalIndex` scale path (range repartition + per-partition
+    * numbering + offset join — no single-partition window), keyed on a
+    * zero-padded composite string so range partitioning, within-
+    * partition numbering, and the oracle's ORDER BY agree bit-exactly.
+    *
+    * Scale shape: one range-partitioned sort of slim (key, id) rows;
+    * the heavy text never moves — a trainer joins the schedule back by
+    * doc_id at read time. */
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", expr("n_chars DIV 100").as("band"),
+        (graft.functions.TextFunctions
+          .md5Lower64(concat(lit("cur:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue))).as("shuf"))
+      .withColumn("ck",
+        format_string("%03d|%019d|%010d", $"band", $"shuf", $"doc_id"))
+    globalIndex(keyed, "ck")
+      .select($"doc_id", $"band", $"global_idx".as("curriculum_pos"))
+      .orderBy($"curriculum_pos")
+  }
+
+  private val curriculumSql =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars // 100 AS band,
+      |    CAST(md5_number_lower('cur:' || CAST(doc_id AS VARCHAR))
+      |      & 9223372036854775807::UBIGINT AS BIGINT) AS shuf
+      |  FROM documents)
+      |SELECT doc_id, band,
+      |  row_number() OVER (ORDER BY band, shuf, doc_id) AS curriculum_pos
+      |FROM k ORDER BY curriculum_pos""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_curriculum", curriculum, Some(curriculumSql), bench = true),
     NamedQuery("q_weighted_sample", weightedSample, Some(weightedSampleSql),
       bench = true),
     NamedQuery("q_global_index", globalIndexQuery, Some(globalIndexSql),

@@ -554,7 +554,75 @@ object Similarity {
        |FROM qv, generate_series(1, $JlOutDims) AS d(j)
        |ORDER BY vec_id, j""".stripMargin
 
+  // -------------------------------------------------------------- q_knn_graph
+  /** Mutual k-nearest-neighbor graph over the embedding space — the
+    * backbone structure of graph-based dedup/clustering (and of
+    * HNSW-style index builds): an undirected edge (a, b) exists iff a
+    * is in b's top-k AND b is in a's top-k by cosine. Mutuality is the
+    * standard symmetric pruning — it kills hub edges (a point near a
+    * cluster center lists many neighbors that don't list it back).
+    *
+    * This query is the bounded exactness baseline: a deterministic
+    * ≤500-vector slice (same slice at every sf), brute-force pairs
+    * through the SAME scoreAndRank kernel the LSH/IVF ANN paths use,
+    * then the mutual filter; ranking compares ROUNDED similarity (ties
+    * by id) so rank order is engine-free. The scale path is
+    * `mutualKnn(annCandidateIds(e), e)` — id-only LSH candidates in
+    * place of the cross join, identical kernel from there on
+    * (SimilaritySpec asserts its edges are a subset of this baseline
+    * with ≥80% recall on the fixture). */
+  val KnnK = 3
+  val KnnBound = 500
+
+  /** Mutual-edge filter over any directed top-k frame (vec_a, vec_b,
+    * cos_sim, rank): keep (a, b), a < b, present in both directions. */
+  def mutualEdges(top: DataFrame): DataFrame = {
+    import top.sparkSession.implicits._
+    val fwd = top.select($"vec_a", $"vec_b", $"cos_sim")
+    val rev = top.select($"vec_b".as("ra"), $"vec_a".as("rb"))
+    fwd.join(rev, $"vec_a" === $"ra" && $"vec_b" === $"rb", "left_semi")
+      .filter($"vec_a" < $"vec_b")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Scale path: mutual kNN over candidate ids (LSH/IVF), not n². */
+  def mutualKnn(cand: DataFrame, e: DataFrame, k: Int = KnnK): DataFrame =
+    mutualEdges(scoreAndRank(cand, e, k))
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).filter($"vec_id" < KnnBound)
+    val ids = e.select($"vec_id")
+    val cand = ids.select($"vec_id".as("vec_a"))
+      .crossJoin(ids.select($"vec_id".as("vec_b")))
+      .filter($"vec_a" =!= $"vec_b")
+    mutualKnn(cand, e)
+  }
+
+  private val knnGraphSql =
+    s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < $KnnBound),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+       |                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |      4) AS cos_sim
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_a, vec_b, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_a
+       |                       ORDER BY cos_sim DESC, vec_b) AS rank
+       |  FROM p),
+       |t AS (SELECT vec_a, vec_b, cos_sim FROM r WHERE rank <= $KnnK)
+       |SELECT t.vec_a, t.vec_b, t.cos_sim
+       |FROM t JOIN t t2 ON t.vec_a = t2.vec_b AND t.vec_b = t2.vec_a
+       |WHERE t.vec_a < t.vec_b
+       |ORDER BY t.vec_a, t.vec_b""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_knn_graph", knnGraph, Some(knnGraphSql)),
     NamedQuery("q_jl_project", jlProject, Some(jlProjectSql), bench = true),
     NamedQuery("q_gram_matrix", gramMatrix, Some(gramMatrixSql), bench = true),
     // q_hard_negatives is the deliberate bounded O(n²) oracle baseline for

@@ -49,6 +49,52 @@ class AnnotateSpec extends GraftSuite {
     assert(r.getLong(3) > 0, "length delta must be positive under the plant")
   }
 
+  test("kappa: matches a brute-force recomputation and sits below raw agreement") {
+    val out = SparkEntry.queries("q_kappa")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1-2", "1-3", "2-3"))
+    val labels = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = labels.length.toLong
+    def brute(la: ((Long, Long, Long)) => Long, lb: ((Long, Long, Long)) => Long) = {
+      val agree = labels.count(t => la(t) == lb(t)).toLong
+      val ca = labels.groupBy(la).map { case (c, g) => c -> g.size.toLong }
+      val cb = labels.groupBy(lb).map { case (c, g) => c -> g.size.toLong }
+      val peNum = ca.map { case (c, x) => x * cb.getOrElse(c, 0L) }.sum
+      val po = agree * 1000000L / n
+      val pe = peNum * 1000000L / (n * n)
+      (agree, po, pe, (po - pe) * 1000000L / (1000000L - pe))
+    }
+    val expect = Seq(brute(_._1, _._2), brute(_._1, _._3), brute(_._2, _._3))
+    out.zip(expect).foreach { case (r, (agree, po, pe, k)) =>
+      assert(r.getLong(1) == n && r.getLong(2) == agree)
+      assert(r.getLong(3) == po && r.getLong(4) == pe && r.getLong(5) == k)
+      assert(k < po, "chance correction must lower the statistic")
+      // two independent 20%-noise annotators: po ~ .68, pe ~ .25+, kappa ~ .57
+      assert(k > 350000 && k < 800000, s"kappa out of plant envelope: $k")
+    }
+  }
+
+  test("bradley-terry: recovers the planted order with positive normalized strengths") {
+    val out = SparkEntry.queries("q_bradley_terry")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 8L),
+      "BT strengths must rank models in the planted order 0..7")
+    val s = out.map(_.getLong(3))
+    assert(s.forall(_ > 0), "strengths must stay positive through MM rounds")
+    assert(s.toSeq == s.sortBy(-_).toSeq && s.distinct.length == s.length,
+      "strengths must be strictly decreasing in rank")
+    val tot = s.sum
+    // renormalized each round to models*1e6, minus one DIV floor per model
+    assert(tot <= 8000000L && tot > 8000000L - 8,
+      s"strength mass $tot escaped the normalization envelope")
+    // the strength RATIO between adjacent models must exceed the win-ppm
+    // gap direction: strongest model strictly above the uniform unit
+    assert(s.head > graft.operators.Annotate.BtUnit && s.last <
+      graft.operators.Annotate.BtUnit, "fit did not spread around the unit")
+    val wins = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lb = SparkEntry.queries("q_leaderboard")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wins == lb, "BT win totals must equal the leaderboard's")
+  }
+
   test("label vote: majority recovers the true label on a strong majority of docs") {
     // per-annotator flip rate is 2/10; P(majority wrong) = P(>=2 flips)
     // = 3(0.2^2)(0.8) + 0.2^3 = 0.104 — assert well inside the envelope

@@ -379,4 +379,30 @@ class CorpusSpec extends GraftSuite {
     assert(a == b)
     rmTree(new java.io.File(dir))
   }
+
+  test("curriculum: a permutation, band-monotone, shuffled within band, layout-invariant") {
+    val out = SparkEntry.queries("q_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n)
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "positions must be a contiguous 1..n permutation")
+    // easy -> hard: every band's positions precede every later band's
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.toSeq == byPos.sorted.toSeq,
+      "difficulty bands must be non-decreasing along the schedule")
+    // within a band the md5 shuffle must break doc_id ingest order
+    val biggestBand = out.groupBy(_._2).maxBy(_._2.length)._2
+    val idsInOrder = biggestBand.sortBy(_._3).map(_._1)
+    assert(idsInOrder.toSeq != idsInOrder.sorted.toSeq,
+      "within-band order equals ingest order — shuffle is dead")
+    // layout invariance: the schedule survives a repartitioned input
+    val dir = java.nio.file.Files.createTempDirectory("curr").toString
+    Tables.documents(spark, sf).repartition(13)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b = SparkEntry.queries("q_curriculum")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    rmTree(new java.io.File(dir))
+  }
 }
