@@ -652,7 +652,111 @@ object Corpus {
       |  row_number() OVER (ORDER BY band, shuf, doc_id) AS curriculum_pos
       |FROM k ORDER BY curriculum_pos""".stripMargin
 
+  // ---------------------------------------------------- q_split_stratified
+  /** Exact-proportion stratified split — the complement of
+    * `q_split_assign`'s hash thresholding: per language stratum, docs
+    * are ranked by a deterministic md5 shuffle key and cut at EXACT
+    * integer boundaries (train gets ⌈0.8n⌉ via rn·10 ≤ n·8 etc.), so
+    * every stratum's split sizes are exactly right even for small
+    * strata where hash thresholding wobbles ±√n. The cost of exactness
+    * is one ranked window per stratum — strata here are languages
+    * (bounded cardinality, each stratum range-partitionable); when
+    * strata are huge and a ±√n wobble is acceptable, q_split_assign's
+    * stateless hash is the cheaper path. Both key on content-derived
+    * ids, so membership is stable under re-ingestion order.
+    *
+    * Cross-engine exactness: rank ties are impossible (md5 key + doc_id
+    * tiebreak), and the boundary arithmetic is pure integer compare —
+    * no float fraction ever computed. */
+  private def splitStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        (graft.functions.TextFunctions
+          .md5Lower64(concat(lit("strat:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue))).as("shuf"))
+    val w = Window.partitionBy($"lang").orderBy($"shuf", $"doc_id")
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .select($"doc_id", $"lang",
+        when($"rn" * 10 <= $"n" * 8, "train")
+          .when($"rn" * 10 <= $"n" * 9, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val splitStratifiedSql =
+    """WITH k AS (
+      |  SELECT doc_id, lang,
+      |    CAST(md5_number_lower('strat:' || CAST(doc_id AS VARCHAR))
+      |      & 9223372036854775807::UBIGINT AS BIGINT) AS shuf
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY shuf, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM k)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn * 10 <= n * 8 THEN 'train'
+      |       WHEN rn * 10 <= n * 9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- q_token_budget
+  /** Budget-constrained quality selection ("nucleus" selection): per
+    * source, rank documents by a quality score (planted md5, best
+    * first) and keep the prefix whose CUMULATIVE length fits a 50%
+    * budget of the source's total — how a pipeline spends a fixed
+    * token budget on the best material per source. The greedy prefix
+    * rule is the standard one; the boundary doc that would overflow
+    * the budget is dropped (strict `cum ≤ budget`).
+    *
+    * Exactness: budget = total·50 DIV 100 (integer), the cumulative
+    * sum is an ordered-window sum of longs with a unique (quality,
+    * doc_id) order — no ties, no floats. Scale shape: one window pass
+    * per source over slim (id, len, score) rows plus a broadcast-sized
+    * per-source totals frame; the text never moves. */
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        (graft.functions.TextFunctions
+          .md5Lower64(concat(lit("tb:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)) % 1000).as("quality"))
+    val wCum = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id")
+    scored
+      .withColumn("cum_chars", sum($"n_chars").over(wCum))
+      .withColumn("budget",
+        expr("sum(n_chars) OVER (PARTITION BY source) * 50 DIV 100"))
+      .filter($"cum_chars" <= $"budget")
+      .select($"doc_id", $"source", $"quality", $"n_chars", $"cum_chars")
+      .orderBy($"source", $"quality".desc, $"doc_id")
+  }
+
+  private val tokenBudgetSql =
+    """WITH s AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(md5_number_lower('tb:' || CAST(doc_id AS VARCHAR))
+      |      & 9223372036854775807::UBIGINT AS BIGINT) % 1000 AS quality
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, quality, n_chars,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_chars,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT)
+      |      * 50 // 100 AS budget
+      |  FROM s)
+      |SELECT doc_id, source, quality, n_chars, cum_chars
+      |FROM c WHERE cum_chars <= budget
+      |ORDER BY source, quality DESC, doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_split_stratified", splitStratified, Some(splitStratifiedSql),
+      bench = true),
+    NamedQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql),
+      bench = true),
     NamedQuery("q_curriculum", curriculum, Some(curriculumSql), bench = true),
     NamedQuery("q_weighted_sample", weightedSample, Some(weightedSampleSql),
       bench = true),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the relational tables — PageRank as
@@ -407,7 +408,181 @@ object Graph {
        |FROM wedges GROUP BY u, v
        |ORDER BY n_common DESC, u, v LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------------ q_kcore
+  /** Bounded-round k-core peeling over the symmetrized customer↔supplier
+    * graph: repeatedly drop nodes with degree < k (k = the p25 initial
+    * degree, three peel rounds) and the edges they carry — the density
+    * filter used to keep only well-connected entities (spam/bot
+    * subgraphs peel away first).
+    * True k-core iterates to fixpoint; this runs a FIXED round count so
+    * the oracle can replay it exactly (unrolled CTE chain) — the
+    * production loop is the same body driven to convergence with the
+    * batched-polling pattern `resolveClusters` uses (GraphSpec measures
+    * the fixture's fixpoint distance).
+    *
+    * Scale shape: each round is one degree aggregation (map-side
+    * partials) + two semi-joins of the edge frame against the surviving
+    * node frame — edges shuffle by endpoint, nodes never carry payload;
+    * the frame is localCheckpoint'd per round (flat lineage, the
+    * pageRank recipe). */
+  val KcoreRounds = 3
+
+  /** Peel `rounds` times against a 1-row threshold frame (column `k`):
+    * keep nodes whose degree in the CURRENT frame is ≥ k, restrict
+    * edges to kept×kept. Edge frame must be symmetric (both directions
+    * present). */
+  def kcorePeel(edges0: DataFrame, kFrame: DataFrame, rounds: Int): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var e = edges0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
+        .crossJoin(broadcast(kFrame))
+        .filter($"d" >= $"k").select($"src".as("node")).toDF("node")
+      e = e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e
+  }
+
+  /** Fixed-k convenience overload (hand-built graphs, specs). */
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    kcorePeel(edges0, Seq(k.toLong).toDF("k"), rounds)
+  }
+
+  private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
+      .select($"src".as("node"), $"deg0")
+    // scale-adaptive threshold: the p25 ORDER-STATISTIC of the initial
+    // degree distribution (rank ⌈n/4⌉ with a node-id tiebreak) — an
+    // exact integer both engines replay, and it bites at every sf where
+    // a fixed k would be vacuous at one scale and total at another. The
+    // ranking window runs over the NODE frame (≪ edges); for graphs
+    // whose node frame outgrows one partition, globalIndex supplies the
+    // same rank without the single-partition window.
+    val kFrame = deg0
+      .withColumn("rn", row_number().over(Window.orderBy($"deg0", $"node")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter($"rn" === expr("(n + 3) DIV 4"))
+      .select($"deg0".as("k"))
+    val core = kcorePeel(edges, kFrame, KcoreRounds)
+    core.groupBy($"src").agg(count(lit(1)).as("deg_core"))
+      .select($"src".as("node"), $"deg_core")
+      .join(deg0, Seq("node"))
+      .crossJoin(broadcast(kFrame))
+      .select($"node", $"deg0", $"deg_core", $"k")
+      .orderBy($"node")
+  }
+
+  private val kcoreSql = {
+    def round(r: Int): String =
+      s"""k$r AS (SELECT src AS node FROM e${r - 1}
+         |        GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kv)),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.node
+         |  JOIN k$r b ON e.dst = b.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |d0 AS (SELECT src AS node, COUNT(*) AS deg0 FROM e0 GROUP BY src),
+       |kv AS (
+       |  SELECT deg0 AS k FROM (
+       |    SELECT deg0, row_number() OVER (ORDER BY deg0, node) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM d0)
+       |  WHERE rn = (n + 3) // 4),
+       |${(1 to KcoreRounds).map(round).mkString(",\n")}
+       |SELECT f.node, d0.deg0, f.deg_core, (SELECT k FROM kv) AS k
+       |FROM (SELECT src AS node, COUNT(*) AS deg_core
+       |      FROM e$KcoreRounds GROUP BY src) f
+       |JOIN d0 ON f.node = d0.node
+       |ORDER BY f.node""".stripMargin
+  }
+
+  // ---------------------------------------------------------- q_assortativity
+  /** Degree assortativity of the interaction graph — the Pearson
+    * correlation of endpoint degrees over the directed-both-ways edge
+    * list (Newman 2002): negative means hubs attach to leaves
+    * (disassortative, the typical bipartite-interaction signature).
+    * Sufficient statistics are EXACT INTEGER sums (degrees are longs,
+    * so Σd, Σd², Σd_src·d_dst sum exactly on any partitioning — no
+    * DECIMAL routing even needed); the final correlation is a fixed
+    * double sequence over them, rounded to 9dp (the q_correlation
+    * recipe). By symmetry both endpoint marginals are identical —
+    * spec-asserted, and the oracle pins every sum.
+    *
+    * Scale shape: one degree aggregation, two broadcast joins of the
+    * node-sized degree frame onto the edge list, one global aggregate
+    * with map-side partials. */
+  private def assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+      .select($"src".as("node"), $"d")
+    val stats = edges
+      .join(broadcast(deg.select($"node".as("src"), $"d".as("dx"))), Seq("src"))
+      .join(broadcast(deg.select($"node".as("dst"), $"d".as("dy"))), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"))
+    val nd = col("n").cast("double")
+    val Seq(sx, sy, sxy, sxx, syy) =
+      Seq("sx", "sy", "sxy", "sxx", "syy").map(c => col(c).cast("double"))
+    stats.select($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+      round((nd * sxy - sx * sy) /
+        (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 9)
+        .as("assortativity"))
+  }
+
+  private val assortativitySql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY src),
+       |t AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(dx.d) AS BIGINT) AS sx, CAST(SUM(dy.d) AS BIGINT) AS sy,
+       |    CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+       |    CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx,
+       |    CAST(SUM(dy.d * dy.d) AS BIGINT) AS syy
+       |  FROM e
+       |  JOIN deg dx ON e.src = dx.node
+       |  JOIN deg dy ON e.dst = dy.node)
+       |SELECT n, sx, sy, sxy, sxx, syy,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+       |    AS assortativity
+       |FROM t""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kcore", kcoreQuery, Some(kcoreSql), bench = true),
+    NamedQuery("q_assortativity", assortativity, Some(assortativitySql),
+      bench = true),
     NamedQuery("q_pagerank", pageRankQuery, Some(pageRankSql), bench = true),
     NamedQuery("q_label_prop", labelPropQuery, Some(labelPropSql), bench = true),
     NamedQuery("q_triangle_count", triangleCount, Some(triangleCountSql),

@@ -380,6 +380,42 @@ class CorpusSpec extends GraftSuite {
     rmTree(new java.io.File(dir))
   }
 
+  test("stratified split: exact per-stratum proportions, disjoint and exhaustive") {
+    val out = SparkEntry.queries("q_split_stratified")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val m = rows.length.toLong
+      val c = rows.groupBy(_._3).map { case (s, g) => s -> g.size.toLong }
+      // rn·10 ≤ m·8 ⟺ rn ≤ ⌊0.8m⌋ — sizes are exact, never ±√n
+      assert(c.getOrElse("train", 0L) == m * 8 / 10, s"$lang train ${c}")
+      assert(c.getOrElse("val", 0L) == m * 9 / 10 - m * 8 / 10, s"$lang val $c")
+      assert(c.getOrElse("test", 0L) == m - m * 9 / 10, s"$lang test $c")
+    }
+  }
+
+  test("token budget: kept set is the maximal greedy quality prefix per source") {
+    import graft.functions.TextFunctions
+    val scored = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars",
+        (TextFunctions.md5Lower64(concat(lit("tb:"), $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)) % 1000).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kept = SparkEntry.queries("q_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+      .map { case (s, g) => s -> g.map(_._1).toSet }
+    scored.groupBy(_._2).foreach { case (src, docs) =>
+      val budget = docs.map(_._3).sum * 50 / 100
+      val prefix = docs.sortBy(d => (-d._4, d._1))
+        .scanLeft((0L, -1L)) { case ((cum, _), d) => (cum + d._3, d._1) }
+        .drop(1).takeWhile(_._1 <= budget).map(_._2).toSet
+      assert(kept.getOrElse(src, Set.empty[Long]) == prefix,
+        s"$src: kept ${kept.getOrElse(src, Set.empty)} != greedy $prefix")
+    }
+    assert(kept.values.map(_.size).sum > 0)
+  }
+
   test("curriculum: a permutation, band-monotone, shuffled within band, layout-invariant") {
     val out = SparkEntry.queries("q_curriculum")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -83,4 +83,69 @@ class GraphSpec extends GraftSuite {
     val b = canon(Graph.labelPropagation(edges.repartition(5), iters = 4))
     assert(a == b, "LPA must be bit-identical on any partitioning")
   }
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("k-core peel: clique survives, chain peels, rounds cascade") {
+    // triangle {1,2,3} is a 2-core; chain 3-4-5 peels from the tail:
+    // round 1 drops 5 (deg 1), round 2 drops 4 — a 2-round cascade
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val r1 = Graph.kcorePeel(edges, k = 2, rounds = 1)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L), s"round 1 must drop only node 5: $r1")
+    val r2 = Graph.kcorePeel(edges, k = 2, rounds = 2)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(r2 == Set(1L, 2L, 3L), s"round 2 must peel node 4: $r2")
+    // fixpoint: a further round changes nothing on the surviving clique
+    val r3 = Graph.kcorePeel(edges, k = 2, rounds = 3)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(r3 == r2)
+  }
+
+  test("k-core query: output degrees bounded by originals, peel monotone on fixture") {
+    val out = SparkEntry.queries("q_kcore")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"core degree exceeds original at node ${r.getLong(0)}")
+    }
+    // the peel must actually bite on the fixture (some node dropped or
+    // some degree reduced) — otherwise the gate is vacuous
+    val full = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"),
+        ($"l_suppkey" + Graph.SupplierOffset).as("b")).distinct()
+    val nNodes = full.select($"a").unionByName(full.select($"b".as("a")))
+      .distinct().count()
+    assert(out.length < nNodes || out.exists(r => r.getLong(2) < r.getLong(1)),
+      "3-round peel changed nothing — fixture makes the query vacuous")
+  }
+
+  test("assortativity: symmetric marginals, |r| <= 1, star graph hits -1") {
+    val r = SparkEntry.queries("q_assortativity")(spark, sf).collect()(0)
+    assert(r.getLong(1) == r.getLong(2), "Σdeg_src must equal Σdeg_dst")
+    assert(r.getLong(4) == r.getLong(5), "Σdeg² marginals must match")
+    val a = r.getDouble(6)
+    assert(a >= -1.0 && a <= 1.0)
+    // a bipartite interaction graph is disassortative
+    assert(a < 0, s"customer-supplier graph should be disassortative: $a")
+    // closed form: a perfect star has assortativity -1
+    val star = sym((2L to 6L).map(i => (1L, i)))
+    val deg = star.groupBy($"src").agg(count(lit(1)).as("d"))
+      .select($"src".as("node"), $"d")
+    val stats = star
+      .join(deg.select($"node".as("src"), $"d".as("dx")), Seq("src"))
+      .join(deg.select($"node".as("dst"), $"d".as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy")).collect()(0)
+    val (n, sx, sy, sxy, sxx, syy) = (stats.getLong(0).toDouble,
+      stats.getLong(1).toDouble, stats.getLong(2).toDouble,
+      stats.getLong(3).toDouble, stats.getLong(4).toDouble,
+      stats.getLong(5).toDouble)
+    val corr = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(corr - (-1.0)) < 1e-12, s"star assortativity: $corr")
+  }
 }
