@@ -1469,7 +1469,59 @@ object Analytics {
       |FROM t GROUP BY traj HAVING count(*) >= 2
       |ORDER BY n_sessions DESC, traj LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------------ q_markov
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral summary a sequence-model pipeline extracts from
+    * interaction logs (and the sanity check on synthetic trajectory
+    * generators: does the generated chain match the observed one?). Each
+    * user's events are ordered by (ts, event_id) — event_id breaks
+    * same-µs ties identically on both engines — and every consecutive
+    * pair contributes one (from_type, to_type) transition. Output: the
+    * full transition-count matrix with per-from-state row totals and
+    * transition probability in exact ppm (integer DIV — bit-stable).
+    *
+    * Scale shape: ONE window pass partitioned by user_id (per-task state
+    * is one user's slim (ts, event_id, type) rows; users are the natural
+    * parallelism unit and no global sort exists), then one aggregation
+    * to the |types|²-sized matrix with map-side partials; the row-total
+    * rejoin is matrix-sized on both sides and broadcasts. Raw events
+    * shuffle exactly once (the user_id window), matching the reference's
+    * per-entity processing model (cleaning.py's per-company frames). */
+  private def markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(wu))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"from_type").agg(sum($"n").cast("long").as("row_total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n", $"row_total",
+        expr("n * 1000000 DIV row_total").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val markovSql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |  FROM trans GROUP BY 1)
+      |SELECT from_type, to_type, n, row_total,
+      |  n * 1000000 // row_total AS p_ppm
+      |FROM trans JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_markov", markov, Some(markovSql), bench = true),
     NamedQuery("q_traj_dedup", trajDedup, Some(trajDedupSql), bench = true),
     NamedQuery("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),
       bench = true),

@@ -427,7 +427,73 @@ object Audit {
       |SELECT source, lang, obs, expected_milli, term_micro
       |FROM u ORDER BY source, lang""".stripMargin
 
+  // -------------------------------------------------------------- q_t_closeness
+  /** t-closeness — the third rung of the release-audit ladder after
+    * k-anonymity and l-diversity: a group can be large AND diverse yet
+    * still leak if its sensitive-value DISTRIBUTION deviates from the
+    * table-wide one (an attacker learns "this nation skews AUTOMOBILE").
+    * For a categorical sensitive attribute the EMD under uniform ground
+    * distance is the total-variation distance, so per nation QI group we
+    * emit t = ½·Σ|p_group(seg) − p_global(seg)| in exact ppm over the
+    * COMPLETE segment grid (a segment absent from the group contributes
+    * its full global mass). Integer ppm quantization with identical DIV
+    * order on both engines — bit-stable, the q_chi_square recipe.
+    *
+    * Scale shape: one (nation, segment) aggregation over the fact table
+    * (map-side partials, the only corpus-scale step); the grid build,
+    * global marginal, and TVD rollup all run on QI×sensitive-sized
+    * frames (tiny — broadcast joins). */
+  val TClosenessPpm = 250000L
+
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment").agg(count(lit(1)).as("obs"))
+    val nations = cells.groupBy($"c_nationkey").agg(sum($"obs").cast("long").as("k"))
+    val segs = cells.groupBy($"c_mktsegment").agg(sum($"obs").cast("long").as("seg_n"))
+    val grand = cells.agg(sum($"obs").cast("long").as("n"))
+    val grid = nations.crossJoin(broadcast(segs)).crossJoin(broadcast(grand))
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
+      .select($"c_nationkey", $"k", $"n",
+        coalesce($"obs", lit(0L)).as("obs"), $"seg_n")
+    grid
+      .select($"c_nationkey", $"k",
+        abs(expr("obs * 1000000 DIV k") - expr("seg_n * 1000000 DIV n"))
+          .as("dev_ppm"))
+      .groupBy($"c_nationkey")
+      .agg(max($"k").as("k"),
+        expr("CAST(sum(dev_ppm) AS BIGINT) DIV 2").as("t_ppm"))
+      .select($"c_nationkey", $"k", $"t_ppm",
+        ($"t_ppm" > TClosenessPpm).as("at_risk"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val tClosenessSql =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS obs
+       |  FROM customer GROUP BY 1, 2),
+       |nat AS (SELECT c_nationkey, CAST(SUM(obs) AS BIGINT) AS k
+       |        FROM cells GROUP BY 1),
+       |seg AS (SELECT c_mktsegment, CAST(SUM(obs) AS BIGINT) AS seg_n
+       |        FROM cells GROUP BY 1),
+       |grand AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       |  SELECT nat.c_nationkey, nat.k, grand.n,
+       |    COALESCE(cells.obs, 0) AS obs, seg.seg_n
+       |  FROM nat CROSS JOIN seg CROSS JOIN grand
+       |  LEFT JOIN cells ON cells.c_nationkey = nat.c_nationkey
+       |    AND cells.c_mktsegment = seg.c_mktsegment),
+       |dev AS (
+       |  SELECT c_nationkey, k,
+       |    ABS(obs * 1000000 // k - seg_n * 1000000 // n) AS dev_ppm
+       |  FROM grid)
+       |SELECT c_nationkey, MAX(k) AS k,
+       |  CAST(SUM(dev_ppm) AS BIGINT) // 2 AS t_ppm,
+       |  CAST(SUM(dev_ppm) AS BIGINT) // 2 > $TClosenessPpm AS at_risk
+       |FROM dev GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_t_closeness", tCloseness, Some(tClosenessSql), bench = true),
     NamedQuery("q_chi_square", chiSquare, Some(chiSquareSql), bench = true),
     NamedQuery("q_forget_cascade", forgetCascade, Some(forgetCascadeSql),
       bench = true),

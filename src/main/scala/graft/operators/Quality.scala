@@ -638,7 +638,63 @@ object Quality {
       |WHERE s.ymax > COALESCE(s.cm_prev, -1)
       |ORDER BY p.lang, p.n_chars, p.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q_readability
+  /** Flesch reading-ease scoring in exact integer milli-points — the
+    * classic readability family (Flesch 1948) with the syllable counter
+    * replaced by the standard vowel-group heuristic (maximal [aeiouy]
+    * runs), the same proxy rule-based readability libraries use. All
+    * three inputs are integer counts from one regex pass each, and the
+    * score 206.835 − 1.015·(W/S) − 84.6·(Syll/W) is quantized as
+    * 206835 − (1015·W) DIV S − (84600·Syll) DIV W with every division
+    * operand positive, so truncating DIV agrees bit-exactly across
+    * engines (the q_lm_surprisal integer-quantization recipe).
+    *
+    * Scale shape: row-local (three codegen'd regex passes per document,
+    * no shuffle) — at 100 TB this runs at scan speed and composes into
+    * the q_llm_corpus funnel as one more per-doc signal. */
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = size(split($"text", " ", -1))
+    val sents =
+      greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))), lit(1))
+    val syll = greatest(
+      size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))), lit(1))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        words.as("n_words"), sents.as("n_sents"), syll.as("n_syll"))
+      .select($"doc_id", $"lang", $"n_words", $"n_sents", $"n_syll",
+        (lit(206835L) - expr("(1015 * CAST(n_words AS BIGINT)) DIV n_sents")
+          - expr("(84600 * CAST(n_syll AS BIGINT)) DIV n_words"))
+          .as("flesch_milli"))
+      .withColumn("band",
+        when($"flesch_milli" >= 60000L, "easy")
+          .when($"flesch_milli" >= 30000L, "medium")
+          .otherwise("hard"))
+      .orderBy($"doc_id")
+  }
+
+  private val readabilitySql =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+      |    GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+      |      AS n_syll
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, n_words, n_sents, n_syll,
+      |    206835 - (1015 * CAST(n_words AS BIGINT)) // n_sents
+      |           - (84600 * CAST(n_syll AS BIGINT)) // n_words AS flesch_milli
+      |  FROM c)
+      |SELECT doc_id, lang, n_words, n_sents, n_syll, flesch_milli,
+      |  CASE WHEN flesch_milli >= 60000 THEN 'easy'
+      |       WHEN flesch_milli >= 30000 THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_readability", readability, Some(readabilitySql),
+      bench = true),
     NamedQuery("q_gini", giniQuery, Some(giniSql), bench = true),
     NamedQuery("q_ks_test", ksTest, Some(ksTestSql), bench = true),
     NamedQuery("q_pareto_front", paretoFront, Some(paretoFrontSql),

@@ -747,7 +747,123 @@ object TextAnalysis {
          |ORDER BY n_shared DESC, a, b LIMIT 100""".stripMargin
   }
 
+  // ----------------------------------------------------------- q_vocab_overlap
+  /** Pairwise vocabulary Jaccard between ingest sources — the lexical
+    * redundancy matrix a corpus mix is planned on (two sources sharing
+    * 90% of their vocabulary add less diversity than their token counts
+    * suggest). For each source pair (a < b): |Va∩Vb|, |Va|, |Vb|, and
+    * Jaccard in exact ppm (intersection·1e6 DIV union — integer, so
+    * bit-stable cross-engine).
+    *
+    * Scale shape: the corpus explodes to words ONCE and immediately
+    * distincts to the (source, word) vocabulary frame (map-side
+    * partials; vocab-sized, not token-sized). The pair step self-joins
+    * THAT frame by word — each word contributes its source-list
+    * pairs, aggregated with map-side partials to the |sources|²-sized
+    * matrix. Per-source vocab sizes broadcast back onto it. */
+  private def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select($"source",
+        explode(expr(s"regexp_extract_all(lower(text), '${Scoring.WordPat}', 0)"))
+          .as("word"))
+      .distinct()
+    val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("vsize"))
+    val inter = vocab.select($"source".as("src_a"), $"word")
+      .join(vocab.select($"source".as("src_b"), $"word"), Seq("word"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"vsize".as("va"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"vsize".as("vb"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_inter", $"va", $"vb",
+        expr("n_inter * 1000000 DIV (va + vb - n_inter)").as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val vocabOverlapSql =
+    s"""WITH v AS (
+       |  SELECT DISTINCT source, word FROM (
+       |    SELECT source,
+       |      unnest(regexp_extract_all(lower(text), '${Scoring.WordPat}')) AS word
+       |    FROM documents)),
+       |sz AS (SELECT source, COUNT(*) AS vsize FROM v GROUP BY source),
+       |i AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+       |  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_inter, sa.vsize AS va, sb.vsize AS vb,
+       |  CAST(n_inter * 1000000 // (sa.vsize + sb.vsize - n_inter) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM i
+       |JOIN sz sa ON i.src_a = sa.source
+       |JOIN sz sb ON i.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // --------------------------------------------------------- q_inverted_index
+  /** Bounded-postings inverted index — the retrieval structure behind
+    * BM25 serving and deduplication-by-lookup: word → (document
+    * frequency, first-K posting list). Postings are CAPPED per word
+    * (row_number ≤ K over doc_id) before any list materializes, the
+    * same truncation sharded production indexes apply to stop-word-like
+    * terms — an uncapped collect_list on a 100 TB corpus would OOM on
+    * every high-df word. Low-df noise is cut by a df floor.
+    *
+    * Scale shape: explode → DISTINCT (word, doc_id) collapses repeats
+    * map-side; df aggregation, the rank window, and the final list
+    * aggregation all share the ONE word-keyed exchange (same key, no
+    * re-shuffle); per-task state is one word's ≤K postings. */
+  val InvIndexDfMin = 5
+  val InvIndexPostingsCap = 20
+
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val posting = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(expr(s"regexp_extract_all(lower(text), '${Scoring.WordPat}', 0)"))
+          .as("word"))
+      .distinct()
+    val dfreq = posting.groupBy($"word").agg(count(lit(1)).as("df"))
+      .filter($"df" >= InvIndexDfMin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"word").orderBy($"doc_id")
+    posting.join(dfreq, Seq("word"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= InvIndexPostingsCap)
+      .groupBy($"word", $"df")
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(doc_id))," +
+          " x -> CAST(x AS STRING)), ',')").as("postings"),
+        count(lit(1)).as("n_stored"))
+      .orderBy($"word")
+  }
+
+  private val invertedIndexSql =
+    s"""WITH p AS (
+       |  SELECT DISTINCT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '${Scoring.WordPat}'))
+       |        AS word
+       |    FROM documents)),
+       |d AS (SELECT word, COUNT(*) AS df FROM p GROUP BY 1
+       |      HAVING COUNT(*) >= $InvIndexDfMin),
+       |r AS (
+       |  SELECT p.word, d.df, p.doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.doc_id) AS rnk
+       |  FROM p JOIN d USING (word))
+       |SELECT word, df,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       |  COUNT(*) AS n_stored
+       |FROM r WHERE rnk <= $InvIndexPostingsCap
+       |GROUP BY word, df ORDER BY word""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql),
+      bench = true),
+    NamedQuery("q_vocab_overlap", vocabOverlap, Some(vocabOverlapSql),
+      bench = true),
     NamedQuery("q_winnow", winnow, Some(winnowSql), bench = true),
     NamedQuery("q_winnow_matches", winnowMatches, Some(winnowMatchesSql),
       bench = true),

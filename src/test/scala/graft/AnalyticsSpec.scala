@@ -414,4 +414,19 @@ class AnalyticsSpec extends GraftSuite {
       assert(r.getLong(2) >= 1, s"each (user, type) keeps its first event: $r")
     }
   }
+
+  // ----------------------------------------------------------------- q_markov
+  test("q_markov: row totals close and transitions == events - users") {
+    val rows = SparkEntry.queries("q_markov")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3),
+        "transition counts must sum to the from-state row total")
+    }
+    rows.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L))
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected,
+      "every consecutive pair contributes exactly one transition")
+  }
 }

@@ -224,4 +224,17 @@ class AuditSpec extends GraftSuite {
     // dependence exists in the fixture: at least one cell deviates
     assert(total.getLong(4) > 0, "chi-square statistic is exactly zero")
   }
+
+  // ------------------------------------------------------------ q_t_closeness
+  test("q_t_closeness: t is a TVD in [0,1e6], groups partition the table") {
+    val rows = SparkEntry.queries("q_t_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getLong(2)
+      assert(t >= 0L && t <= 1000000L, "TVD is bounded by the full mass")
+      assert(r.getBoolean(3) == (t > Audit.TClosenessPpm))
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count(),
+      "QI group sizes must partition the table")
+  }
 }

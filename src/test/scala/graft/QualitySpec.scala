@@ -212,4 +212,18 @@ class QualitySpec extends GraftSuite {
           s"(kw=${r.getLong(4)} indent_ppm=${r.getLong(5)} sym_ppm=${r.getLong(6)})")
     }
   }
+
+  // ------------------------------------------------------------- q_readability
+  test("q_readability: flesch formula recomputed row-exact, bands consistent") {
+    val rows = SparkEntry.queries("q_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sn, sy) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(w >= 1 && sn >= 1 && sy >= 1)
+      val f = 206835L - (1015L * w) / sn - (84600L * sy) / w
+      assert(r.getLong(5) == f, s"flesch mismatch for doc ${r.get(0)}")
+      val band = if (f >= 60000L) "easy" else if (f >= 30000L) "medium" else "hard"
+      assert(r.getString(6) == band)
+    }
+  }
 }

@@ -282,6 +282,44 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("vocab overlap: matches a driver-side brute-force Jaccard per source pair") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pat = graft.operators.Scoring.WordPat.r
+    val vocab = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.flatMap(d => pat.findAllIn(d._2.toLowerCase)).toSet
+    }
+    val out = SparkEntry.queries("q_vocab_overlap")(spark, sf).collect()
+    val srcs = vocab.keys.toSeq.sorted
+    assert(out.length == srcs.length * (srcs.length - 1) / 2,
+      "one row per unordered source pair")
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (va, vb) = (vocab(a), vocab(b))
+      val inter = (va & vb).size.toLong
+      assert(r.getLong(2) == inter, s"($a,$b) intersection")
+      assert(r.getLong(3) == va.size.toLong && r.getLong(4) == vb.size.toLong)
+      assert(r.getLong(5) ==
+        inter * 1000000L / (va.size + vb.size - inter), s"($a,$b) jaccard")
+    }
+  }
+
+  // --------------------------------------------------------- q_inverted_index
+  test("q_inverted_index: df floor, postings cap, sorted numeric postings") {
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(df >= TextAnalysis.InvIndexDfMin)
+      assert(r.getLong(3) == math.min(df, TextAnalysis.InvIndexPostingsCap.toLong),
+        "stored postings must be the capped prefix")
+      assert(postings.size.toLong == r.getLong(3))
+      assert(postings == postings.sorted, "postings sorted by doc_id")
+      assert(postings.distinct.size == postings.size)
+    }
+  }
 }
 
 /** Property tests for the hash primitives (ScalaCheck, run natively by
