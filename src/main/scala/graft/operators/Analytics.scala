@@ -1520,7 +1520,71 @@ object Analytics {
       |FROM trans JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------------------------- q_cusum
+  /** CUSUM changepoint statistic per market segment over the monthly
+    * revenue series — the drift detector that answers "did the level
+    * shift, and when?". The classic statistic max_i |Σ_{j≤i}(x_j − x̄)|
+    * is made division-free by scaling with n: D_i = n·prefix_i − i·S
+    * (prefix in exact DECIMAL-routed cents), so every intermediate is a
+    * bit-stable integer on both engines, and the argmax month is
+    * deterministic (ties broken by earliest month).
+    *
+    * Scale shape: one fact aggregation to (segment, month) with
+    * map-side partials — the only corpus-scale step; the window pass
+    * and argmax pick run on the months-per-segment-sized frame. */
+  private def cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val wOrd = Window.partitionBy($"c_mktsegment").orderBy($"month")
+    val wAll = Window.partitionBy($"c_mktsegment")
+    val scored = monthly
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("prefix", sum($"cents").over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_total", sum($"cents").over(wAll))
+      .withColumn("d", abs($"n" * $"prefix" - $"i" * $"s_total"))
+    val wPick = Window.partitionBy($"c_mktsegment").orderBy($"d".desc, $"month")
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter($"rk" === 1)
+      .select($"c_mktsegment", $"n".as("n_months"),
+        $"s_total".as("total_cents"), $"d".as("cusum_max"),
+        $"month".as("cp_month"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val cusumSql =
+    """WITH monthly AS (
+      |  SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT c_mktsegment, month,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY month) AS i,
+      |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY month)
+      |      AS BIGINT) AS prefix,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+      |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+      |      AS s_total
+      |  FROM monthly),
+      |d AS (
+      |  SELECT c_mktsegment, month, n, s_total,
+      |    ABS(n * prefix - i * s_total) AS d,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY ABS(n * prefix - i * s_total) DESC, month) AS rk
+      |  FROM scored)
+      |SELECT c_mktsegment, n AS n_months, s_total AS total_cents,
+      |  d AS cusum_max, month AS cp_month
+      |FROM d WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cusum", cusum, Some(cusumSql), bench = true),
     NamedQuery("q_markov", markov, Some(markovSql), bench = true),
     NamedQuery("q_traj_dedup", trajDedup, Some(trajDedupSql), bench = true),
     NamedQuery("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),

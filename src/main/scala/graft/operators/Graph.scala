@@ -579,7 +579,88 @@ object Graph {
        |    AS assortativity
        |FROM t""".stripMargin
 
+  // -------------------------------------------------------------------- q_hits
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    * customer→supplier trading graph — the bipartite complement to
+    * pageRank's symmetrized ranking: customers score as hubs (good
+    * buyers touch many good suppliers), suppliers as authorities. Two
+    * mutual-reinforcement rounds in integer micro-units, renormalized
+    * each half-step by the frame MAX (the q_mix_weights recipe — MAX,
+    * not L2, so the normalizer is itself an exact integer and the
+    * iteration is bit-stable on any partitioning). The oracle replays
+    * both rounds as an unrolled CTE chain with scalar-subquery MAXes —
+    * a drifted score at any node fails the hash compare.
+    *
+    * Scale shape: the edge frame is built once and localCheckpoint'd;
+    * each half-step joins edges to the BROADCAST node-sized score
+    * frame and aggregates with map-side partials — edges never
+    * re-shuffle, same contract as pageRank. The MAX normalizer is a
+    * 1-row aggregate cross-joined back (broadcast-single-row). */
+  val HitsUnit = 1000000L
+  val HitsIters = 2
+
+  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
+    var hub = e.select($"src".as("node")).distinct()
+      .withColumn("score", lit(HitsUnit))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val ar = e.join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+        .groupBy($"dst").agg(sum($"score").as("raw"))
+        .withColumnRenamed("dst", "node")
+      auth = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
+        .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
+      val hr = e.join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+        .groupBy($"src").agg(sum($"score").as("raw"))
+        .withColumnRenamed("src", "node")
+      hub = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
+        .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
+      i += 1
+      if (i < iters) { auth = auth.localCheckpoint(true); hub = hub.localCheckpoint(true) }
+    }
+    hub.select(lit("hub").as("side"), $"node", $"score")
+      .unionByName(auth.select(lit("auth").as("side"), $"node", $"score"))
+  }
+
+  private def hitsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"), ($"l_suppkey" + SupplierOffset).as("dst"))
+      .distinct()
+    hits(edges).orderBy($"side", $"node")
+  }
+
+  private val hitsSql = {
+    def half(prev: String, out: String, joinKey: String, groupKey: String) =
+      s"""${out}r AS (
+         |  SELECT p.$groupKey AS node, CAST(SUM(x.score) AS BIGINT) AS raw
+         |  FROM pairs p JOIN $prev x ON p.$joinKey = x.node GROUP BY 1),
+         |$out AS (
+         |  SELECT node,
+         |    CAST(raw * $HitsUnit // (SELECT MAX(raw) FROM ${out}r) AS BIGINT)
+         |      AS score
+         |  FROM ${out}r)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $SupplierOffset AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (
+       |  SELECT DISTINCT src AS node, CAST($HitsUnit AS BIGINT) AS score
+       |  FROM pairs),
+       |${half("h0", "a1", "src", "dst")},
+       |${half("a1", "h1", "dst", "src")},
+       |${half("h1", "a2", "src", "dst")},
+       |${half("a2", "h2", "dst", "src")}
+       |SELECT 'hub' AS side, node, score FROM h2
+       |UNION ALL SELECT 'auth' AS side, node, score FROM a2
+       |ORDER BY side, node""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_hits", hitsQuery, Some(hitsSql), bench = true),
     NamedQuery("q_kcore", kcoreQuery, Some(kcoreSql), bench = true),
     NamedQuery("q_assortativity", assortativity, Some(assortativitySql),
       bench = true),

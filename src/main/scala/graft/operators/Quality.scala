@@ -4,6 +4,7 @@ import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution statistics and quality-cutoff filtering over `documents`
   * — the shapes a corpus-curation pipeline runs before training: profile
@@ -692,7 +693,120 @@ object Quality {
       |       ELSE 'hard' END AS band
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_mann_whitney
+  /** Mann–Whitney U between every source pair's length distributions —
+    * the nonparametric two-sample test (does source A stochastically
+    * dominate source B?) that complements q_ks_test's sup-norm drift
+    * statistic. Instead of per-pair re-ranking, U is computed from the
+    * pairwise-comparison identity U = #{x>y} + ½#{x=y} over the two
+    * sources' VALUE HISTOGRAMS, kept in doubled units (u2 = 2U) so ties
+    * stay integer-exact. Effect size is the common-language statistic
+    * u2 / (2·n_a·n_b) in exact ppm.
+    *
+    * Scale shape: the corpus reduces to per-source value histograms in
+    * one map-side-partial aggregation (value-grid sized); the pair
+    * computation is a broadcast inequality join between histogram
+    * frames. n_a·n_b stays in a long up to ~2·10⁹ docs per source —
+    * beyond that, route u2 through DECIMAL (the q_winsorize recipe). */
+  private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val sizes = hist.groupBy($"source").agg(sum($"c").cast("long").as("n"))
+    val a = hist.select($"source".as("src_a"), $"n_chars".as("va"), $"c".as("ca"))
+    val b = hist.select($"source".as("src_b"), $"n_chars".as("vb"), $"c".as("cb"))
+    val u2 = a.join(broadcast(b),
+        $"src_a" < $"src_b" && $"va" >= $"vb")
+      .select($"src_a", $"src_b",
+        (when($"va" > $"vb", lit(2L)).otherwise(lit(1L)) * $"ca" * $"cb")
+          .as("contrib"))
+      .groupBy($"src_a", $"src_b").agg(sum($"contrib").as("u2"))
+    u2
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("n_b"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"u2",
+        expr("u2 * 1000000 DIV (2 * n_a * n_b)").as("effect_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val mannWhitneySql =
+    """WITH hist AS (
+      |  SELECT source, n_chars, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |sz AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |       FROM hist GROUP BY 1),
+      |u AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(SUM((CASE WHEN a.n_chars > b.n_chars THEN 2 ELSE 1 END)
+      |        * a.c * b.c) AS BIGINT) AS u2
+      |  FROM hist a JOIN hist b
+      |    ON a.source < b.source AND a.n_chars >= b.n_chars
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, u2,
+      |  u2 * 1000000 // (2 * sa.n * sb.n) AS effect_ppm
+      |FROM u
+      |JOIN sz sa ON u.src_a = sa.source
+      |JOIN sz sb ON u.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // --------------------------------------------------------- q_weighted_median
+  /** Weighted median of unit price per return flag, weighted by
+    * quantity — the order statistic that answers "at what price does
+    * half the VOLUME sit?" (a plain median weights a 1-unit line equal
+    * to a 50-unit line). Prices route through exact DECIMAL cents; the
+    * median is the smallest price whose doubled cumulative weight
+    * reaches the group total (lower weighted median — a pure order
+    * statistic, zero interpolation, so the oracle needs zero rounding).
+    *
+    * Scale shape: pre-aggregate to (group, price-cents) collapsing ties
+    * map-side — the cumulative window then runs on the distinct-price
+    * grid, not the fact table; per-task window state is one group's
+    * grid slice. */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("price_cents"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"l_returnflag", $"price_cents").agg(sum($"w").as("w"))
+    val wOrd = Window.partitionBy($"l_returnflag").orderBy($"price_cents")
+    val wAll = Window.partitionBy($"l_returnflag")
+    grid
+      .withColumn("cumw", sum($"w").over(wOrd))
+      .withColumn("total_w", sum($"w").over(wAll))
+      .filter($"cumw" * 2 >= $"total_w")
+      .groupBy($"l_returnflag")
+      .agg(min($"price_cents").as("median_cents"),
+        max($"total_w").as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val weightedMedianSql =
+    """WITH grid AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, price_cents,
+      |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents)
+      |      AS BIGINT) AS cumw,
+      |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_w
+      |  FROM grid)
+      |SELECT l_returnflag, MIN(price_cents) AS median_cents,
+      |  MAX(total_w) AS total_qty
+      |FROM c WHERE cumw * 2 >= total_w
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
+      bench = true),
+    NamedQuery("q_weighted_median", weightedMedian, Some(weightedMedianSql),
+      bench = true),
     NamedQuery("q_readability", readability, Some(readabilitySql),
       bench = true),
     NamedQuery("q_gini", giniQuery, Some(giniSql), bench = true),

@@ -429,4 +429,35 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.map(_.getLong(2)).sum == expected,
       "every consecutive pair contributes exactly one transition")
   }
+
+  // ------------------------------------------------------------------ q_cusum
+  test("q_cusum: statistic recomputed in Scala from the monthly series") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val series = monthly(r.getString(0))
+        .map(x => (x.getString(1), x.getLong(2))).sortBy(_._1)
+      val n = series.size.toLong
+      val s = series.map(_._2).sum
+      var prefix = 0L
+      val ds = series.zipWithIndex.map { case ((m, c), idx) =>
+        prefix += c
+        (m, math.abs(n * prefix - (idx + 1L) * s))
+      }
+      val dmax = ds.map(_._2).max
+      val cpMonth = ds.filter(_._2 == dmax).map(_._1).min
+      assert(r.getLong(1) == n && r.getLong(2) == s)
+      assert(r.getLong(3) == dmax, s"cusum_max for ${r.getString(0)}")
+      assert(r.getString(4) == cpMonth, s"cp_month for ${r.getString(0)}")
+    }
+  }
 }

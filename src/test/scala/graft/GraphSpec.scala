@@ -148,4 +148,28 @@ class GraphSpec extends GraftSuite {
       (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(math.abs(corr - (-1.0)) < 1e-12, s"star assortativity: $corr")
   }
+
+  // ------------------------------------------------------------------- q_hits
+  test("hits: hand-graph known answer after two integer rounds") {
+    import graft.operators.Graph
+    // h1 -> {a1, a2}, h2 -> {a1}
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("hub", 1L)) == 1000000L)
+    assert(got(("hub", 2L)) == 625000L)
+    assert(got(("auth", 10L)) == 1000000L)
+    assert(got(("auth", 11L)) == 600000L)
+  }
+
+  test("q_hits: scores bounded by the unit, each side max-normalized") {
+    val rows = SparkEntry.queries("q_hits")(spark, sf).collect()
+    val bySide = rows.groupBy(_.getString(0))
+    assert(bySide.keySet == Set("hub", "auth"))
+    bySide.foreach { case (side, rs) =>
+      val scores = rs.map(_.getLong(2))
+      assert(scores.max == graft.operators.Graph.HitsUnit, side)
+      assert(scores.forall(v => v > 0L && v <= graft.operators.Graph.HitsUnit))
+    }
+  }
 }

@@ -226,4 +226,52 @@ class QualitySpec extends GraftSuite {
       assert(r.getString(6) == band)
     }
   }
+
+  // ----------------------------------------------------------- q_mann_whitney
+  test("q_mann_whitney: u2 brute-forced from raw lengths for every pair") {
+    val rows = SparkEntry.queries("q_mann_whitney")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = Tables.documents(spark, sf)
+      .select($"source", $"n_chars").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    val k = bySource.size
+    assert(rows.length == k * (k - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val va = bySource(r.getAs[String]("src_a"))
+      val vb = bySource(r.getAs[String]("src_b"))
+      val u2 = va.iterator.map { x =>
+        vb.count(y => x > y) * 2L + vb.count(y => x == y).toLong
+      }.sum
+      assert(r.getAs[Long]("u2") == u2,
+        s"u2 for (${r.getAs[String]("src_a")}, ${r.getAs[String]("src_b")})")
+      assert(r.getAs[Long]("n_a") == va.length.toLong)
+      assert(r.getAs[Long]("n_b") == vb.length.toLong)
+      val eff = u2 * 1000000L / (2L * va.length * vb.length)
+      assert(r.getAs[Long]("effect_ppm") == eff)
+    }
+  }
+
+  // --------------------------------------------------------- q_weighted_median
+  test("q_weighted_median: lower weighted median recomputed from lineitem") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q_weighted_median")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        $"l_quantity".cast("long").as("w"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = data(r.getString(0)).map(x => (x.getLong(1), x.getLong(2)))
+        .sortBy(_._1)
+      val total = xs.map(_._2).sum
+      var cum = 0L
+      val med = xs.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      assert(r.getLong(1) == med, s"median for ${r.getString(0)}")
+      assert(r.getLong(2) == total)
+    }
+  }
 }
