@@ -1583,7 +1583,84 @@ object Analytics {
       |  d AS cusum_max, month AS cp_month
       |FROM d WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------ q_kmv_distinct
+  /** K-minimum-values distinct-count sketch (Bar-Yossef 2002) per
+    * source vocabulary, plus the merged-union row — the mergeable
+    * cardinality sketch family alongside q_approx_distinct's HLL
+    * (universe: distinct customers per order priority, plus the
+    * all-priorities union),
+    * except HERE the whole sketch is deterministic and oracle-able:
+    * hashes are md5-lower-64 (= DuckDB `md5_number_lower`), the sketch
+    * IS the k smallest hash values, and the estimator
+    * (M DIV h_(k)) · (k−1) is spelled with the identical truncating
+    * division sequence on both engines (the first DIV keeps every
+    * product inside a long). The union row demonstrates mergeability:
+    * the union sketch is the k smallest over the concatenated hash
+    * multisets — exactly what a 1000-executor merge would combine.
+    * Emits the exact distinct count next to the estimate with the
+    * signed error in ppm, so a sketch regression is a hash mismatch.
+    *
+    * Scale shape: DISTINCT (group, member) collapses map-side; ranking
+    * the k minima is one window over the distinct-pair frame (per-task
+    * state: one group's hash stream — at corpus scale, a min-k typed
+    * aggregate makes even that O(k)); everything after is k-sized. */
+  val KmvK = 64
+
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val pairs = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("grp"), $"o_custkey".as("member"))
+      .distinct()
+    val both = pairs.unionByName(
+      pairs.select(lit("__union__").as("grp"), $"member").distinct())
+    val hashed = both.select($"grp",
+      TextFunctions.md5Lower64(concat(lit("kmv:"), $"member".cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)).as("h"))
+    val wk = Window.partitionBy($"grp").orderBy($"h")
+    val kth = hashed.withColumn("rn", row_number().over(wk))
+      .filter($"rn" === KmvK)
+      .select($"grp", $"h".as("kth_min"))
+    val exact = both.groupBy($"grp").agg(count(lit(1)).as("exact_distinct"))
+    exact.join(kth, Seq("grp"))
+      .select($"grp", $"exact_distinct", $"kth_min",
+        (expr(s"${Long.MaxValue} DIV kth_min") * (KmvK - 1))
+          .as("est_distinct"))
+      .withColumn("err_ppm",
+        expr("(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"))
+      .orderBy($"grp")
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS member
+       |  FROM orders),
+       |both_v AS (
+       |  SELECT grp, member FROM pairs
+       |  UNION ALL SELECT DISTINCT '__union__' AS grp, member FROM pairs),
+       |hashed AS (
+       |  SELECT grp,
+       |    CAST(md5_number_lower('kmv:' || CAST(member AS VARCHAR))
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) AS h
+       |  FROM both_v),
+       |kth AS (
+       |  SELECT grp, h AS kth_min FROM (
+       |    SELECT grp, h,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM hashed)
+       |  WHERE rn = $KmvK),
+       |exact AS (
+       |  SELECT grp, COUNT(*) AS exact_distinct FROM both_v GROUP BY 1)
+       |SELECT e.grp, e.exact_distinct, k.kth_min,
+       |  (${Long.MaxValue} // kth_min) * ${KmvK - 1} AS est_distinct,
+       |  ((${Long.MaxValue} // kth_min) * ${KmvK - 1} - e.exact_distinct)
+       |    * 1000000 // e.exact_distinct AS err_ppm
+       |FROM exact e JOIN kth k ON e.grp = k.grp
+       |ORDER BY e.grp""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql),
+      bench = true),
     NamedQuery("q_cusum", cusum, Some(cusumSql), bench = true),
     NamedQuery("q_markov", markov, Some(markovSql), bench = true),
     NamedQuery("q_traj_dedup", trajDedup, Some(trajDedupSql), bench = true),

@@ -659,7 +659,136 @@ object Graph {
        |ORDER BY side, node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_bfs_depth
+  /** Multi-source BFS over the symmetrized trading graph: minimum hop
+    * distance from a seed set (the 25 lowest customer keys) out to
+    * `BfsMaxDepth` hops — the traversal primitive behind "within-k
+    * neighborhoods" (crawl frontiers, contamination blast radius,
+    * GraphRAG expansion). Level-synchronous frontier iteration: each
+    * round expands the frontier through the edge frame and anti-joins
+    * the visited set, so a node's depth is fixed the first time it is
+    * seen — exactly MIN(depth), which is what the oracle's recursive
+    * CTE computes (UNION-dedup recursion keeps each level
+    * node-bounded, no path explosion).
+    *
+    * Scale shape: the edge frame never re-shuffles — frontier and
+    * visited sets are node-sized and broadcast into the expansion
+    * join; one localCheckpoint per round bounds lineage (the pageRank
+    * contract). Unreached nodes are omitted, not emitted as NULL. */
+  val BfsMaxDepth = 3
+  val BfsSeedMaxKey = 25L
+
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = BfsMaxDepth): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(maxDepth >= 1 && maxDepth <= 10,
+      s"maxDepth must be in [1, 10], got $maxDepth")
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
+    var visited = seeds.select($"node").distinct()
+      .withColumn("depth", lit(0)).localCheckpoint(true)
+    var frontier = visited.select($"node")
+    var d = 1
+    while (d <= maxDepth) {
+      val next = e
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+        .select($"dst".as("node")).distinct()
+        .join(broadcast(visited.select($"node")), Seq("node"), "left_anti")
+      visited = visited
+        .unionByName(next.withColumn("depth", lit(d)))
+        .localCheckpoint(true)
+      frontier = next
+      d += 1
+    }
+    visited
+  }
+
+  private def bfsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val seeds = edges.select($"src".as("node"))
+      .filter($"node" <= BfsSeedMaxKey).distinct()
+    bfsDepth(edges, seeds).orderBy($"node")
+  }
+
+  private val bfsSql =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |bfs(node, depth) AS (
+       |  SELECT DISTINCT src AS node, 0 AS depth FROM edges
+       |  WHERE src <= $BfsSeedMaxKey
+       |  UNION
+       |  SELECT e.dst, b.depth + 1
+       |  FROM bfs b JOIN edges e ON b.node = e.src
+       |  WHERE b.depth < $BfsMaxDepth)
+       |SELECT node, CAST(MIN(depth) AS INT) AS depth
+       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------- q_degree_dist
+  /** Log2-bucketed degree distribution with CCDF — the structural audit
+    * that tells you whether a graph is scale-free BEFORE you pick join
+    * strategies for it (a heavy tail means skew guards and salting; a
+    * bounded tail means plain hash joins survive). Bucket = bit-length
+    * of the degree (floor(log2)+1 — pure integer, identical `bin()`
+    * string length on both engines); CCDF in exact ppm from a
+    * descending cumulative window over the bucket frame.
+    *
+    * Scale shape: one degree aggregation over edges (map-side
+    * partials), one aggregation to the ≤64-row bucket frame; the
+    * cumulative window runs on that. */
+  private def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree"))
+    val buckets = deg
+      .groupBy(length(bin($"degree")).as("log2_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"degree").as("edge_ends"))
+    val wTail = Window.orderBy($"log2_bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = buckets.agg(sum($"n_nodes").as("total_nodes"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("tail_nodes", sum($"n_nodes").over(wTail))
+      .select($"log2_bucket", $"n_nodes", $"edge_ends",
+        expr("tail_nodes * 1000000 DIV total_nodes").as("ccdf_ppm"))
+      .orderBy($"log2_bucket")
+  }
+
+  private val degreeDistSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1),
+       |buckets AS (
+       |  SELECT CAST(length(bin(degree)) AS INT) AS log2_bucket,
+       |    COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS edge_ends
+       |  FROM deg GROUP BY 1)
+       |SELECT log2_bucket, n_nodes, edge_ends,
+       |  CAST(SUM(n_nodes) OVER (ORDER BY log2_bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    * 1000000 // CAST((SELECT SUM(n_nodes) FROM buckets) AS BIGINT)
+       |    AS ccdf_ppm
+       |FROM buckets ORDER BY log2_bucket""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bfs_depth", bfsQuery, Some(bfsSql), bench = true),
+    NamedQuery("q_degree_dist", degreeDist, Some(degreeDistSql), bench = true),
     NamedQuery("q_hits", hitsQuery, Some(hitsSql), bench = true),
     NamedQuery("q_kcore", kcoreQuery, Some(kcoreSql), bench = true),
     NamedQuery("q_assortativity", assortativity, Some(assortativitySql),

@@ -460,4 +460,30 @@ class AnalyticsSpec extends GraftSuite {
       assert(r.getString(4) == cpMonth, s"cp_month for ${r.getString(0)}")
     }
   }
+
+  // ------------------------------------------------------------ q_kmv_distinct
+  test("q_kmv_distinct: sketch replayed in Scala from the raw pairs") {
+    import graft.operators.Analytics
+    val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
+    assert(rows.length > 1 && rows.exists(_.getString(0) == "__union__"))
+    val pairs = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_custkey").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byGrp = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap +
+      ("__union__" -> pairs.map(_._2).distinct)
+    rows.foreach { r =>
+      val members = byGrp(r.getString(0))
+      val hashes = members.map(m =>
+        TextImpl.md5Lower64(UTF8String.fromString(s"kmv:$m")) & Long.MaxValue)
+        .sorted
+      val kth = hashes(Analytics.KmvK - 1)
+      val est = (Long.MaxValue / kth) * (Analytics.KmvK - 1)
+      assert(r.getLong(1) == members.length.toLong, r.getString(0))
+      assert(r.getLong(2) == kth, s"kth_min for ${r.getString(0)}")
+      assert(r.getLong(3) == est, s"est for ${r.getString(0)}")
+      assert(math.abs(r.getLong(4)) < 600000L,
+        s"KMV k=64 estimate off by >60%: $r")
+    }
+  }
 }

@@ -172,4 +172,37 @@ class GraphSpec extends GraftSuite {
       assert(scores.forall(v => v > 0L && v <= graft.operators.Graph.HitsUnit))
     }
   }
+
+  // --------------------------------------------------------------- q_bfs_depth
+  test("bfsDepth: hand chain gets exact hop distances, cut at maxDepth") {
+    import graft.operators.Graph
+    // undirected chain 1-2-3-4-5, seeded at 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsDepth(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      "node 5 is beyond maxDepth and must be omitted")
+  }
+
+  test("q_bfs_depth: seeds at depth 0, depths within bound") {
+    import graft.operators.Graph
+    val rows = SparkEntry.queries("q_bfs_depth")(spark, sf).collect()
+    val depth0 = rows.filter(_.getInt(1) == 0).map(_.getLong(0)).sorted
+    assert(depth0.nonEmpty && depth0.forall(_ <= Graph.BfsSeedMaxKey))
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= Graph.BfsMaxDepth))
+  }
+
+  // ------------------------------------------------------------- q_degree_dist
+  test("q_degree_dist: CCDF starts at 1e6, non-increasing, nodes conserved") {
+    val rows = SparkEntry.queries("q_degree_dist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(3) == 1000000L, "smallest bucket sees all nodes")
+    val ccdfs = rows.map(_.getLong(3))
+    assert(ccdfs.zip(ccdfs.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getLong(1)).sum ==
+      SparkEntry.queries("q_pagerank")(spark, sf).count(),
+      "bucket node counts must sum to the graph's node count")
+  }
 }
