@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators — the metric plumbing a training pipeline
+  * runs after a filter/classifier is fit: confusion-matrix precision/
+  * recall/F1, threshold-free ranking quality (AUC), and score
+  * calibration. The fixture carries no model outputs, so a binary
+  * classifier is PLANTED by id arithmetic (the q_label_vote precedent):
+  * the true label is doc_id % 2 and the score is an md5-derived ppm
+  * value boosted for positives, so scores correlate with labels without
+  * being perfect — every cell of every metric is replayable from doc_id
+  * alone by both engines, and all three queries stay non-degenerate
+  * (both classes, both error kinds, every score decile populated).
+  *
+  * Scale design (100 TB of scored examples):
+  *  - every query first reduces the corpus row-locally to (label,
+  *    pred) / (score, label) / (bucket, label), then aggregates with
+  *    map-side partials — the only shuffle carries the reduced key
+  *    space, never the corpus;
+  *  - AUC deliberately uses the RANK-SUM identity over the score
+  *    histogram (one cumulative window on the distinct-score frame),
+  *    not the O(n_pos·n_neg) pairwise join — the formulation that
+  *    survives a billion scored rows;
+  *  - everything is integer ppm with identical truncating-DIV order on
+  *    both engines (the q_lm_surprisal recipe), so results are
+  *    bit-stable on any partitioning. */
+object Eval {
+
+  /** Classifier decision threshold, in score ppm. */
+  val Threshold = 450000L
+
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val noise = TextFunctions
+      .md5Lower64(concat(lit("scr:"), $"doc_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      ($"doc_id" % 2).as("label"),
+      (noise % 600000L + ($"doc_id" % 2) * 300000L).as("score_ppm"))
+  }
+
+  private val plantedSql =
+    s"""SELECT doc_id, doc_id % 2 AS label,
+       |    CAST(md5_number_lower('scr:' || CAST(doc_id AS VARCHAR))
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) % 600000
+       |    + (doc_id % 2) * 300000 AS score_ppm
+       |  FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q_confusion
+  /** Per-class confusion-matrix metrics at the fixed threshold: support,
+    * predicted count, true positives, and precision/recall/F1 in exact
+    * ppm (F1 = 2·P·R DIV (P+R) — same division order both engines). */
+  private def confusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = planted(s, dir)
+      .select($"label", ($"score_ppm" >= Threshold).cast("long").as("pred"))
+    val cells = scored.groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
+    val wide = cells.agg(
+      sum(when($"label" === 1 && $"pred" === 1, $"n").otherwise(0L)).as("tp1"),
+      sum(when($"label" === 0 && $"pred" === 1, $"n").otherwise(0L)).as("fp1"),
+      sum(when($"label" === 1 && $"pred" === 0, $"n").otherwise(0L)).as("fn1"),
+      sum(when($"label" === 0 && $"pred" === 0, $"n").otherwise(0L)).as("tn1"))
+    val pos = wide.select(lit(1L).as("class"), ($"tp1" + $"fn1").as("support"),
+      ($"tp1" + $"fp1").as("n_pred"), $"tp1".as("tp"))
+    val neg = wide.select(lit(0L).as("class"), ($"tn1" + $"fp1").as("support"),
+      ($"tn1" + $"fn1").as("n_pred"), $"tn1".as("tp"))
+    pos.unionByName(neg)
+      .withColumn("precision_ppm", expr("tp * 1000000 DIV n_pred"))
+      .withColumn("recall_ppm", expr("tp * 1000000 DIV support"))
+      .withColumn("f1_ppm",
+        expr("2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)"))
+      .orderBy($"class")
+  }
+
+  private val confusionSql =
+    s"""WITH scored AS (
+       |  SELECT label,
+       |    CASE WHEN score_ppm >= $Threshold THEN 1 ELSE 0 END AS pred
+       |  FROM ($plantedSql)),
+       |wide AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp1,
+       |    CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp1,
+       |    CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn1,
+       |    CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn1
+       |  FROM scored),
+       |cls AS (
+       |  SELECT 1 AS class, tp1 + fn1 AS support, tp1 + fp1 AS n_pred,
+       |    tp1 AS tp FROM wide
+       |  UNION ALL
+       |  SELECT 0, tn1 + fp1, tn1 + fn1, tn1 FROM wide),
+       |m AS (
+       |  SELECT class, support, n_pred, tp,
+       |    tp * 1000000 // n_pred AS precision_ppm,
+       |    tp * 1000000 // support AS recall_ppm
+       |  FROM cls)
+       |SELECT class, support, n_pred, tp, precision_ppm, recall_ppm,
+       |  2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+       |    AS f1_ppm
+       |FROM m ORDER BY class""".stripMargin
+
+  // ---------------------------------------------------------------------- q_auc
+  /** Threshold-free ranking quality: AUC via the rank-sum identity
+    * 2U = 2·ΣR_pos − n_pos(n_pos+1), with tied scores handled exactly
+    * through doubled average ranks (a value group at cumulative offset
+    * c with n members contributes 2c + n + 1 per member). Equals the
+    * Mann–Whitney pairwise count — the q_mann_whitney identity — but
+    * computed in one cumulative window over the score HISTOGRAM. */
+  private def auc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = planted(s, dir)
+      .groupBy($"score_ppm")
+      .agg(count(lit(1)).as("n"), sum($"label").cast("long").as("n_pos"))
+    val wc = Window.orderBy($"score_ppm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = hist
+      .withColumn("c", coalesce(sum($"n").over(wc), lit(0L)))
+      .select(
+        sum($"n_pos" * (lit(2L) * $"c" + $"n" + 1L)).as("r2_pos"),
+        sum($"n_pos").as("np"), sum($"n" - $"n_pos").as("nn"))
+    contrib
+      .select($"np".as("n_pos"), $"nn".as("n_neg"),
+        ($"r2_pos" - $"np" * ($"np" + 1L)).as("u2"))
+      .withColumn("auc_ppm", expr("u2 * 1000000 DIV (2 * n_pos * n_neg)"))
+  }
+
+  private val aucSql =
+    s"""WITH hist AS (
+       |  SELECT score_ppm, COUNT(*) AS n,
+       |    CAST(SUM(label) AS BIGINT) AS n_pos
+       |  FROM ($plantedSql) GROUP BY 1),
+       |cum AS (
+       |  SELECT n, n_pos,
+       |    COALESCE(CAST(SUM(n) OVER (ORDER BY score_ppm
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS c
+       |  FROM hist),
+       |agg AS (
+       |  SELECT CAST(SUM(n_pos * (2 * c + n + 1)) AS BIGINT) AS r2_pos,
+       |    CAST(SUM(n_pos) AS BIGINT) AS np,
+       |    CAST(SUM(n - n_pos) AS BIGINT) AS nn
+       |  FROM cum)
+       |SELECT np AS n_pos, nn AS n_neg,
+       |  r2_pos - np * (np + 1) AS u2,
+       |  (r2_pos - np * (np + 1)) * 1000000 // (2 * np * nn) AS auc_ppm
+       |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------- q_calibration
+  /** Reliability diagram in exact integers: decile buckets of the score,
+    * per bucket the empirical positive rate vs the bucket midpoint — a
+    * calibrated scorer has gap ≈ 0; the planted one is deliberately
+    * mis-calibrated and the audit must say exactly how much. */
+  private def calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    planted(s, dir)
+      .groupBy(expr("score_ppm DIV 100000").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"label").cast("long").as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 DIV n"))
+      .withColumn("mid_ppm", $"bucket" * 100000L + 50000L)
+      .withColumn("gap_ppm", $"pos_rate_ppm" - $"mid_ppm")
+      .orderBy($"bucket")
+  }
+
+  private val calibrationSql =
+    s"""WITH b AS (
+       |  SELECT score_ppm // 100000 AS bucket, COUNT(*) AS n,
+       |    CAST(SUM(label) AS BIGINT) AS n_pos
+       |  FROM ($plantedSql) GROUP BY 1)
+       |SELECT bucket, n, n_pos,
+       |  n_pos * 1000000 // n AS pos_rate_ppm,
+       |  bucket * 100000 + 50000 AS mid_ppm,
+       |  n_pos * 1000000 // n - (bucket * 100000 + 50000) AS gap_ppm
+       |FROM b ORDER BY bucket""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),
+    NamedQuery("q_auc", auc, Some(aucSql), bench = true),
+    NamedQuery("q_calibration", calibration, Some(calibrationSql),
+      bench = true))
+}
