@@ -1658,7 +1658,80 @@ object Analytics {
        |FROM exact e JOIN kth k ON e.grp = k.grp
        |ORDER BY e.grp""".stripMargin
 
+  // --------------------------------------------------------------- q_bootstrap
+  /** Poisson bootstrap of the mean order value — the uncertainty
+    * quantification a pipeline attaches to any headline statistic
+    * ("mean quality score ± what?"). Classical resampling needs n draws
+    * WITH replacement per replica — undistributable; the Poisson
+    * bootstrap (Chamandy 2012, the web-scale standard) replaces it with
+    * an independent per-row replica weight ~ Poisson(1), here a
+    * DETERMINISTIC md5-driven draw from the Poisson(1) pmf quantized to
+    * thousandths (0:.368, 1:.368, 2:.184, 3:.061, 4:.019) so both
+    * engines produce the identical resample. Emits one row per replica
+    * (effective n, DECIMAL-routed total cents, integer mean) plus the
+    * replica's CI rank — the p05/p95 replica means ARE the bootstrap
+    * interval.
+    *
+    * Scale shape: row-local explode to B=20 (replica, weight) pairs —
+    * a bounded fan-out, the B-replica cost any bootstrap pays — then
+    * ONE aggregation with map-side partials straight to the B-row
+    * frame; the rank window runs on 20 rows. */
+  val BootstrapB = 20
+
+  private def bootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val reps = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        ($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+    val u = TextFunctions
+      .md5Lower64(concat(lit("boot:"), $"b".cast("string"), lit(":"),
+        $"o_orderkey".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)) % 1000L
+    val w = when(u < 368, 0L).when(u < 736, 1L).when(u < 920, 2L)
+      .when(u < 981, 3L).otherwise(4L)
+    val perRep = reps
+      .select($"b".cast("long").as("b"), w.as("w"), ($"cents" * w).as("wc"))
+      .groupBy($"b")
+      .agg(sum($"w").as("n_eff"), sum($"wc").as("total_cents"))
+      .withColumn("mean_cents", expr("total_cents DIV n_eff"))
+    perRep
+      .withColumn("ci_rank",
+        row_number().over(Window.orderBy($"mean_cents", $"b")))
+      .orderBy($"b")
+  }
+
+  private val bootstrapSql =
+    s"""WITH reps AS (
+       |  SELECT b,
+       |    CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+       |         WHEN u < 981 THEN 3 ELSE 4 END AS w,
+       |    cents
+       |  FROM (
+       |    SELECT o_orderkey,
+       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |        AS cents,
+       |      r.b,
+       |      CAST(md5_number_lower(
+       |          'boot:' || CAST(r.b AS VARCHAR) || ':'
+       |          || CAST(o_orderkey AS VARCHAR))
+       |        & ${Long.MaxValue}::UBIGINT AS BIGINT) % 1000 AS u
+       |    FROM orders
+       |    CROSS JOIN (SELECT unnest(range(0, $BootstrapB)) AS b) r)),
+       |agg AS (
+       |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |    CAST(SUM(cents * w) AS BIGINT) AS total_cents
+       |  FROM reps GROUP BY 1)
+       |SELECT b, n_eff, total_cents,
+       |  total_cents // n_eff AS mean_cents,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY total_cents // n_eff, b) AS INT)
+       |    AS ci_rank
+       |FROM agg ORDER BY b""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bootstrap", bootstrap, Some(bootstrapSql), bench = true),
     NamedQuery("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql),
       bench = true),
     NamedQuery("q_cusum", cusum, Some(cusumSql), bench = true),

@@ -752,7 +752,51 @@ object Corpus {
       |FROM c WHERE cum_chars <= budget
       |ORDER BY source, quality DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------------- q_ess
+  /** Effective sample size of the source mix — the data-mixing
+    * diagnostic: with per-source masses w_s (total chars here), ESS =
+    * (Σw)²/Σw² says how many EQUAL-SIZED sources the corpus effectively
+    * behaves like (n when balanced, →1 when one source dominates). The
+    * deficit vs the uniform baseline is exactly what temperature mixing
+    * (q_mix_weights) exists to repair, so this is its before/after
+    * gauge. Emitted in exact milli-sources plus a balance ratio in ppm
+    * — all integer, identical DIV order both engines.
+    *
+    * Scale shape: one per-source aggregation (map-side partials) to the
+    * sources-sized frame, then a single-row rollup. (Σw)² stays in a
+    * long up to ~3·10⁹ total mass — route through DECIMAL beyond. */
+  private def ess(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = Tables.documents(s, dir)
+      .groupBy($"source").agg(sum($"n_chars").cast("long").as("w"))
+    perSrc
+      .agg(count(lit(1)).as("n_sources"),
+        sum($"w").as("sum_w"),
+        sum($"w" * $"w").as("sum_w2"))
+      .select($"n_sources", $"sum_w",
+        expr("(sum_w * sum_w * 1000) DIV sum_w2").as("ess_milli"),
+        ($"n_sources" * 1000L).as("uniform_milli"),
+        expr("((sum_w * sum_w * 1000) DIV sum_w2) * 1000 DIV n_sources")
+          .as("balance_ppm"))
+  }
+
+  private val essSql =
+    """WITH w AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |a AS (
+      |  SELECT COUNT(*) AS n_sources, CAST(SUM(w) AS BIGINT) AS sum_w,
+      |    CAST(SUM(w * w) AS BIGINT) AS sum_w2
+      |  FROM w)
+      |SELECT n_sources, sum_w,
+      |  (sum_w * sum_w * 1000) // sum_w2 AS ess_milli,
+      |  n_sources * 1000 AS uniform_milli,
+      |  ((sum_w * sum_w * 1000) // sum_w2) * 1000 // n_sources
+      |    AS balance_ppm
+      |FROM a""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ess", ess, Some(essSql), bench = true),
     NamedQuery("q_split_stratified", splitStratified, Some(splitStratifiedSql),
       bench = true),
     NamedQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql),

@@ -182,7 +182,60 @@ object Eval {
        |  n_pos * 1000000 // n - (bucket * 100000 + 50000) AS gap_ppm
        |FROM b ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------- q_lift
+  /** Cumulative gain / lift curve — "if I take the top-k% by score, what
+    * fraction of the positives do I capture, and how much better than
+    * random is that?" Deciles DESCENDING by score; per decile the
+    * cumulative capture rate and lift vs the base rate, all in exact
+    * ppm. With the mis-calibrated-but-discriminative plant, the top
+    * decile's lift must exceed 1× and the full-curve terminal lift is
+    * exactly 1000000 (everything captured = base rate), which the spec
+    * pins.
+    *
+    * Scale shape: same histogram reduction as q_auc (score deciles ×
+    * label counts map-side), then windows over the 9-row bucket frame.
+    * The triple product cum_pos·tot_n·10⁶ stays in a long below ~10⁹
+    * rows; beyond that route it through DECIMAL (q_winsorize recipe). */
+  private def lift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = planted(s, dir)
+      .groupBy(expr("score_ppm DIV 100000").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"label").cast("long").as("n_pos"))
+    val wc = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(
+        b.agg(sum($"n").as("tot_n"), sum($"n_pos").as("tot_pos"))))
+      .withColumn("cum_n", sum($"n").over(wc))
+      .withColumn("cum_pos", sum($"n_pos").over(wc))
+      .select($"bucket", $"cum_n", $"cum_pos",
+        expr("cum_pos * 1000000 DIV tot_pos").as("capture_ppm"),
+        expr("(cum_pos * tot_n * 1000000) DIV (cum_n * tot_pos)")
+          .as("lift_ppm"))
+      .orderBy($"bucket".desc)
+  }
+
+  private val liftSql =
+    s"""WITH b AS (
+       |  SELECT score_ppm // 100000 AS bucket, COUNT(*) AS n,
+       |    CAST(SUM(label) AS BIGINT) AS n_pos
+       |  FROM ($plantedSql) GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+       |             CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM b),
+       |c AS (
+       |  SELECT bucket,
+       |    CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+       |    CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos
+       |  FROM b
+       |  WINDOW w AS (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT bucket, cum_n, cum_pos,
+       |  cum_pos * 1000000 // tot_pos AS capture_ppm,
+       |  (cum_pos * tot_n * 1000000) // (cum_n * tot_pos) AS lift_ppm
+       |FROM c CROSS JOIN t
+       |ORDER BY bucket DESC""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_lift", lift, Some(liftSql), bench = true),
     NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),
     NamedQuery("q_auc", auc, Some(aucSql), bench = true),
     NamedQuery("q_calibration", calibration, Some(calibrationSql),
