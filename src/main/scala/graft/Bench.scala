@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   * paths — NOT the small-n brute-force oracles) against
   * `SPARK_GRAFT_SF_DIR`, and emits ONE JSON metric line.
   *
-  * The line is printed to stdout AND written to `SPARK_GRAFT_BENCH_OUT`
-  * (default `BENCH.json` in the cwd) so the driver's parser never has to
-  * fish it out of sbt log noise. Failures are reported explicitly in a
-  * `"failures"` map — a failed query contributes 0 to the timing total
-  * instead of a bogus negative number.
+  * The FULL line (per-query secs + scan/shuffle bytes + failures) is
+  * written to `SPARK_GRAFT_BENCH_OUT` (default `BENCH.json` in the cwd);
+  * stdout gets a COMPACT variant (total + slowest queries, ≤1.8 KB)
+  * because the driver parses only the tail of captured output — rounds
+  * 3-4 proved a ~10 KB stdout line lands as parsed:null. Failures are
+  * reported explicitly in a `"failures"` map — a failed query contributes
+  * 0 to the timing total instead of a bogus negative number.
   */
 object Bench {
   import org.apache.spark.sql.execution.SparkPlan
@@ -104,15 +106,31 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def sec(v: Double) = f"$v%.3f"
+    val qs = times.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val bs = bytes.map { case (k, v) => s"${jstr(k)}:${fmtBytes(v)}" }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
-    // The one stdout line the driver parses; everything else is WARN-level.
-    println(line)
+    // The driver captures only the TAIL of stdout (~2 KB in rounds 3-4,
+    // where the full ~10 KB line landed unparseable: BENCH_r03/r04 both
+    // show parsed:null). So stdout gets a COMPACT line — total + the
+    // slowest queries, trimmed to fit a 1.8 KB tail window — while the
+    // full per-query timings/bytes/failures always go to `outPath`.
+    var slowest = times.sortBy(-_._2)
+    var compact = ""
+    def render(ts: Vector[(String, Double)]): String = {
+      val m = ts.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"n_queries":${times.size},"n_failed":${failures.size},"runs":$runs,"agg":"min","queries_note":"slowest ${ts.size} of ${times.size}; full detail in $outPath","sf":${jstr(sfDir)}}"""
+    }
+    compact = render(slowest)
+    while (compact.length > 1800 && slowest.nonEmpty) {
+      slowest = slowest.dropRight(math.max(1, slowest.size / 4))
+      compact = render(slowest)
+    }
+    println(compact)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -1599,6 +1599,11 @@ object Analytics {
     * multisets — exactly what a 1000-executor merge would combine.
     * Emits the exact distinct count next to the estimate with the
     * signed error in ppm, so a sketch regression is a hash mismatch.
+    * Groups with fewer than k distinct members have no k-th minimum;
+    * per the standard KMV small-sketch rule their sketch holds every
+    * value, so the estimate IS the exact count (LEFT join + fallback —
+    * an inner join would silently drop them). The planted `__small__`
+    * group keeps that branch driver-visible.
     *
     * Scale shape: DISTINCT (group, member) collapses map-side; ranking
     * the k minima is one window over the distinct-pair frame (per-task
@@ -1606,14 +1611,23 @@ object Analytics {
     * aggregate makes even that O(k)); everything after is k-sized. */
   val KmvK = 64
 
+  /** Members below this bound seed the planted `__small__` group —
+    * chosen so the group has fewer than [[KmvK]] distinct members and
+    * the exact-count fallback branch is driver-visible. */
+  val SmallGroupBound = 50
+
   private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions
     val pairs = Tables.orders(s, dir)
       .select($"o_orderpriority".as("grp"), $"o_custkey".as("member"))
       .distinct()
+    // `__small__` plants a group with < K distinct members so the
+    // sketch-not-full fallback below is exercised, not just argued.
     val both = pairs.unionByName(
-      pairs.select(lit("__union__").as("grp"), $"member").distinct())
+        pairs.select(lit("__union__").as("grp"), $"member").distinct())
+      .unionByName(pairs.filter($"member" < SmallGroupBound)
+        .select(lit("__small__").as("grp"), $"member").distinct())
     val hashed = both.select($"grp",
       TextFunctions.md5Lower64(concat(lit("kmv:"), $"member".cast("string")))
         .bitwiseAND(lit(Long.MaxValue)).as("h"))
@@ -1622,10 +1636,15 @@ object Analytics {
       .filter($"rn" === KmvK)
       .select($"grp", $"h".as("kth_min"))
     val exact = both.groupBy($"grp").agg(count(lit(1)).as("exact_distinct"))
-    exact.join(kth, Seq("grp"))
+    // LEFT join + fallback: a group with < K distinct members has no
+    // K-th minimum — its sketch holds every hash, so the standard KMV
+    // small-sketch rule applies and the exact count IS the estimate
+    // (err_ppm 0). An inner join here would silently drop such groups.
+    exact.join(kth, Seq("grp"), "left")
       .select($"grp", $"exact_distinct", $"kth_min",
-        (expr(s"${Long.MaxValue} DIV kth_min") * (KmvK - 1))
-          .as("est_distinct"))
+        when($"kth_min".isNotNull,
+          expr(s"${Long.MaxValue} DIV kth_min") * (KmvK - 1))
+          .otherwise($"exact_distinct").as("est_distinct"))
       .withColumn("err_ppm",
         expr("(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"))
       .orderBy($"grp")
@@ -1637,7 +1656,9 @@ object Analytics {
        |  FROM orders),
        |both_v AS (
        |  SELECT grp, member FROM pairs
-       |  UNION ALL SELECT DISTINCT '__union__' AS grp, member FROM pairs),
+       |  UNION ALL SELECT DISTINCT '__union__' AS grp, member FROM pairs
+       |  UNION ALL SELECT DISTINCT '__small__' AS grp, member FROM pairs
+       |    WHERE member < $SmallGroupBound),
        |hashed AS (
        |  SELECT grp,
        |    CAST(md5_number_lower('kmv:' || CAST(member AS VARCHAR))
@@ -1650,13 +1671,16 @@ object Analytics {
        |    FROM hashed)
        |  WHERE rn = $KmvK),
        |exact AS (
-       |  SELECT grp, COUNT(*) AS exact_distinct FROM both_v GROUP BY 1)
-       |SELECT e.grp, e.exact_distinct, k.kth_min,
-       |  (${Long.MaxValue} // kth_min) * ${KmvK - 1} AS est_distinct,
-       |  ((${Long.MaxValue} // kth_min) * ${KmvK - 1} - e.exact_distinct)
-       |    * 1000000 // e.exact_distinct AS err_ppm
-       |FROM exact e JOIN kth k ON e.grp = k.grp
-       |ORDER BY e.grp""".stripMargin
+       |  SELECT grp, COUNT(*) AS exact_distinct FROM both_v GROUP BY 1),
+       |est AS (
+       |  SELECT e.grp, e.exact_distinct, k.kth_min,
+       |    COALESCE((${Long.MaxValue} // k.kth_min) * ${KmvK - 1},
+       |      e.exact_distinct) AS est_distinct
+       |  FROM exact e LEFT JOIN kth k ON e.grp = k.grp)
+       |SELECT grp, exact_distinct, kth_min, est_distinct,
+       |  (est_distinct - exact_distinct) * 1000000 // exact_distinct
+       |    AS err_ppm
+       |FROM est ORDER BY grp""".stripMargin
 
   // --------------------------------------------------------------- q_bootstrap
   /** Poisson bootstrap of the mean order value — the uncertainty

@@ -4,6 +4,7 @@ import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-governance audits a training-data pipeline runs before release:
   * k-anonymity over quasi-identifiers (can any row be re-identified from
@@ -368,9 +369,13 @@ object Audit {
     * Chi-square is RATIONAL in the counts, so the whole
     * audit is integer-quantized — `term = (d² DIV (rt·ct))·1e6 DIV N`
     * with `d = O·N − rt·ct` — the identical operation order in both
-    * engines, bit-stable on any partitioning (d² ≤ min(rt,ct)²·N², so
-    * every intermediate fits a long at any corpus where a cell count
-    * fits an int).
+    * engines, bit-stable on any partitioning. Since |d| can reach
+    * min(rt,ct)·N, d² overflows a long once min(rt,ct)·N exceeds
+    * ~3.0e9, so d and d² are routed through DECIMAL(38,0) on the Spark
+    * side and HUGEINT in the oracle; the quotient d²/(rt·ct) is
+    * bounded by N·(O−E)²/E ≤ N², so the audit is exact for any corpus
+    * with N ≤ ~3e9 docs, and the DIV sequence surfaces (rather than
+    * wraps) beyond that.
     *
     * Scale shape: one keyed aggregation to (source, lang) cells
     * (map-side partials); margins, the zero-cell completion cross join,
@@ -386,10 +391,14 @@ object Audit {
       .join(cells, Seq("source", "lang"), "left")
       .na.fill(0L, Seq("obs"))
       .withColumn("n", sum($"obs").over(Window.partitionBy()))
-      .withColumn("d", $"obs" * $"n" - $"rt" * $"ct")
+      .withColumn("d",
+        $"obs".cast(DecimalType(38, 0)) * $"n"
+          - $"rt".cast(DecimalType(38, 0)) * $"ct")
+      .withColumn("rc", $"rt".cast(DecimalType(38, 0)) * $"ct")
       .select($"source", $"lang", $"obs",
-        expr("rt * ct * 1000 DIV n").as("expected_milli"),
-        expr("(d * d DIV (rt * ct)) * 1000000 DIV n").as("term_micro"))
+        expr("rc * 1000 DIV n").as("expected_milli"),
+        expr("CAST(d * d DIV rc AS DECIMAL(38,0)) * 1000000 DIV n")
+          .as("term_micro"))
     val total = full.agg(
       sum($"obs").as("obs"),
       sum($"expected_milli").as("expected_milli"),
@@ -414,9 +423,12 @@ object Audit {
       |  FROM full0),
       |full2 AS (
       |  SELECT source, lang, obs,
-      |    rt * ct * 1000 // n AS expected_milli,
-      |    ((obs * n - rt * ct) * (obs * n - rt * ct) // (rt * ct))
-      |      * 1000000 // n AS term_micro
+      |    CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT)
+      |      AS expected_milli,
+      |    CAST(((CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+      |           * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+      |           // (CAST(rt AS HUGEINT) * ct))
+      |      * 1000000 // n AS BIGINT) AS term_micro
       |  FROM full1),
       |u AS (
       |  SELECT source, lang, obs, expected_milli, term_micro FROM full2

@@ -155,10 +155,14 @@ object Checks {
     * The schema-inference / constraint-mining primitive (profiling
     * suites run batteries of these): for each candidate FD, report how
     * many determinant values exist, how many VIOLATE (map to >1 distinct
-    * dependent value), and the worst fan-out. One FD that genuinely
-    * holds (l_orderkey → o_custkey through the order) and one that
-    * genuinely fails (o_custkey → o_orderpriority: customers order at
-    * many priorities) keep both detector directions on the hook.
+    * dependent value), and the worst fan-out. Three candidates keep
+    * both detector directions honest: the single-table PK FD
+    * o_orderkey → o_custkey (trivially holds), the CROSS-TABLE FD
+    * l_orderkey → o_custkey through the lineitem⨝orders join (holds:
+    * every line of an order belongs to that order's customer — one
+    * equi-join shuffle on the order key feeds the same agg), and
+    * o_custkey → o_orderpriority (genuinely fails: customers order at
+    * many priorities).
     *
     * Scale shape: per FD one hash-agg keyed on the determinant (map-side
     * partial count-distinct via the two-level groupBy), reduced to a
@@ -180,10 +184,17 @@ object Checks {
     val held = fdViolations(orders, "o_orderkey", "o_custkey")
       .select(lit("o_orderkey->o_custkey").as("fd"), $"n_lhs_values",
         $"n_violating", $"max_fanout")
+    val crossTable = fdViolations(
+      Tables.lineitem(s, dir).select($"l_orderkey")
+        .join(orders.select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey"),
+      "l_orderkey", "o_custkey")
+      .select(lit("l_orderkey->o_custkey").as("fd"), $"n_lhs_values",
+        $"n_violating", $"max_fanout")
     val violated = fdViolations(orders, "o_custkey", "o_orderpriority")
       .select(lit("o_custkey->o_orderpriority").as("fd"), $"n_lhs_values",
         $"n_violating", $"max_fanout")
-    held.unionByName(violated)
+    held.unionByName(crossTable).unionByName(violated)
       .select($"fd", $"n_lhs_values", $"n_violating", $"max_fanout",
         ($"n_violating" === 0).as("holds"))
       .orderBy($"fd")
@@ -202,7 +213,15 @@ object Checks {
       |    MAX(n_rhs) AS max_fanout
       |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
       |        FROM orders GROUP BY 1)),
-      |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+      |f3 AS (
+      |  SELECT 'l_orderkey->o_custkey' AS fd, COUNT(*) AS n_lhs_values,
+      |    SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+      |    MAX(n_rhs) AS max_fanout
+      |  FROM (SELECT l_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
+      |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |        GROUP BY 1)),
+      |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f3
+      |      UNION ALL SELECT * FROM f2)
       |SELECT fd, n_lhs_values, CAST(n_violating AS BIGINT) AS n_violating,
       |  max_fanout, n_violating = 0 AS holds
       |FROM u ORDER BY fd""".stripMargin

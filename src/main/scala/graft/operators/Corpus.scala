@@ -635,8 +635,15 @@ object Corpus {
         (graft.functions.TextFunctions
           .md5Lower64(concat(lit("cur:"), $"doc_id".cast("string")))
           .bitwiseAND(lit(Long.MaxValue))).as("shuf"))
+      // band width %06d covers n_chars < 1e8 (a 100 MB document); past
+      // that the lexicographic key would diverge from numeric ORDER BY,
+      // so the width invariant is asserted here and spec'd in
+      // CorpusSpec rather than silently mis-sorting.
       .withColumn("ck",
-        format_string("%03d|%019d|%010d", $"band", $"shuf", $"doc_id"))
+        when($"band" < 1000000,
+          format_string("%06d|%019d|%010d", $"band", $"shuf", $"doc_id"))
+          .otherwise(raise_error(concat(lit(
+            "curriculum band overflows %06d key width: "), $"band"))))
     globalIndex(keyed, "ck")
       .select($"doc_id", $"band", $"global_idx".as("curriculum_pos"))
       .orderBy($"curriculum_pos")

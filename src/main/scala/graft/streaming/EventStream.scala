@@ -38,13 +38,21 @@ object EventStream {
   /** File-source stream over an events parquet path (file or directory
     * glob), with the nanos→micros timestamp conversion of Tables.events.
     * A single-FILE path streams via its parent directory + pathGlobFilter
-    * (the streaming parquet source requires a directory basePath). */
+    * (the streaming parquet source requires a directory basePath). The
+    * file-vs-directory probe goes through the Hadoop FileSystem API, not
+    * java.io.File, so an `hdfs://`/`s3a://` single-file path takes the
+    * same parent-dir branch as a local one; a path that doesn't resolve
+    * yet (e.g. a glob or a not-yet-created stream dir) streams as-is. */
   def readEvents(s: SparkSession, path: String): DataFrame = {
-    val f = new java.io.File(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isFile =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isFile
+      catch { case _: java.io.IOException => false }
     val src =
-      if (f.isFile)
+      if (isFile)
         s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+          .option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
       else s.readStream.schema(rawSchema).parquet(path)
     src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -441,4 +441,34 @@ class CorpusSpec extends GraftSuite {
     assert(out.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
     rmTree(new java.io.File(dir))
   }
+
+  test("curriculum: band at the %06d width limit sorts; past it raises") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val charsType = docs.schema("n_chars").dataType
+    val minId = docs.agg(min(col("doc_id"))).head.getLong(0)
+    // n_chars = 1e8 - 1 -> band 999999: the widest value %06d holds
+    val okDir = java.nio.file.Files.createTempDirectory("currok").toString
+    docs.withColumn("n_chars",
+        when(col("doc_id") === minId, lit(99999999L).cast(charsType))
+          .otherwise(col("n_chars")))
+      .write.mode("overwrite").parquet(s"$okDir/documents.parquet")
+    val atLimit = SparkEntry.queries("q_curriculum")(spark, okDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(atLimit.filter(_._1 == minId).head._2 == 999999L)
+    assert(atLimit.maxBy(_._3)._1 == minId,
+      "the hardest (longest) doc must land last in the schedule")
+    rmTree(new java.io.File(okDir))
+    // n_chars = 1e8 -> band 1000000: overflows the key width -> raises
+    val ovDir = java.nio.file.Files.createTempDirectory("currov").toString
+    docs.withColumn("n_chars",
+        when(col("doc_id") === minId, lit(100000000L).cast(charsType))
+          .otherwise(col("n_chars")))
+      .write.mode("overwrite").parquet(s"$ovDir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_curriculum")(spark, ovDir).collect()
+    }
+    assert(e.getMessage != null)
+    rmTree(new java.io.File(ovDir))
+  }
 }
