@@ -21,21 +21,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read it as an epoch-nanos long and convert to a microsecond
-    * TimestampType column (hour-level bucketing is unaffected). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`: pinned in the in-repo
-    * session builders (Verify/Bench/SparkSpec), and set here once for
-    * externally built sessions (guarded — no repeated conf mutation). */
+  /** `events.ts` normalizes to a microsecond TimestampType (LTZ, session
+    * TZ pinned UTC) column regardless of how the fixture was written —
+    * driver generations have shipped it both as Parquet TIMESTAMP(NANOS)
+    * (read as an epoch-nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Branching on the LOADED type keeps every
+    * downstream `unix_micros(ts)` identical across generations. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (s.conf.getOption(key).forall(_ != "true")) s.conf.set(key, "true")
-    // integer DIV, not `/1000` — epoch NANOS (~1.7e18) exceeds a double's
-    // 53-bit integer range, so float division can land ±1µs off the
-    // truncated value DuckDB's epoch_us computes
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV, not `/1000` — epoch NANOS (~1.7e18) exceeds a
+        // double's 53-bit integer range, so float division can land ±1µs
+        // off the truncated value DuckDB's epoch_us computes
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // NTZ micros reinterpreted in the UTC session zone — bit-identical
+        // micros, and DuckDB reads the same file as a plain timestamp
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

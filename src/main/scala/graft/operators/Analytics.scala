@@ -1754,7 +1754,162 @@ object Analytics {
        |    AS ci_rank
        |FROM agg ORDER BY b""".stripMargin
 
+  // --------------------------------------------------------------------- q_acf
+  /** Autocorrelation function of the monthly revenue series at lags
+    * 1..6 — the serial-dependence diagnostic behind seasonality and
+    * forecast-model choice (q_seasonality assumes a period; the ACF is
+    * what REVEALS one). Mean-centering is made division-free by the
+    * q_cusum n-scaling: ndx_i = n·x_i − S is an exact integer in cents,
+    * and r_k = Σ ndx_i·ndx_{i+k} / Σ ndx_i² — the n² factors cancel, so
+    * both engines run identical integer sums (DECIMAL(19)×DECIMAL(19)
+    * products) and one final 9dp-rounded double division (the
+    * q_assortativity recipe).
+    *
+    * Scale shape: ONE corpus-scale aggregation collapses the fact table
+    * to the months-sized series with map-side partials; the lag
+    * pairing, windows, and sums all run on that tiny frame (a
+    * months-grid never exceeds thousands of rows at any corpus size —
+    * the single-partition window is bounded by construction). */
+  val AcfMaxLag = 6
+
+  private def acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy($"month")
+    val d19 = DecimalType(19, 0)
+    val m = monthly
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s_total", sum($"cents").over(Window.partitionBy()))
+      .select($"i", $"n", ($"n" * $"cents" - $"s_total").cast(d19).as("ndx"))
+    val den = m.agg(sum($"ndx" * $"ndx").cast(DecimalType(38, 0)).as("den"),
+      max($"n").as("n_months"))
+    val a = m.select($"i", $"ndx".as("ndx_a"))
+      .withColumn("lag_k", explode(sequence(lit(1), lit(AcfMaxLag))))
+    val num = a.join(m.select($"i".as("j"), $"ndx".as("ndx_b")),
+        $"j" === $"i" + $"lag_k")
+      .groupBy($"lag_k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"ndx_a" * $"ndx_b").cast(DecimalType(38, 0)).as("num"))
+    // num/den exceed int64 (cents² sums): emit the exact integers as
+    // STRINGS — decimal→varchar is digit-exact on both engines, where
+    // decimal→pandas would lose them to a float
+    num.crossJoin(broadcast(den))
+      .select($"lag_k", $"n_months", $"n_pairs",
+        $"num".cast("string").as("num"), $"den".cast("string").as("den"),
+        round($"num".cast("double") / $"den".cast("double"), 9).as("acf"))
+      .orderBy($"lag_k")
+  }
+
+  private val acfSql =
+    s"""WITH monthly AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i,
+       |    COUNT(*) OVER () AS n,
+       |    CAST(COUNT(*) OVER () * cents - SUM(cents) OVER ()
+       |      AS DECIMAL(19,0)) AS ndx
+       |  FROM monthly),
+       |den AS (
+       |  SELECT CAST(SUM(ndx * ndx) AS DECIMAL(38,0)) AS den,
+       |    MAX(n) AS n_months FROM m),
+       |num AS (
+       |  SELECT lag_k, COUNT(*) AS n_pairs,
+       |    CAST(SUM(a.ndx * b.ndx) AS DECIMAL(38,0)) AS num
+       |  FROM m a
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag_k)
+       |  JOIN m b ON b.i = a.i + lag_k
+       |  GROUP BY lag_k)
+       |SELECT lag_k, n_months, n_pairs,
+       |  CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS acf
+       |FROM num CROSS JOIN den ORDER BY lag_k""".stripMargin
+
+  // --------------------------------------------------------------- q_count_min
+  /** Count-Min sketch (Cormode–Muthukrishnan 2005) over the corpus word
+    * stream — the bounded-memory frequency table that answers "how often
+    * does term X occur?" without holding the vocabulary: d=4 hash rows ×
+    * w=512 buckets of summed counts, point estimate = min over rows,
+    * overestimate-only by construction. Like q_kmv_distinct the whole
+    * sketch is DETERMINISTIC and oracle-able: bucket hashes are
+    * md5-lower-64 (= DuckDB md5_number_lower) masked non-negative mod w,
+    * every cell is an exact integer sum, and the audit emits est − exact
+    * (≥ 0 always — a negative value means the sketch is broken) plus the
+    * error in ppm for the top-20 exact terms, so a hash-function or
+    * merge regression is a driver-visible hash mismatch.
+    *
+    * Scale shape: the corpus reduces to (word, count) with map-side
+    * partials — the only corpus-scale shuffle; the 2048-cell counter
+    * frame aggregates from that and broadcasts back onto the probe
+    * words. Cells sum counts, so sketches from disjoint partitions merge
+    * by cell-wise addition — the mergeability a 1000-executor build
+    * relies on. */
+  val CmDepth = 4
+  val CmWidth = 512L
+  val CmProbeK = 20
+
+  private def countMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val wc = Tables.documents(s, dir)
+      .select(explode(split($"text", " ", -1)).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val hashed = wc
+      .withColumn("j", explode(sequence(lit(0), lit(CmDepth - 1))))
+      .withColumn("bucket",
+        TextFunctions.md5Lower64(
+          concat(lit("cm"), $"j".cast("string"), lit(":"), $"word"))
+          .bitwiseAND(lit(Long.MaxValue)) % CmWidth)
+    val counters = hashed.groupBy($"j", $"bucket").agg(sum($"c").as("cell"))
+    val top = wc.orderBy($"c".desc, $"word").limit(CmProbeK)
+    top
+      .withColumn("j", explode(sequence(lit(0), lit(CmDepth - 1))))
+      .withColumn("bucket",
+        TextFunctions.md5Lower64(
+          concat(lit("cm"), $"j".cast("string"), lit(":"), $"word"))
+          .bitwiseAND(lit(Long.MaxValue)) % CmWidth)
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy($"word", $"c").agg(min($"cell").as("n_est"))
+      .select($"word", $"c".as("n_exact"), $"n_est",
+        ($"n_est" - $"c").as("over_count"),
+        expr("(n_est - c) * 1000000 DIV c").as("over_ppm"))
+      .orderBy($"word")
+  }
+
+  private val countMinSql =
+    s"""WITH wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |h AS (
+       |  SELECT word, c, j,
+       |    CAST(md5_number_lower('cm' || j || ':' || word)
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) % $CmWidth AS bucket
+       |  FROM wc CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS j)),
+       |counters AS (
+       |  SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cell
+       |  FROM h GROUP BY 1, 2),
+       |top AS (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT $CmProbeK),
+       |est AS (
+       |  SELECT t.word, t.c, MIN(cell) AS n_est
+       |  FROM top t
+       |  JOIN h ON t.word = h.word
+       |  JOIN counters USING (j, bucket)
+       |  GROUP BY 1, 2)
+       |SELECT word, c AS n_exact, n_est, n_est - c AS over_count,
+       |  (n_est - c) * 1000000 // c AS over_ppm
+       |FROM est ORDER BY word""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_count_min", countMin, Some(countMinSql), bench = true),
+    NamedQuery("q_acf", acf, Some(acfSql), bench = true),
     NamedQuery("q_bootstrap", bootstrap, Some(bootstrapSql), bench = true),
     NamedQuery("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql),
       bench = true),

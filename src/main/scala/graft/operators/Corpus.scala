@@ -802,7 +802,106 @@ object Corpus {
       |    AS balance_ppm
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------------------ q_bloom_fpr
+  /** Deterministic Bloom-filter membership audit with a MEASURED false-
+    * positive rate — the companion to q_incremental_dedup_bloom, which
+    * uses Spark's opaque sketch and can only argue its ~1% fp claim.
+    * Here the filter is fully replayable: k=3 bit positions per digest
+    * from md5-lower-64 (= DuckDB md5_number_lower) mod m=8192, built
+    * over the history half of the corpus and probed with EVERY doc.
+    * The audit emits one row pinning the two Bloom invariants a sketch
+    * regression would break: zero false negatives (every true member
+    * flags) and the exact false-positive count among true non-members,
+    * with the realized fpr in ppm next to it.
+    *
+    * Scale shape: history reduces to ≤ m distinct set-bit rows (the
+    * filter itself — broadcast back to the probe side); probes generate
+    * k position rows map-side and hit the broadcast bit set; the only
+    * corpus-keyed shuffle is the exact-membership digest join that
+    * produces the ground truth the fpr is measured against. */
+  val BloomFprBits = 8192L
+  val BloomFprK = 3
+
+  private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("digest"),
+        saltedSlice("split:", $"doc_id").as("half"))
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("i", explode(sequence(lit(0), lit(BloomFprK - 1))))
+      .withColumn("pos",
+        TextFunctions.md5Lower64(
+          concat(lit("bf"), $"i".cast("string"), lit(":"), $"digest"))
+          .bitwiseAND(lit(Long.MaxValue)) % BloomFprBits)
+    val history = docs.filter($"half" < "8")
+    val bits = positions(history).select($"pos").distinct()
+    val flagged = positions(docs)
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy($"doc_id", $"digest")
+      .agg((sum(coalesce($"hit", lit(0L))) === BloomFprK).as("flagged"))
+    val truth = flagged.join(
+      history.select($"digest", lit(true).as("member")).distinct(),
+      Seq("digest"), "left")
+      .withColumn("member", coalesce($"member", lit(false)))
+    truth.agg(
+      sum(when($"member", 1L).otherwise(0L)).as("n_member"),
+      count(lit(1)).as("n_probe"),
+      sum(when($"flagged", 1L).otherwise(0L)).as("n_flagged"),
+      sum(when($"member" && !$"flagged", 1L).otherwise(0L))
+        .as("n_false_neg"),
+      sum(when(!$"member" && $"flagged", 1L).otherwise(0L))
+        .as("n_false_pos"))
+      .withColumn("fpr_ppm",
+        expr("n_false_pos * 1000000 DIV (n_probe - n_member)"))
+  }
+
+  private val bloomFprSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, md5(text) AS digest,
+       |    ${saltedSliceSql("split:", "doc_id")} AS half
+       |  FROM documents),
+       |hist AS (SELECT * FROM docs WHERE half < '8'),
+       |bits AS (
+       |  SELECT DISTINCT
+       |    CAST(md5_number_lower('bf' || i || ':' || digest)
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) % $BloomFprBits AS pos
+       |  FROM hist CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${BloomFprK - 1})) AS i)),
+       |probe AS (
+       |  SELECT doc_id, digest,
+       |    CAST(md5_number_lower('bf' || i || ':' || digest)
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) % $BloomFprBits AS pos
+       |  FROM docs CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${BloomFprK - 1})) AS i)),
+       |flagged AS (
+       |  SELECT doc_id, digest,
+       |    SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = $BloomFprK
+       |      AS flagged
+       |  FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT f.doc_id, f.flagged,
+       |    EXISTS (SELECT 1 FROM hist h WHERE h.digest = f.digest) AS member
+       |  FROM flagged f)
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_member,
+       |    CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |    CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flagged,
+       |    CAST(SUM(CASE WHEN member AND NOT flagged THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_false_neg,
+       |    CAST(SUM(CASE WHEN NOT member AND flagged THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_false_pos
+       |  FROM truth)
+       |SELECT n_member, n_probe, n_flagged, n_false_neg, n_false_pos,
+       |  n_false_pos * 1000000 // (n_probe - n_member) AS fpr_ppm
+       |FROM agg""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bloom_fpr", bloomFpr, Some(bloomFprSql), bench = true),
     NamedQuery("q_ess", ess, Some(essSql), bench = true),
     NamedQuery("q_split_stratified", splitStratified, Some(splitStratifiedSql),
       bench = true),

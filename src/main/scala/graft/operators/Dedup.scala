@@ -1066,7 +1066,93 @@ object Dedup {
        |FROM a GROUP BY text HAVING COUNT(*) >= 2
        |ORDER BY keep_id""".stripMargin
 
+  // -------------------------------------------------------------- q_containment
+  /** ASYMMETRIC n-gram containment — |grams(A) ∩ grams(B)| / |grams(A)|
+    * — the near-dup signal Jaccard structurally misses: a short doc
+    * fully quoted inside a long one has tiny Jaccard (union is large)
+    * but containment ≈ 1 on the short side. This is the scalable
+    * SHARED-GRAM JOIN formulation, not an all-pairs scan: grams hash to
+    * md5-lower-64 (8 bytes on the wire, = DuckDB md5_number_lower so
+    * the oracle replays them), a df-cap drops boilerplate hub grams
+    * (bounding per-gram join fanout to DfCap² pairs — the same
+    * truncation contract as q_inverted_index), and only pairs sharing
+    * at least one informative gram ever materialize. Both containment
+    * directions are reported in exact integer ppm over the CAPPED gram
+    * universe (denominator = informative grams of that side, stated
+    * contract — mirrored in the oracle).
+    *
+    * Scale shape: explode grams once, one gram-keyed shuffle for df +
+    * pair generation, per-doc gram counts broadcast back; output is
+    * threshold-filtered so only near-containment pairs survive. */
+  val ContainmentDfCap = 20L
+  val ContainmentMinPpm = 500000L
+
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles($"text")).as("gram"))
+      .select($"doc_id", TextFunctions.md5Lower64($"gram").as("g"))
+      .distinct()
+    val informative = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"df" <= ContainmentDfCap)
+      .select($"doc_id", $"g")
+    val sizes = informative.groupBy($"doc_id").agg(count(lit(1)).as("n_g"))
+    val shared = informative.select($"doc_id".as("doc_a"), $"g")
+      .join(informative.select($"doc_id".as("doc_b"), $"g"), Seq("g"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_g".as("n_a"))),
+        Seq("doc_a"))
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_g".as("n_b"))),
+        Seq("doc_b"))
+      .withColumn("cont_a_ppm", expr("n_shared * 1000000 DIV n_a"))
+      .withColumn("cont_b_ppm", expr("n_shared * 1000000 DIV n_b"))
+      .filter($"cont_a_ppm" >= ContainmentMinPpm ||
+        $"cont_b_ppm" >= ContainmentMinPpm)
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_shared",
+        $"cont_a_ppm", $"cont_b_ppm")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val containmentSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  -- g is ONLY a join key (never output), so the UBIGINT stays
+       |  -- uncast: any bijection of md5-lower-64 joins identically
+       |  SELECT DISTINCT doc_id, md5_number_lower(gram) AS g
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+       |      THEN list_transform(generate_series(1, len(w) - 2),
+       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END)) AS gram
+       |    FROM w)),
+       |informative AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams)
+       |  WHERE df <= $ContainmentDfCap),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_g
+       |          FROM informative GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM informative a JOIN informative b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n_g AS n_a, sb.n_g AS n_b, n_shared,
+       |  n_shared * 1000000 // sa.n_g AS cont_a_ppm,
+       |  n_shared * 1000000 // sb.n_g AS cont_b_ppm
+       |FROM shared
+       |JOIN sizes sa ON shared.doc_a = sa.doc_id
+       |JOIN sizes sb ON shared.doc_b = sb.doc_id
+       |WHERE n_shared * 1000000 // sa.n_g >= $ContainmentMinPpm
+       |   OR n_shared * 1000000 // sb.n_g >= $ContainmentMinPpm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_containment", containment, Some(containmentSql),
+      bench = true),
     NamedQuery("q_golden_record", goldenRecord, Some(goldenRecordSql),
       bench = true),
     NamedQuery("q_line_dedup", lineDedupQuery, Some(lineDedupSql), bench = true),

@@ -786,7 +786,94 @@ object Graph {
        |    AS ccdf_ppm
        |FROM buckets ORDER BY log2_bucket""".stripMargin
 
+  // -------------------------------------------------------------- q_modularity
+  /** Newman modularity of the NATION partition over the symmetrized
+    * co-purchase graph — "is trade more intra-nation than a random
+    * graph with the same degrees predicts?" — the quality score used to
+    * grade any community assignment (here a fixed, meaningful partition
+    * so the oracle needs no iteration replay; the same kernel grades
+    * q_label_prop's discovered labels). Everything stays EXACT INTEGER
+    * via the 4m²-scaling identity: with E the directed-both-ways edge
+    * list, e2_c directed edges inside community c, and d_c the summed
+    * degree, Q·|E|² = Σ_c (|E|·e2_c − d_c²) — per-community
+    * contributions are longs (capacity: |E| < 3·10⁹ keeps |E|·e2_c and
+    * d_c² in a long), and the only doubles are the final per-row
+    * 9dp-rounded ratios (the q_assortativity recipe).
+    *
+    * Scale shape: one distinct-pair aggregation builds E; the
+    * node→community map is node-sized and broadcast onto E twice; one
+    * keyed aggregation to the communities-sized frame. Nothing
+    * iterates, nothing corpus-sized shuffles twice. */
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val comm = Tables.customer(s, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
+      .unionByName(Tables.supplier(s, dir)
+        .select(($"s_suppkey" + SupplierOffset).as("node"),
+          $"s_nationkey".as("comm")))
+    val tagged = edges
+      .join(broadcast(comm.select($"node".as("src"), $"comm".as("comm_s"))),
+        Seq("src"))
+      .join(broadcast(comm.select($"node".as("dst"), $"comm".as("comm_d"))),
+        Seq("dst"))
+    val perComm = tagged.groupBy($"comm_s".as("community"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when($"comm_s" === $"comm_d", 1L).otherwise(0L)).as("e2_c"))
+    // |E| as a broadcast-single-row frame, not a driver-side count
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val rows = perComm.crossJoin(broadcast(m2))
+      .withColumn("contrib", $"m2" * $"e2_c" - $"d_c" * $"d_c")
+    val total = rows.agg(lit(-1L).as("community"),
+      sum($"d_c").as("d_c"), sum($"e2_c").as("e2_c"),
+      sum($"contrib").as("contrib"), max($"m2").as("m2"))
+    rows.select($"community", $"d_c", $"e2_c", $"contrib", $"m2")
+      .unionByName(total.select($"community", $"d_c", $"e2_c", $"contrib", $"m2"))
+      .withColumn("q_share",
+        round($"contrib".cast("double") / ($"m2".cast("double") * $"m2"), 9))
+      .select($"community", $"d_c", $"e2_c", $"contrib", $"q_share")
+      .orderBy($"community")
+  }
+
+  private val modularitySql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |comm AS (
+       |  SELECT c_custkey AS node, c_nationkey AS comm FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey + $SupplierOffset, s_nationkey FROM supplier),
+       |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+       |per AS (
+       |  SELECT cs.comm AS community, CAST(COUNT(*) AS BIGINT) AS d_c,
+       |    CAST(SUM(CASE WHEN cs.comm = cd.comm THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS e2_c
+       |  FROM e
+       |  JOIN comm cs ON e.src = cs.node
+       |  JOIN comm cd ON e.dst = cd.node
+       |  GROUP BY 1),
+       |rows_ AS (
+       |  SELECT community, d_c, e2_c, m2.m2 * e2_c - d_c * d_c AS contrib
+       |  FROM per CROSS JOIN m2
+       |  UNION ALL
+       |  SELECT -1, CAST(SUM(d_c) AS BIGINT), CAST(SUM(e2_c) AS BIGINT),
+       |    CAST(SUM(m2.m2 * e2_c - d_c * d_c) AS BIGINT)
+       |  FROM per CROSS JOIN m2)
+       |SELECT community, d_c, e2_c, contrib,
+       |  round(CAST(contrib AS DOUBLE)
+       |    / (CAST(m2.m2 AS DOUBLE) * m2.m2), 9) AS q_share
+       |FROM rows_ CROSS JOIN m2 ORDER BY community""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_modularity", modularity, Some(modularitySql), bench = true),
     NamedQuery("q_bfs_depth", bfsQuery, Some(bfsSql), bench = true),
     NamedQuery("q_degree_dist", degreeDist, Some(degreeDistSql), bench = true),
     NamedQuery("q_hits", hitsQuery, Some(hitsSql), bench = true),

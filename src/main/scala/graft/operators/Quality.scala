@@ -802,7 +802,94 @@ object Quality {
       |FROM c WHERE cumw * 2 >= total_w
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q_spearman
+  /** Spearman rank correlation between per-customer order count and
+    * total spend — the monotone-association statistic that is robust to
+    * the heavy-tailed spend distribution a Pearson r is distorted by.
+    * Ties use AVERAGE ranks kept in DOUBLED units (the q_mann_whitney
+    * trick): for value v, 2·avgrank(v) = 2·cum_below(v) + cnt(v) + 1 —
+    * an exact integer derived from the VALUE HISTOGRAM, so no global
+    * row ranking ever happens. Sufficient statistics (Σr2x·r2y, Σr2x²,
+    * Σr2y²) are exact integer sums routed through DECIMAL(19)×DECIMAL(19)
+    * products, partitioning-invariant at any n; the final rho is one
+    * fixed double sequence rounded to 9dp (the q_assortativity recipe).
+    *
+    * Scale shape: one fact aggregation to the per-customer frame, two
+    * histogram aggregations (value-grid sized), cumulative windows over
+    * the DISTINCT-VALUE frames only (for a grid too large even for
+    * that, the mann-whitney histogram inequality-join spelling of the
+    * rank sum is the drop-in), then broadcast rank maps joined back and
+    * one global map-side-partial aggregate. */
+  private def spearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("x"),
+        (sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("y"))
+    def rank2(df: DataFrame, v: String): DataFrame = {
+      val w = Window.orderBy(col(v))
+      df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
+        .select(col(v), ($"cum" * 2 - $"cnt" + 1).as(s"r2$v"))
+    }
+    val ranked = per
+      .join(broadcast(rank2(per, "x")), Seq("x"))
+      .join(broadcast(rank2(per, "y")), Seq("y"))
+    val d19 = DecimalType(19, 0)
+    val stats = ranked.agg(
+      count(lit(1)).as("n"),
+      sum($"r2x".cast(d19) * $"r2y".cast(d19)).as("sxy"),
+      sum($"r2x".cast(d19) * $"r2x".cast(d19)).as("sxx"),
+      sum($"r2y".cast(d19) * $"r2y".cast(d19)).as("syy"),
+      sum($"r2x".cast(d19)).as("sx"), sum($"r2y".cast(d19)).as("sy"))
+    val nd = col("n").cast("double")
+    val Seq(sx, sy, sxy, sxx, syy) =
+      Seq("sx", "sy", "sxy", "sxx", "syy").map(c => col(c).cast("double"))
+    // doubled ranks are ≤ 2n, so Σr2² ≤ 4n³ fits a BIGINT to n ≈ 1.3e6
+    // groups — past that, emit the DECIMAL sums as exact strings (the
+    // q_acf recipe); the fixture's group grids stay far below the bound
+    stats.select($"n", $"sxy".cast("long").as("sxy"),
+      $"sxx".cast("long").as("sxx"),
+      $"syy".cast("long").as("syy"),
+      round((nd * sxy - sx * sy) /
+        (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 9)
+        .as("spearman_rho"))
+  }
+
+  private val spearmanSql =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |rx AS (
+      |  SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS r2x
+      |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1)),
+      |ry AS (
+      |  SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS r2y
+      |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1)),
+      |ranked AS (
+      |  SELECT r2x, r2y FROM per JOIN rx USING (x) JOIN ry USING (y)),
+      |t AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(r2x AS DECIMAL(19,0)) * CAST(r2y AS DECIMAL(19,0))) AS sxy,
+      |    SUM(CAST(r2x AS DECIMAL(19,0)) * CAST(r2x AS DECIMAL(19,0))) AS sxx,
+      |    SUM(CAST(r2y AS DECIMAL(19,0)) * CAST(r2y AS DECIMAL(19,0))) AS syy,
+      |    SUM(CAST(r2x AS DECIMAL(19,0))) AS sx,
+      |    SUM(CAST(r2y AS DECIMAL(19,0))) AS sy
+      |  FROM ranked)
+      |SELECT n, CAST(sxy AS BIGINT) AS sxy,
+      |  CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS spearman_rho
+      |FROM t""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_spearman", spearman, Some(spearmanSql), bench = true),
     NamedQuery("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       bench = true),
     NamedQuery("q_weighted_median", weightedMedian, Some(weightedMedianSql),

@@ -859,7 +859,63 @@ object TextAnalysis {
        |FROM r WHERE rnk <= $InvIndexPostingsCap
        |GROUP BY word, df ORDER BY word""".stripMargin
 
+  // ------------------------------------------------------------------ q_oov_rate
+  /** Out-of-vocabulary rate per source against the corpus-global top-K
+    * word vocabulary — the tokenizer-coverage audit run before fixing a
+    * vocab size: which sources will fragment into unknown tokens? The
+    * vocabulary is deterministic (top K by total count, count-then-word
+    * tie-break — the q_vocab convention) and the rate is exact integer
+    * ppm of token OCCURRENCES (not types), so a thin-tailed source and
+    * a heavy-tailed one are weighted by what the tokenizer actually
+    * sees.
+    *
+    * Scale shape: one explode pass reduces the corpus to (word, count)
+    * with map-side partials; the K-row vocabulary broadcasts back onto
+    * the per-(source, word) counts — the corpus text never shuffles,
+    * only its word histogram does. */
+  val OovVocabK = 500
+
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ", -1)).as("word"))
+    val bySourceWord = words.groupBy($"source", $"word")
+      .agg(count(lit(1)).as("c"))
+    val vocab = bySourceWord.groupBy($"word").agg(sum($"c").as("total"))
+      .orderBy($"total".desc, $"word").limit(OovVocabK)
+      .select($"word", lit(1L).as("in_vocab"))
+    bySourceWord
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        sum(when($"in_vocab".isNull, $"c").otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy($"source")
+  }
+
+  private val oovRateSql =
+    s"""WITH w AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |sw AS (
+       |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM w GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, CAST(SUM(c) AS BIGINT) AS total FROM sw GROUP BY 1)
+       |  ORDER BY total DESC, word LIMIT $OovVocabK),
+       |agg AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM sw LEFT JOIN vocab v ON sw.word = v.word
+       |  GROUP BY 1)
+       |SELECT source, n_tokens, n_oov,
+       |  n_oov * 1000000 // n_tokens AS oov_ppm
+       |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_oov_rate", oovRate, Some(oovRateSql), bench = true),
     NamedQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql),
       bench = true),
     NamedQuery("q_vocab_overlap", vocabOverlap, Some(vocabOverlapSql),

@@ -36,25 +36,42 @@ object EventStream {
     StructField("props", StringType)))
 
   /** File-source stream over an events parquet path (file or directory
-    * glob), with the nanos→micros timestamp conversion of Tables.events.
+    * glob), normalizing `ts` to a microsecond TimestampType exactly like
+    * Tables.events. Streaming sources need an explicit schema, so the
+    * actual on-disk `ts` type is PROBED with a batch read of the same
+    * path (footer-only — no data scan): driver generations have shipped
+    * epoch-nanos LONG and TIMESTAMP(MICROS) NTZ, and spec-staged dirs
+    * carry long-nanos frames; branching on the probe keeps one streaming
+    * contract across all of them (an unreadable/not-yet-created path
+    * defaults to the current driver format, NTZ micros).
     * A single-FILE path streams via its parent directory + pathGlobFilter
     * (the streaming parquet source requires a directory basePath). The
     * file-vs-directory probe goes through the Hadoop FileSystem API, not
     * java.io.File, so an `hdfs://`/`s3a://` single-file path takes the
-    * same parent-dir branch as a local one; a path that doesn't resolve
-    * yet (e.g. a glob or a not-yet-created stream dir) streams as-is. */
+    * same parent-dir branch as a local one. */
   def readEvents(s: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val isFile =
       try p.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(p).isFile
       catch { case _: java.io.IOException => false }
+    val tsType: DataType =
+      try s.read.parquet(path).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     val src =
       if (isFile)
-        s.readStream.schema(rawSchema)
+        s.readStream.schema(schema)
           .option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
-      else s.readStream.schema(rawSchema).parquet(path)
-    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else s.readStream.schema(schema).parquet(path)
+    tsType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** 1-hour event-time windows per event_type with a 1-hour watermark —

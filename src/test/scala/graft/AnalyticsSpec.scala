@@ -471,19 +471,31 @@ class AnalyticsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     val byGrp = pairs.groupBy(_._1).view
       .mapValues(_.map(_._2).distinct).toMap +
-      ("__union__" -> pairs.map(_._2).distinct)
+      ("__union__" -> pairs.map(_._2).distinct) +
+      ("__small__" -> pairs.map(_._2).distinct
+        .filter(_ < Analytics.SmallGroupBound))
+    // the planted small group must actually exercise the fallback branch
+    assert(byGrp("__small__").nonEmpty &&
+      byGrp("__small__").length < Analytics.KmvK)
     rows.foreach { r =>
       val members = byGrp(r.getString(0))
       val hashes = members.map(m =>
         TextImpl.md5Lower64(UTF8String.fromString(s"kmv:$m")) & Long.MaxValue)
         .sorted
-      val kth = hashes(Analytics.KmvK - 1)
-      val est = (Long.MaxValue / kth) * (Analytics.KmvK - 1)
       assert(r.getLong(1) == members.length.toLong, r.getString(0))
-      assert(r.getLong(2) == kth, s"kth_min for ${r.getString(0)}")
-      assert(r.getLong(3) == est, s"est for ${r.getString(0)}")
-      assert(math.abs(r.getLong(4)) < 600000L,
-        s"KMV k=64 estimate off by >60%: $r")
+      if (members.length < Analytics.KmvK) {
+        // sketch-not-full rule: no k-th minimum, estimate == exact
+        assert(r.isNullAt(2), s"kth_min must be null for ${r.getString(0)}")
+        assert(r.getLong(3) == members.length.toLong &&
+          r.getLong(4) == 0L, s"small-sketch fallback for ${r.getString(0)}")
+      } else {
+        val kth = hashes(Analytics.KmvK - 1)
+        val est = (Long.MaxValue / kth) * (Analytics.KmvK - 1)
+        assert(r.getLong(2) == kth, s"kth_min for ${r.getString(0)}")
+        assert(r.getLong(3) == est, s"est for ${r.getString(0)}")
+        assert(math.abs(r.getLong(4)) < 600000L,
+          s"KMV k=64 estimate off by >60%: $r")
+      }
     }
   }
 }

@@ -21,8 +21,12 @@ class SessionizeSpec extends GraftSuite {
       .agg(max(unix_micros($"ts"))).collect()(0).getLong(0) * 1000L
     val sentinelNanos = maxTsNanos + 100L * Sessionize.GapMinutes * 60L * 1000000000L
     val sentinelDir = s"/tmp/graft_stream/${java.util.UUID.randomUUID()}-sentinel"
+    // write ts in the DRIVER file's format (TIMESTAMP_NTZ micros) so the
+    // watched dir stays schema-homogeneous for the probe-based stream
     Seq((999999L, sentinelNanos, -1L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
       .coalesce(1).write.parquet(sentinelDir)
     val part = new java.io.File(sentinelDir).listFiles()
       .find(_.getName.endsWith(".parquet")).get

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.{EventStream, StageMarker}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** S8 parity: the streaming variant of q_event_window_agg and the
   * completion-marker stage chaining. */
@@ -104,6 +105,10 @@ class StreamingSpec extends GraftSuite {
         (900000001L, nanos("2023-06-01T00:00:00Z"), 7L, "click", 1.0, "{}"),
         (900000002L, nanos("2024-02-01T00:00:00Z"), 7L, "click", 1.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // match the driver file's ts format (TIMESTAMP_NTZ micros) so the
+        // appended delivery stays readable under the probed stream schema
+        .withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
         .repartition(1)
         .write.mode("append").parquet(dir.toString)
 
