@@ -1850,8 +1850,13 @@ object Analytics {
     * words. Cells sum counts, so sketches from disjoint partitions merge
     * by cell-wise addition — the mergeability a 1000-executor build
     * relies on. */
+  /** Width deliberately UNDERSIZED for the fixture's 31-word vocabulary
+    * (the q_bloom_fpr sizing logic): at w=512 nothing collides and the
+    * overestimate column is vacuously zero; at w=32 roughly one probe in
+    * seven inherits a colliding word's mass in all 4 rows, so the audit
+    * measures real sketch error. Production sizing is w ≈ e/ε. */
   val CmDepth = 4
-  val CmWidth = 512L
+  val CmWidth = 32L
   val CmProbeK = 20
 
   private def countMin(s: SparkSession, dir: String): DataFrame = {
@@ -1907,7 +1912,95 @@ object Analytics {
        |  (n_est - c) * 1000000 // c AS over_ppm
        |FROM est ORDER BY word""".stripMargin
 
+  // --------------------------------------------------------------- q_survival
+  /** Kaplan–Meier customer survival curve over order activity — the
+    * censoring-aware retention statistic (a naive churn rate treats
+    * still-active customers as churned; KM removes them from the risk
+    * set instead). A customer's duration is last-minus-first order
+    * month; the event is churn (no order within the final
+    * [[SurvivalHorizonMonths]] months of the corpus — later durations
+    * are CENSORED). S(t) = Π_{u≤t} (1 − e_u/n_u) is evaluated as an
+    * exact integer fold from a ppm seed (the q_clv recipe): each grid
+    * step multiplies by (n_u − e_u) then integer-DIVs by n_u, and both
+    * engines run the identical truncating sequence — the risk pair
+    * (n−e, n) rides the fold PACKED into one long (n−e in the high 32
+    * bits) because a fold accumulator and its list elements must share
+    * one type on both engines.
+    *
+    * Scale shape: one fact aggregation to per-customer (first, last)
+    * months, one aggregation to the duration grid; the fold runs per
+    * grid row over the collected grid array (months-grid-sized, bounded
+    * by construction — same contract as q_acf). */
+  val SurvivalHorizonMonths = 3
+
+  private def survival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = months_between(date_trunc("month", $"o_orderdate"),
+      to_date(lit("1995-01-01"))).cast("long")
+    val per = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min(m).as("m_first"), max(m).as("m_last"))
+    val horizon = per.agg(max($"m_last").as("m_max"))
+    val durations = per.crossJoin(broadcast(horizon))
+      .select(($"m_last" - $"m_first").as("t_dur"),
+        ($"m_last" <= $"m_max" - SurvivalHorizonMonths).as("event"))
+    val grid = durations.groupBy($"t_dur")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"event", 1L).otherwise(0L)).as("e"))
+      .withColumn("n_risk",
+        sum($"n_at").over(Window.orderBy($"t_dur".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val arr = grid.agg(sort_array(
+      collect_list(struct($"t_dur", ($"n_risk" - $"e").as("ne"), $"n_risk".as("n"))))
+      .as("a"))
+    grid.crossJoin(broadcast(arr))
+      .select($"t_dur", $"n_risk", $"e".as("n_events"),
+        ($"n_at" - $"e").as("n_censored"),
+        expr("""aggregate(
+                  transform(filter(a, x -> x.t_dur <= t_dur),
+                            x -> x.ne * 4294967296L + x.n),
+                  CAST(1000000 AS BIGINT),
+                  (acc, p) -> acc * (p DIV 4294967296L) DIV (p % 4294967296L))
+             """).as("s_ppm"))
+      .orderBy($"t_dur")
+  }
+
+  private val survivalSql =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    MIN(date_diff('month', DATE '1995-01-01',
+       |        date_trunc('month', o_orderdate))) AS m_first,
+       |    MAX(date_diff('month', DATE '1995-01-01',
+       |        date_trunc('month', o_orderdate))) AS m_last
+       |  FROM orders GROUP BY 1),
+       |horizon AS (SELECT MAX(m_last) AS m_max FROM per),
+       |durations AS (
+       |  SELECT m_last - m_first AS t_dur,
+       |    m_last <= m_max - $SurvivalHorizonMonths AS event
+       |  FROM per CROSS JOIN horizon),
+       |grid AS (
+       |  SELECT t_dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+       |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM durations GROUP BY 1),
+       |g2 AS (
+       |  SELECT t_dur, n_at, e,
+       |    CAST(SUM(n_at) OVER (ORDER BY t_dur DESC) AS BIGINT) AS n_risk
+       |  FROM grid),
+       |arr AS (
+       |  SELECT list(struct_pack(t_dur := t_dur, ne := n_risk - e, n := n_risk)
+       |              ORDER BY t_dur) AS a
+       |  FROM g2)
+       |SELECT g2.t_dur, g2.n_risk, g2.e AS n_events,
+       |  g2.n_at - g2.e AS n_censored,
+       |  list_reduce(
+       |    list_prepend(CAST(1000000 AS BIGINT),
+       |      list_transform(list_filter(a, x -> x.t_dur <= g2.t_dur),
+       |                     x -> x.ne * 4294967296 + x.n)),
+       |    (acc, p) -> acc * (p // 4294967296) // (p % 4294967296)) AS s_ppm
+       |FROM g2 CROSS JOIN arr ORDER BY t_dur""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_survival", survival, Some(survivalSql), bench = true),
     NamedQuery("q_count_min", countMin, Some(countMinSql), bench = true),
     NamedQuery("q_acf", acf, Some(acfSql), bench = true),
     NamedQuery("q_bootstrap", bootstrap, Some(bootstrapSql), bench = true),

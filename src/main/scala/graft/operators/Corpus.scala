@@ -819,7 +819,12 @@ object Corpus {
     * k position rows map-side and hit the broadcast bit set; the only
     * corpus-keyed shuffle is the exact-membership digest join that
     * produces the ground truth the fpr is measured against. */
-  val BloomFprBits = 8192L
+  /** Deliberately UNDERSIZED for the fixture (m=1024 bits for ~250
+    * history digests × k=3 → ~20% realized fpr at sf0.01): a
+    * right-sized filter would measure zero false positives and leave
+    * the fp branch of the audit vacuous. Production sizing is the
+    * standard m ≈ −n·ln(p)/ln(2)², which this audit exists to check. */
+  val BloomFprBits = 1024L
   val BloomFprK = 3
 
   private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
@@ -883,7 +888,7 @@ object Corpus {
        |truth AS (
        |  SELECT f.doc_id, f.flagged,
        |    EXISTS (SELECT 1 FROM hist h WHERE h.digest = f.digest) AS member
-       |  FROM flagged f)
+       |  FROM flagged f),
        |agg AS (
        |  SELECT
        |    CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)

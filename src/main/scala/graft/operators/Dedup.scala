@@ -77,14 +77,18 @@ object Dedup {
   /** Word-3-gram shingle Jaccard for all doc pairs inside a (lang, source)
     * bucket — the exact-similarity verifier that LSH candidates feed at
     * scale (here bucketed by metadata so the oracle stays SQL-expressible). */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ", -1)
-    array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array(concat_ws(" ", w))))
-  }
+  /** The token array BINDS AS A LAMBDA VARIABLE (`transform(array(...))`
+    * wrapper): a plain `val w = split(...)` alias gets inlined by
+    * CollapseProject into every element lambda, re-splitting the text
+    * once per shingle — the q_winnow PERF NOTE's measured 200× trap. */
+  private def shingles(text: Column): Column =
+    element_at(transform(array(split(text, " ", -1)), w =>
+      array_distinct(
+        when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2))))
+          .otherwise(array(concat_ws(" ", w))))), 1)
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1150,7 +1154,111 @@ object Dedup {
        |   OR n_shared * 1000000 // sb.n_g >= $ContainmentMinPpm
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q_dup_spans
+  /** Longest SHARED TOKEN SPAN per document pair — the span-level
+    * diagnostic behind exact-substring dedup (Lee et al. 2021): two
+    * docs sharing one 8-gram might be coincidence; sharing a 40-token
+    * run is copied text, and the span length tells a dedup policy where
+    * to cut. Shared 8-gram occurrences become points (pos_a, pos_b);
+    * copied text lies on DIAGONALS (pos_a − pos_b constant), so maximal
+    * runs are gaps-and-islands per (pair, diagonal) ordered by pos_a —
+    * one window pass (the q_islands recipe), no quadratic alignment.
+    * Span = run length + 7 tokens; pairs below [[DupSpanMinTokens]] are
+    * noise and dropped; the longest span per pair (ties: smallest
+    * start_a, start_b, diagonal) is reported with both start offsets.
+    *
+    * Scale shape: gram hashes are md5-lower-64 join keys (8 bytes on
+    * the wire, never output — the q_containment contract) with the same
+    * df cap bounding per-gram fanout; the only corpus-keyed shuffles
+    * are the gram join and the pair-diagonal window. */
+  val DupSpanDfCap = 10L
+  val DupSpanMinTokens = 12L
+
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // token array bound as a lambda variable (see `shingles`); the
+    // size guard lives INSIDE the lambda because Spark's sequence(1, n)
+    // DESCENDS for n < 1 instead of returning empty
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", explode(element_at(
+        transform(array(split($"text", " ", -1)), w =>
+          when(size(w) >= 8,
+            transform(sequence(lit(1), size(w) - 7), i =>
+              struct(i.as("pos"), array_join(slice(w, i, lit(8)), " ").as("gram"))))
+            .otherwise(array().cast("array<struct<pos:int,gram:string>>"))),
+        1)).as("pg"))
+      .select($"doc_id", $"pg.pos".as("pos"),
+        TextFunctions.md5Lower64($"pg.gram").as("g"))
+    val informative = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"df" <= DupSpanDfCap)
+      .select($"doc_id", $"pos", $"g")
+    val points = informative.select($"doc_id".as("doc_a"), $"pos".as("pos_a"), $"g")
+      .join(informative.select($"doc_id".as("doc_b"), $"pos".as("pos_b"), $"g"),
+        Seq("g"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pos_a", $"pos_b",
+        ($"pos_a" - $"pos_b").as("diag"))
+    val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")
+    val runs = points
+      .withColumn("new_run",
+        when($"pos_a" - lag($"pos_a", 1).over(wd) === 1, 0L).otherwise(1L))
+      .withColumn("run_id", sum($"new_run").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"run_id")
+      .agg(min($"pos_a").cast("long").as("start_a"),
+        min($"pos_b").cast("long").as("start_b"),
+        (count(lit(1)) + 7).as("span_tokens"))
+    val wp = Window.partitionBy($"doc_a", $"doc_b")
+      .orderBy($"span_tokens".desc, $"start_a", $"start_b", $"diag")
+    runs.withColumn("rk", row_number().over(wp))
+      .filter($"rk" === 1 && $"span_tokens" >= DupSpanMinTokens)
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_tokens")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dupSpansSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    md5_number_lower(array_to_string(w[pos:pos+7], ' ')) AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, len(w) - 7)) AS pos
+       |        FROM t WHERE len(w) >= 8)),
+       |informative AS (
+       |  SELECT doc_id, pos, g FROM (
+       |    SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS df FROM g)
+       |  WHERE df <= $DupSpanDfCap),
+       |pts AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+       |  FROM informative a JOIN informative b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id),
+       |flagged AS (
+       |  SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+       |      (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) = 1
+       |    THEN 0 ELSE 1 END AS new_run
+       |  FROM pts),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag,
+       |    MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       |    CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+       |  FROM (
+       |    SELECT *, SUM(new_run) OVER
+       |        (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+       |    FROM flagged)
+       |  GROUP BY doc_a, doc_b, diag, run_id),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+       |      ORDER BY span_tokens DESC, start_a, start_b, diag) AS rk
+       |  FROM runs)
+       |SELECT doc_a, doc_b, start_a, start_b, span_tokens
+       |FROM best WHERE rk = 1 AND span_tokens >= $DupSpanMinTokens
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dup_spans", dupSpans, Some(dupSpansSql), bench = true),
     NamedQuery("q_containment", containment, Some(containmentSql),
       bench = true),
     NamedQuery("q_golden_record", goldenRecord, Some(goldenRecordSql),

@@ -804,19 +804,11 @@ object Graph {
     * node→community map is node-sized and broadcast onto E twice; one
     * keyed aggregation to the communities-sized frame. Nothing
     * iterates, nothing corpus-sized shuffles twice. */
-  private def modularity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-    val comm = Tables.customer(s, dir)
-      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
-      .unionByName(Tables.supplier(s, dir)
-        .select(($"s_suppkey" + SupplierOffset).as("node"),
-          $"s_nationkey".as("comm")))
+  /** The reusable kernel: per-community contributions + the −1 total row
+    * over a DIRECTED-BOTH-WAYS edge list (`src`,`dst`) and a node→`comm`
+    * map. GraphSpec pins hand-graph closed forms through this. */
+  def modularityScore(edges: DataFrame, comm: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
     val tagged = edges
       .join(broadcast(comm.select($"node".as("src"), $"comm".as("comm_s"))),
         Seq("src"))
@@ -838,6 +830,22 @@ object Graph {
         round($"contrib".cast("double") / ($"m2".cast("double") * $"m2"), 9))
       .select($"community", $"d_c", $"e2_c", $"contrib", $"q_share")
       .orderBy($"community")
+  }
+
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val comm = Tables.customer(s, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
+      .unionByName(Tables.supplier(s, dir)
+        .select(($"s_suppkey" + SupplierOffset).as("node"),
+          $"s_nationkey".as("comm")))
+    modularityScore(edges, comm)
   }
 
   private val modularitySql =

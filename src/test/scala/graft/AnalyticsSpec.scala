@@ -498,4 +498,86 @@ class AnalyticsSpec extends GraftSuite {
       }
     }
   }
+
+  // --------------------------------------------------------------------- q_acf
+  test("q_acf: exact integer replay from the monthly series") {
+    val monthly = Tables.orders(spark, sf)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = monthly.length
+    val s0 = monthly.map(_._2).sum
+    val ndx = monthly.map { case (_, c) => BigInt(n) * c - s0 }
+    val den = ndx.map(x => x * x).sum
+    val rows = SparkEntry.queries("q_acf")(spark, sf).collect()
+    assert(rows.length == Analytics.AcfMaxLag)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val num = (0 until n - k).map(i => ndx(i) * ndx(i + k)).sum
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == (n - k).toLong)
+      assert(r.getString(3) == num.toString, s"num at lag $k")
+      assert(r.getString(4) == den.toString, s"den at lag $k")
+      val acf = r.getDouble(5)
+      assert(acf >= -1.0 && acf <= 1.0, s"acf out of range at lag $k")
+    }
+  }
+
+  // --------------------------------------------------------------- q_count_min
+  test("q_count_min: overestimate-only, exact counts, real collisions") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ", -1)).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Analytics.CmProbeK)
+    val rows = SparkEntry.queries("q_count_min")(spark, sf).collect()
+    assert(rows.length == top.length)
+    val byWord = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byWord.keySet == top.map(_._1).toSet, "probe set = exact top-K")
+    byWord.foreach { case (w, (exact, est, over)) =>
+      assert(exact == wc(w), s"exact count for $w")
+      assert(est >= exact && over == est - exact,
+        s"CM must never under-count: $w")
+    }
+    // the deliberately-undersized width must produce a measured collision
+    assert(rows.exists(_.getLong(3) > 0L),
+      "w=32 over a 31-word vocab must collide somewhere")
+  }
+
+  // ---------------------------------------------------------------- q_survival
+  test("q_survival: Kaplan-Meier replayed in Scala from order months") {
+    val per = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(min(months_between(date_trunc("month", $"o_orderdate"),
+          to_date(lit("1995-01-01"))).cast("long")).as("f"),
+        max(months_between(date_trunc("month", $"o_orderdate"),
+          to_date(lit("1995-01-01"))).cast("long")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val mMax = per.map(_._2).max
+    val durations = per.map { case (f, l) =>
+      (l - f, l <= mMax - Analytics.SurvivalHorizonMonths) }
+    val grid = durations.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    val nRisk = grid.map(_._1).map(t =>
+      t -> grid.filter(_._1 >= t).map(_._2).sum).toMap
+    val rows = SparkEntry.queries("q_survival")(spark, sf).collect()
+    assert(rows.length == grid.length)
+    var prev = 1000000L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val t = r.getLong(0)
+      val sPpm = r.getLong(4)
+      // replay the fold: identical truncating sequence
+      val expected = grid.filter(_._1 <= t).foldLeft(1000000L) {
+        case (acc, (u, _, e)) => acc * (nRisk(u) - e) / nRisk(u)
+      }
+      assert(r.getLong(1) == nRisk(t), s"n_risk at t=$t")
+      assert(sPpm == expected, s"s_ppm at t=$t")
+      assert(sPpm <= prev, s"survival must be non-increasing at t=$t")
+      prev = sPpm
+    }
+    // censoring must actually occur (customers active near the horizon)
+    assert(rows.exists(_.getLong(3) > 0L), "no censored customers — vacuous")
+  }
 }

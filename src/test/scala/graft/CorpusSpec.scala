@@ -471,4 +471,37 @@ class CorpusSpec extends GraftSuite {
     assert(e.getMessage != null)
     rmTree(new java.io.File(ovDir))
   }
+  // ------------------------------------------------------------------ q_bloom_fpr
+  test("q_bloom_fpr: filter replayed bit-for-bit; no false negatives") {
+    import graft.operators.Corpus
+    import graft.functions.TextImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def low64(s: String): Long =
+      TextImpl.md5Lower64(UTF8String.fromString(s)) & Long.MaxValue
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), md5hex(r.getString(1))))
+    val hist = docs.filter { case (id, _) =>
+      md5hex(s"split:$id").substring(0, 1) < "8" }
+    val histDigests = hist.map(_._2).toSet
+    val bits = (for {
+      (_, d) <- hist; i <- 0 until Corpus.BloomFprK
+    } yield low64(s"bf$i:$d") % Corpus.BloomFprBits).toSet
+    var (member, flagged, falsePos) = (0L, 0L, 0L)
+    docs.foreach { case (_, d) =>
+      val isMember = histDigests(d)
+      val hit = (0 until Corpus.BloomFprK)
+        .forall(i => bits(low64(s"bf$i:$d") % Corpus.BloomFprBits))
+      if (isMember) {
+        member += 1
+        assert(hit, "bloom false negative — impossible by construction")
+      }
+      if (hit) flagged += 1
+      if (hit && !isMember) falsePos += 1
+    }
+    val r = SparkEntry.queries("q_bloom_fpr")(spark, sf).collect().head
+    assert(r.getLong(0) == member && r.getLong(1) == docs.length.toLong)
+    assert(r.getLong(2) == flagged && r.getLong(3) == 0L)
+    assert(r.getLong(4) == falsePos)
+  }
 }

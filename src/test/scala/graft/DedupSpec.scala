@@ -419,4 +419,59 @@ class DedupSpec extends GraftSuite {
         s"provenance must record the losing source: $r")
     }
   }
+  // --------------------------------------------------------------- q_containment
+  test("q_containment: full replay from raw shingle sets") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      else Set(w.mkString(" "))
+    }
+    val grams = docs.view.mapValues(shingles).toMap
+    val df = grams.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val informative = grams.view
+      .mapValues(_.filter(g => df(g) <= Dedup.ContainmentDfCap)).toMap
+    val expected = (for {
+      a <- docs.keys; b <- docs.keys if a < b
+      shared = (informative(a) & informative(b)).size.toLong if shared > 0
+      na = informative(a).size.toLong; nb = informative(b).size.toLong
+      ca = shared * 1000000L / na; cb = shared * 1000000L / nb
+      if ca >= Dedup.ContainmentMinPpm || cb >= Dedup.ContainmentMinPpm
+    } yield (a, b) -> (na, nb, shared, ca, cb)).toMap
+    val rows = SparkEntry.queries("q_containment")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must contain near-containment pairs")
+    assert(rows.length == expected.size, "pair set must match brute force")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(expected(k) == ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))), s"pair $k")
+    }
+  }
+
+  // ----------------------------------------------------------------- q_dup_spans
+  test("q_dup_spans: reported spans are real shared token runs") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val rows = SparkEntry.queries("q_dup_spans")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must contain long shared spans")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (r.getLong(2).toInt, r.getLong(3).toInt)
+      val span = r.getLong(4).toInt
+      assert(span >= graft.operators.Dedup.DupSpanMinTokens)
+      val (wa, wb) = (docs(a), docs(b))
+      assert(sa + span - 1 <= wa.length && sb + span - 1 <= wb.length,
+        s"span exceeds doc bounds for ($a,$b)")
+      // 1-based starts: the claimed runs must be byte-identical token-wise
+      val runA = wa.slice(sa - 1, sa - 1 + span)
+      val runB = wb.slice(sb - 1, sb - 1 + span)
+      assert(runA.sameElements(runB), s"span mismatch for pair ($a,$b)")
+    }
+  }
 }

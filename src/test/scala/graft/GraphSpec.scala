@@ -205,4 +205,40 @@ class GraphSpec extends GraftSuite {
       SparkEntry.queries("q_pagerank")(spark, sf).count(),
       "bucket node counts must sum to the graph's node count")
   }
+  // -------------------------------------------------------------- q_modularity
+  test("modularityScore: two-clique and one-community closed forms") {
+    import graft.operators.Graph
+    // two disjoint triangles, communities = the triangles:
+    // Q = 2 * (3/6 - (6/12)^2) = 0.5; per-community contrib = |E|*6 - 36
+    val tri = Seq((1L,2L),(2L,3L),(1L,3L),(10L,11L),(11L,12L),(10L,12L))
+    val edges = tri.flatMap { case (a,b) => Seq((a,b),(b,a)) }
+      .toDF("src", "dst")
+    val comm = Seq(1L->0L, 2L->0L, 3L->0L, 10L->1L, 11L->1L, 12L->1L)
+      .toDF("node", "comm")
+    val out = Graph.modularityScore(edges, comm).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(0L) == ((6L, 6L, 12L*6-36, 0.25)))
+    assert(out(1L) == ((6L, 6L, 12L*6-36, 0.25)))
+    assert(out(-1L)._4 == 0.5, "two equal cliques have Q = 1/2")
+
+    // everything in ONE community: Q = 0 identically
+    val one = Seq(1L->0L, 2L->0L, 3L->0L, 10L->0L, 11L->0L, 12L->0L)
+      .toDF("node", "comm")
+    val q1 = Graph.modularityScore(edges, one).collect()
+      .filter(_.getLong(0) == -1L).head
+    assert(q1.getLong(3) == 0L && q1.getDouble(4) == 0.0,
+      "single-community modularity must be exactly zero")
+  }
+
+  test("q_modularity: total row is consistent and bounded") {
+    val rows = SparkEntry.queries("q_modularity")(spark, sf).collect()
+    val total = rows.filter(_.getLong(0) == -1L)
+    assert(total.length == 1)
+    val parts = rows.filter(_.getLong(0) >= 0L)
+    assert(parts.map(_.getLong(3)).sum == total.head.getLong(3),
+      "community contributions must sum to the total")
+    val q = total.head.getDouble(4)
+    assert(q > -0.5 && q < 1.0, s"modularity out of theoretical range: $q")
+  }
 }

@@ -274,4 +274,38 @@ class QualitySpec extends GraftSuite {
       assert(r.getLong(2) == total)
     }
   }
+  // ----------------------------------------------------------------- q_spearman
+  test("q_spearman: doubled-rank sufficient statistics replayed in Scala") {
+    val per = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("x"),
+        (sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+          .cast("long").as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      val cum = sorted.scanLeft(0L)((acc, v) => acc + cnt(v))
+      sorted.zip(cum).map { case (v, below) =>
+        v -> (2L * below + cnt(v) + 1L) }.toMap
+    }
+    val rx = rank2(per.map(_._1))
+    val ry = rank2(per.map(_._2))
+    val n = per.length.toLong
+    val (sxy, sxx, syy, sx, sy) = per.foldLeft((0L, 0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d, e), (x, y)) =>
+        val (r2x, r2y) = (rx(x), ry(y))
+        (a + r2x * r2y, b + r2x * r2x, c + r2y * r2y, d + r2x, e + r2y)
+    }
+    val rho = math.rint(((n.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy))) * 1e9) / 1e9
+    val r = SparkEntry.queries("q_spearman")(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == sxy && r.getLong(2) == sxx && r.getLong(3) == syy)
+    assert(math.abs(r.getDouble(4) - rho) < 2e-9,
+      s"rho ${r.getDouble(4)} vs replayed $rho")
+    // doubled average ranks of n items must sum to n(n+1)
+    assert(sx == n * (n + 1) && sy == n * (n + 1), "rank-sum identity")
+  }
 }

@@ -320,6 +320,27 @@ class TextAnalysisSpec extends GraftSuite {
       assert(postings.distinct.size == postings.size)
     }
   }
+  // -------------------------------------------------------------------- q_oov_rate
+  test("q_oov_rate: per-source replay against a hand-built vocabulary") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.OovVocabK).map(_._1).toSet
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(w => !vocab(w)).toLong
+      src -> (toks.length.toLong, oov, oov * 1000000L / toks.length)
+    }
+    val rows = SparkEntry.queries("q_oov_rate")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      assert(expected(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))), r.getString(0))
+    }
+  }
 }
 
 /** Property tests for the hash primitives (ScalaCheck, run natively by
@@ -340,5 +361,4 @@ object TextPropertySpec extends Properties("TextImpl") {
     val d = TextImpl.hamming(a, b)
     d == TextImpl.hamming(b, a) && d >= 0 && d <= 64 && ((d == 0) == (a == b))
   }
-
 }
