@@ -47,6 +47,9 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_trigram_hashes"),
       info("graft_trigram_hashes", "_FUNC_(text) - sorted distinct 3-gram hashes"),
       arity("graft_trigram_hashes", 1)(args => TriGramHashes(args(0)))),
+    (FunctionIdentifier("graft_cdc_cuts"),
+      info("graft_cdc_cuts", "_FUNC_(text, window, modulus) - content-defined chunk cut positions"),
+      arity("graft_cdc_cuts", 3)(args => CdcCuts(args(0), args(1), args(2)))),
     (FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC canonical composition"),
       arity("graft_nfc", 1)(args => NfcNormalize(args(0)))),

@@ -1999,8 +1999,137 @@ object Analytics {
        |    (acc, p) -> acc * (p // 4294967296) // (p % 4294967296)) AS s_ppm
        |FROM g2 CROSS JOIN arr ORDER BY t_dur""".stripMargin
 
+  // ------------------------------------------------------------ q_decile_share
+  /** Revenue concentration by customer decile — the Lorenz-curve table
+    * behind "the top 10% of customers carry X% of revenue". Customers
+    * rank by (spend, custkey) — a UNIQUE composite, so the decile cut is
+    * deterministic — via the fixed-width string key + `Corpus.globalIndex`
+    * range-partition path (the q_curriculum recipe): no single-task
+    * global window at any corpus size. Shares and cumulative shares are
+    * exact integer ppm of DECIMAL-routed cents.
+    *
+    * Scale shape: one fact aggregation to per-customer spend, one range
+    * repartition for the global rank, one decile rollup; the cumulative
+    * window runs on the 10-row decile frame. */
+  private def decileShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+      .select($"o_custkey", $"cents",
+        format_string("%019d|%012d", $"cents", $"o_custkey").as("k"))
+    val idx = Corpus.globalIndex(per, "k") // global_idx is 1-based
+    val n1 = idx.agg(count(lit(1)).as("n"))
+    val deciles = idx.crossJoin(broadcast(n1))
+      .withColumn("decile", expr("(global_idx - 1) * 10 DIV n"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"))
+    val tot = deciles.agg(sum($"cents").as("total_cents"))
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("cents * 1000000 DIV total_cents"))
+      .withColumn("cum_share_ppm",
+        sum($"share_ppm").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"decile", $"n_customers", $"cents", $"share_ppm",
+        $"cum_share_ppm")
+      .orderBy($"decile")
+  }
+
+  private val decileShareSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1 AS idx,
+      |    COUNT(*) OVER () AS n
+      |  FROM per),
+      |d AS (
+      |  SELECT idx * 10 // n AS decile, COUNT(*) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM idx GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM d)
+      |SELECT decile, n_customers, cents,
+      |  cents * 1000000 // total_cents AS share_ppm,
+      |  CAST(SUM(cents * 1000000 // total_cents)
+      |    OVER (ORDER BY decile) AS BIGINT) AS cum_share_ppm
+      |FROM d CROSS JOIN t ORDER BY decile""".stripMargin
+
+  // -------------------------------------------------------------------- q_rfm
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic retail scoring grid. Each dimension scores 1–5 by QUINTILE
+    * cut from its VALUE HISTOGRAM (quintile = 5·cum_below DIV n — every
+    * tie lands in one quintile, no per-row ranking; the q_spearman
+    * histogram-rank recipe), recency inverted so 5 = most recent. The
+    * output is the segment grid with customer counts and exact
+    * DECIMAL-routed spend — at most 125 rows from any corpus size.
+    *
+    * Scale shape: one fact aggregation to per-customer (R, F, M); three
+    * value-grid histogram frames with cumulative windows broadcast back;
+    * one rollup to the segment grid. */
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxDate = Tables.orders(s, dir).agg(max($"o_orderdate").as("dmax"))
+    val per = Tables.orders(s, dir).crossJoin(broadcast(maxDate))
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"dmax"), max($"o_orderdate")).as("r"),
+        count(lit(1)).as("f"),
+        (sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("m"))
+    val withN = (df: DataFrame, v: String) => {
+      val w = Window.orderBy(col(v))
+      df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+        .select(col(v), expr("(cum - cnt) * 5 DIV n").as(s"q_$v"))
+    }
+    val scored = per
+      .join(broadcast(withN(per, "r")), Seq("r"))
+      .join(broadcast(withN(per, "f")), Seq("f"))
+      .join(broadcast(withN(per, "m")), Seq("m"))
+      .select($"o_custkey", $"m",
+        (lit(5L) - $"q_r").as("r_score"),
+        ($"q_f" + 1L).as("f_score"),
+        ($"q_m" + 1L).as("m_score"))
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"), sum($"m").as("cents"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  private val rfmSql =
+    """WITH dm AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+      |per AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', MAX(o_orderdate), MAX(dm.dmax)) AS r,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS m
+      |  FROM orders CROSS JOIN dm GROUP BY 1),
+      |qr AS (
+      |  SELECT r, CAST((SUM(cnt) OVER (ORDER BY r) - cnt) * 5
+      |      // (SUM(cnt) OVER ()) AS BIGINT) AS q_r
+      |  FROM (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1)),
+      |qf AS (
+      |  SELECT f, CAST((SUM(cnt) OVER (ORDER BY f) - cnt) * 5
+      |      // (SUM(cnt) OVER ()) AS BIGINT) AS q_f
+      |  FROM (SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1)),
+      |qm AS (
+      |  SELECT m, CAST((SUM(cnt) OVER (ORDER BY m) - cnt) * 5
+      |      // (SUM(cnt) OVER ()) AS BIGINT) AS q_m
+      |  FROM (SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+      |SELECT 5 - q_r AS r_score, q_f + 1 AS f_score, q_m + 1 AS m_score,
+      |  COUNT(*) AS n_customers, CAST(SUM(m) AS BIGINT) AS cents
+      |FROM per JOIN qr USING (r) JOIN qf USING (f) JOIN qm USING (m)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_survival", survival, Some(survivalSql), bench = true),
+    NamedQuery("q_decile_share", decileShare, Some(decileShareSql),
+      bench = true),
+    NamedQuery("q_rfm", rfm, Some(rfmSql), bench = true),
     NamedQuery("q_count_min", countMin, Some(countMinSql), bench = true),
     NamedQuery("q_acf", acf, Some(acfSql), bench = true),
     NamedQuery("q_bootstrap", bootstrap, Some(bootstrapSql), bench = true),

@@ -140,7 +140,100 @@ object Chunking {
       |WHERE word <> ''
       |GROUP BY word ORDER BY freq DESC, word LIMIT 1000""".stripMargin
 
+  // --------------------------------------------------------------- q_cdc_chunks
+  /** Content-defined chunking (the rsync/LBFS family): a breakpoint
+    * falls AFTER position j wherever the hash of the trailing
+    * [[CdcWindow]]-char window ≡ 0 (mod [[CdcModulus]]) — so chunk
+    * boundaries are a function of CONTENT, not offsets, and an insert
+    * near the head of a document re-chunks only its neighborhood
+    * instead of shifting every fixed-size block. The audit chunks every
+    * document, digests each chunk, and reports the per-source storage
+    * dedup this buys (bytes_total vs bytes_distinct) plus the '__all__'
+    * cross-source rollup (the q_kmv_distinct convention). Production
+    * CDC rolls a Gear/Rabin hash in O(1) per char; here the window hash
+    * is md5-lower-64 (recomputed per position — O(window) per char)
+    * because that is the hash BOTH engines can replay bit-for-bit; the
+    * breakpoint rule and chunk reassembly are identical either way.
+    *
+    * Scale shape: chunking is row-local (one pass per document inside
+    * codegen); the only shuffle carries (source, chunk-digest, len)
+    * rows — never the text. */
+  val CdcWindow = 8
+  val CdcModulus = 64L
+
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    // breakpoints: window-end positions j (1-based) with hash % mod == 0;
+    // cuts at j, plus the document end. text binds as a lambda variable
+    // via the single-element-array trick (the q_winnow PERF NOTE).
+    // cut positions via the NATIVE graft_cdc_cuts expression — the
+    // per-window MD5 loop as a HOF lambda evaluates interpreted and
+    // measured 47s at sf0.1; native codegen with byte-slice digests
+    // runs the identical rule. Chunk reassembly is a cheap
+    // chunks-per-doc-sized lambda over the bound (text, cuts) pair.
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text",
+        TextFunctions.cdcCuts($"text", CdcWindow, CdcModulus).as("cuts"))
+      .select($"doc_id", $"source", explode(
+        zip_with($"cuts",
+          concat(array(lit(0)), slice($"cuts", lit(1), size($"cuts") - 1)),
+          (to, from) => substr($"text", from + 1, to - from))).as("chunk"))
+      .filter(length($"chunk") > 0) // dup boundary at text end yields ""
+    val perChunk = chunks
+      .select($"source", md5($"chunk").as("d"), length($"chunk").as("len"))
+    def rollup(df: DataFrame, tag: Column): DataFrame = df
+      .groupBy(tag.as("source"), $"d", $"len")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_chunks"), count(lit(1)).as("n_distinct"),
+        sum($"n" * $"len").as("bytes_total"), sum($"len").as("bytes_distinct"))
+    rollup(perChunk, $"source")
+      .unionByName(rollup(perChunk, lit("__all__")))
+      .withColumn("dedup_ppm",
+        expr("(bytes_total - bytes_distinct) * 1000000 DIV bytes_total"))
+      .orderBy($"source")
+  }
+
+  private val cdcChunksSql =
+    s"""WITH cuts AS (
+       |  SELECT doc_id, source, text,
+       |    list_append(
+       |      list_filter(generate_series($CdcWindow, len(text)), j ->
+       |        CAST(md5_number_lower(substr(text, j - ${CdcWindow - 1},
+       |          $CdcWindow)) & ${Long.MaxValue}::UBIGINT AS BIGINT)
+       |          % $CdcModulus = 0),
+       |      len(text)) AS cuts
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT source, chunk FROM (
+       |    SELECT source,
+       |      unnest(list_transform(generate_series(1, len(cuts)), k ->
+       |        substr(text, coalesce(cuts[k-1], 0) + 1,
+       |               cuts[k] - coalesce(cuts[k-1], 0)))) AS chunk
+       |    FROM cuts)
+       |  WHERE len(chunk) > 0),
+       |per AS (
+       |  SELECT source, md5(chunk) AS d, len(chunk) AS len,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM chunks GROUP BY 1, 2, 3),
+       |roll AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+       |    COUNT(*) AS n_distinct,
+       |    CAST(SUM(n * len) AS BIGINT) AS bytes_total,
+       |    CAST(SUM(len) AS BIGINT) AS bytes_distinct
+       |  FROM per GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__all__', CAST(SUM(n) AS BIGINT), COUNT(*),
+       |    CAST(SUM(n * len) AS BIGINT), CAST(SUM(len) AS BIGINT)
+       |  FROM (SELECT d, len, CAST(SUM(n) AS BIGINT) AS n
+       |        FROM per GROUP BY 1, 2))
+       |SELECT source, n_chunks, n_distinct, bytes_total, bytes_distinct,
+       |  (bytes_total - bytes_distinct) * 1000000 // bytes_total AS dedup_ppm
+       |FROM roll ORDER BY source""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cdc_chunks", cdcChunks, Some(cdcChunksSql), bench = true),
     NamedQuery("q_chunk_docs", chunkDocs, Some(chunkDocsSql), bench = true),
     NamedQuery("q_pack_sequences", packSequences, Some(packSequencesSql), bench = true),
     NamedQuery("q_vocab", vocab, Some(vocabSql), bench = true))

@@ -888,7 +888,48 @@ object Quality {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS spearman_rho
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------------ q_simpson
+  /** Simpson diversity per source over the language mix — the
+    * "probability two random docs differ" companion to q_gini's
+    * impurity: D = 1 − Σ c·(c−1) / (n·(n−1)) uses the UNBIASED
+    * small-sample form (sampling without replacement), so unlike gini's
+    * plug-in Σ(c/n)² it is exact for tiny sources and the two statistics
+    * genuinely differ (a 1-doc lang adds zero to Simpson's numerator but
+    * not gini's). Rational in the counts → exact integer ppm, no
+    * entropy logs (the q_gini design note).
+    *
+    * Scale shape: identical to q_gini — one keyed aggregation to
+    * (source, lang) counts, then a per-source rollup of tiny rows. */
+  private def simpson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"c" * ($"c" - 1)).as("pairs_same"))
+      .filter($"n_docs" >= 2)
+      .select($"source", $"n_docs", $"n_langs",
+        (lit(1000000L) -
+          expr("pairs_same * 1000000 DIV (n_docs * (n_docs - 1))"))
+          .as("simpson_ppm"))
+      .orderBy($"source")
+  }
+
+  private val simpsonSql =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    COUNT(*) AS n_langs,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs_same
+      |  FROM c GROUP BY source)
+      |SELECT source, n_docs, n_langs,
+      |  1000000 - pairs_same * 1000000 // (n_docs * (n_docs - 1))
+      |    AS simpson_ppm
+      |FROM g WHERE n_docs >= 2 ORDER BY source""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_simpson", simpson, Some(simpsonSql), bench = true),
     NamedQuery("q_spearman", spearman, Some(spearmanSql), bench = true),
     NamedQuery("q_mann_whitney", mannWhitney, Some(mannWhitneySql),
       bench = true),

@@ -580,4 +580,70 @@ class AnalyticsSpec extends GraftSuite {
     // censoring must actually occur (customers active near the horizon)
     assert(rows.exists(_.getLong(3) > 0L), "no censored customers — vacuous")
   }
+  // ------------------------------------------------------------- q_decile_share
+  test("q_decile_share: shares sum to ~1e6, deciles partition customers") {
+    val rows = SparkEntry.queries("q_decile_share")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "deciles partition customers")
+    // bucket sizes from the idx*10 DIV n cut differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum > 999990L && shareSum <= 1000000L,
+      s"ppm shares must sum to 1e6 minus truncation: $shareSum")
+    assert(rows.map(_.getLong(4)).toList ==
+      rows.map(_.getLong(3)).scanLeft(0L)(_ + _).tail.toList,
+      "cumulative share must prefix-sum the shares")
+    // concentration: the top decile must out-earn the bottom decile
+    assert(rows.last.getLong(2) > rows.head.getLong(2))
+  }
+
+  // ---------------------------------------------------------------------- q_rfm
+  test("q_rfm: quintile scores replayed from value histograms") {
+    val per = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last"),
+        count(lit(1)).as("f"),
+        (sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+          .cast("long").as("m"))
+      .collect()
+    // o_orderdate surfaces as Date or LocalDateTime depending on how the
+    // fixture generation typed it — normalize either to LocalDate
+    def localDate(v: Any): java.time.LocalDate = v match {
+      case d: java.sql.Date => d.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case other => sys.error(s"unexpected date type: ${other.getClass}")
+    }
+    val maxDate = per.map(r => localDate(r.get(1))).max(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val rfm = per.map { r =>
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        localDate(r.get(1)), maxDate)
+      (days, r.getLong(2), r.getLong(3))
+    }
+    val n = rfm.length.toLong
+    def quint(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      val below = sorted.scanLeft(0L)((a, v) => a + cnt(v))
+      sorted.zip(below).map { case (v, b) => v -> b * 5L / n }.toMap
+    }
+    val (qr, qf, qm) =
+      (quint(rfm.map(_._1).toSeq), quint(rfm.map(_._2).toSeq), quint(rfm.map(_._3).toSeq))
+    val expected = rfm.groupBy { case (r, f, m) =>
+      (5L - qr(r), qf(f) + 1L, qm(m) + 1L) }
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val rows = SparkEntry.queries("q_rfm")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(expected(k) == ((r.getLong(3), r.getLong(4))), s"segment $k")
+      assert(k._1 >= 1 && k._1 <= 5 && k._2 >= 1 && k._2 <= 5 &&
+        k._3 >= 1 && k._3 <= 5)
+    }
+  }
 }

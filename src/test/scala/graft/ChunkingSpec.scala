@@ -59,4 +59,53 @@ class ChunkingSpec extends GraftSuite {
     // conservation follows, but assert it explicitly for the error message
     assert(got.values.map(_._2).sum == docs.map(_._3.toLong).sum)
   }
+  // --------------------------------------------------------------- q_cdc_chunks
+  test("q_cdc_chunks: chunking replayed in Scala; chunks reassemble the text") {
+    import graft.operators.Chunking
+    import graft.functions.TextImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def low64(s: String): Long =
+      TextImpl.md5Lower64(UTF8String.fromString(s)) & Long.MaxValue
+    def chunk(t: String): Seq[String] = {
+      val w = Chunking.CdcWindow
+      val breaks =
+        if (t.length < w) Seq.empty
+        else (w to t.length).filter(j =>
+          low64(t.substring(j - w, j)) % Chunking.CdcModulus == 0L)
+      val cuts = (breaks :+ t.length).distinct
+      val froms = 0 +: cuts.dropRight(1)
+      froms.zip(cuts).map { case (a, b) => t.substring(a, b) }
+        .filter(_.nonEmpty)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // reassembly invariant: chunks concatenate back to the document
+    docs.take(50).foreach { case (_, t) =>
+      assert(chunk(t).mkString == t)
+    }
+    val perSource = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.flatMap(d => chunk(d._2))
+      val distinct = chunks.distinct
+      src -> (chunks.length.toLong, distinct.length.toLong,
+        chunks.map(_.length.toLong).sum, distinct.map(_.length.toLong).sum)
+    }
+    val all = {
+      val chunks = docs.flatMap(d => chunk(d._2))
+      val distinct = chunks.distinct
+      ("__all__", (chunks.length.toLong, distinct.length.toLong,
+        chunks.map(_.length.toLong).sum, distinct.map(_.length.toLong).sum))
+    }
+    val expected = perSource + all
+    val rows = SparkEntry.queries("q_cdc_chunks")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      assert(expected(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
+        s"source ${r.getString(0)}")
+    }
+    // dedup must actually fire somewhere (repeated chunks exist)
+    assert(rows.exists(r => r.getLong(1) > r.getLong(2)),
+      "no duplicate chunks anywhere — vacuous")
+  }
 }

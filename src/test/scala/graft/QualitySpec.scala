@@ -308,4 +308,22 @@ class QualitySpec extends GraftSuite {
     // doubled average ranks of n items must sum to n(n+1)
     assert(sx == n * (n + 1) && sy == n * (n + 1), "rank-sum identity")
   }
+  // ------------------------------------------------------------------ q_simpson
+  test("q_simpson: unbiased diversity replayed; differs from gini plug-in") {
+    val counts = Tables.documents(spark, sf)
+      .groupBy($"source", $"lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = SparkEntry.queries("q_simpson")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cs = counts(r.getString(0)).map(_._3)
+      val n = cs.sum
+      val expect = 1000000L - cs.map(c => c * (c - 1)).sum * 1000000L /
+        (n * (n - 1))
+      assert(r.getLong(1) == n && r.getLong(2) == cs.length.toLong)
+      assert(r.getLong(3) == expect, s"simpson for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
 }
