@@ -2125,7 +2125,163 @@ object Analytics {
       |FROM per JOIN qr USING (r) JOIN qf USING (f) JOIN qm USING (m)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------- q_burstiness
+  /** Inter-arrival burstiness per event type — Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over same-type gap times: −1 for a metronome,
+    * 0 for a Poisson process, →1 for heavy bursts. The gap frame is
+    * exact integer µs (ordered by (ts, event_id) so same-µs ties break
+    * identically cross-engine); sufficient statistics route through
+    * DECIMAL(19)² products (gaps² overflow a long), and σ, μ, B are one
+    * fixed 9dp-rounded double sequence at the end (the q_assortativity
+    * recipe).
+    *
+    * Scale shape: one event_type-keyed window pass for gaps, one
+    * aggregation with map-side partials to the types-sized frame. */
+  private def burstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val gaps = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("gap", $"us" - lag($"us", 1).over(
+        Window.partitionBy($"event_type").orderBy($"us", $"event_id")))
+      .filter($"gap".isNotNull)
+    val stats = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"gap").as("sum_us"),
+        sum($"gap".cast(d19) * $"gap".cast(d19)).as("ssq"))
+    val nd = col("n").cast("double")
+    stats
+      .withColumn("mean_us", expr("sum_us DIV n"))
+      .withColumn("sigma",
+        sqrt(nd * $"ssq".cast("double") -
+          $"sum_us".cast("double") * $"sum_us".cast("double")) / nd)
+      .select($"event_type", $"n", $"sum_us", $"mean_us",
+        round(($"sigma" - $"sum_us".cast("double") / nd) /
+          ($"sigma" + $"sum_us".cast("double") / nd), 9).as("burstiness"))
+      .orderBy($"event_type")
+  }
+
+  private val burstinessSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+      |      AS gap
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(gap) AS BIGINT) AS sum_us,
+      |    SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+      |      AS ssq
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n, sum_us, sum_us // n AS mean_us,
+      |  round((sqrt(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+      |        - CAST(sum_us AS DOUBLE) * CAST(sum_us AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      - CAST(sum_us AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+      |        - CAST(sum_us AS DOUBLE) * CAST(sum_us AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + CAST(sum_us AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS burstiness
+      |FROM stats ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------- q_peaks
+  /** Local maxima of the monthly revenue series — months strictly above
+    * every neighbor within ±2 (the change-point family's "where are the
+    * spikes" complement to q_cusum's "did the level shift"). Pure
+    * integer comparisons on DECIMAL-routed cents; edge months with an
+    * incomplete ±2 window are excluded by contract (their neighborhood
+    * is unobserved). Prominence = cents − best neighbor, exact.
+    *
+    * Scale shape: one fact aggregation to the months grid; the
+    * comparisons are four lag/lead columns in one window pass. */
+  private def peaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy($"month")
+    monthly
+      .withColumn("p1", lag($"cents", 1).over(w))
+      .withColumn("p2", lag($"cents", 2).over(w))
+      .withColumn("n1", lead($"cents", 1).over(w))
+      .withColumn("n2", lead($"cents", 2).over(w))
+      .filter($"p1".isNotNull && $"p2".isNotNull &&
+        $"n1".isNotNull && $"n2".isNotNull)
+      .filter($"cents" > $"p1" && $"cents" > $"p2" &&
+        $"cents" > $"n1" && $"cents" > $"n2")
+      .select($"month", $"cents",
+        greatest($"p1", $"p2", $"n1", $"n2").as("best_neighbor_cents"),
+        ($"cents" - greatest($"p1", $"p2", $"n1", $"n2"))
+          .as("prominence_cents"))
+      .orderBy($"month")
+  }
+
+  private val peaksSql =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |x AS (
+      |  SELECT month, cents,
+      |    lag(cents, 1) OVER (ORDER BY month) AS p1,
+      |    lag(cents, 2) OVER (ORDER BY month) AS p2,
+      |    lead(cents, 1) OVER (ORDER BY month) AS n1,
+      |    lead(cents, 2) OVER (ORDER BY month) AS n2
+      |  FROM monthly)
+      |SELECT month, cents,
+      |  greatest(p1, p2, n1, n2) AS best_neighbor_cents,
+      |  cents - greatest(p1, p2, n1, n2) AS prominence_cents
+      |FROM x
+      |WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      |  AND n1 IS NOT NULL AND n2 IS NOT NULL
+      |  AND cents > p1 AND cents > p2 AND cents > n1 AND cents > n2
+      |ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------- q_weekday_profile
+  /** Day-of-week revenue profile — order volume and value by weekday
+    * plus each day's index against the all-days average in exact ppm
+    * (the seasonality-family audit at week grain; q_seasonality covers
+    * month-of-year). Weekday numbering is pinned to ISO-ish 0=Sunday by
+    * explicitly aligning the two engines' conventions (Spark dayofweek
+    * is 1-based Sunday, DuckDB 0-based Sunday).
+    *
+    * Scale shape: one fact aggregation to 7 rows with map-side
+    * partials; the global average is a broadcast-single-row cross. */
+  private def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDay = Tables.orders(s, dir)
+      .groupBy((dayofweek($"o_orderdate") - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("cents"))
+      .withColumn("avg_cents", expr("cents DIV n_orders"))
+    val overall = byDay.agg(sum($"cents").as("tc"), sum($"n_orders").as("tn"))
+    byDay.crossJoin(broadcast(overall))
+      .select($"dow", $"n_orders", $"cents", $"avg_cents",
+        expr("avg_cents * 1000000 DIV (tc DIV tn)").as("index_ppm"))
+      .orderBy($"dow")
+  }
+
+  private val weekdayProfileSql =
+    """WITH byday AS (
+      |  SELECT dayofweek(o_orderdate) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+      |             CAST(SUM(n_orders) AS BIGINT) AS tn FROM byday)
+      |SELECT dow, n_orders, cents, cents // n_orders AS avg_cents,
+      |  (cents // n_orders) * 1000000 // (tc // tn) AS index_ppm
+      |FROM byday CROSS JOIN o ORDER BY dow""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_burstiness", burstiness, Some(burstinessSql), bench = true),
+    NamedQuery("q_peaks", peaks, Some(peaksSql), bench = true),
+    NamedQuery("q_weekday_profile", weekdayProfile, Some(weekdayProfileSql),
+      bench = true),
     NamedQuery("q_survival", survival, Some(survivalSql), bench = true),
     NamedQuery("q_decile_share", decileShare, Some(decileShareSql),
       bench = true),

@@ -234,7 +234,81 @@ object Eval {
        |FROM c CROSS JOIN t
        |ORDER BY bucket DESC""".stripMargin
 
+  // ------------------------------------------------------------------ q_ab_test
+  /** Two-proportion A/B test — the experiment readout a data pipeline
+    * runs on any gated rollout. Arm and outcome are PLANTED by id
+    * arithmetic (the q_confusion precedent): arm = doc_id % 2, and the
+    * conversion draw is an md5-ppm uniform with the treatment arm's
+    * threshold lifted by [[AbPlantedLiftPpm]] — so the true effect is
+    * known, both engines replay every count exactly, and the z-score
+    * (pooled two-proportion, one fixed 9dp-rounded double sequence over
+    * exact integer counts) lands on a pinned value. Counts, realized
+    * rates, and the realized lift are exact ppm.
+    *
+    * Scale shape: the corpus reduces row-locally to (arm, converted)
+    * and aggregates with map-side partials — one 1-row output. */
+  /** Planted at 15pp over a 20% base: large enough to clear two-
+    * proportion sampling noise even at sf0.001 (±~3.6pp at n=250/arm),
+    * so the positive-lift and z>0 assertions hold at every fixture sf. */
+  val AbBaseRatePpm = 200000L
+  val AbPlantedLiftPpm = 150000L
+
+  private def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val draw = TextFunctions
+      .md5Lower64(concat(lit("ab:"), $"doc_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)) % 1000000L
+    val scored = Tables.documents(s, dir).select(
+      ($"doc_id" % 2).as("arm"),
+      (draw < lit(AbBaseRatePpm) + ($"doc_id" % 2) * AbPlantedLiftPpm)
+        .cast("long").as("conv"))
+    val wide = scored.agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 0, $"conv").otherwise(0L)).as("conv_a"),
+      sum(when($"arm" === 1, $"conv").otherwise(0L)).as("conv_b"))
+    val Seq(na, nb, ca, cb) = Seq("n_a", "n_b", "conv_a", "conv_b")
+      .map(c => col(c).cast("double"))
+    val pPool = (ca + cb) / (na + nb)
+    val z = (cb / nb - ca / na) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    wide.select($"n_a", $"n_b", $"conv_a", $"conv_b",
+      expr("conv_a * 1000000 DIV n_a").as("rate_a_ppm"),
+      expr("conv_b * 1000000 DIV n_b").as("rate_b_ppm"),
+      expr("conv_b * 1000000 DIV n_b - conv_a * 1000000 DIV n_a")
+        .as("lift_ppm"),
+      round(z, 9).as("z_score"))
+  }
+
+  private val abTestSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id % 2 AS arm,
+       |    CASE WHEN CAST(md5_number_lower('ab:' || CAST(doc_id AS VARCHAR))
+       |        & ${Long.MaxValue}::UBIGINT AS BIGINT) % 1000000
+       |      < $AbBaseRatePpm + (doc_id % 2) * $AbPlantedLiftPpm
+       |    THEN 1 ELSE 0 END AS conv
+       |  FROM documents),
+       |wide AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_b
+       |  FROM scored)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |  conv_a * 1000000 // n_a AS rate_a_ppm,
+       |  conv_b * 1000000 // n_b AS rate_b_ppm,
+       |  conv_b * 1000000 // n_b - conv_a * 1000000 // n_a AS lift_ppm,
+       |  round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+       |    / sqrt((CAST(conv_a AS DOUBLE) + conv_b) / (n_a + n_b)
+       |        * (1.0 - (CAST(conv_a AS DOUBLE) + conv_b) / (n_a + n_b))
+       |        * (1.0 / n_a + 1.0 / n_b)), 9) AS z_score
+       |FROM wide""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ab_test", abTest, Some(abTestSql), bench = true),
     NamedQuery("q_lift", lift, Some(liftSql), bench = true),
     NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),
     NamedQuery("q_auc", auc, Some(aucSql), bench = true),

@@ -880,7 +880,63 @@ object Graph {
        |    / (CAST(m2.m2 AS DOUBLE) * m2.m2), 9) AS q_share
        |FROM rows_ CROSS JOIN m2 ORDER BY community""".stripMargin
 
+  // ---------------------------------------------------------- q_resource_alloc
+  /** Resource-Allocation link prediction (Zhou–Lü–Zhang 2009) over the
+    * customer–supplier bipartite graph — q_link_predict's common-
+    * neighbor count, but each shared supplier weighted INVERSELY to its
+    * popularity (a niche supplier shared by two customers is stronger
+    * evidence than a hub everyone buys from). RA's 1/deg weight is
+    * chosen over Adamic–Adar's 1/log(deg) deliberately: it is RATIONAL
+    * in the degree, so 1e9 DIV d is exact at full resolution on both
+    * engines — an integer-quantized log (bit length) was measured too
+    * coarse to separate this fixture's degree bands, and libm log is
+    * engine-dependent. (RA also tends to outperform AA empirically on
+    * dense graphs — Zhou et al.'s original finding.)
+    *
+    * Scale shape: identical to q_link_predict — wedges generate
+    * row-locally from per-supplier sorted customer lists under the
+    * MaxFanout hub cap (the k² hazard mitigation), weights ride the
+    * supplier row into the explode, one (u,v)-keyed aggregation. */
+  private def resourceAlloc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+    val wedges = pairs
+      .groupBy($"supp")
+      .agg(sort_array(collect_set($"cust")).as("custs"),
+        count(lit(1)).as("d"))
+      .filter(size($"custs").between(2, MaxFanout))
+      .withColumn("w", expr("1000000000 DIV d"))
+      .select(explode(expr(sortedPairsExpr("custs", "u", "v"))).as("p"), $"w")
+      .select($"p.u", $"p.v", $"w")
+    wedges.groupBy($"u", $"v")
+      .agg(count(lit(1)).as("n_common"), sum($"w").as("ra_nano"))
+      .orderBy($"ra_nano".desc, $"u", $"v")
+      .limit(50)
+  }
+
+  private val resourceAllocSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |deg AS (
+       |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY supp),
+       |ok AS (
+       |  SELECT p.cust, p.supp, 1000000000 // deg.d AS w
+       |  FROM pairs p JOIN deg USING (supp)
+       |  WHERE deg.d BETWEEN 2 AND $MaxFanout),
+       |wedges AS (
+       |  SELECT a.cust AS u, b.cust AS v, a.w
+       |  FROM ok a JOIN ok b ON a.supp = b.supp AND a.cust < b.cust)
+       |SELECT u, v, COUNT(*) AS n_common, CAST(SUM(w) AS BIGINT) AS ra_nano
+       |FROM wedges GROUP BY u, v
+       |ORDER BY ra_nano DESC, u, v LIMIT 50""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_resource_alloc", resourceAlloc, Some(resourceAllocSql),
+      bench = true),
     NamedQuery("q_modularity", modularity, Some(modularitySql), bench = true),
     NamedQuery("q_bfs_depth", bfsQuery, Some(bfsSql), bench = true),
     NamedQuery("q_degree_dist", degreeDist, Some(degreeDistSql), bench = true),

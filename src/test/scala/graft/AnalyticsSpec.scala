@@ -646,4 +646,49 @@ class AnalyticsSpec extends GraftSuite {
         k._3 >= 1 && k._3 <= 5)
     }
   }
+  // --------------------------------------------------------------- q_burstiness
+  test("q_burstiness: gap statistics replayed; bounded in (-1, 1)") {
+    val evs = Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("q_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val sorted = evs.filter(_._1 == t).sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      assert(r.getLong(1) == gaps.length.toLong, s"n for $t")
+      assert(r.getLong(2) == gaps.sum, s"sum_us for $t")
+      assert(r.getLong(3) == gaps.sum / gaps.length, s"mean for $t")
+      val b = r.getDouble(4)
+      assert(b > -1.0 && b < 1.0, s"burstiness out of range for $t: $b")
+    }
+  }
+
+  // -------------------------------------------------------------------- q_peaks
+  test("q_peaks: every reported month strictly dominates its +-2 window") {
+    val monthly = Tables.orders(spark, sf)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val expected = (2 until monthly.length - 2).filter { i =>
+      val c = monthly(i)._2
+      Seq(i - 2, i - 1, i + 1, i + 2).forall(j => c > monthly(j)._2)
+    }.map(i => monthly(i)._1).toSet
+    val rows = SparkEntry.queries("q_peaks")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expected)
+    assert(rows.forall(_.getLong(3) > 0L), "prominence must be positive")
+    assert(expected.nonEmpty, "fixture has no peaks — vacuous")
+  }
+
+  // ---------------------------------------------------------- q_weekday_profile
+  test("q_weekday_profile: 7 days partition the orders; indexes bracket 1e6") {
+    val rows = SparkEntry.queries("q_weekday_profile")(spark, sf).collect()
+    assert(rows.length == 7 && rows.map(_.getLong(0)).toSeq == (0L to 6L))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    // some day must be above average and some below (non-degenerate)
+    val idx = rows.map(_.getLong(4))
+    assert(idx.exists(_ > 1000000L) && idx.exists(_ < 1000000L))
+  }
 }

@@ -69,4 +69,25 @@ class EvalSpec extends GraftSuite {
       assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
     }
   }
+  // ------------------------------------------------------------------ q_ab_test
+  test("q_ab_test: planted conversion counts replayed; lift detected") {
+    import graft.operators.Eval
+    import graft.functions.TextImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    def conv(id: Long): Boolean = {
+      val u = TextImpl.md5Lower64(UTF8String.fromString(s"ab:$id")) &
+        Long.MaxValue
+      u % 1000000L < Eval.AbBaseRatePpm + (id % 2) * Eval.AbPlantedLiftPpm
+    }
+    val (a, b) = ids.partition(_ % 2 == 0)
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).collect().head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(r.getLong(2) == a.count(conv).toLong)
+    assert(r.getLong(3) == b.count(conv).toLong)
+    // the planted 3pp lift should surface as a positive realized lift
+    assert(r.getLong(6) > 0L, s"realized lift ${r.getLong(6)} not positive")
+    assert(!r.isNullAt(7) && !r.getDouble(7).isNaN)
+  }
 }

@@ -241,4 +241,39 @@ class GraphSpec extends GraftSuite {
     val q = total.head.getDouble(4)
     assert(q > -0.5 && q < 1.0, s"modularity out of theoretical range: $q")
   }
+  // ---------------------------------------------------------- q_resource_alloc
+  test("q_resource_alloc: weighted wedge scores replayed in Scala") {
+    import graft.operators.Graph
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = pairs.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    val scores = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    bySupp.foreach { case (_, custs0) =>
+      val custs = custs0.sorted
+      val d = custs.length.toLong
+      if (d >= 2 && d <= Graph.MaxFanout) {
+        val w = 1000000000L / d
+        for (i <- custs.indices; j <- i + 1 until custs.length) {
+          val k = (custs(i), custs(j))
+          val (c, a) = scores.getOrElse(k, (0L, 0L))
+          scores(k) = (c + 1, a + w)
+        }
+      }
+    }
+    val expected = scores.toSeq
+      .sortBy { case ((u, v), (_, a)) => (-a, u, v) }.take(50)
+    val rows = SparkEntry.queries("q_resource_alloc")(spark, sf).collect()
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, ((u, v), (c, a))) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((u, v, c, a)))
+    }
+    // the inverse-log weight must be non-constant: pairs with the same
+    // common-neighbor count must land different AA scores somewhere
+    val byCount = scores.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byCount.exists(_._2.size > 1),
+      "every equal-count pair scored identically — weight vacuous")
+  }
 }
