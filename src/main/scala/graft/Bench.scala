@@ -69,7 +69,16 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(q => names(q.name))
       case None => SparkEntry.benchQueries
     }
+    var sinceGc = 0
     selected.foreach { nq =>
+      // Iterative queries leave localCheckpoint blocks behind; Spark's
+      // ContextCleaner frees them only when the driver GCs the weak refs.
+      // Across ~200 queries × 2 runs the retained blocks inflate later
+      // queries' walls (q_triangle_count measured 16.5s late-session vs
+      // 7.0s isolated). A periodic explicit GC lets the cleaner run;
+      // every 20 queries keeps the pause cost amortized.
+      sinceGc += 1
+      if (sinceGc >= 20) { System.gc(); sinceGc = 0 }
       var best = Double.MaxValue
       var err: Option[String] = None
       var metrics: Option[(Long, Long)] = None

@@ -832,7 +832,10 @@ object Graph {
       .orderBy($"community")
   }
 
-  private def modularity(s: SparkSession, dir: String): DataFrame = {
+  /** The symmetrized co-purchase graph + nation community map shared by
+    * q_modularity and q_conductance. */
+  private def nationCommunityGraph(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
@@ -845,6 +848,11 @@ object Graph {
       .unionByName(Tables.supplier(s, dir)
         .select(($"s_suppkey" + SupplierOffset).as("node"),
           $"s_nationkey".as("comm")))
+    (edges, comm)
+  }
+
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    val (edges, comm) = nationCommunityGraph(s, dir)
     modularityScore(edges, comm)
   }
 
@@ -879,6 +887,65 @@ object Graph {
        |  round(CAST(contrib AS DOUBLE)
        |    / (CAST(m2.m2 AS DOUBLE) * m2.m2), 9) AS q_share
        |FROM rows_ CROSS JOIN m2 ORDER BY community""".stripMargin
+
+  // -------------------------------------------------------------- q_conductance
+  /** Cut conductance of each nation community over the co-purchase
+    * graph — the cut-quality complement to q_modularity's density score:
+    * φ(C) = cut(C) / min(vol(C), vol(C̄)), where vol is summed degree
+    * and the cut is every edge leaving C. On the directed-both-ways
+    * frame everything is exact integer arithmetic: vol = d_c (edges
+    * with src in C), internal = e2_c, cut = d_c − e2_c, φ in exact ppm
+    * by integer DIV. Low φ = a well-separated community; φ → 1e6 means
+    * the "community" is all boundary (the expected answer for nation
+    * labels over a bipartite trade graph — nations trade globally).
+    *
+    * Scale shape: identical to q_modularity — the node→community map
+    * broadcasts onto the edge frame twice, one keyed aggregation. */
+  private def conductance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (edges, comm) = nationCommunityGraph(s, dir)
+    val tagged = edges
+      .join(broadcast(comm.select($"node".as("src"), $"comm".as("comm_s"))),
+        Seq("src"))
+      .join(broadcast(comm.select($"node".as("dst"), $"comm".as("comm_d"))),
+        Seq("dst"))
+    val perComm = tagged.groupBy($"comm_s".cast("long").as("community"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when($"comm_s" === $"comm_d", 1L).otherwise(0L)).as("e2_c"))
+    val m2 = tagged.agg(count(lit(1)).as("m2"))
+    perComm.crossJoin(broadcast(m2))
+      .withColumn("cut", $"d_c" - $"e2_c")
+      .withColumn("phi_ppm",
+        expr("cut * 1000000 DIV least(d_c, m2 - d_c)"))
+      .select($"community", $"d_c", $"e2_c", $"cut", $"phi_ppm")
+      .orderBy($"community")
+  }
+
+  private val conductanceSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |comm AS (
+       |  SELECT c_custkey AS node, c_nationkey AS comm FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey + $SupplierOffset, s_nationkey FROM supplier),
+       |tagged AS (
+       |  SELECT cs.comm AS community,
+       |    CASE WHEN cs.comm = cd.comm THEN 1 ELSE 0 END AS internal
+       |  FROM e
+       |  JOIN comm cs ON e.src = cs.node
+       |  JOIN comm cd ON e.dst = cd.node),
+       |per AS (
+       |  SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c,
+       |    CAST(SUM(internal) AS BIGINT) AS e2_c
+       |  FROM tagged GROUP BY 1),
+       |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM tagged)
+       |SELECT community, d_c, e2_c, d_c - e2_c AS cut,
+       |  (d_c - e2_c) * 1000000 // least(d_c, m2 - d_c) AS phi_ppm
+       |FROM per CROSS JOIN m2 ORDER BY community""".stripMargin
 
   // ---------------------------------------------------------- q_resource_alloc
   /** Resource-Allocation link prediction (Zhou–Lü–Zhang 2009) over the
@@ -936,6 +1003,8 @@ object Graph {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_resource_alloc", resourceAlloc, Some(resourceAllocSql),
+      bench = true),
+    NamedQuery("q_conductance", conductance, Some(conductanceSql),
       bench = true),
     NamedQuery("q_modularity", modularity, Some(modularitySql), bench = true),
     NamedQuery("q_bfs_depth", bfsQuery, Some(bfsSql), bench = true),

@@ -928,7 +928,44 @@ object Quality {
       |    AS simpson_ppm
       |FROM g WHERE n_docs >= 2 ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------- q_quantile_transform
+  /** Quantile (rank) transform of document length — the feature scaling
+    * that makes any heavy-tailed feature uniform on [0, 1] (here ppm):
+    * q(v) = cum_below(v) / n, derived from the VALUE HISTOGRAM exactly
+    * like q_spearman's ranks (ties share one quantile, no per-row
+    * ranking, no interpolation). Completes the scaling family:
+    * q_standardize (z-score), q_winsorize (clamp), this (rank).
+    *
+    * Scale shape: one histogram aggregation (value-grid sized), the
+    * cumulative window over the grid only, a broadcast map-back onto
+    * the corpus scan. */
+  private def quantileTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"n_chars")))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+      .select($"n_chars", expr("(cum - cnt) * 1000000 DIV n").as("q_ppm"))
+    Tables.documents(s, dir)
+      .join(broadcast(hist), Seq("n_chars"))
+      .select($"doc_id", $"n_chars", $"q_ppm")
+      .orderBy($"doc_id")
+  }
+
+  private val quantileTransformSql =
+    """WITH hist AS (
+      |  SELECT n_chars,
+      |    CAST(((SUM(cnt) OVER (ORDER BY n_chars)) - cnt) * 1000000
+      |      // (SUM(cnt) OVER ()) AS BIGINT) AS q_ppm
+      |  FROM (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM documents GROUP BY 1))
+      |SELECT d.doc_id, d.n_chars, h.q_ppm
+      |FROM documents d JOIN hist h USING (n_chars)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_quantile_transform", quantileTransform,
+      Some(quantileTransformSql), bench = true),
     NamedQuery("q_simpson", simpson, Some(simpsonSql), bench = true),
     NamedQuery("q_spearman", spearman, Some(spearmanSql), bench = true),
     NamedQuery("q_mann_whitney", mannWhitney, Some(mannWhitneySql),

@@ -914,7 +914,44 @@ object TextAnalysis {
        |  n_oov * 1000000 // n_tokens AS oov_ppm
        |FROM agg ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------------- q_fertility
+  /** Tokenizer fertility per language — BPE-ish tokens emitted per
+    * whitespace word, the compression audit that decides whether a
+    * tokenizer (or a language's script) fragments text: fertility near
+    * 1e6 ppm = one token per word; higher = the tokenizer splits.
+    * Both token counts are row-local integer reductions (the
+    * [[BpeTokenPattern]] regex and the single-space split), so the
+    * per-language ratios are exact ppm with zero float.
+    *
+    * Scale shape: one scan pass reduces each document to two counts;
+    * one languages-sized aggregation with map-side partials. */
+  private def fertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", bpeTokensCol($"text").as("t"),
+        size(split($"text", " ", -1)).cast("long").as("w"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"),
+        sum($"w").as("n_words"))
+      .withColumn("fertility_ppm", expr("n_tokens * 1000000 DIV n_words"))
+      .orderBy($"lang")
+  }
+
+  private val fertilitySql =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS BIGINT)
+       |      AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(t) AS BIGINT) * 1000000 // CAST(SUM(w) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_fertility", fertility, Some(fertilitySql), bench = true),
     NamedQuery("q_oov_rate", oovRate, Some(oovRateSql), bench = true),
     NamedQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql),
       bench = true),

@@ -276,4 +276,22 @@ class GraphSpec extends GraftSuite {
     assert(byCount.exists(_._2.size > 1),
       "every equal-count pair scored identically — weight vacuous")
   }
+  // -------------------------------------------------------------- q_conductance
+  test("q_conductance: cut identities and the modularity frame agree") {
+    val rows = SparkEntry.queries("q_conductance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mod = SparkEntry.queries("q_modularity")(spark, sf).collect()
+      .filter(_.getLong(0) >= 0L)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (c, dC, e2, cut, phi) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(cut == dC - e2, s"cut identity at $c")
+      assert(mod(c) == ((dC, e2)), s"frames disagree at $c")
+      assert(phi >= 0L && phi <= 1000000L, s"phi out of range at $c")
+    }
+    // nations trade globally: every nation community is mostly boundary
+    assert(rows.forall(_.getLong(4) > 500000L),
+      "bipartite trade graph should have high-conductance nation cuts")
+  }
 }

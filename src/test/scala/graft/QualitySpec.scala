@@ -326,4 +326,18 @@ class QualitySpec extends GraftSuite {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
     }
   }
+  // --------------------------------------------------------- q_quantile_transform
+  test("q_quantile_transform: monotone in value, ties share, uniform-ish") {
+    val rows = SparkEntry.queries("q_quantile_transform")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // same length -> same quantile; larger length -> never smaller quantile
+    val byLen = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byLen.values.forall(_.size == 1), "ties must share a quantile")
+    val sorted = byLen.toSeq.sortBy(_._1).map(_._2.head)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a < b },
+      "quantile must be strictly increasing across distinct lengths")
+    assert(rows.map(_._3).min == 0L, "smallest value maps to quantile 0")
+    assert(rows.map(_._3).max < 1000000L)
+  }
 }

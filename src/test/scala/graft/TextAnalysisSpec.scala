@@ -320,6 +320,26 @@ class TextAnalysisSpec extends GraftSuite {
       assert(postings.distinct.size == postings.size)
     }
   }
+  // -------------------------------------------------------------------- q_fertility
+  test("q_fertility: token and word counts replayed per language") {
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pat = TextAnalysis.BpeTokenPattern.r
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val t = ds.map(d => pat.findAllIn(d._2).size.toLong).sum
+      val w = ds.map(_._2.split(" ", -1).length.toLong).sum
+      lang -> (ds.length.toLong, t, w, t * 1000000L / w)
+    }
+    val rows = SparkEntry.queries("q_fertility")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      assert(expected(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
+        r.getString(0))
+    }
+  }
+
   // -------------------------------------------------------------------- q_oov_rate
   test("q_oov_rate: per-source replay against a hand-built vocabulary") {
     val docs = Tables.documents(spark, sf)
