@@ -2277,7 +2277,78 @@ object Analytics {
       |  (cents // n_orders) * 1000000 // (tc // tn) AS index_ppm
       |FROM byday CROSS JOIN o ORDER BY dow""".stripMargin
 
+  // -------------------------------------------------------------- q_price_index
+  /** Laspeyres monthly price index over the part basket — "how much
+    * would January's basket cost in month t?", the classic
+    * fixed-basket inflation measure. Per (part, month) the unit price
+    * is Σ extended-cents DIV Σ quantity (exact truncating division,
+    * identical both engines); the index for month t sums unit_t·q₀ over
+    * the COMMON part set with the base month and divides by the base
+    * cost in exact ppm — so a month's index moves only on price
+    * changes, never basket drift (drift is reported as n_common).
+    *
+    * Scale shape: one fact aggregation to the (part, month) grid with
+    * map-side partials; the base-month slice broadcasts back onto the
+    * grid; one months-sized rollup. */
+  private def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the fact side never shuffles for the join: orders projected to
+    // (key, month) is ~16 bytes/row — broadcast-sized at any realistic
+    // order count relative to the lineitem fact table
+    // group key is the truncated DATE, not the formatted string —
+    // string keys pay per-row formatting plus wider shuffle rows; the
+    // "yyyy-MM" rendering happens once on the months-sized output
+    val grid = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderdate")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey", date_trunc("month", $"o_orderdate").as("mt"))
+      .agg(((sum($"l_extendedprice".cast(DecimalType(28, 2))) * 100)
+          .cast("long")).as("ext_cents"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .withColumn("unit_cents", expr("ext_cents DIV qty"))
+      // three consumers below (base-month scalar, base slice, the index
+      // rollup) — materialize the parts×months grid once instead of
+      // re-running the fact aggregation per consumer
+      .localCheckpoint(true)
+    val baseMonth = grid.agg(min($"mt").as("base_mt"))
+    val base = grid.crossJoin(broadcast(baseMonth))
+      .filter($"mt" === $"base_mt")
+      .select($"l_partkey", $"unit_cents".as("unit0"), $"qty".as("q0"))
+    grid.join(broadcast(base), Seq("l_partkey"))
+      .groupBy($"mt")
+      .agg(count(lit(1)).as("n_common"),
+        sum($"unit_cents" * $"q0").as("cost_t"),
+        sum($"unit0" * $"q0").as("cost_0"))
+      .select(date_format($"mt", "yyyy-MM").as("month"), $"n_common",
+        $"cost_t", $"cost_0",
+        expr("cost_t * 1000000 DIV cost_0").as("index_ppm"))
+      .orderBy($"month")
+  }
+
+  private val priceIndexSql =
+    """WITH grid AS (
+      |  SELECT l_partkey, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS ext_cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |g2 AS (SELECT *, ext_cents // qty AS unit_cents FROM grid),
+      |bm AS (SELECT MIN(month) AS base_month FROM g2),
+      |base AS (
+      |  SELECT l_partkey, unit_cents AS unit0, qty AS q0
+      |  FROM g2 CROSS JOIN bm WHERE month = base_month)
+      |SELECT month, COUNT(*) AS n_common,
+      |  CAST(SUM(g2.unit_cents * base.q0) AS BIGINT) AS cost_t,
+      |  CAST(SUM(base.unit0 * base.q0) AS BIGINT) AS cost_0,
+      |  CAST(SUM(g2.unit_cents * base.q0) AS BIGINT) * 1000000
+      |    // CAST(SUM(base.unit0 * base.q0) AS BIGINT) AS index_ppm
+      |FROM g2 JOIN base USING (l_partkey)
+      |GROUP BY month ORDER BY month""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_price_index", priceIndex, Some(priceIndexSql), bench = true),
     NamedQuery("q_burstiness", burstiness, Some(burstinessSql), bench = true),
     NamedQuery("q_peaks", peaks, Some(peaksSql), bench = true),
     NamedQuery("q_weekday_profile", weekdayProfile, Some(weekdayProfileSql),

@@ -905,7 +905,90 @@ object Corpus {
        |  n_false_pos * 1000000 // (n_probe - n_member) AS fpr_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q_dataset_card
+  /** One-row dataset datasheet — the summary block a corpus release
+    * ships (Datasheets for Datasets, Gebru et al.): sizes, language/
+    * source breadth, the dominant language's share, exact median
+    * length, token volume, and the exact-duplicate rate. Every number
+    * is an exact integer: the median is an order statistic off the
+    * length histogram (no interpolation), shares are integer ppm, and
+    * the duplicate rate counts docs minus distinct text digests.
+    *
+    * Scale shape: one scan pass reduces the corpus to row-local counts
+    * (map-side partials); the histogram/median runs on the value grid;
+    * the digest-distinct is the only corpus-keyed shuffle — all
+    * branches are independent 1-row frames broadcast-crossed at the
+    * end. */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"),
+      sum($"n_chars").as("total_chars"))
+    val tokens = docs
+      .select(TextAnalysis.bpeTokensCol($"text").as("t"))
+      .agg(sum($"t").as("total_tokens"))
+    val dups = docs.select(md5($"text").as("d"))
+      .agg((count(lit(1)) - countDistinct($"d")).as("n_exact_dups"))
+    val median = docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"n_chars")))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+      .filter($"cum" * 2 >= $"n")
+      .agg(min($"n_chars").as("median_chars"))
+    val topLang = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"lang").limit(1)
+      .select($"lang".as("top_lang"), $"c".as("top_lang_docs"))
+    base.crossJoin(broadcast(tokens))
+      .crossJoin(broadcast(dups))
+      .crossJoin(broadcast(median))
+      .crossJoin(broadcast(topLang))
+      .select($"n_docs", $"n_sources", $"n_langs", $"total_chars",
+        expr("total_chars DIV n_docs").as("mean_chars"),
+        $"median_chars", $"total_tokens", $"n_exact_dups",
+        expr("n_exact_dups * 1000000 DIV n_docs").as("dup_ppm"),
+        $"top_lang",
+        expr("top_lang_docs * 1000000 DIV n_docs").as("top_lang_ppm"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH base AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents),
+       |tok AS (
+       |  SELECT CAST(SUM(len(regexp_extract_all(text,
+       |    '${TextAnalysis.BpeTokenPattern}'))) AS BIGINT) AS total_tokens
+       |  FROM documents),
+       |dups AS (
+       |  SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+       |    AS n_exact_dups
+       |  FROM documents),
+       |med AS (
+       |  SELECT CAST(MIN(n_chars) AS BIGINT) AS median_chars FROM (
+       |    SELECT n_chars,
+       |      SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+       |      SUM(cnt) OVER () AS n
+       |    FROM (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM documents GROUP BY 1))
+       |  WHERE cum * 2 >= n),
+       |top AS (
+       |  SELECT lang AS top_lang, CAST(c AS BIGINT) AS top_lang_docs FROM (
+       |    SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1
+       |    ORDER BY c DESC, lang LIMIT 1))
+       |SELECT n_docs, n_sources, n_langs, total_chars,
+       |  total_chars // n_docs AS mean_chars, median_chars, total_tokens,
+       |  n_exact_dups, n_exact_dups * 1000000 // n_docs AS dup_ppm,
+       |  top_lang, top_lang_docs * 1000000 // n_docs AS top_lang_ppm
+       |FROM base CROSS JOIN tok CROSS JOIN dups CROSS JOIN med
+       |CROSS JOIN top""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dataset_card", datasetCard, Some(datasetCardSql),
+      bench = true),
     NamedQuery("q_bloom_fpr", bloomFpr, Some(bloomFprSql), bench = true),
     NamedQuery("q_ess", ess, Some(essSql), bench = true),
     NamedQuery("q_split_stratified", splitStratified, Some(splitStratifiedSql),

@@ -691,4 +691,35 @@ class AnalyticsSpec extends GraftSuite {
     val idx = rows.map(_.getLong(4))
     assert(idx.exists(_ > 1000000L) && idx.exists(_ < 1000000L))
   }
+  // -------------------------------------------------------------- q_price_index
+  test("q_price_index: base month pinned at 1e6; arithmetic replayed") {
+    val grid = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey", date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .agg(((sum($"l_extendedprice".cast("decimal(28,2)")) * 100)
+        .cast("long")).as("ec"), sum($"l_quantity".cast("long")).as("q"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val unit = grid.view.mapValues { case (ec, q) => ec / q }.toMap
+    val base = grid.keys.map(_._2).min
+    val basePart = grid.collect { case ((p, m), (_, q)) if m == base =>
+      p -> (unit((p, base)), q) }.toMap
+    val months = grid.keys.map(_._2).toSeq.distinct.sorted
+    val expected = months.map { m =>
+      val common = grid.keys.collect { case (p, `m`) if basePart.contains(p) => p }
+      val costT = common.map(p => unit((p, m)) * basePart(p)._2).sum
+      val cost0 = common.map(p => basePart(p)._1 * basePart(p)._2).sum
+      m -> (common.size.toLong, costT, cost0, costT * 1000000L / cost0)
+    }.toMap
+    val rows = SparkEntry.queries("q_price_index")(spark, sf).collect()
+    assert(rows.length == months.length)
+    rows.foreach { r =>
+      assert(expected(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
+        s"month ${r.getString(0)}")
+    }
+    val baseRow = rows.find(_.getString(0) == base).get
+    assert(baseRow.getLong(4) == 1000000L, "base month must index at 1e6")
+  }
 }

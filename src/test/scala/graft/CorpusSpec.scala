@@ -504,4 +504,32 @@ class CorpusSpec extends GraftSuite {
     assert(r.getLong(2) == flagged && r.getLong(3) == 0L)
     assert(r.getLong(4) == falsePos)
   }
+  // ---------------------------------------------------------------- q_dataset_card
+  test("q_dataset_card: every datasheet field replayed from raw docs") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"lang", $"n_chars", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val n = docs.length.toLong
+    val lens = docs.map(_._3).sorted
+    // lower median: smallest v with 2*cum(v) >= n over the histogram
+    val medianExpected = {
+      val grid = lens.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      grid.collectFirst { case (v, c) if { cum += c; cum * 2 >= n } => v }.get
+    }
+    val dups = n - docs.map(_._4).distinct.length
+    val topLang = docs.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (l, c) => (-c, l) }.head
+    val r = SparkEntry.queries("q_dataset_card")(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == docs.map(_._1).distinct.length.toLong)
+    assert(r.getLong(2) == docs.map(_._2).distinct.length.toLong)
+    assert(r.getLong(3) == docs.map(_._3).sum)
+    assert(r.getLong(4) == docs.map(_._3).sum / n)
+    assert(r.getLong(5) == medianExpected, s"median ${r.getLong(5)}")
+    assert(r.getLong(7) == dups && r.getLong(8) == dups * 1000000L / n)
+    assert(r.getString(9) == topLang._1)
+    assert(r.getLong(10) == topLang._2 * 1000000L / n)
+  }
 }
