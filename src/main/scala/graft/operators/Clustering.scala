@@ -190,7 +190,69 @@ object Clustering {
     s"""SELECT vec_id, vec_id < ${KmeansK * SemSubgroups} AS keep
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ q_cluster_purity
+  /** Cluster-purity audit: k-means assignments (the planted-cluster
+    * gate's REAL Lloyd path) crossed with the embeddings' independent
+    * `label` column — per cluster, the majority label's share in exact
+    * ppm, plus the -1 rollup row with the size-weighted corpus purity
+    * (the external-validation metric for any unsupervised grouping).
+    * The planted geometry fixes the ASSIGNMENTS (id % k, which the
+    * oracle replays), while labels are independent of the plant, so
+    * purity is genuinely fractional — not a vacuous 1e6.
+    *
+    * Scale shape: one (cluster, label) aggregation with map-side
+    * partials; majority pick and rollup run on the k×|labels| grid. */
+  private def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = kmeansAssignments(plantedPoints(s, dir), "vec_id",
+      "planted", KmeansK, KmeansIters)
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+    val cells = assigned.groupBy($"cluster", $"label")
+      .agg(count(lit(1)).as("n"))
+    val perCluster = cells
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"n".desc, $"label")))
+      .withColumn("size", sum($"n").over(Window.partitionBy($"cluster")))
+      .filter($"rk" === 1)
+      .select($"cluster".cast("long").as("cluster"), $"size",
+        $"label".as("majority_label"), $"n".as("majority_n"),
+        expr("n * 1000000 DIV size").as("purity_ppm"))
+    val total = perCluster.agg(lit(-1L).as("cluster"),
+      sum($"size").as("size"), lit("__all__").as("majority_label"),
+      sum($"majority_n").as("majority_n"))
+      .withColumn("purity_ppm", expr("majority_n * 1000000 DIV size"))
+    perCluster.unionByName(total).orderBy($"cluster")
+  }
+
+  private val clusterPuritySql =
+    s"""WITH m AS (
+       |  SELECT vec_id, vec_id % $KmeansK AS cluster, label FROM embeddings),
+       |cells AS (
+       |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM m GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT CAST(cluster AS BIGINT) AS cluster,
+       |    CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS size,
+       |    label AS majority_label, n AS majority_n,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label)
+       |      AS rk
+       |  FROM cells),
+       |per AS (
+       |  SELECT cluster, size, majority_label, majority_n,
+       |    majority_n * 1000000 // size AS purity_ppm
+       |  FROM pc WHERE rk = 1)
+       |SELECT * FROM per
+       |UNION ALL
+       |SELECT -1, CAST(SUM(size) AS BIGINT), '__all__',
+       |  CAST(SUM(majority_n) AS BIGINT),
+       |  CAST(SUM(majority_n) AS BIGINT) * 1000000
+       |    // CAST(SUM(size) AS BIGINT)
+       |FROM per
+       |ORDER BY cluster""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_kmeans", kmeansGate, Some(kmeansGateSql), bench = true),
+    NamedQuery("q_cluster_purity", clusterPurity, Some(clusterPuritySql),
+      bench = true),
     NamedQuery("q_semdedup", semDedupGate, Some(semDedupGateSql), bench = true))
 }

@@ -659,7 +659,98 @@ object Relational {
       |FROM events ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- inventory
+  // ------------------------------------------------------------------ q_tpch_q3
+  /** TPC-H Q3 (shipping priority) adapted to the fixture schema (no
+    * o_shippriority column): top unshipped-revenue orders for one
+    * market segment — the canonical selective-join-then-topk analytics
+    * shape. Revenue routes through exact DECIMAL cents (discount
+    * applied before the cast, scale 4 covers price×discount), and the
+    * top-10 is deterministic (revenue desc, orderdate, orderkey).
+    *
+    * Scale shape: segment filter broadcasts through customer→orders;
+    * both date filters push to the scans; TakeOrderedAndProject caps
+    * the result — no global sort materializes. */
+  private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < "1998-06-30")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > "1998-06-30")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"))
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  private val tpchQ3Sql =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1998-06-30'
+      |  AND l_shipdate > DATE '1998-06-30'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------ q_tpch_q5
+  /** TPC-H Q5 (local supplier volume): revenue from intra-nation trade
+    * within one region and one year — the canonical snowflake join
+    * (fact ⋈ 5 dimensions) with broadcast dims and exact DECIMAL
+    * revenue. The c_nationkey = s_nationkey "local" constraint is the
+    * interesting join predicate: it correlates two dimension paths. */
+  private def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1998-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val tpchQ5Sql =
+    s"""SELECT n_name,
+      |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND c_nationkey = s_nationkey
+      |  AND o_orderdate >= DATE '1997-01-01'
+      |  AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_tpch_q3", tpchQ3, Some(tpchQ3Sql), bench = true),
+    NamedQuery("q_tpch_q5", tpchQ5, Some(tpchQ5Sql), bench = true),
     NamedQuery("q_agg_basic", aggBasic, Some(aggBasicSql), bench = true),
     NamedQuery("q_industry_avg", industryAvg, Some(industryAvgSql), bench = true),
     NamedQuery("q_point_lookup", pointLookup, Some(pointLookupSql), bench = true),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{NamedQuery, Tables}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
@@ -950,7 +951,40 @@ object TextAnalysis {
        |    AS fertility_ppm
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------- q_langid_confusion
+  /** Language-ID confusion matrix — per (true lang, predicted lang)
+    * cell counts plus the within-true-language share in exact ppm: the
+    * per-class detector diagnosis q_lang_id's per-doc booleans roll up
+    * to (which languages leak into which). Shares use the q_confusion
+    * integer-ppm convention.
+    *
+    * Scale shape: the prediction is row-local; one (lang, pred)-keyed
+    * aggregation with map-side partials; row totals broadcast back on
+    * the langs-sized frame. */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .select($"lang", langPredCol($"text").as("pred"))
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_true", sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"pred", $"n",
+        expr("n * 1000000 DIV n_true").as("share_ppm"))
+      .orderBy($"lang", $"pred")
+  }
+
+  private val langidConfusionSql =
+    s"""WITH cells AS (
+       |  SELECT lang, $langPredSqlCase AS pred, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, pred, n,
+       |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS share_ppm
+       |FROM cells ORDER BY lang, pred""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_langid_confusion", langidConfusion,
+      Some(langidConfusionSql), bench = true),
     NamedQuery("q_fertility", fertility, Some(fertilitySql), bench = true),
     NamedQuery("q_oov_rate", oovRate, Some(oovRateSql), bench = true),
     NamedQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql),

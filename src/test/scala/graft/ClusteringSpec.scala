@@ -81,4 +81,21 @@ class ClusteringSpec extends GraftSuite {
     assert(r.getDouble(0) == 25.0)
     assert(r.getDouble(1) == 0.0)
   }
+  // ------------------------------------------------------------ q_cluster_purity
+  test("q_cluster_purity: sizes partition, purity bracketed, rollup consistent") {
+    val rows = SparkEntry.queries("q_cluster_purity")(spark, sf).collect()
+    val parts = rows.filter(_.getLong(0) >= 0L)
+    val total = rows.filter(_.getLong(0) == -1L).head
+    assert(parts.length == graft.operators.Clustering.KmeansK)
+    assert(parts.map(_.getLong(1)).sum == total.getLong(1))
+    assert(total.getLong(1) ==
+      Tables.embeddings(spark, sf).count())
+    assert(parts.map(_.getLong(3)).sum == total.getLong(3))
+    parts.foreach { r =>
+      val p = r.getLong(4)
+      // majority share of L labels lives in [1e6/L, 1e6]; must never be
+      // vacuously perfect on independent labels
+      assert(p >= 1000000L / 16 && p < 1000000L, s"purity $p")
+    }
+  }
 }

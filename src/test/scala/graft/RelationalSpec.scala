@@ -160,4 +160,32 @@ class RelationalSpec extends GraftSuite {
     assert(slid == 2 * events,
       s"1h/30min hopping windows must hold each event twice: $slid vs $events")
   }
+  // -------------------------------------------------------------- q_tpch_q3/q5
+  test("tpch q3: date filters push to both scans; top-k plans without global sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_tpch_q3")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+        s"order-date filter must reach the orders scan:\n$plan")
+      assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+        s"ship-date filter must reach the lineitem scan:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-10 must plan as TakeOrderedAndProject:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("tpch q5: snowflake dims broadcast; revenue ordering holds") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_tpch_q5")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+        s"supplier/customer/nation dims should broadcast:\n$plan")
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val revs = rows.map(_.getDouble(1))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

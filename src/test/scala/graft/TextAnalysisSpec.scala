@@ -320,6 +320,23 @@ class TextAnalysisSpec extends GraftSuite {
       assert(postings.distinct.size == postings.size)
     }
   }
+  // ---------------------------------------------------------- q_langid_confusion
+  test("q_langid_confusion: cells partition docs; diagonal agrees with q_lang_id") {
+    val rows = SparkEntry.queries("q_langid_confusion")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    // per-language shares sum to ~1e6 (minus DIV truncation)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val s = cells.map(_.getLong(3)).sum
+      assert(s > 999990L && s <= 1000000L, s"$lang shares sum $s")
+    }
+    // diagonal mass equals q_lang_id's is_match count
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val matches = SparkEntry.queries("q_lang_id")(spark, sf)
+      .filter($"is_match").count()
+    assert(diag == matches, s"diagonal $diag vs per-doc matches $matches")
+  }
+
   // -------------------------------------------------------------------- q_fertility
   test("q_fertility: token and word counts replayed per language") {
     val docs = Tables.documents(spark, sf)
