@@ -2347,7 +2347,111 @@ object Analytics {
       |FROM g2 JOIN base USING (l_partkey)
       |GROUP BY month ORDER BY month""".stripMargin
 
+  // -------------------------------------------------------------- q_lorenz_gini
+  /** Gini coefficient of customer spend — the scalar inequality index
+    * whose curve q_decile_share tabulates: G = (2Σ rᵢxᵢ − (n+1)Σx) /
+    * (nΣx) over ascending unique ranks. Ranks come from the same
+    * fixed-width composite key + `globalIndex` range-partition path as
+    * the decile cut (deterministic under ties, no single-task window);
+    * the rank-weighted sums route through DECIMAL(19)² products (r·x
+    * overflows a long at fixture scale already), and the final ratio is
+    * one 9dp-rounded double over exact integer sums.
+    *
+    * Scale shape: one fact aggregation to per-customer spend, one range
+    * repartition for ranks, one global aggregate with map-side
+    * partials. */
+  private def lorenzGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val per = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+      .select($"o_custkey", $"cents",
+        format_string("%019d|%012d", $"cents", $"o_custkey").as("k"))
+    val stats = Corpus.globalIndex(per, "k")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast(d19)).as("sx"),
+        sum($"global_idx".cast(d19) * $"cents".cast(d19)).as("srx"))
+    val Seq(n, sx, srx) = Seq("n", "sx", "srx").map(c => col(c).cast("double"))
+    stats.select($"n".as("n_customers"),
+      $"sx".cast("decimal(38,0)").cast("long").as("total_cents"),
+      round((lit(2.0) * srx - (n + 1.0) * sx) / (n * sx), 9).as("gini"))
+  }
+
+  private val lorenzGiniSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r
+      |  FROM per),
+      |t AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(cents AS DECIMAL(19,0))) AS sx,
+      |    SUM(CAST(r AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+      |      AS srx
+      |  FROM idx)
+      |SELECT n AS n_customers,
+      |  CAST(CAST(sx AS DECIMAL(38,0)) AS BIGINT) AS total_cents,
+      |  round((2.0 * CAST(srx AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS gini
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------------- q_hhi
+  /** Herfindahl–Hirschman concentration of spend within each market
+    * segment — Σ(xᵢ/X)², the antitrust-style concentration scalar next
+    * to q_lorenz_gini's inequality index (HHI weights the LARGEST
+    * shares quadratically; Gini weights rank displacement). Squared
+    * cents route through DECIMAL(19)² products; the final ratio is one
+    * 9dp-rounded double over exact sums. 1/n ≤ HHI ≤ 1.
+    *
+    * Scale shape: one fact aggregation to per-(segment, customer)
+    * spend, one segment rollup with map-side partials. */
+  private def hhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val per = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    per.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents".cast(d19)).as("sx"),
+        sum($"cents".cast(d19) * $"cents".cast(d19)).as("sxx"))
+      .select($"c_mktsegment", $"n_customers",
+        $"sx".cast("decimal(38,0)").cast("long").as("total_cents"),
+        round($"sxx".cast("double") /
+          ($"sx".cast("double") * $"sx".cast("double")), 9).as("hhi"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val hhiSql =
+    """WITH per AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0))
+      |    AS BIGINT) AS total_cents,
+      |  round(CAST(SUM(CAST(cents AS DECIMAL(19,0))
+      |        * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+      |    / (CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+      |       * CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DOUBLE)), 9)
+      |    AS hhi
+      |FROM per GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_lorenz_gini", lorenzGini, Some(lorenzGiniSql), bench = true),
+    NamedQuery("q_hhi", hhi, Some(hhiSql), bench = true),
     NamedQuery("q_price_index", priceIndex, Some(priceIndexSql), bench = true),
     NamedQuery("q_burstiness", burstiness, Some(burstinessSql), bench = true),
     NamedQuery("q_peaks", peaks, Some(peaksSql), bench = true),

@@ -722,4 +722,43 @@ class AnalyticsSpec extends GraftSuite {
     val baseRow = rows.find(_.getString(0) == base).get
     assert(baseRow.getLong(4) == 1000000L, "base month must index at 1e6")
   }
+  // -------------------------------------------------------------- q_lorenz_gini
+  test("q_lorenz_gini: closed-form replay; agrees with the decile curve") {
+    val cents = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy { case (id, c) => (c, id) }.map(_._2)
+    val n = sorted.length.toLong
+    val sx = sorted.map(BigInt(_)).sum
+    val srx = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = math.rint(((2.0 * srx.toDouble - (n + 1.0) * sx.toDouble) /
+      (n.toDouble * sx.toDouble)) * 1e9) / 1e9
+    val r = SparkEntry.queries("q_lorenz_gini")(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == sx.toLong)
+    assert(math.abs(r.getDouble(2) - gini) < 2e-9, s"${r.getDouble(2)} vs $gini")
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  // ---------------------------------------------------------------------- q_hhi
+  test("q_hhi: replayed per segment; bracketed by [1/n, 1]") {
+    val per = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val rows = SparkEntry.queries("q_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = per.filter(_._1 == r.getString(0)).map(_._2)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val hhi = math.rint(sxx.toDouble / (sx.toDouble * sx.toDouble) * 1e9) / 1e9
+      assert(r.getLong(1) == xs.length.toLong && r.getLong(2) == sx.toLong)
+      assert(math.abs(r.getDouble(3) - hhi) < 2e-9, r.getString(0))
+      assert(r.getDouble(3) >= 1.0 / xs.length && r.getDouble(3) <= 1.0)
+    }
+  }
 }
