@@ -2449,7 +2449,73 @@ object Analytics {
       |    AS hhi
       |FROM per GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------- q_seasonal_decompose
+  /** Classical additive decomposition of the monthly revenue series —
+    * cents = trend + seasonal + residual, the structure view behind
+    * q_seasonality's index and q_forecast_backtest's baselines:
+    *  - trend: centered 13-month moving average in exact integer cents
+    *    (sum DIV 13), defined only where the full ±6 window exists;
+    *  - seasonal: month-of-year mean of the detrended series (sum DIV
+    *    count — negative-safe: both engines truncate toward zero);
+    *  - residual: the exact remainder, so the three parts RE-ADD to the
+    *    original cents by construction (spec-pinned).
+    *
+    * Scale shape: one fact aggregation to the months grid; one window
+    * pass, one 12-row month-of-year aggregation broadcast back. */
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy($"month").rowsBetween(-6, 6)
+    val trended = monthly
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("trend", expr("sum(cents) OVER (ORDER BY month " +
+        "ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) DIV 13"))
+      .filter($"win_n" === 13)
+      .withColumn("detr", $"cents" - $"trend")
+      .withColumn("moy", substring($"month", 6, 2))
+    // negative-sum-safe: DIV truncates toward zero on both engines
+    // (the q_kappa precedent)
+    val seasonal = trended.groupBy($"moy")
+      .agg(sum($"detr").as("sd"), count(lit(1)).as("cnt"))
+      .select($"moy", expr("sd DIV cnt").as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("moy"))
+      .select($"month", $"cents", $"trend", $"seasonal",
+        ($"cents" - $"trend" - $"seasonal").as("residual"))
+      .orderBy($"month")
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT month, cents,
+      |    COUNT(*) OVER (ORDER BY month
+      |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n,
+      |    CAST(SUM(cents) OVER (ORDER BY month
+      |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) // 13
+      |      AS trend
+      |  FROM monthly),
+      |tr AS (
+      |  SELECT month, cents, trend, cents - trend AS detr,
+      |    substring(month, 6, 2) AS moy
+      |  FROM t WHERE win_n = 13),
+      |seas AS (
+      |  SELECT moy, CAST(SUM(detr) AS BIGINT) // COUNT(*) AS seasonal
+      |  FROM tr GROUP BY 1)
+      |SELECT month, cents, trend, seasonal,
+      |  cents - trend - seasonal AS residual
+      |FROM tr JOIN seas USING (moy)
+      |ORDER BY month""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_seasonal_decompose", seasonalDecompose,
+      Some(seasonalDecomposeSql), bench = true),
     NamedQuery("q_lorenz_gini", lorenzGini, Some(lorenzGiniSql), bench = true),
     NamedQuery("q_hhi", hhi, Some(hhiSql), bench = true),
     NamedQuery("q_price_index", priceIndex, Some(priceIndexSql), bench = true),

@@ -1257,7 +1257,60 @@ object Dedup {
        |FROM best WHERE rk = 1 AND span_tokens >= $DupSpanMinTokens
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------------ q_novelty
+  /** Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    * 8-grams not seen in any LOWER-ID document: the marginal-content
+    * curve a corpus accumulation pipeline watches (novelty collapsing
+    * toward 0 means new ingest is re-crawling what it already has).
+    * First-seen is an aggregation (gram → min doc_id), not a sequential
+    * scan, so the "temporal" semantics stay one shuffle. Docs shorter
+    * than the gram width carry no evidence and are excluded by contract
+    * (mirrored in the oracle).
+    *
+    * Scale shape: one distinct (doc, gram-hash) explode (md5-lower-64
+    * keys, never output — the q_containment contract), one gram-keyed
+    * min aggregation, broadcast-back-free second aggregation keyed by
+    * doc — two slim shuffles total. */
+  private def novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", explode(element_at(
+        transform(array(split($"text", " ", -1)), w =>
+          when(size(w) >= 8,
+            transform(sequence(lit(1), size(w) - 7), i =>
+              array_join(slice(w, i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))), 1)).as("gram"))
+      .select($"doc_id", TextFunctions.md5Lower64($"gram").as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  private val noveltySql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5_number_lower(array_to_string(w[pos:pos+7], ' ')) AS g
+      |  FROM (SELECT doc_id, w,
+      |          unnest(generate_series(1, len(w) - 7)) AS pos
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |              FROM documents)
+      |        WHERE len(w) >= 8)),
+      |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS novelty_ppm
+      |FROM g JOIN fs USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_novelty", novelty, Some(noveltySql), bench = true),
     NamedQuery("q_dup_spans", dupSpans, Some(dupSpansSql), bench = true),
     NamedQuery("q_containment", containment, Some(containmentSql),
       bench = true),

@@ -761,4 +761,27 @@ class AnalyticsSpec extends GraftSuite {
       assert(r.getDouble(3) >= 1.0 / xs.length && r.getDouble(3) <= 1.0)
     }
   }
+  // ------------------------------------------------------- q_seasonal_decompose
+  test("q_seasonal_decompose: parts re-add exactly; seasonal sums near zero") {
+    val rows = SparkEntry.queries("q_seasonal_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"decomposition must re-add at ${r.getString(0)}")
+    }
+    val nMonths = Tables.orders(spark, sf)
+      .select(date_format($"o_orderdate", "yyyy-MM")).distinct().count()
+    assert(rows.length == nMonths - 12,
+      "trend defined exactly where the full 13-month window exists")
+    // month-of-year seasonal means of the detrended series sum to ~0
+    // (each truncated toward zero -> |sum over 12 moys| < 12)
+    val seasonalByMoy = rows.map(r => r.getString(0).substring(5) -> r.getLong(3))
+      .distinct
+    assert(math.abs(seasonalByMoy.map(_._2).sum) <
+      12L * (rows.map(_.getLong(1)).max / 100L),
+      "seasonal components should roughly cancel")
+    assert(seasonalByMoy.map(_._2).exists(_ > 0L) &&
+      seasonalByMoy.map(_._2).exists(_ < 0L),
+      "seasonality must have both signs - vacuous otherwise")
+  }
 }

@@ -474,4 +474,25 @@ class DedupSpec extends GraftSuite {
       assert(runA.sameElements(runB), s"span mismatch for pair ($a,$b)")
     }
   }
+  // -------------------------------------------------------------------- q_novelty
+  test("q_novelty: one claimer per gram; earliest doc fully novel") {
+    val rows = SparkEntry.queries("q_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"novel > grams at ${r.getLong(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    // every distinct gram is claimed as novel by exactly its first doc
+    val distinctGrams = Tables.documents(spark, sf)
+      .selectExpr("doc_id", """explode(element_at(transform(
+          array(split(text, ' ', -1)), w -> CASE WHEN size(w) >= 8
+            THEN transform(sequence(1, size(w) - 7),
+                           i -> array_join(slice(w, i, 8), ' '))
+            ELSE array() END), 1)) AS gram""")
+      .select($"gram").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctGrams,
+      "novel counts must partition the distinct gram universe")
+    // the lowest-id doc with grams has nothing before it
+    assert(rows.minBy(_.getLong(0)).getLong(3) == 1000000L)
+  }
 }
