@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -963,7 +963,89 @@ object Quality {
       |FROM documents d JOIN hist h USING (n_chars)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_iqr_fences
+  /** Tukey IQR outlier fences per market segment over customer spend —
+    * the box-plot rule (q1 − 1.5·IQR, q3 + 1.5·IQR) next to
+    * q_mad_outliers' MAD rule. Quartiles are EXACT lower order
+    * statistics off the per-segment value histogram (smallest v with
+    * 4·cum ≥ k·n — no interpolation, deterministic under ties), and
+    * 1.5·IQR is spelled iqr + iqr DIV 2 so the fence is an exact
+    * integer on both engines. Flagged counts come from one broadcast
+    * join of the 5-row fence frame back onto the per-customer spend.
+    *
+    * Scale shape: one fact aggregation to per-(segment, customer)
+    * cents; histogram + cumulative windows on the per-segment value
+    * grids; one fences-sized broadcast join and rollup. */
+  private def iqrFences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+      // two consumers (fence derivation, outlier count) — materialize
+      // the customers-sized frame once (the q_price_index recipe)
+      .localCheckpoint(true)
+    val hist = per.groupBy($"c_mktsegment", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"c_mktsegment").orderBy($"cents")))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"c_mktsegment")))
+    def orderStat(mult: Int, of: Int): Column =
+      min(when($"cum" * of >= $"n" * mult, $"cents"))
+    val fences = hist.groupBy($"c_mktsegment")
+      .agg(max($"n").as("n_customers"),
+        orderStat(1, 4).as("q1"), orderStat(2, 4).as("q2"),
+        orderStat(3, 4).as("q3"))
+      .withColumn("iqr", $"q3" - $"q1")
+      .withColumn("lo", $"q1" - ($"iqr" + expr("iqr DIV 2")))
+      .withColumn("hi", $"q3" + ($"iqr" + expr("iqr DIV 2")))
+    per.join(broadcast(fences), Seq("c_mktsegment"))
+      .groupBy($"c_mktsegment")
+      .agg(max($"n_customers").as("n_customers"),
+        max($"q1").as("q1"), max($"q2").as("q2"), max($"q3").as("q3"),
+        max($"lo").as("fence_lo"), max($"hi").as("fence_hi"),
+        sum(when($"cents" < $"lo" || $"cents" > $"hi", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val iqrFencesSql =
+    """WITH per AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT c_mktsegment, cents,
+      |    CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM (SELECT c_mktsegment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM per GROUP BY 1, 2)),
+      |f AS (
+      |  SELECT c_mktsegment, MAX(n) AS n_customers,
+      |    MIN(CASE WHEN cum * 4 >= n THEN cents END) AS q1,
+      |    MIN(CASE WHEN cum * 2 >= n THEN cents END) AS q2,
+      |    MIN(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS q3
+      |  FROM hist GROUP BY 1),
+      |f2 AS (
+      |  SELECT *, q3 - q1 AS iqr,
+      |    q1 - ((q3 - q1) + (q3 - q1) // 2) AS lo,
+      |    q3 + ((q3 - q1) + (q3 - q1) // 2) AS hi
+      |  FROM f)
+      |SELECT per.c_mktsegment, MAX(n_customers) AS n_customers,
+      |  MAX(q1) AS q1, MAX(q2) AS q2, MAX(q3) AS q3,
+      |  MAX(lo) AS fence_lo, MAX(hi) AS fence_hi,
+      |  CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM per JOIN f2 USING (c_mktsegment)
+      |GROUP BY per.c_mktsegment ORDER BY per.c_mktsegment""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_iqr_fences", iqrFences, Some(iqrFencesSql), bench = true),
     NamedQuery("q_quantile_transform", quantileTransform,
       Some(quantileTransformSql), bench = true),
     NamedQuery("q_simpson", simpson, Some(simpsonSql), bench = true),

@@ -340,4 +340,29 @@ class QualitySpec extends GraftSuite {
     assert(rows.map(_._3).min == 0L, "smallest value maps to quantile 0")
     assert(rows.map(_._3).max < 1000000L)
   }
+  // ---------------------------------------------------------------- q_iqr_fences
+  test("q_iqr_fences: quartiles replayed as exact order statistics") {
+    val per = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(28,2)")) * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val rows = SparkEntry.queries("q_iqr_fences")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = per.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = xs.length.toLong
+      def stat(mult: Long, of: Long): Long =
+        xs(xs.indices.find(i => (i + 1).toLong * of >= n * mult).get)
+      val (q1, q2, q3) = (stat(1, 4), stat(2, 4), stat(3, 4))
+      val iqr = q3 - q1
+      val (lo, hi) = (q1 - (iqr + iqr / 2), q3 + (iqr + iqr / 2))
+      assert(r.getLong(1) == n)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((q1, q2, q3)))
+      assert((r.getLong(5), r.getLong(6)) == ((lo, hi)))
+      assert(r.getLong(7) == xs.count(x => x < lo || x > hi).toLong)
+    }
+    assert(rows.exists(_.getLong(7) > 0L), "no outliers anywhere — vacuous")
+  }
 }
