@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Headline benchmark: runs `SparkEntry.benchQueries` (the curated scale
   * paths — NOT the small-n brute-force oracles) against
@@ -70,15 +70,18 @@ object Bench {
       case None => SparkEntry.benchQueries
     }
     var sinceGc = 0
+    val sc = spark.sparkContext
     selected.foreach { nq =>
-      // Iterative queries leave localCheckpoint blocks behind; Spark's
-      // ContextCleaner frees them only when the driver GCs the weak refs.
-      // Across ~200 queries × 2 runs the retained blocks inflate later
-      // queries' walls (q_triangle_count measured 16.5s late-session vs
-      // 7.0s isolated). A periodic explicit GC lets the cleaner run;
-      // every 20 queries keeps the pause cost amortized.
-      sinceGc += 1
-      if (sinceGc >= 20) { System.gc(); sinceGc = 0 }
+      // Iterative queries leave localCheckpoint blocks behind, and Spark's
+      // ContextCleaner frees them only when the driver GCs the weak refs —
+      // which under a 219-query session demonstrably doesn't keep up
+      // (round-5 driver run charged six late-session queries 219.1s vs
+      // 17.3s isolated: the blocks + 32-core scheduler state accumulate
+      // faster than periodic GC drains them). So the cleanup is now
+      // DETERMINISTIC, not GC-dependent: snapshot the persisted-RDD set
+      // before each query and explicitly unpersist the delta (every
+      // localCheckpoint this query created) as soon as it completes.
+      val persistedBefore = sc.getPersistentRDDs.keySet
       var best = Double.MaxValue
       var err: Option[String] = None
       var metrics: Option[(Long, Long)] = None
@@ -99,6 +102,22 @@ object Bench {
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
         r += 1
+      }
+      // Drop this query's checkpoint blocks NOW (non-blocking): the RDDs
+      // are dead after the timed runs, and freeing them by hand keeps the
+      // block manager flat across the session instead of relying on the
+      // weak-ref cleaner.
+      val persistedAfter = sc.getPersistentRDDs
+      persistedAfter.foreach { case (id, rdd) =>
+        if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
+      // Periodic GC still runs for the non-RDD session state (broadcast
+      // vars, shuffle registrations) the cleaner frees only via weak
+      // refs; also force one after any slow query, which is the signature
+      // of accumulated state.
+      sinceGc += 1
+      if (sinceGc >= 20 || (best != Double.MaxValue && best > 5.0)) {
+        System.gc(); sinceGc = 0
       }
       err match {
         case Some(m) => failures :+= (nq.name -> m)
@@ -123,6 +142,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
+    // Round-over-round persistence: the driver's BENCH_r{N}.json keeps
+    // only a ~2 KB stdout tail, which truncated the full per-query map in
+    // rounds 2-4 and made per-query regression diffs impossible. Append
+    // the COMPLETE line (stamped) to a committed history file so every
+    // round's full detail survives in git.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    val histLine = line.init + s""","ts_ms":${System.currentTimeMillis}}"""
+    Files.writeString(Paths.get(histPath), histLine + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     // The driver captures only the TAIL of stdout (~2 KB in rounds 3-4,
     // where the full ~10 KB line landed unparseable: BENCH_r03/r04 both
     // show parsed:null). So stdout gets a COMPACT line — total + the

@@ -1120,24 +1120,41 @@ object Analytics {
     * Windowed COUNT(DISTINCT) does not exist in Spark (the state is a
     * set, not mergeable a row at a time); the scalable spelling is
     * FIRST-SEEN FLAGS: a user's first purchase day (one user-keyed agg),
-    * daily counts of first-seens, then one running sum over the
-    * days-cardinality frame. The heavy shuffle is the per-user
-    * aggregation; the ordered window touches ~hundreds of day rows. The
-    * oracle uses the same formulation spelled relationally. */
+    * daily counts of first-seens, then a running sum over the daily
+    * frame. The heavy shuffle is the per-user aggregation. The running
+    * sum is PARTITIONED BY YEAR with carried offsets — the day frame is
+    * ~2.4k rows on the fixture but unbounded by contract (a century of
+    * events = 36k rows through one window task); the year frame the
+    * offset window touches IS bounded by contract (#calendar years in
+    * the stream's lifetime). Same globalIndex offset-carry shape, keyed
+    * on the calendar instead of spark_partition_id so both engines can
+    * replay it. The oracle uses one flat cumulative window — equal by
+    * associativity of the sum. */
   private def runningDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val firstSeen = Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
       .agg(min(to_date($"ts")).as("day"))
+    // tiny (one row per active day) but feeds two branches; materialize
+    // so the per-user shuffle above runs once
     val daily = firstSeen.groupBy($"day")
       .agg(count(lit(1)).as("new_buyers"))
+      .withColumn("yr", year($"day"))
+      .localCheckpoint(true)
+    val offsets = daily.groupBy($"yr")
+      .agg(sum($"new_buyers").as("__n"))
+      .withColumn("__offset",
+        coalesce(sum($"__n").over(Window.orderBy($"yr")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
     daily
-      .withColumn("buyers_to_date",
-        sum($"new_buyers").over(Window.orderBy($"day")
+      .withColumn("__cum", sum($"new_buyers").over(
+        Window.partitionBy($"yr").orderBy($"day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("yr"))
       .select(date_format($"day", "yyyy-MM-dd").as("day"),
-        $"new_buyers", $"buyers_to_date")
+        $"new_buyers", ($"__cum" + $"__offset").as("buyers_to_date"))
       .orderBy($"day")
   }
 
@@ -2003,10 +2020,12 @@ object Analytics {
   /** Revenue concentration by customer decile — the Lorenz-curve table
     * behind "the top 10% of customers carry X% of revenue". Customers
     * rank by (spend, custkey) — a UNIQUE composite, so the decile cut is
-    * deterministic — via the fixed-width string key + `Corpus.globalIndex`
-    * range-partition path (the q_curriculum recipe): no single-task
-    * global window at any corpus size. Shares and cumulative shares are
-    * exact integer ppm of DECIMAL-routed cents.
+    * deterministic — via the MULTI-KEY `Corpus.globalIndex`
+    * range-partition path: no single-task global window at any corpus
+    * size, and no fixed-width packed key to overflow (the tuple is
+    * ordered directly, unlike the q_curriculum string key that needs an
+    * overflow assert). Shares and cumulative shares are exact integer
+    * ppm of DECIMAL-routed cents.
     *
     * Scale shape: one fact aggregation to per-customer spend, one range
     * repartition for the global rank, one decile rollup; the cumulative
@@ -2017,9 +2036,8 @@ object Analytics {
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
         .cast("long").as("cents"))
-      .select($"o_custkey", $"cents",
-        format_string("%019d|%012d", $"cents", $"o_custkey").as("k"))
-    val idx = Corpus.globalIndex(per, "k") // global_idx is 1-based
+      .select($"o_custkey", $"cents")
+    val idx = Corpus.globalIndex(per, Seq($"cents", $"o_custkey")) // 1-based
     val n1 = idx.agg(count(lit(1)).as("n"))
     val deciles = idx.crossJoin(broadcast(n1))
       .withColumn("decile", expr("(global_idx - 1) * 10 DIV n"))
@@ -2069,7 +2087,17 @@ object Analytics {
     *
     * Scale shape: one fact aggregation to per-customer (R, F, M); three
     * value-grid histogram frames with cumulative windows broadcast back;
-    * one rollup to the segment grid. */
+    * one rollup to the segment grid. Caveat: R's day-grid and F's
+    * count-grid are genuinely value-bounded, but M's grid is the
+    * DISTINCT-SPEND histogram — near one row per customer, so its
+    * unpartitioned cumulative window and broadcast-back stop being
+    * "value-grid sized" on a large corpus. The fallback for that case is
+    * the q_decile_share path: rank spend with the multi-key
+    * `Corpus.globalIndex` (range-partitioned, no single-task window) and
+    * cut quintiles from `(global_idx - 1) * 5 DIV n` — same scores for
+    * unique spends, and ties across a quintile boundary are already
+    * vanishingly rare in cents-grade money. (Same trade q_spearman
+    * documents for its mann-whitney grid.) */
   private def rfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val maxDate = Tables.orders(s, dir).agg(max($"o_orderdate").as("dmax"))
@@ -2292,15 +2320,17 @@ object Analytics {
     * grid; one months-sized rollup. */
   private def priceIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the fact side never shuffles for the join: orders projected to
-    // (key, month) is ~16 bytes/row — broadcast-sized at any realistic
-    // order count relative to the lineitem fact table
+    // orders is a FACT table (~1.5M rows/SF) — no forced broadcast: a
+    // hint would bypass the planner's size threshold and become a
+    // driver/executor OOM at large SF. The (key, date) projection is
+    // slim, so AQE converts to broadcast when the measured size allows
+    // and falls back to a shuffle join when it doesn't — exactly the
+    // runtime decision this join needs.
     // group key is the truncated DATE, not the formatted string —
     // string keys pay per-row formatting plus wider shuffle rows; the
     // "yyyy-MM" rendering happens once on the months-sized output
     val grid = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.orders(s, dir)
-          .select($"o_orderkey", $"o_orderdate")),
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_partkey", date_trunc("month", $"o_orderdate").as("mt"))
       .agg(((sum($"l_extendedprice".cast(DecimalType(28, 2))) * 100)
@@ -2351,8 +2381,9 @@ object Analytics {
   /** Gini coefficient of customer spend — the scalar inequality index
     * whose curve q_decile_share tabulates: G = (2Σ rᵢxᵢ − (n+1)Σx) /
     * (nΣx) over ascending unique ranks. Ranks come from the same
-    * fixed-width composite key + `globalIndex` range-partition path as
-    * the decile cut (deterministic under ties, no single-task window);
+    * multi-key (cents, custkey) `globalIndex` range-partition path as
+    * the decile cut (deterministic under ties, no single-task window,
+    * no packed-key width to overflow);
     * the rank-weighted sums route through DECIMAL(19)² products (r·x
     * overflows a long at fixture scale already), and the final ratio is
     * one 9dp-rounded double over exact integer sums.
@@ -2367,9 +2398,8 @@ object Analytics {
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
         .cast("long").as("cents"))
-      .select($"o_custkey", $"cents",
-        format_string("%019d|%012d", $"cents", $"o_custkey").as("k"))
-    val stats = Corpus.globalIndex(per, "k")
+      .select($"o_custkey", $"cents")
+    val stats = Corpus.globalIndex(per, Seq($"cents", $"o_custkey"))
       .agg(count(lit(1)).as("n"),
         sum($"cents".cast(d19)).as("sx"),
         sum($"global_idx".cast(d19) * $"cents".cast(d19)).as("srx"))

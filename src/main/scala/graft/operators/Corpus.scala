@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -521,8 +521,16 @@ object Corpus {
     * Requires a UNIQUE key (ties spanning a range boundary would make
     * the numbering layout-dependent); the caller's key choice is the
     * contract, as with every deterministic-order operator here. */
-  def globalIndex(df: DataFrame, keyCol: String): DataFrame = {
-    val key = col(keyCol)
+  def globalIndex(df: DataFrame, keyCol: String): DataFrame =
+    globalIndex(df, Seq(col(keyCol)))
+
+  /** Multi-key variant: ranks by the lexicographic (keys...) tuple, which
+    * must be UNIQUE in combination. This is the overflow-free alternative
+    * to packing a composite sort key into one fixed-width numeric/string
+    * column (the q_curriculum pattern that needs an overflow assert):
+    * range partitioning and the in-partition window both order by the
+    * tuple directly, so no key-width assumption exists to violate. */
+  def globalIndex(df: DataFrame, keys: Seq[Column]): DataFrame = {
     // localCheckpoint PINS the sampled range bounds: the offsets branch
     // and the numbering branch below both consume `parts`, and
     // correctness requires them to see the SAME partitioning. Without
@@ -533,7 +541,7 @@ object Corpus {
     // (duplicate/gapped indices). Materializing once also means the
     // expensive range sort runs ONCE however many times the caller
     // consumes the indexed frame (sortedNeighborhood probes it twice).
-    val parts = df.repartitionByRange(key)
+    val parts = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = parts.groupBy(col("__pid"))
@@ -545,7 +553,7 @@ object Corpus {
       .drop("__n")
     parts
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(key)))
+        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
       .join(broadcast(offsets), "__pid")
       .withColumn("global_idx", col("__rn") + col("__offset"))
       .drop("__pid", "__rn", "__offset")

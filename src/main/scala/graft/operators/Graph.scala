@@ -452,6 +452,51 @@ object Graph {
     kcorePeel(edges0, Seq(k.toLong).toDF("k"), rounds)
   }
 
+  /** The production loop: drive [[kcorePeel]] to its FIXPOINT — the true
+    * k-core — with the same batched-polling pattern `resolveClusters`
+    * uses: run `checkEvery` peel rounds between driver barriers, then
+    * poll the surviving edge count. Peeling only removes edges, so an
+    * unchanged count across a batch proves every round in it removed
+    * nothing — a fixpoint (monotone, like min-label propagation). The
+    * bench/oracle query stays on the fixed-round variant so DuckDB can
+    * replay it as an unrolled CTE chain; GraphSpec pins this variant to
+    * the fixed-round result at the fixture's measured fixpoint distance.
+    *
+    * Scale shape: identical to kcorePeel per round (degree agg + two
+    * semi-joins, localCheckpoint'd); the only additions are one count()
+    * per `checkEvery` rounds. maxRounds bounds the worst case — a path
+    * graph peels one layer per round, so pathological chains fail loudly
+    * rather than loop. */
+  def kcoreConverged(edges0: DataFrame, kFrame: DataFrame,
+      maxRounds: Int = 60, checkEvery: Int = 3): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(checkEvery >= 1 && checkEvery <= 10,
+      s"checkEvery must be in [1, 10], got $checkEvery")
+    var e = edges0.localCheckpoint(true)
+    var n = e.count()
+    var converged = n == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val batch = math.min(checkEvery, maxRounds - rounds)
+      e = kcorePeel(e, kFrame, batch)
+      rounds += batch
+      val n2 = e.count()
+      converged = n2 == n || n2 == 0L
+      n = n2
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kcoreConverged did not reach a fixpoint in $maxRounds rounds — " +
+        s"the graph peels layer-by-layer deeper than the cap; raise maxRounds")
+    e
+  }
+
+  /** Fixed-k convenience overload (hand-built graphs, specs). */
+  def kcoreConverged(edges0: DataFrame, k: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    kcoreConverged(edges0, Seq(k.toLong).toDF("k"))
+  }
+
   private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
@@ -463,18 +508,26 @@ object Graph {
       .localCheckpoint(true)
     val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
       .select($"src".as("node"), $"deg0")
+      .localCheckpoint(true) // consumed by the rank, the count, and the final join
     // scale-adaptive threshold: the p25 ORDER-STATISTIC of the initial
     // degree distribution (rank ⌈n/4⌉ with a node-id tiebreak) — an
     // exact integer both engines replay, and it bites at every sf where
     // a fixed k would be vacuous at one scale and total at another. The
-    // ranking window runs over the NODE frame (≪ edges); for graphs
-    // whose node frame outgrows one partition, globalIndex supplies the
-    // same rank without the single-partition window.
-    val kFrame = deg0
-      .withColumn("rn", row_number().over(Window.orderBy($"deg0", $"node")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .filter($"rn" === expr("(n + 3) DIV 4"))
+    // rank comes from Corpus.globalIndex (range-repartition + partitioned
+    // window + offset broadcast), NOT `row_number() OVER (ORDER BY ...)`:
+    // the node frame is unbounded (one row per graph node), and a global
+    // unpartitioned window would serialize a billion-node frame through
+    // one task at scale. (deg0, node) is unique — node is the group key.
+    val ranked = Corpus.globalIndex(deg0, Seq($"deg0", $"node"))
+    val nFrame = deg0.agg(count(lit(1)).as("n"))
+    // localCheckpoint: the 1-row threshold is broadcast into EVERY peel
+    // round plus the final projection — materialize the rank machinery
+    // once instead of re-planning it per consumer.
+    val kFrame = ranked
+      .crossJoin(broadcast(nFrame))
+      .filter($"global_idx" === expr("(n + 3) DIV 4"))
       .select($"deg0".as("k"))
+      .localCheckpoint(true)
     val core = kcorePeel(edges, kFrame, KcoreRounds)
     core.groupBy($"src").agg(count(lit(1)).as("deg_core"))
       .select($"src".as("node"), $"deg_core")

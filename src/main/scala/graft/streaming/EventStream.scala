@@ -57,7 +57,20 @@ object EventStream {
       catch { case _: java.io.IOException => false }
     val tsType: DataType =
       try s.read.parquet(path).schema("ts").dataType
-      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // Surface the fallback as a setup diagnostic: a stream started
+          // BEFORE its source dir exists binds NTZ-micros here, and if
+          // long-nanos files arrive later they fail/misparse downstream
+          // with no hint of the cause unless this probe says so.
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"readEvents ts-type probe failed for '$path' " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); defaulting " +
+              "to TIMESTAMP_NTZ micros — if this path later receives " +
+              "epoch-nanos LONG files, restart the stream after the first " +
+              "file lands so the probe can bind the real type")
+          TimestampNTZType
+      }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val src =

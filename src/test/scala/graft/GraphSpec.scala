@@ -103,6 +103,39 @@ class GraphSpec extends GraftSuite {
     assert(r3 == r2)
   }
 
+  test("k-core converged: fixpoint on the chain graph, empty when k exceeds the core") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    // fixpoint = the triangle (needs 2 peel rounds; batched polling must
+    // detect the round-3 no-change and stop)
+    val core = Graph.kcoreConverged(edges, k = 2)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(core == Set(1L, 2L, 3L), s"2-core fixpoint must be the triangle: $core")
+    // k above the max core peels everything; empty must terminate cleanly
+    assert(Graph.kcoreConverged(edges, k = 3).count() == 0L)
+  }
+
+  test("k-core converged matches fixed-round peel at the fixture's fixpoint distance") {
+    // the q_kcore threshold frame on the sf fixture, replayed here
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"),
+        ($"l_suppkey" + Graph.SupplierOffset).as("b")).distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    val k = 2
+    val converged = canon(Graph.kcoreConverged(edges, k))
+    // measured fixpoint distance: find the first round count where the
+    // fixed-round peel stops changing, and require converged == that
+    var r = 1
+    var prev = canon(Graph.kcorePeel(edges, k, r))
+    var cur = canon(Graph.kcorePeel(edges, k, r + 1))
+    while (prev != cur && r < 20) { r += 1; prev = cur; cur = canon(Graph.kcorePeel(edges, k, r + 1)) }
+    assert(prev == cur, "fixture fixpoint not reached within 20 rounds")
+    assert(converged == cur,
+      s"kcoreConverged must equal the fixed-round peel at its fixpoint (distance $r)")
+  }
+
   test("k-core query: output degrees bounded by originals, peel monotone on fixture") {
     val out = SparkEntry.queries("q_kcore")(spark, sf).collect()
     assert(out.nonEmpty)

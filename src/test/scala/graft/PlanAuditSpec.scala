@@ -22,4 +22,84 @@ class PlanAuditSpec extends GraftSuite {
     assert(offenders.isEmpty,
       offenders.map { case (n, p) => s"$n: $p" }.mkString("\n"))
   }
+
+  /** Queries whose plans legitimately carry an unpartitioned WindowExec,
+    * audited one by one: every frame below is BOUNDED BY CONTRACT — a
+    * calendar/month grid, a log2/decile/quintile/score bucket axis, a
+    * value histogram over a finite value domain, or a seller/source
+    * roster — never a frame that grows linearly with corpus rows.
+    * (The `__pid`-keyed offsets window inside Corpus.globalIndex — a
+    * partition-count frame — is auto-allowed structurally, not listed.)
+    * A query NOT in this set that plans an unpartitioned window FAILS:
+    * a node-/customer-/document-sized global window serializes through
+    * one task at scale (the q_kcore p25 lesson, fixed round 6). */
+  private val auditedBoundedWindowQueries: Set[String] = Set.empty ++
+    UnpartitionedWindowAudit.allowed
+
+  test("no unpartitioned WindowExec outside the audited bounded-frame set") {
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val found = SparkEntry.all.flatMap { q =>
+      val plan =
+        try q.fn(spark, sf).queryExecution.sparkPlan
+        catch { case _: Throwable => null } // planning failures caught above
+      if (plan == null) None
+      else {
+        // main-tree collect only: collectWithSubqueries descends into
+        // subquery expressions that still hold LOGICAL plans before
+        // execution and class-casts; all audited window sites are
+        // main-tree operators
+        val bare = plan.collect {
+          case w: WindowExecBase if w.partitionSpec.isEmpty => w
+        }.filterNot { w =>
+          // globalIndex offsets shape: the window's input aggregates by
+          // spark_partition_id (`__pid`) — a #partitions-row frame
+          w.child.collectFirst {
+            case a: BaseAggregateExec
+                if a.groupingExpressions.exists(_.toString.contains("__pid")) => ()
+          }.isDefined
+        }
+        if (bare.nonEmpty) Some(q.name) else None
+      }
+    }.toSet
+    val unaudited = found -- auditedBoundedWindowQueries
+    val stale = auditedBoundedWindowQueries -- found
+    assert(unaudited.isEmpty,
+      s"unaudited unpartitioned WindowExec in: ${unaudited.toSeq.sorted.mkString(", ")} — " +
+        "audit the frame's bound (or partition the window) before whitelisting")
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no unpartitioned window found): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
+
+/** The audited allow-list, one line per query with the bounded frame the
+  * window runs over. Kept out of the spec body so the list reads as the
+  * audit record it is. */
+object UnpartitionedWindowAudit {
+  val allowed: Set[String] = Set(
+    // calendar grids: one row per month/year of data lifetime
+    "q_acf",                // month-lag grid
+    "q_peaks",              // month grid
+    "q_seasonality",        // month grid
+    "q_seasonal_decompose", // month grid
+    "q_running_distinct",   // YEAR offset frame (day cum is partitioned by year)
+    // fixed bucket/score axes
+    "q_benford",            // 9-row leading-digit grid
+    "q_degree_dist",        // <=64-row log2 bucket axis
+    "q_lift",               // decile axis
+    "q_auc",                // integer-ppm score grid (<=1e6+1 distinct)
+    "q_bootstrap",          // fixed replicate count frame
+    // value histograms over finite value domains
+    "q_ks_test",            // metric-value grid (capped doc metrics)
+    "q_quantile_transform", // metric-value grid
+    "q_drift_tvd",          // shared histogram bucket axis
+    "q_chi_square",         // contingency-cell grid (category x category)
+    "q_spearman",           // value grid; mann-whitney fallback documented
+    "q_survival",           // tenure-duration grid (calendar-bounded days)
+    "q_rfm",                // R day-grid, F count-grid; M fallback documented
+    // roster-sized frames
+    "q_mix_sample",         // per-source weight frame (#sources)
+    "q_mix_weights",        // per-source weight frame (#sources)
+    "q_dataset_card",       // datasheet summary rows (fixed section count)
+  )
 }
