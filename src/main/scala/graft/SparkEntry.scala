@@ -9,12 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** Every implemented capability, one NamedQuery each. */
   def all: Seq[NamedQuery] =
-    operators.Relational.all ++ operators.TextAnalysis.all ++
+    operators.Relational.all ++ operators.TpchExtra.all ++
+      operators.TpchExtra2.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Clustering.all ++
       operators.Sources.all ++ operators.Multimodal.all ++
       operators.Skew.all ++ operators.AsOf.all ++ operators.RangeJoin.all ++
-      operators.Analytics.all ++ operators.Quality.all ++
+      operators.Analytics.all ++ operators.AnalyticsExtra.all ++
+      operators.Quality.all ++
       operators.Checks.all ++ operators.Upsert.all ++
       operators.Chunking.all ++ operators.Corpus.all ++
       operators.Tokenize.all ++ operators.Graph.all ++

@@ -1,0 +1,437 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 analytics wave: rank-based dependence (Kendall τ), robust
+  * trend (Theil–Sen), randomness diagnostics (Wald–Wolfowitz runs),
+  * lagged cross-correlation, least-squares changepoint, sweep-line
+  * concurrency, and relational division.
+  *
+  * The time-series members all follow the q_acf contract: ONE
+  * corpus-scale aggregation collapses the fact table to the
+  * calendar-month grid (bounded by data lifetime — thousands of rows at
+  * any corpus size), and everything after runs on that tiny frame with
+  * exact integer/DECIMAL arithmetic; floats appear only in a final
+  * division (or IEEE-exact sqrt) on bit-identical operands, rounded at
+  * 9dp for output. Unpartitioned windows here are over the month grid
+  * or its pair grid — audited in UnpartitionedWindowAudit. */
+object AnalyticsExtra {
+
+  private val d38 = DecimalType(38, 0)
+
+  /** Monthly revenue cents + order count — the shared bounded series. */
+  private def monthly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  private val monthlySql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_kendall_tau
+  /** Kendall rank correlation between monthly revenue and monthly order
+    * volume — the tie-robust alternative to Pearson/Spearman (q_correlation /
+    * q_spearman): do high-volume months tend to be high-revenue months?
+    * All pair classification is exact 64-bit sign arithmetic (concordant,
+    * discordant, ties split by axis), and τ_a = (C − D) / n_pairs is the
+    * one output division. Pair enumeration is the month grid joined to
+    * itself on i < j — calendar², bounded by construction (80 months →
+    * 3 160 pairs; even a century of data is ~720k pairs), with the small
+    * side broadcast so no cartesian plans. */
+  private def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")))
+      .select($"i", $"cents", $"n_orders")
+    val pairs = m.select($"i", $"cents".as("xa"), $"n_orders".as("ya"))
+      .join(broadcast(m.select($"i".as("j"), $"cents".as("xb"),
+        $"n_orders".as("yb"))), $"j" > $"i")
+    val dx = signum($"xb" - $"xa")
+    val dy = signum($"yb" - $"ya")
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(dx * dy > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(dx * dy < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(dx === 0 && dy =!= 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(dy === 0 && dx =!= 0, 1L).otherwise(0L)).as("ties_y"),
+        sum(when(dx === 0 && dy === 0, 1L).otherwise(0L)).as("ties_xy"))
+      .withColumn("tau_a",
+        round(($"concordant" - $"discordant").cast("double") / $"n_pairs", 9))
+  }
+
+  private val kendallTauSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i, cents, n_orders
+      |  FROM monthly),
+      |p AS (
+      |  SELECT sign(b.cents - a.cents) AS dx,
+      |    sign(b.n_orders - a.n_orders) AS dy
+      |  FROM m a JOIN m b ON b.i > a.i)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS concordant,
+      |  CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS discordant,
+      |  CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ties_x,
+      |  CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ties_y,
+      |  CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ties_xy,
+      |  round(CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+      |    - SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 9) AS tau_a
+      |FROM p""".stripMargin
+
+  // --------------------------------------------------------------- q_theil_sen
+  /** Theil–Sen robust trend: the LOWER MEDIAN of all pairwise slopes of
+    * the monthly revenue series — outlier-months can't drag it the way
+    * they drag an OLS fit. Each slope is one IEEE division of exact
+    * integers (Δcents / Δmonth-index), ordering is (slope, i, j) so
+    * exactly-tied slopes break deterministically, and the lower median
+    * (row (n+1) DIV 2) avoids averaging two doubles. Same bounded
+    * calendar² pair frame as q_kendall_tau. */
+  private def theilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")))
+      .select($"i", $"cents")
+    val slopes = m.select($"i", $"cents".as("xa"))
+      .join(broadcast(m.select($"i".as("j"), $"cents".as("xb"))), $"j" > $"i")
+      .select($"i", $"j",
+        (($"xb" - $"xa").cast("double") / ($"j" - $"i")).as("slope"))
+    val ranked = slopes
+      .withColumn("r", row_number().over(Window.orderBy($"slope", $"i", $"j")))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy()))
+    ranked.filter($"r" === expr("(n_pairs + 1) DIV 2"))
+      .select($"n_pairs", $"i", $"j",
+        round($"slope", 9).as("slope_cents_per_month"))
+  }
+
+  private val theilSenSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i, cents FROM monthly),
+      |slopes AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+      |  FROM m a JOIN m b ON b.i > a.i),
+      |ranked AS (
+      |  SELECT i, j, slope,
+      |    ROW_NUMBER() OVER (ORDER BY slope, i, j) AS r,
+      |    COUNT(*) OVER () AS n_pairs
+      |  FROM slopes)
+      |SELECT n_pairs, i, j, round(slope, 9) AS slope_cents_per_month
+      |FROM ranked WHERE r = (n_pairs + 1) // 2""".stripMargin
+
+  // --------------------------------------------------------------- q_runs_test
+  /** Wald–Wolfowitz runs test on the signs of month-over-month revenue
+    * changes: is the up/down sequence random, trending (few long runs),
+    * or mean-reverting (many short runs)? Runs, n⁺ and n⁻ are exact
+    * integers off the month grid (zero-changes excluded, standard
+    * practice); the expected-runs reference 1 + 2n⁺n⁻/(n⁺+n⁻) is the one
+    * output division. */
+  private def runsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"month")
+    val signs = monthly(s, dir)
+      .withColumn("diff", $"cents" - lag($"cents", 1).over(w))
+      .filter($"diff".isNotNull && $"diff" =!= 0)
+      .withColumn("sgn", signum($"diff"))
+    val runs = signs
+      .withColumn("prev_sgn", lag($"sgn", 1).over(Window.orderBy($"month")))
+      .withColumn("new_run",
+        when($"prev_sgn".isNull || $"sgn" =!= $"prev_sgn", 1L).otherwise(0L))
+    runs.agg(
+        sum(when($"sgn" > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when($"sgn" < 0, 1L).otherwise(0L)).as("n_down"),
+        sum($"new_run").as("n_runs"))
+      .withColumn("expected_runs",
+        round(lit(1.0) + lit(2.0) * $"n_up" * $"n_down" /
+          ($"n_up" + $"n_down"), 9))
+  }
+
+  private val runsTestSql =
+    s"""WITH monthly AS ($monthlySql),
+      |d AS (
+      |  SELECT month, cents - lag(cents) OVER (ORDER BY month) AS diff
+      |  FROM monthly),
+      |s AS (
+      |  SELECT month, sign(diff) AS sgn FROM d
+      |  WHERE diff IS NOT NULL AND diff <> 0),
+      |r AS (
+      |  SELECT sgn, lag(sgn) OVER (ORDER BY month) AS prev_sgn FROM s)
+      |SELECT CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |  CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |  CAST(SUM(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_runs,
+      |  round(1.0 + 2.0 * SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+      |    * SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)
+      |    / (SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+      |       + SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)), 9)
+      |    AS expected_runs
+      |FROM r""".stripMargin
+
+  // --------------------------------------------------------------- q_cross_corr
+  /** Lagged cross-correlation between monthly order VOLUME and monthly
+    * REVENUE — does volume lead revenue, or move with it? The q_acf
+    * n-scaling makes mean-centering division-free (ndx = n·x − Σx is an
+    * exact integer), numerator and both denominators are exact DECIMAL
+    * sums emitted as digit-exact strings, and the correlation is
+    * num / sqrt(denx·deny) computed on doubles — IEEE sqrt is correctly
+    * rounded, so bit-identical operands give a bit-identical result in
+    * both engines. Lags 0..6 on the bounded month grid. */
+  val CcfMaxLag = 6
+
+  private def crossCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sx", sum($"cents").over(Window.partitionBy()))
+      .withColumn("sy", sum($"n_orders").over(Window.partitionBy()))
+      .select($"i", $"n",
+        ($"n" * $"cents" - $"sx").cast(d19).as("ndx"),
+        ($"n" * $"n_orders" - $"sy").cast(d19).as("ndy"))
+    val den = m.agg(
+      sum($"ndx" * $"ndx").cast(d38).as("denx"),
+      sum($"ndy" * $"ndy").cast(d38).as("deny"),
+      max($"n").as("n_months"))
+    val a = m.select($"i", $"ndy".as("ndy_a"))
+      .withColumn("lag_k", explode(sequence(lit(0), lit(CcfMaxLag))))
+    val num = a.join(m.select($"i".as("j"), $"ndx".as("ndx_b")),
+        $"j" === $"i" + $"lag_k")
+      .groupBy($"lag_k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"ndy_a" * $"ndx_b").cast(d38).as("num"))
+    num.crossJoin(broadcast(den))
+      .select($"lag_k", $"n_months", $"n_pairs",
+        $"num".cast("string").as("num"),
+        $"denx".cast("string").as("denx"),
+        $"deny".cast("string").as("deny"),
+        round($"num".cast("double") /
+          sqrt($"denx".cast("double") * $"deny".cast("double")), 9).as("ccf"))
+      .orderBy($"lag_k")
+  }
+
+  private val crossCorrSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i,
+      |    COUNT(*) OVER () AS n,
+      |    CAST(COUNT(*) OVER () * cents - SUM(cents) OVER ()
+      |      AS DECIMAL(19,0)) AS ndx,
+      |    CAST(COUNT(*) OVER () * n_orders - SUM(n_orders) OVER ()
+      |      AS DECIMAL(19,0)) AS ndy
+      |  FROM monthly),
+      |den AS (
+      |  SELECT CAST(SUM(ndx * ndx) AS DECIMAL(38,0)) AS denx,
+      |    CAST(SUM(ndy * ndy) AS DECIMAL(38,0)) AS deny,
+      |    MAX(n) AS n_months FROM m),
+      |num AS (
+      |  SELECT lag_k, COUNT(*) AS n_pairs,
+      |    CAST(SUM(a.ndy * b.ndx) AS DECIMAL(38,0)) AS num
+      |  FROM m a
+      |  CROSS JOIN (SELECT unnest(generate_series(0, $CcfMaxLag)) AS lag_k)
+      |  JOIN m b ON b.i = a.i + lag_k
+      |  GROUP BY lag_k)
+      |SELECT lag_k, n_months, n_pairs,
+      |  CAST(num AS VARCHAR) AS num,
+      |  CAST(denx AS VARCHAR) AS denx, CAST(deny AS VARCHAR) AS deny,
+      |  round(CAST(num AS DOUBLE)
+      |    / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 9) AS ccf
+      |FROM num CROSS JOIN den ORDER BY lag_k""".stripMargin
+
+  // -------------------------------------------------------------- q_changepoint
+  /** Least-squares single changepoint: the split of the monthly revenue
+    * series that minimizes pooled SSE — "when did the level shift?",
+    * the offline complement to q_cusum's sequential detector. Prefix
+    * sums S_k and SS_k are exact DECIMAL off the month grid;
+    * SSE(k) = (SS_k − S_k²/k) + (SS_rest − S_rest²/(n−k)) is evaluated
+    * in doubles from those exact operands with an identical expression
+    * tree in both engines, and the argmin breaks ties on the earliest
+    * month. Output re-states the two segment means as exact integer
+    * cents (truncating DIV). */
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"month")
+    val grid = monthly(s, dir)
+      .withColumn("k", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s1", sum($"cents".cast(d38)).over(w))
+      .withColumn("ss1",
+        sum(($"cents".cast(d38) * $"cents").cast(d38)).over(w))
+      .withColumn("st", sum($"cents".cast(d38)).over(Window.partitionBy()))
+      .withColumn("sst",
+        sum(($"cents".cast(d38) * $"cents").cast(d38))
+          .over(Window.partitionBy()))
+      .filter($"k" < $"n")
+    val sse = grid.select($"month", $"k", $"n", $"s1", $"st",
+      (($"ss1".cast("double") -
+        $"s1".cast("double") * $"s1".cast("double") / $"k") +
+        (($"sst" - $"ss1").cast("double") -
+          ($"st" - $"s1").cast("double") * ($"st" - $"s1").cast("double") /
+            ($"n" - $"k"))).as("sse_split"),
+      ($"sst".cast("double") -
+        $"st".cast("double") * $"st".cast("double") / $"n").as("sse_total"))
+    sse.withColumn("r",
+        row_number().over(Window.orderBy($"sse_split", $"month")))
+      .filter($"r" === 1)
+      .select($"month".as("split_month"), $"k".as("n_left"),
+        ($"n" - $"k").as("n_right"),
+        ($"s1".cast("long") / $"k").cast("long").as("mean_left_cents"),
+        (($"st" - $"s1").cast("long") / ($"n" - $"k")).cast("long")
+          .as("mean_right_cents"),
+        round($"sse_total", 6).as("sse_total"),
+        round($"sse_split", 6).as("sse_split"))
+  }
+
+  private val changepointSql =
+    s"""WITH monthly AS ($monthlySql),
+      |g AS (
+      |  SELECT month,
+      |    ROW_NUMBER() OVER (ORDER BY month) AS k,
+      |    COUNT(*) OVER () AS n,
+      |    SUM(CAST(cents AS DECIMAL(38,0))) OVER (ORDER BY month) AS s1,
+      |    SUM(CAST(CAST(cents AS DECIMAL(38,0)) * cents AS DECIMAL(38,0)))
+      |      OVER (ORDER BY month) AS ss1,
+      |    SUM(CAST(cents AS DECIMAL(38,0))) OVER () AS st,
+      |    SUM(CAST(CAST(cents AS DECIMAL(38,0)) * cents AS DECIMAL(38,0)))
+      |      OVER () AS sst
+      |  FROM monthly),
+      |sse AS (
+      |  SELECT month, k, n, s1, st,
+      |    (CAST(ss1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+      |    + (CAST(sst - ss1 AS DOUBLE)
+      |      - CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE) / (n - k))
+      |      AS sse_split,
+      |    CAST(sst AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n AS sse_total
+      |  FROM g WHERE k < n)
+      |SELECT month AS split_month, k AS n_left, n - k AS n_right,
+      |  CAST(CAST(s1 AS BIGINT) // k AS BIGINT) AS mean_left_cents,
+      |  CAST(CAST(st - s1 AS BIGINT) // (n - k) AS BIGINT)
+      |    AS mean_right_cents,
+      |  round(sse_total, 6) AS sse_total, round(sse_split, 6) AS sse_split
+      |FROM sse
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY sse_split, month) = 1""".stripMargin
+
+  // ------------------------------------------------------------ q_max_concurrent
+  /** Sweep-line concurrency: per day, the peak number of simultaneously
+    * active users (interval = [first event, last event] per user-day,
+    * end exclusive at +1µs) and the earliest instant it is reached.
+    * Boundaries aggregate to one row per (day, instant) — starts and
+    * ends counted separately so tie instants are deterministic (an
+    * interval ending exactly at t is inactive at t) — and the running
+    * sum partitions BY DAY, so every window frame is day-bounded: no
+    * global sweep, no unpartitioned window, scales with days ×
+    * per-day activity. */
+  private def maxConcurrent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(min(unix_micros($"ts")).as("st"),
+        (max(unix_micros($"ts")) + 1).as("en"))
+    val bounds = iv.select($"day", $"st".as("t"), lit(1L).as("starts"), lit(0L).as("ends"))
+      .unionAll(iv.select($"day", $"en".as("t"), lit(0L).as("starts"), lit(1L).as("ends")))
+      .groupBy($"day", $"t")
+      .agg(sum($"starts").as("ns"), sum($"ends").as("ne"))
+    val w = Window.partitionBy($"day").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = bounds
+      .withColumn("concurrent", sum($"ns" - $"ne").over(w))
+    conc.withColumn("r", row_number().over(
+        Window.partitionBy($"day").orderBy($"concurrent".desc, $"t")))
+      .filter($"r" === 1)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"concurrent".as("max_concurrent"), $"t".as("at_us"))
+      .orderBy($"day")
+  }
+
+  private val maxConcurrentSql =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) + 1 AS en
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT day, t, SUM(ns) AS ns, SUM(ne) AS ne FROM (
+      |    SELECT day, st AS t, 1 AS ns, 0 AS ne FROM iv
+      |    UNION ALL
+      |    SELECT day, en AS t, 0 AS ns, 1 AS ne FROM iv)
+      |  GROUP BY day, t),
+      |c AS (
+      |  SELECT day, t,
+      |    SUM(ns - ne) OVER (PARTITION BY day ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS concurrent
+      |  FROM b)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(concurrent AS BIGINT) AS max_concurrent, t AS at_us
+      |FROM c
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+      |  ORDER BY concurrent DESC, t) = 1
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- q_rel_division
+  /** Relational division — "suppliers who ship EVERY brand in the PROMO
+    * segment": the classic universal-quantifier join, expressed as
+    * coverage counting (distinct brands shipped per supplier == total
+    * distinct PROMO brands) rather than double NOT EXISTS — one
+    * aggregation instead of two correlated anti-joins. The part dim
+    * filter broadcasts; lineitem collapses to distinct (supplier,
+    * brand) — at most |suppliers|·|brands| rows — before the count; the
+    * required-brand total is a single-row broadcast. */
+  private def relDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promoParts = Tables.part(s, dir)
+      .filter($"p_type" === "PROMO").select($"p_partkey", $"p_brand")
+    val req = promoParts.agg(countDistinct($"p_brand").as("n_required"))
+    val cover = Tables.lineitem(s, dir).select($"l_suppkey", $"l_partkey")
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"p_brand").as("n_brands"))
+    cover.crossJoin(broadcast(req))
+      .filter($"n_brands" === $"n_required")
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_brands")
+      .orderBy($"s_suppkey")
+  }
+
+  private val relDivisionSql =
+    """WITH promo AS (
+      |  SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO'),
+      |req AS (SELECT COUNT(DISTINCT p_brand) AS n_required FROM promo),
+      |cover AS (
+      |  SELECT l_suppkey, COUNT(DISTINCT p_brand) AS n_brands
+      |  FROM lineitem JOIN promo ON l_partkey = p_partkey
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_brands
+      |FROM cover CROSS JOIN req
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE n_brands = n_required
+      |ORDER BY s_suppkey""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
+    NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),
+    NamedQuery("q_runs_test", runsTest, Some(runsTestSql), bench = true),
+    NamedQuery("q_cross_corr", crossCorr, Some(crossCorrSql), bench = true),
+    NamedQuery("q_changepoint", changepoint, Some(changepointSql), bench = true),
+    NamedQuery("q_max_concurrent", maxConcurrent, Some(maxConcurrentSql), bench = true),
+    NamedQuery("q_rel_division", relDivision, Some(relDivisionSql), bench = true))
+}

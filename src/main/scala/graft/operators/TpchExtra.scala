@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deeper TPC-H coverage beyond the round-1 Q3/Q5 pair — the canonical
+  * decision-support shapes a warehouse engine is judged on, adapted to
+  * the fixture schema where a TPC-H column doesn't exist (no
+  * l_commitdate / l_receiptdate / l_shipmode, no partsupp, no c_phone —
+  * each adaptation is documented per query). All money aggregation
+  * routes through exact DECIMAL (graft.functions.Exact) so results are
+  * bit-stable on any partitioning, and every inequality that TPC-H
+  * states against a computed average is cross-multiplied into exact
+  * integer/decimal arithmetic rather than compared through a float
+  * division.
+  *
+  * Scale notes (100 TB): dimension sides (part, supplier, nation,
+  * single-row aggregate frames) broadcast explicitly; fact-fact joins
+  * (lineitem ⋈ orders) shuffle once on the order key; all date/brand/
+  * flag filters sit directly on the scan so parquet pushdown + column
+  * pruning keep scan bytes proportional to selectivity, not table size.
+  */
+object TpchExtra {
+
+  // ------------------------------------------------------------------ q_tpch_q4
+  /** TPC-H Q4 (order priority checking), adapted: the fixture carries no
+    * l_commitdate/l_receiptdate, so "late order" is re-expressed against
+    * the columns that exist — an order with at least one line shipped
+    * more than 60 days after the order date. Same plan silhouette as
+    * spec Q4: a quarter-window scan of orders, an EXISTS semi-join
+    * against lineitem with a cross-table predicate, and a tiny
+    * per-priority count grid.
+    *
+    * Scale shape: the semi-join shuffles both sides on the order key
+    * exactly once and keeps only the key + two date columns; the
+    * priority aggregate is a 5-row grid. */
+  private def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1997-07-01")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val tpchQ4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01'
+      |  AND o_orderdate < DATE '1997-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------ q_tpch_q6
+  /** TPC-H Q6 (forecasting revenue change) — verbatim on the fixture
+    * schema: one-year shipdate window, a discount band, a quantity cap,
+    * and the exact-DECIMAL revenue the discount band would have given
+    * away. The classic "does the filter reach the scan" probe: all
+    * three predicates are scan-pushable, the aggregate is a single
+    * partial/final sum with no shuffle beyond the 1-row exchange. */
+  private def tpchQ6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01" &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val tpchQ6Sql =
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ----------------------------------------------------------------- q_tpch_q10
+  /** TPC-H Q10 (returned item reporting): top 20 customers by revenue
+    * lost to returns in one quarter. Fact-fact join on the order key,
+    * then customer + nation dims broadcast onto the per-customer
+    * aggregate; TakeOrderedAndProject caps the output so no global sort
+    * materializes. Revenue ties break on custkey for determinism. */
+  private def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1997-10-01" && $"o_orderdate" < "1998-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val tpchQ10Sql =
+    s"""SELECT c_custkey, c_name,
+      |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= DATE '1997-10-01'
+      |  AND o_orderdate < DATE '1998-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------- q_tpch_q14
+  /** TPC-H Q14 (promotion effect): the share of one month's revenue that
+    * came from PROMO-type parts (fixture p_type is a single word, so the
+    * predicate is equality rather than LIKE 'PROMO%'). Both the promo
+    * and total revenue are exact DECIMAL sums; the percentage is one
+    * IEEE division + multiplication on those bit-identical doubles, so
+    * it's reproducible cross-engine despite being a float. Part is a
+    * broadcast dim — lineitem never shuffles. */
+  private def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1997-09-01" && $"l_shipdate" < "1997-10-01")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    li.join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        dsum(when($"p_type" === "PROMO",
+          $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0.0)), 4)
+          .as("promo_revenue"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        (lit(100.0) * ($"promo_revenue" / $"total_revenue")).as("promo_pct"))
+  }
+
+  private val tpchQ14Sql = {
+    val promo = sqlDsum(
+      "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)
+    val total = sqlDsum("l_extendedprice * (1 - l_discount)", 4)
+    s"""SELECT promo_revenue, total_revenue,
+      |  100.0 * (promo_revenue / total_revenue) AS promo_pct
+      |FROM (
+      |  SELECT $promo AS promo_revenue, $total AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= DATE '1997-09-01'
+      |    AND l_shipdate < DATE '1997-10-01')""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- q_tpch_q15
+  /** TPC-H Q15 (top supplier): the supplier(s) whose one-quarter revenue
+    * equals the maximum. The max-equality join runs on the DECIMAL
+    * revenue (exact — no float equality), and the max itself is a
+    * single-row frame broadcast onto the per-supplier aggregate; the
+    * double cast happens only at output. */
+  private def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast(DecimalType(28, 4))).as("rev_dec"))
+    val top = rev.agg(max($"rev_dec").as("max_dec"))
+    rev.join(broadcast(top), $"rev_dec" === $"max_dec")
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"rev_dec".cast(DoubleType).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val tpchQ15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+      |      AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ----------------------------------------------------------------- q_tpch_q17
+  /** TPC-H Q17 (small-quantity-order revenue), adapted: no p_container
+    * in the fixture, so the part filter is brand-only. The spec's
+    * `l_quantity < 0.2 * avg(l_quantity per part)` is cross-multiplied
+    * into exact DECIMAL arithmetic — `quantity · count · 5 < sum_qty` —
+    * so no float division decides membership. The per-part quantity
+    * profile aggregates the full lineitem once (partial agg map-side),
+    * then re-joins; the brand dim filter broadcasts. Output is the
+    * spec's sum(extendedprice)/7.0 "yearly average" — one IEEE division
+    * on an exact sum. */
+  private def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("pk"))
+      .agg(sum($"l_quantity".cast(DecimalType(28, 2))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    val brandParts = Tables.part(s, dir)
+      .filter($"p_brand" === "Brand#13").select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity".cast(DecimalType(28, 2)) * $"cnt" * 5 < $"sum_qty")
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val tpchQ17Sql =
+    s"""WITH pa AS (
+      |  SELECT l_partkey AS pk,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN pa ON l_partkey = pk
+      |WHERE p_brand = 'Brand#13'
+      |  AND CAST(l_quantity AS DECIMAL(28,2)) * cnt * 5 < sum_qty""".stripMargin
+
+  // ----------------------------------------------------------------- q_tpch_q18
+  /** TPC-H Q18 (large-volume customers): orders whose total line
+    * quantity exceeds 300, with their customer, top 100 by order value.
+    * The HAVING runs on the exact DECIMAL quantity sum; orders +
+    * customer join onto the (rare) qualifying keys, so the expensive
+    * side collapses before the dimension joins. */
+  private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast(DecimalType(28, 2))).as("qty_dec"))
+      .filter($"qty_dec" > 300)
+    bigOrders
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir).select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_totalprice", $"qty_dec".cast(DoubleType).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  private val tpchQ18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_totalprice, CAST(qty_dec AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,2))) AS qty_dec
+      |  FROM lineitem GROUP BY l_orderkey HAVING qty_dec > 300)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------------- q_tpch_q22
+  /** TPC-H Q22 (global sales opportunity), adapted: the fixture has no
+    * c_phone, so the country-code grouping becomes the nation dim, and
+    * "no orders ever" (vacuous on this dense fixture) becomes "no
+    * orders in the final two years" — same anti-join silhouette. Rich
+    * inactive customers per nation: balance above the positive-balance
+    * average, no recent orders. The average is a single-row broadcast;
+    * the anti-join projects orders to (custkey) before shuffling. */
+  private def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val avgBal = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 0)
+      .agg(davg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1999-07-01")
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  private val tpchQ22Sql =
+    s"""WITH a AS (
+      |  SELECT ${sqlDavg("c_acctbal")} AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, COUNT(*) AS numcust,
+      |  ${sqlDsum("c_acctbal")} AS totacctbal
+      |FROM customer CROSS JOIN a
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > a.avg_bal
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1999-07-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_tpch_q4", tpchQ4, Some(tpchQ4Sql), bench = true),
+    NamedQuery("q_tpch_q6", tpchQ6, Some(tpchQ6Sql), bench = true),
+    NamedQuery("q_tpch_q10", tpchQ10, Some(tpchQ10Sql), bench = true),
+    NamedQuery("q_tpch_q14", tpchQ14, Some(tpchQ14Sql), bench = true),
+    NamedQuery("q_tpch_q15", tpchQ15, Some(tpchQ15Sql), bench = true),
+    NamedQuery("q_tpch_q17", tpchQ17, Some(tpchQ17Sql), bench = true),
+    NamedQuery("q_tpch_q18", tpchQ18, Some(tpchQ18Sql), bench = true),
+    NamedQuery("q_tpch_q22", tpchQ22, Some(tpchQ22Sql), bench = true))
+}

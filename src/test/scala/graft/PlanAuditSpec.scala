@@ -83,6 +83,11 @@ object UnpartitionedWindowAudit {
     "q_seasonality",        // month grid
     "q_seasonal_decompose", // month grid
     "q_running_distinct",   // YEAR offset frame (day cum is partitioned by year)
+    "q_kendall_tau",        // month grid (pair frame is calendar²-bounded)
+    "q_theil_sen",          // month grid + calendar²-bounded slope-pair rank
+    "q_runs_test",          // month grid lag/run scan
+    "q_cross_corr",         // month grid (q_acf shape)
+    "q_changepoint",        // month grid prefix sums + splits argmin
     // fixed bucket/score axes
     "q_benford",            // 9-row leading-digit grid
     "q_degree_dist",        // <=64-row log2 bucket axis
