@@ -426,6 +426,277 @@ object AnalyticsExtra {
       |WHERE n_brands = n_required
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q_ols_trend
+  /** Ordinary-least-squares trend of the monthly revenue series — the
+    * parametric complement to q_theil_sen (and its sanity anchor: the
+    * two slopes should roughly agree unless outlier months dominate).
+    * Every sufficient statistic (n, Σi, Σi², Σx, Σx², Σix) is an exact
+    * integer/DECIMAL off the month grid; slope numerator/denominator
+    * and the R² pieces are emitted as digit-exact strings, and the
+    * three rounded outputs are computed with identical double
+    * expression trees in both engines. */
+  private def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")).cast("long"))
+    val stats = m.agg(
+      count(lit(1)).as("n"),
+      sum($"i").as("si"),
+      sum($"i" * $"i").as("sii"),
+      sum($"cents".cast(d38)).cast(d38).as("sx"),
+      sum(($"cents".cast(d38) * $"cents").cast(d38)).cast(d38).as("sxx"),
+      sum(($"i".cast(d38) * $"cents").cast(d38)).cast(d38).as("six"))
+    stats.select(
+        $"n",
+        ($"n" * $"six" - $"si" * $"sx").cast(d38).as("num"),
+        ($"n" * $"sii" - $"si" * $"si").as("den"),
+        ($"n" * $"sxx" - $"sx" * $"sx").cast(d38).as("sxx_n"),
+        $"si", $"sx")
+      .select($"n",
+        $"num".cast("string").as("num"), $"den", $"sxx_n".cast("string").as("sxx_n"),
+        round($"num".cast("double") / $"den", 9).as("slope_cents_per_month"),
+        round(($"sx".cast("double") * $"den" - $"num".cast("double") * $"si") /
+          ($"n".cast("double") * $"den"), 6).as("intercept_cents"),
+        round($"num".cast("double") * $"num".cast("double") /
+          ($"den".cast("double") * $"sxx_n".cast("double")), 9).as("r2"))
+  }
+
+  private val olsTrendSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS i,
+      |    cents FROM monthly),
+      |st AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    CAST(SUM(i * i) AS BIGINT) AS sii,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(CAST(cents AS DECIMAL(38,0)) * cents
+      |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(CAST(i AS DECIMAL(38,0)) * cents
+      |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS six
+      |  FROM m),
+      |d AS (
+      |  SELECT n, CAST(n * six - si * sx AS DECIMAL(38,0)) AS num,
+      |    CAST(n * sii - si * si AS BIGINT) AS den,
+      |    CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS sxx_n, si, sx
+      |  FROM st)
+      |SELECT n, CAST(num AS VARCHAR) AS num, den,
+      |  CAST(sxx_n AS VARCHAR) AS sxx_n,
+      |  round(CAST(num AS DOUBLE) / den, 9) AS slope_cents_per_month,
+      |  round((CAST(sx AS DOUBLE) * den - CAST(num AS DOUBLE) * si)
+      |    / (CAST(n AS DOUBLE) * den), 6) AS intercept_cents,
+      |  round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+      |    / (CAST(den AS DOUBLE) * CAST(sxx_n AS DOUBLE)), 9) AS r2
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------------------- q_mann_kendall
+  /** Mann–Kendall trend test on monthly revenue: S = Σ_{i<j}
+    * sign(x_j − x_i) with the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — the nonparametric
+    * "is there a monotone trend" standard. S, n and 18·Var are exact
+    * integers (var18 stays in int64 up to ~10⁶ months); the
+    * continuity-corrected z = (S ∓ 1)/sqrt(var18/18) is the one float,
+    * IEEE-exact from identical operands. Same bounded calendar² pair
+    * frame as q_kendall_tau. */
+  private def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")))
+      .select($"i", $"cents")
+    val sStat = m.select($"i", $"cents".as("xa"))
+      .join(broadcast(m.select($"i".as("j"), $"cents".as("xb"))), $"j" > $"i")
+      .agg(sum(signum($"xb" - $"xa").cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = m.groupBy($"cents").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when($"t" > 1,
+          $"t" * ($"t" - 1) * ($"t" * 2 + 5))), lit(0L)).as("tie_term"),
+        sum($"t").as("n"))
+    sStat.crossJoin(broadcast(ties))
+      .select($"n", $"n_pairs", $"s_stat",
+        ($"n" * ($"n" - 1) * ($"n" * 2 + 5) - $"tie_term").as("var18"))
+      .withColumn("z", round(
+        when($"s_stat" > 0, ($"s_stat" - 1).cast("double"))
+          .when($"s_stat" < 0, ($"s_stat" + 1).cast("double"))
+          .otherwise(lit(0.0)) / sqrt($"var18" / lit(18.0)), 9))
+  }
+
+  private val mannKendallSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i, cents FROM monthly),
+      |sp AS (
+      |  SELECT CAST(SUM(sign(b.cents - a.cents)) AS BIGINT) AS s_stat,
+      |    COUNT(*) AS n_pairs
+      |  FROM m a JOIN m b ON b.i > a.i),
+      |ties AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN t > 1
+      |      THEN t * (t - 1) * (2 * t + 5) ELSE 0 END), 0) AS BIGINT)
+      |      AS tie_term,
+      |    CAST(SUM(t) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS t FROM m GROUP BY cents))
+      |SELECT n, n_pairs, s_stat,
+      |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+      |  round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |    ELSE 0.0 END) / sqrt(var18 / 18.0), 9) AS z
+      |FROM sp CROSS JOIN ties""".stripMargin
+
+  // ---------------------------------------------------------------- q_wilcoxon
+  /** Wilcoxon signed-rank on year-over-year monthly revenue: pair month
+    * m with m+12, rank |diff| with midranks, sum ranks by diff sign —
+    * "did revenue shift YoY" without assuming normality. Midranks are
+    * made integer-exact by the ×2 trick (2·midrank = 2·cum_below +
+    * count + 1 — the q_spearman histogram recipe), so W⁺, W⁻ and the
+    * null expectation n(n+1)/2 (already ×2-scaled) are exact integers;
+    * there is no float anywhere. Zero diffs drop per standard
+    * practice. */
+  private def wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = monthly(s, dir)
+      .withColumn("i", row_number().over(Window.orderBy($"month")))
+      .select($"i", $"cents")
+    val diffs = m.select($"i", $"cents".as("xa"))
+      .join(broadcast(m.select(($"i" - 12).as("i"), $"cents".as("xb"))), "i")
+      .select(($"xb" - $"xa").as("d"))
+      .filter($"d" =!= 0)
+      .select($"d", abs($"d").as("ad"))
+    val hist = diffs.groupBy($"ad").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"ad")))
+      .select($"ad", (($"cum" - $"cnt") * 2 + $"cnt" + 1).as("midrank2"))
+    diffs.join(broadcast(hist), "ad")
+      .agg(
+        sum(when($"d" > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"d" < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"d" > 0, $"midrank2").otherwise(0L)).as("w2_plus"),
+        sum(when($"d" < 0, $"midrank2").otherwise(0L)).as("w2_minus"))
+      .withColumn("n", $"n_pos" + $"n_neg")
+      .withColumn("expected2", expr("n * (n + 1) DIV 2"))
+      .select($"n", $"n_pos", $"n_neg", $"w2_plus", $"w2_minus", $"expected2")
+  }
+
+  private val wilcoxonSql =
+    s"""WITH monthly AS ($monthlySql),
+      |m AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY month) AS i, cents FROM monthly),
+      |diffs AS (
+      |  SELECT b.cents - a.cents AS d, abs(b.cents - a.cents) AS ad
+      |  FROM m a JOIN m b ON b.i = a.i + 12
+      |  WHERE b.cents <> a.cents),
+      |hist AS (
+      |  SELECT ad,
+      |    2 * (SUM(cnt) OVER (ORDER BY ad) - cnt) + cnt + 1 AS midrank2
+      |  FROM (SELECT ad, COUNT(*) AS cnt FROM diffs GROUP BY ad)),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    CAST(SUM(CASE WHEN d > 0 THEN midrank2 ELSE 0 END) AS BIGINT)
+      |      AS w2_plus,
+      |    CAST(SUM(CASE WHEN d < 0 THEN midrank2 ELSE 0 END) AS BIGINT)
+      |      AS w2_minus
+      |  FROM diffs JOIN hist USING (ad))
+      |SELECT n_pos + n_neg AS n, n_pos, n_neg, w2_plus, w2_minus,
+      |  CAST((n_pos + n_neg) * (n_pos + n_neg + 1) // 2 AS BIGINT)
+      |    AS expected2
+      |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------- q_partial_corr
+  /** Partial correlation r_xy·z of monthly revenue (x) and order count
+    * (y) controlling for shipped quantity (z) — "do revenue and volume
+    * co-move beyond what shipping activity explains?" All three
+    * pairwise Pearson correlations come from the q_acf n-scaled exact
+    * integer sums (the n² factors cancel); the partial
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is evaluated on those
+    * bit-identical doubles. The two fact tables each collapse to the
+    * month grid in one aggregation; the grids inner-join on month. */
+  private def partialCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val qtyMonthly = Tables.lineitem(s, dir)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg((sum($"l_quantity".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("qty_h"))
+    val joined = monthly(s, dir).join(qtyMonthly, "month")
+    val m = joined
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sx", sum($"cents").over(Window.partitionBy()))
+      .withColumn("sy", sum($"n_orders").over(Window.partitionBy()))
+      .withColumn("sz", sum($"qty_h").over(Window.partitionBy()))
+      .select($"n",
+        ($"n" * $"cents" - $"sx").cast(d19).as("ndx"),
+        ($"n" * $"n_orders" - $"sy").cast(d19).as("ndy"),
+        ($"n" * $"qty_h" - $"sz").cast(d19).as("ndz"))
+    val sums = m.agg(max($"n").as("n_months"),
+      sum($"ndx" * $"ndy").cast(d38).as("sxy"),
+      sum($"ndx" * $"ndz").cast(d38).as("sxz"),
+      sum($"ndy" * $"ndz").cast(d38).as("syz"),
+      sum($"ndx" * $"ndx").cast(d38).as("sxx"),
+      sum($"ndy" * $"ndy").cast(d38).as("syy"),
+      sum($"ndz" * $"ndz").cast(d38).as("szz"))
+    val rxy = $"sxy".cast("double") /
+      sqrt($"sxx".cast("double") * $"syy".cast("double"))
+    val rxz = $"sxz".cast("double") /
+      sqrt($"sxx".cast("double") * $"szz".cast("double"))
+    val ryz = $"syz".cast("double") /
+      sqrt($"syy".cast("double") * $"szz".cast("double"))
+    sums.select($"n_months",
+      round(rxy, 9).as("r_xy"), round(rxz, 9).as("r_xz"),
+      round(ryz, 9).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 9)
+        .as("r_xy_given_z"))
+  }
+
+  private val partialCorrSql =
+    s"""WITH monthly AS ($monthlySql),
+      |qm AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS qty_h
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT * FROM monthly JOIN qm USING (month)),
+      |m AS (
+      |  SELECT COUNT(*) OVER () AS n,
+      |    CAST(COUNT(*) OVER () * cents - SUM(cents) OVER ()
+      |      AS DECIMAL(19,0)) AS ndx,
+      |    CAST(COUNT(*) OVER () * n_orders - SUM(n_orders) OVER ()
+      |      AS DECIMAL(19,0)) AS ndy,
+      |    CAST(COUNT(*) OVER () * qty_h - SUM(qty_h) OVER ()
+      |      AS DECIMAL(19,0)) AS ndz
+      |  FROM j),
+      |sums AS (
+      |  SELECT MAX(n) AS n_months,
+      |    CAST(SUM(ndx * ndy) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(ndx * ndz) AS DECIMAL(38,0)) AS sxz,
+      |    CAST(SUM(ndy * ndz) AS DECIMAL(38,0)) AS syz,
+      |    CAST(SUM(ndx * ndx) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(ndy * ndy) AS DECIMAL(38,0)) AS syy,
+      |    CAST(SUM(ndz * ndz) AS DECIMAL(38,0)) AS szz
+      |  FROM m)
+      |SELECT n_months,
+      |  round(CAST(sxy AS DOUBLE)
+      |    / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 9) AS r_xy,
+      |  round(CAST(sxz AS DOUBLE)
+      |    / sqrt(CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)), 9) AS r_xz,
+      |  round(CAST(syz AS DOUBLE)
+      |    / sqrt(CAST(syy AS DOUBLE) * CAST(szz AS DOUBLE)), 9) AS r_yz,
+      |  round((CAST(sxy AS DOUBLE)
+      |      / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+      |    - (CAST(sxz AS DOUBLE)
+      |      / sqrt(CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)))
+      |      * (CAST(syz AS DOUBLE)
+      |      / sqrt(CAST(syy AS DOUBLE) * CAST(szz AS DOUBLE))))
+      |    / sqrt((1.0 - (CAST(sxz AS DOUBLE)
+      |        / sqrt(CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)))
+      |        * (CAST(sxz AS DOUBLE)
+      |        / sqrt(CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE))))
+      |      * (1.0 - (CAST(syz AS DOUBLE)
+      |        / sqrt(CAST(syy AS DOUBLE) * CAST(szz AS DOUBLE)))
+      |        * (CAST(syz AS DOUBLE)
+      |        / sqrt(CAST(syy AS DOUBLE) * CAST(szz AS DOUBLE))))), 9)
+      |    AS r_xy_given_z
+      |FROM sums""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),
@@ -433,5 +704,9 @@ object AnalyticsExtra {
     NamedQuery("q_cross_corr", crossCorr, Some(crossCorrSql), bench = true),
     NamedQuery("q_changepoint", changepoint, Some(changepointSql), bench = true),
     NamedQuery("q_max_concurrent", maxConcurrent, Some(maxConcurrentSql), bench = true),
-    NamedQuery("q_rel_division", relDivision, Some(relDivisionSql), bench = true))
+    NamedQuery("q_rel_division", relDivision, Some(relDivisionSql), bench = true),
+    NamedQuery("q_ols_trend", olsTrend, Some(olsTrendSql), bench = true),
+    NamedQuery("q_mann_kendall", mannKendall, Some(mannKendallSql), bench = true),
+    NamedQuery("q_wilcoxon", wilcoxon, Some(wilcoxonSql), bench = true),
+    NamedQuery("q_partial_corr", partialCorr, Some(partialCorrSql), bench = true))
 }

@@ -148,6 +148,39 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(maxWait <= nMulti)
   }
 
+  test("q_ols_trend: r2 in [0,1]; slope sign agrees with Theil-Sen") {
+    val ols = run("q_ols_trend").collect().head
+    val r2 = ols.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val sen = run("q_theil_sen").collect().head
+      .getAs[Double]("slope_cents_per_month")
+    val slope = ols.getAs[Double]("slope_cents_per_month")
+    assert(slope.sign == sen.sign || slope == 0.0 || sen == 0.0,
+      s"OLS $slope vs Theil-Sen $sen disagree on direction")
+  }
+
+  test("q_mann_kendall: |S| <= n_pairs, tie-corrected variance positive") {
+    val r = run("q_mann_kendall").collect().head
+    assert(math.abs(r.getAs[Long]("s_stat")) <= r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Long]("var18") > 0)
+  }
+
+  test("q_wilcoxon: rank sums partition the total midrank mass") {
+    val r = run("q_wilcoxon").collect().head
+    // sum of ALL x2-scaled midranks is n(n+1) = 2 x expected2
+    assert(r.getAs[Long]("w2_plus") + r.getAs[Long]("w2_minus") ==
+      2 * r.getAs[Long]("expected2"))
+    assert(r.getAs[Long]("n") == r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg"))
+  }
+
+  test("q_partial_corr: all four correlations within [-1,1]") {
+    val r = run("q_partial_corr").collect().head
+    Seq("r_xy", "r_xz", "r_yz", "r_xy_given_z").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(math.abs(v) <= 1.0 + 1e-9, s"$c = $v")
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)

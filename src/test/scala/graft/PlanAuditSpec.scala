@@ -88,6 +88,10 @@ object UnpartitionedWindowAudit {
     "q_runs_test",          // month grid lag/run scan
     "q_cross_corr",         // month grid (q_acf shape)
     "q_changepoint",        // month grid prefix sums + splits argmin
+    "q_ols_trend",          // month grid index + sufficient statistics
+    "q_mann_kendall",       // month grid (calendar²-bounded pair frame)
+    "q_wilcoxon",           // month grid + |diff| value-grid midranks
+    "q_partial_corr",       // month grid (q_acf shape, 3 series)
     // fixed bucket/score axes
     "q_benford",            // 9-row leading-digit grid
     "q_degree_dist",        // <=64-row log2 bucket axis
