@@ -181,6 +181,38 @@ class AnalyticsExtraSpec extends GraftSuite {
     }
   }
 
+  test("q_boilerplate: counts bounded, ppm exact, fixture non-vacuous") {
+    val rows = run("q_boilerplate").collect()
+    assert(rows.forall { r =>
+      val (n, b) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_boiler"))
+      b >= 0 && b <= n &&
+        r.getAs[Long]("boiler_ppm") == b * 1000000L / n
+    })
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0),
+      "fixture must carry real boilerplate segments")
+  }
+
+  test("q_prefix_dup: only real clusters, representative is the min doc") {
+    val rows = run("q_prefix_dup").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2))
+  }
+
+  test("q_vocab_growth: cumulative curve is monotone and totals the type count") {
+    import spark.implicits._
+    val rows = run("q_vocab_growth").collect()
+    val cums = rows.map(_.getAs[Long]("cum_types"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    val total = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ", -1).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .as("bg"))
+      .distinct().count()
+    assert(cums.last == total)
+    assert(rows.map(_.getAs[Long]("new_types")).sum == total)
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)

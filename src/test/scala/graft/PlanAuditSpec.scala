@@ -92,6 +92,7 @@ object UnpartitionedWindowAudit {
     "q_mann_kendall",       // month grid (calendar²-bounded pair frame)
     "q_wilcoxon",           // month grid + |diff| value-grid midranks
     "q_partial_corr",       // month grid (q_acf shape, 3 series)
+    "q_vocab_growth",       // <=10-row decile frame cumulative
     // fixed bucket/score axes
     "q_benford",            // 9-row leading-digit grid
     "q_degree_dist",        // <=64-row log2 bucket axis
