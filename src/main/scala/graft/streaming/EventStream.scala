@@ -260,9 +260,79 @@ object EventStream {
        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------- q_stream_interval_join
+  /** DRIVER-VISIBLE stream-stream correlation: the view→click interval
+    * join runs as a REAL two-sided streaming join (both sides
+    * watermarked, event-time-bounded buffers, AvailableNow over the
+    * static fixture) and the oracle computes the same correlation as a
+    * batch self-join — the stream-stream state machine becomes a
+    * hash-compared CORRECTNESS row, not just a spec claim. Timestamps
+    * emit as exact epoch micros. A static directory processes in one
+    * AvailableNow pass, so the inner join's emission is complete and
+    * deterministic on any partitioning. */
+  private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runIntervalJoinAvailableNow(s, dir + "/events.parquet",
+        "view", "click", "q_stream_ij_mem")
+      .select($"user_id", $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"click_ts").as("click_us"))
+      .orderBy($"view_id", $"click_id")
+  }
+
+  private val streamIntervalJoinSql =
+    """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      |  c.event_id AS click_id,
+      |  epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+      |ORDER BY view_id, click_id""".stripMargin
+
+  // ------------------------------------------------- q_stream_dedup_replay
+  /** DRIVER-VISIBLE streaming exactly-once dedup: the fixture's events
+    * file is STAGED TWICE into a scratch directory (an at-least-once
+    * upstream, reified), streamed through
+    * `dropDuplicatesWithinWatermark(event_id)`, and the oracle is the
+    * plain batch read of the ORIGINAL single copy — the duplicates-
+    * dropped claim hash-compares against what a correct dedup must
+    * reproduce. First-occurrence semantics is trivially deterministic
+    * here because the planted duplicates are byte-identical.
+    *
+    * Scale shape: dedup state holds only ids inside the watermark
+    * horizon (arrival-skew-bounded, not history-bounded); the staging
+    * copy is fixture plumbing, not part of the measured plan. */
+  private def streamDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_dedup_${Integer.toHexString(dir.hashCode)}")
+    if (Files.exists(stage)) {
+      Files.list(stage).forEach(p => Files.delete(p))
+    } else Files.createDirectories(stage)
+    Files.copy(src, stage.resolve("copy_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, stage.resolve("copy_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    runDedupAvailableNow(s, stage.toString, "q_stream_dedup_mem")
+      .select($"event_id", unix_micros($"ts").as("us"),
+        $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  private val streamDedupReplaySql =
+    """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_replay", streamReplay, Some(streamReplaySql),
-      bench = true))
+      bench = true),
+    graft.NamedQuery("q_stream_interval_join", streamIntervalJoin,
+      Some(streamIntervalJoinSql), bench = true),
+    graft.NamedQuery("q_stream_dedup_replay", streamDedupReplay,
+      Some(streamDedupReplaySql), bench = true))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

@@ -213,6 +213,23 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("new_types")).sum == total)
   }
 
+  test("q_stream_dedup_replay drops exactly the planted duplicate copy") {
+    val out = run("q_stream_dedup_replay")
+    val original = Tables.events(spark, sf).count()
+    assert(out.count() == original,
+      "doubled input through streaming dedup must equal the single copy")
+    assert(out.select("event_id").distinct().count() == original)
+  }
+
+  test("q_stream_interval_join: every match respects the 10-minute bound") {
+    val rows = run("q_stream_interval_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("click_us") - r.getAs[Long]("view_us")
+      assert(d >= 0 && d <= 10L * 60 * 1000000, s"out-of-window match: $d us")
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
