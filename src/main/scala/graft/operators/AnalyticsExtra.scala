@@ -697,7 +697,131 @@ object AnalyticsExtra {
       |    AS r_xy_given_z
       |FROM sums""".stripMargin
 
+  // -------------------------------------------------------------- q_ship_latency
+  /** Order-to-ship latency distribution per order priority — the
+    * operational SLA view: how many days from order to each line's
+    * shipment, summarized as n / min / exact lower median / max / mean.
+    * The median is an order statistic off the per-priority lag-day
+    * HISTOGRAM (lag days are calendar-bounded, ~120 distinct values),
+    * so no per-row ranking and every window partitions by priority —
+    * nothing unbounded, nothing single-task. Mean is exact-sum/count. */
+  private def shipLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lags = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").as("lag_days"))
+    val hist = lags.groupBy($"o_orderpriority", $"lag_days")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"lag_days")
+    val wAll = Window.partitionBy($"o_orderpriority")
+    hist
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("sum_lag", sum($"lag_days" * $"cnt").over(wAll))
+      .withColumn("min_days", min($"lag_days").over(wAll))
+      .withColumn("max_days", max($"lag_days").over(wAll))
+      .filter($"cum" * 2 >= $"n" && ($"cum" - $"cnt") * 2 < $"n")
+      .select($"o_orderpriority", $"n", $"min_days",
+        $"lag_days".as("median_days"), $"max_days",
+        round($"sum_lag".cast("double") / $"n", 9).as("mean_days"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val shipLatencySql =
+    """WITH lags AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |hist AS (
+      |  SELECT o_orderpriority, lag_days, COUNT(*) AS cnt
+      |  FROM lags GROUP BY 1, 2),
+      |x AS (
+      |  SELECT o_orderpriority, lag_days, cnt,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag_days)
+      |      AS cum,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n,
+      |    SUM(lag_days * cnt) OVER (PARTITION BY o_orderpriority)
+      |      AS sum_lag,
+      |    MIN(lag_days) OVER (PARTITION BY o_orderpriority) AS min_days,
+      |    MAX(lag_days) OVER (PARTITION BY o_orderpriority) AS max_days
+      |  FROM hist)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, min_days,
+      |  lag_days AS median_days, max_days,
+      |  round(CAST(sum_lag AS DOUBLE) / n, 9) AS mean_days
+      |FROM x
+      |WHERE cum * 2 >= n AND (cum - cnt) * 2 < n
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------------- q_skewness
+  /** Third-moment skewness of the monthly revenue distribution — are
+    * revenue months symmetric around their mean, or tail-heavy? Raw
+    * power sums Σx, Σx², Σx³ are exact DECIMAL(38) over the month grid
+    * with x in DOLLARS (cents DIV 100): |x| < 2·10¹² keeps x³ inside 38
+    * digits with the month count to spare, and a raise_error guard
+    * fails loudly (the q_curriculum overflow contract) instead of
+    * silently truncating if a corpus ever breaches it. The central-
+    * moment combination and g₁ = m₃/m₂^{3/2} evaluate in doubles from
+    * those exact operands — identical expression trees both engines,
+    * sqrt IEEE-exact. */
+  private def skewness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bound = 2000000000000L // 2e12 dollars/month: x^3 < 10^37
+    val grid = monthly(s, dir)
+      .select(expr("cents DIV 100").as("x0"))
+      .select(when(abs($"x0") >= bound,
+          expr(s"raise_error('q_skewness: |monthly dollars| >= $bound " +
+            "overflows the exact DECIMAL(38) cube — rescale the unit')"))
+        .otherwise($"x0").as("x"))
+    val sums = grid.agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(d38)).cast(d38).as("s1"),
+      sum(($"x".cast(d38) * $"x").cast(d38)).cast(d38).as("s2"),
+      sum((($"x".cast(d38) * $"x").cast(d38) * $"x").cast(d38)).cast(d38)
+        .as("s3"))
+    val nD = $"n".cast("double")
+    val m2 = $"s2".cast("double") - $"s1".cast("double") * $"s1".cast("double") / nD
+    val m3 = $"s3".cast("double") -
+      lit(3.0) * $"s1".cast("double") * $"s2".cast("double") / nD +
+      lit(2.0) * $"s1".cast("double") * $"s1".cast("double") *
+        $"s1".cast("double") / (nD * nD)
+    sums.select($"n",
+      $"s1".cast("string").as("s1"), $"s2".cast("string").as("s2"),
+      $"s3".cast("string").as("s3"),
+      round((m3 / nD) / ((m2 / nD) * sqrt(m2 / nD)), 9).as("skewness"))
+  }
+
+  private val skewnessSql =
+    s"""WITH monthly AS ($monthlySql),
+      |g AS (SELECT cents // 100 AS x FROM monthly),
+      |sums AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS s2,
+      |    CAST(SUM(CAST(CAST(CAST(x AS DECIMAL(38,0)) * x
+      |      AS DECIMAL(38,0)) * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3
+      |  FROM g)
+      |SELECT n, CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+      |  CAST(s3 AS VARCHAR) AS s3,
+      |  round(((CAST(s3 AS DOUBLE)
+      |      - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))
+      |    / (((CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE))
+      |      * sqrt((CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE))), 9) AS skewness
+      |FROM sums""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ship_latency", shipLatency, Some(shipLatencySql), bench = true),
+    NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),
     NamedQuery("q_runs_test", runsTest, Some(runsTestSql), bench = true),

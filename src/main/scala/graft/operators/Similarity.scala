@@ -621,6 +621,41 @@ object Similarity {
        |WHERE t.vec_a < t.vec_b
        |ORDER BY t.vec_a, t.vec_b""".stripMargin
 
+  // --------------------------------------------------- q_ann_{lsh,ivf}_mrr
+  /** Rank-aware retrieval quality: Mean Reciprocal Rank of the planted
+    * near-duplicate through the REAL candidate + exact-rescore + top-10
+    * path. Recall says whether the plant was found at all; MRR says
+    * where it LANDED — a scoring or tie-break regression that demotes
+    * the true neighbor from rank 1 to rank 3 keeps recall at 100% but
+    * drops MRR, so it surfaces as an exact hash mismatch. Reciprocal
+    * ranks stay integer-exact via the ×2520 trick (2520 = lcm(1..10),
+    * so 2520/rank is an integer for every rank the top-10 can emit);
+    * the oracle expects the plant at rank 1 for every query —
+    * mrr_ppm = 1,000,000 exactly. Same 2n-row id-only scale shape as
+    * the recall gates. */
+  private def annMrr(candGen: DataFrame => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    requirePlantable(e, "vec_id", "annMrr")
+    val planted = plantNearDups(e)
+    val plantRank = scoreAndRank(candGen(planted), planted, topK = 10)
+      .filter($"vec_a" < PlantOffset && $"vec_b" === $"vec_a" + PlantOffset)
+      .select($"vec_a".as("vec_id"), $"rank")
+    e.select($"vec_id")
+      .join(plantRank, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(expr("2520 DIV rank")), lit(0L)).as("recip_x2520_sum"))
+      .select($"n_queries", $"recip_x2520_sum",
+        expr("recip_x2520_sum * 1000000 DIV (2520 * n_queries)").as("mrr_ppm"))
+  }
+
+  private val annMrrSql =
+    """SELECT COUNT(*) AS n_queries,
+      |  CAST(COUNT(*) * 2520 AS BIGINT) AS recip_x2520_sum,
+      |  CAST(1000000 AS BIGINT) AS mrr_ppm
+      |FROM embeddings""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_knn_graph", knnGraph, Some(knnGraphSql)),
     NamedQuery("q_jl_project", jlProject, Some(jlProjectSql), bench = true),
@@ -646,5 +681,8 @@ object Similarity {
     NamedQuery("q_ann_lsh_rate", annRecallRate(annCandidateIds),
       Some(annRecallRateSql)),
     NamedQuery("q_ann_ivf_rate", annRecallRate(ivfCandidateIds),
-      Some(annRecallRateSql)))
+      Some(annRecallRateSql)),
+    NamedQuery("q_ann_lsh_mrr", annMrr(annCandidateIds), Some(annMrrSql),
+      bench = true),
+    NamedQuery("q_ann_ivf_mrr", annMrr(ivfCandidateIds), Some(annMrrSql)))
 }

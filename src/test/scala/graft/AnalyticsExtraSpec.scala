@@ -230,6 +230,33 @@ class AnalyticsExtraSpec extends GraftSuite {
     }
   }
 
+  test("q_ship_latency: median and mean inside [min,max], all priorities present") {
+    val rows = run("q_ship_latency").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Int]("min_days"), r.getAs[Int]("max_days"))
+      val med = r.getAs[Int]("median_days")
+      val mean = r.getAs[Double]("mean_days")
+      assert(lo <= med && med <= hi)
+      assert(lo <= mean && mean <= hi)
+    }
+  }
+
+  test("q_skewness: finite statistic, positive second moment encoded in sums") {
+    val r = run("q_skewness").collect().head
+    val n = r.getAs[Long]("n")
+    val s1 = BigDecimal(r.getAs[String]("s1"))
+    val s2 = BigDecimal(r.getAs[String]("s2"))
+    assert(s2 * n - s1 * s1 > 0, "variance must be positive on the fixture")
+    assert(!r.getAs[Double]("skewness").isNaN)
+  }
+
+  test("q_ann_lsh_mrr: the planted neighbor ranks first for every query") {
+    val r = run("q_ann_lsh_mrr").collect().head
+    assert(r.getAs[Long]("mrr_ppm") == 1000000L)
+    assert(r.getAs[Long]("recip_x2520_sum") == 2520L * r.getAs[Long]("n_queries"))
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
