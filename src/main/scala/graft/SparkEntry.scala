@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every implemented capability, one NamedQuery each. */
   def all: Seq[NamedQuery] =
     operators.Relational.all ++ operators.TpchExtra.all ++
-      operators.TpchExtra2.all ++ operators.TextAnalysis.all ++
+      operators.TpchExtra2.all ++ operators.TpchExtra3.all ++
+      operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Clustering.all ++
       operators.Sources.all ++ operators.Multimodal.all ++

@@ -257,6 +257,33 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(r.getAs[Long]("recip_x2520_sum") == 2520L * r.getAs[Long]("n_queries"))
   }
 
+  test("q_tpch_q11: every important part clears the cross-multiplied share bar") {
+    import spark.implicits._
+    val rows = run("q_tpch_q11").collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getAs[Double]("part_value"))
+    // each reported value x 500 must exceed the full nation total, which
+    // is at least the sum of the reported values
+    val reportedSum = values.sum
+    assert(values.forall(_ * operators.TpchExtra3.Q11Fraction > reportedSum * 0.999),
+      "a reported part below the threshold slipped through")
+  }
+
+  test("q_tpch_q20: at most one dominant supplier can exist per part") {
+    import spark.implicits._
+    val total = run("q_tpch_q20").agg(sum($"n_dominated")).head().getLong(0)
+    // >50% share is exclusive: dominated-part claims can never exceed the
+    // number of multi-supplier PROMO parts in the window
+    val nParts = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+      .join(Tables.part(spark, sf).filter($"p_type" === "PROMO")
+        .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(countDistinct($"l_suppkey").as("ns")).filter($"ns" >= 2).count()
+    assert(total <= nParts)
+    assert(total > 0)
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
