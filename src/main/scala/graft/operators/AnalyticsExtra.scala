@@ -755,6 +755,59 @@ object AnalyticsExtra {
       |WHERE cum * 2 >= n AND (cum - cnt) * 2 < n
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------- q_latency_tail
+  /** Tail latency per order priority — the p95/p99 the SLA dashboard
+    * actually watches (q_ship_latency's median says how it usually
+    * goes; the tail says how badly it can go). Exact lower-quantile
+    * order statistics off the same calendar-bounded lag-day histogram:
+    * p_q = smallest lag with 100·cum ≥ q·n — pure integer
+    * cross-multiplication, no interpolation, no float. All windows
+    * partition by priority. */
+  private def latencyTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lags = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").as("lag_days"))
+    val hist = lags.groupBy($"o_orderpriority", $"lag_days")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"lag_days")
+    hist
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n",
+        sum($"cnt").over(Window.partitionBy($"o_orderpriority")))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n"),
+        min(when($"cum" * 100 >= $"n" * 95, $"lag_days")).as("p95_days"),
+        min(when($"cum" * 100 >= $"n" * 99, $"lag_days")).as("p99_days"),
+        max($"lag_days").as("max_days"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val latencyTailSql =
+    """WITH lags AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |hist AS (
+      |  SELECT o_orderpriority, lag_days, COUNT(*) AS cnt
+      |  FROM lags GROUP BY 1, 2),
+      |x AS (
+      |  SELECT o_orderpriority, lag_days, cnt,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag_days)
+      |      AS cum,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM hist)
+      |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum * 100 >= n * 95 THEN lag_days END) AS p95_days,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lag_days END) AS p99_days,
+      |  MAX(lag_days) AS max_days
+      |FROM x
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -821,6 +874,7 @@ object AnalyticsExtra {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ship_latency", shipLatency, Some(shipLatencySql), bench = true),
+    NamedQuery("q_latency_tail", latencyTail, Some(latencyTailSql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

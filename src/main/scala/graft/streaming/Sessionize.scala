@@ -75,8 +75,64 @@ object Sessionize {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  // -------------------------------------------------------- q_stream_sessions
+  /** DRIVER-VISIBLE native session windows: the same gap-based
+    * sessionization through Spark's built-in `session_window`
+    * aggregation, run as a REAL streaming query (watermark +
+    * merging-session state + AvailableNow) and oracle-checked against
+    * the gaps-and-islands SQL. One semantic note, pinned by the oracle:
+    * `session_window` merges an event only while it lands STRICTLY
+    * inside the previous event's [ts, ts+gap) extension, so an exact
+    * gap-length distance starts a NEW session — the oracle's new-session
+    * flag is therefore `>= gap`, where the flatMapGroupsWithState path
+    * (q_sessionize, `> gap`) keeps the boundary event. Both are valid
+    * contracts; each is documented where it holds.
+    *
+    * Scale shape: session state is per-user open windows bounded by the
+    * watermark; the aggregation shuffles once on user_id per
+    * micro-batch — the same key the batch plan shuffles on. */
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = EventStream.readEvents(s, dir + "/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", s"$GapMinutes minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        $"n_events", $"total_value")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q_stream_sessions_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_sessions_mem")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val qStreamSessionsSql =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) >= ${GapUs}000
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_sessionize", qSessionize, Some(qSessionizeSql), bench = true))
+    NamedQuery("q_sessionize", qSessionize, Some(qSessionizeSql), bench = true),
+    NamedQuery("q_stream_sessions", qStreamSessions,
+      Some(qStreamSessionsSql), bench = true))
 
   // --------------------------------------------------------------- streaming
   // `ts` (the watermarked TimestampType column) must survive into the

@@ -284,6 +284,24 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(total > 0)
   }
 
+  test("q_stream_sessions: native session_window equals gaps-and-islands batch") {
+    // the two differ only when an inter-event distance is EXACTLY the
+    // gap (documented); the fixture carries none, so full equality holds
+    assertSameRows(run("q_stream_sessions"), run("q_sessionize"))
+  }
+
+  test("q_latency_tail: ordered quantiles, consistent with the median view") {
+    val tails = run("q_latency_tail").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Int]("p95_days"), r.getAs[Int]("p99_days"), r.getAs[Int]("max_days"))).toMap
+    val medians = run("q_ship_latency").collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Int]("median_days")).toMap
+    assert(tails.keySet == medians.keySet)
+    tails.foreach { case (prio, (p95, p99, mx)) =>
+      assert(medians(prio) <= p95 && p95 <= p99 && p99 <= mx, s"$prio")
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
