@@ -808,6 +808,132 @@ object AnalyticsExtra {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------- q_seasonal_anomalies
+  /** Seasonally-adjusted anomaly detection: months whose decomposition
+    * RESIDUAL (cents − trend − seasonal, the exact q_seasonal_decompose
+    * remainder) breaks its own Tukey fences — "was this month odd after
+    * accounting for trend and seasonality", which raw-value fences
+    * (q_iqr_fences) can't ask. Quartiles are exact lower order
+    * statistics off the residual histogram (4·cum ≥ n / ≥ 3n), the
+    * 1.5·IQR step is `iqr + iqr DIV 2` so fences stay exact integers.
+    * Everything runs on the bounded month grid. */
+  private def seasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m0 = monthly(s, dir)
+    val w13 = Window.orderBy($"month").rowsBetween(-6, 6)
+    val trended = m0
+      .withColumn("win_n", count(lit(1)).over(w13))
+      .withColumn("trend", expr("sum(cents) OVER (ORDER BY month " +
+        "ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) DIV 13"))
+      .filter($"win_n" === 13)
+      .withColumn("detr", $"cents" - $"trend")
+      .withColumn("moy", substring($"month", 6, 2))
+    val seasonal = trended.groupBy($"moy")
+      .agg(sum($"detr").as("sd"), count(lit(1)).as("cnt"))
+      .select($"moy", expr("sd DIV cnt").as("seasonal"))
+    val resid = trended.join(broadcast(seasonal), Seq("moy"))
+      .select($"month", $"cents",
+        ($"cents" - $"trend" - $"seasonal").as("residual"))
+    val hist = resid.groupBy($"residual").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"residual")))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+    val fences = hist.agg(
+        min(when($"cum" * 4 >= $"n", $"residual")).as("q1"),
+        min(when($"cum" * 4 >= $"n" * 3, $"residual")).as("q3"))
+      .select($"q1", $"q3",
+        ($"q1" - expr("(q3 - q1) + (q3 - q1) DIV 2")).as("lo_fence"),
+        ($"q3" + expr("(q3 - q1) + (q3 - q1) DIV 2")).as("hi_fence"))
+    resid.crossJoin(broadcast(fences))
+      .filter($"residual" < $"lo_fence" || $"residual" > $"hi_fence")
+      .select($"month", $"cents", $"residual", $"lo_fence", $"hi_fence",
+        when($"residual" < $"lo_fence", "LOW").otherwise("HIGH").as("side"))
+      .orderBy($"month")
+  }
+
+  private val seasonalAnomaliesSql =
+    s"""WITH monthly AS ($monthlySql),
+      |t AS (
+      |  SELECT month, cents,
+      |    COUNT(*) OVER (ORDER BY month
+      |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n,
+      |    CAST(SUM(cents) OVER (ORDER BY month
+      |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) // 13
+      |      AS trend
+      |  FROM monthly),
+      |tr AS (
+      |  SELECT month, cents, trend, cents - trend AS detr,
+      |    substring(month, 6, 2) AS moy
+      |  FROM t WHERE win_n = 13),
+      |seas AS (
+      |  SELECT moy, CAST(SUM(detr) AS BIGINT) // COUNT(*) AS seasonal
+      |  FROM tr GROUP BY 1),
+      |resid AS (
+      |  SELECT month, cents, cents - trend - seasonal AS residual
+      |  FROM tr JOIN seas USING (moy)),
+      |hist AS (
+      |  SELECT residual, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (ORDER BY residual) AS cum,
+      |    SUM(COUNT(*)) OVER () AS n
+      |  FROM resid GROUP BY residual),
+      |f AS (
+      |  SELECT q1, q3,
+      |    q1 - ((q3 - q1) + (q3 - q1) // 2) AS lo_fence,
+      |    q3 + ((q3 - q1) + (q3 - q1) // 2) AS hi_fence
+      |  FROM (SELECT
+      |    MIN(CASE WHEN cum * 4 >= n THEN residual END) AS q1,
+      |    MIN(CASE WHEN cum * 4 >= n * 3 THEN residual END) AS q3
+      |  FROM hist))
+      |SELECT month, cents, residual, lo_fence, hi_fence,
+      |  CASE WHEN residual < lo_fence THEN 'LOW' ELSE 'HIGH' END AS side
+      |FROM resid CROSS JOIN f
+      |WHERE residual < lo_fence OR residual > hi_fence
+      |ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------------- q_active_users
+  /** DAU / WAU / MAU — the engagement trinity: per activity day, how
+    * many distinct users acted that day, in the trailing 7 days, and in
+    * the trailing 30. Exact distinct counts via the (user, day) frame
+    * fanned out to the day grid it contributes to (≤7 / ≤30 grid rows
+    * per user-day — linear, never quadratic), then one distinct-count
+    * per grid day. All integers; the day grid is calendar-bounded. */
+  private def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDay = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("uday")).distinct()
+    val grid = userDay.select($"uday".as("day")).distinct()
+    val wau = userDay.join(grid,
+        $"day" >= $"uday" && $"day" <= date_add($"uday", 6))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    val mau = userDay.join(grid,
+        $"day" >= $"uday" && $"day" <= date_add($"uday", 29))
+      .groupBy($"day").agg(countDistinct($"user_id").as("mau"))
+    val dau = userDay.groupBy($"uday".as("day"))
+      .agg(countDistinct($"user_id").as("dau"))
+    dau.join(wau, "day").join(mau, "day")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"dau", $"wau", $"mau")
+      .orderBy($"day")
+  }
+
+  private val activeUsersSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday FROM events),
+      |grid AS (SELECT DISTINCT uday AS day FROM ud),
+      |dau AS (
+      |  SELECT uday AS day, COUNT(DISTINCT user_id) AS dau
+      |  FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS wau
+      |  FROM ud JOIN grid ON day >= uday AND day <= uday + INTERVAL 6 DAY
+      |  GROUP BY 1),
+      |mau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS mau
+      |  FROM ud JOIN grid ON day >= uday AND day <= uday + INTERVAL 29 DAY
+      |  GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau
+      |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+      |ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -875,6 +1001,9 @@ object AnalyticsExtra {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ship_latency", shipLatency, Some(shipLatencySql), bench = true),
     NamedQuery("q_latency_tail", latencyTail, Some(latencyTailSql), bench = true),
+    NamedQuery("q_seasonal_anomalies", seasonalAnomalies,
+      Some(seasonalAnomaliesSql), bench = true),
+    NamedQuery("q_active_users", activeUsers, Some(activeUsersSql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

@@ -164,7 +164,44 @@ object CurationExtra {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
       |FROM b ORDER BY decile""".stripMargin
 
+  // ----------------------------------------------------------- q_dedup_by_source
+  /** Per-source duplication dashboard: for each ingest source, the
+    * exact-duplicate rate (full-text digest) and the shared-prefix rate
+    * (the q_prefix_dup digest) in exact ppm — which feeds are mirroring
+    * which, before any cross-source dedup spends a shuffle on them.
+    * Two digest aggregations per source; text never shuffles. */
+  private def dedupBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", md5($"text").as("text_md5"),
+        md5(concat_ws(" ",
+          slice(split($"text", " ", -1), 1, PrefixWords))).as("prefix_md5"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"text_md5").as("n_unique"),
+        countDistinct($"prefix_md5").as("n_unique_prefix"))
+      .select($"source", $"n_docs", $"n_unique",
+        expr("(n_docs - n_unique) * 1000000 DIV n_docs").as("exact_dup_ppm"),
+        expr("(n_docs - n_unique_prefix) * 1000000 DIV n_docs")
+          .as("prefix_dup_ppm"))
+      .orderBy($"source")
+  }
+
+  private val dedupBySourceSql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+      |    // COUNT(*) AS BIGINT) AS exact_dup_ppm,
+      |  CAST((COUNT(*) - COUNT(DISTINCT
+      |      md5(array_to_string(string_split(text, ' ')[1:$PrefixWords], ' '))))
+      |    * 1000000 // COUNT(*) AS BIGINT) AS prefix_dup_ppm
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dedup_by_source", dedupBySource, Some(dedupBySourceSql),
+      bench = true),
     NamedQuery("q_boilerplate", boilerplate, Some(boilerplateSql), bench = true),
     NamedQuery("q_prefix_dup", prefixDup, Some(prefixDupSql), bench = true),
     NamedQuery("q_vocab_growth", vocabGrowth, Some(vocabGrowthSql), bench = true))

@@ -302,6 +302,35 @@ class AnalyticsExtraSpec extends GraftSuite {
     }
   }
 
+  test("q_active_users: dau <= wau <= mau on every day") {
+    val rows = run("q_active_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      assert(r.getAs[Long]("wau") <= r.getAs[Long]("mau"))
+    }
+  }
+
+  test("q_seasonal_anomalies: flags sit strictly outside their fences") {
+    val rows = run("q_seasonal_anomalies").collect()
+    assert(rows.nonEmpty, "fixture should carry at least one residual anomaly")
+    rows.foreach { r =>
+      val res = r.getAs[Long]("residual")
+      assert(res < r.getAs[Long]("lo_fence") || res > r.getAs[Long]("hi_fence"))
+    }
+  }
+
+  test("q_dedup_by_source: prefix collisions dominate exact duplicates") {
+    val rows = run("q_dedup_by_source").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // identical text implies identical prefix, so the prefix-dup rate
+      // can never be below the exact-dup rate
+      assert(r.getAs[Long]("exact_dup_ppm") <= r.getAs[Long]("prefix_dup_ppm"),
+        r.getAs[String]("source"))
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
