@@ -934,6 +934,103 @@ object AnalyticsExtra {
       |FROM dau JOIN wau USING (day) JOIN mau USING (day)
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------- q_conversion_latency
+  /** Signup→purchase conversion latency: per user, first signup to the
+    * first purchase at-or-after it; summarized as conversion rate (ppm,
+    * integer DIV) and the latency distribution in MINUTES — exact lower
+    * median and p90 off the latency-minute histogram (calendar-bounded:
+    * the grid can never exceed the corpus' time span in minutes,
+    * regardless of user count), mean as exact-sum/count. Two keyed
+    * aggregations to per-user firsts, one histogram pass. */
+  private def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("st"))
+    val purchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("pt"))
+      .join(signup, "user_id")
+      .filter($"pt" >= $"st")
+      .groupBy($"user_id").agg(min($"pt").as("pt"), min($"st").as("st"))
+    val lat = purchase.select(expr("(pt - st) DIV 60000000").as("lat_min"))
+    val hist = lat.groupBy($"lat_min").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"lat_min")))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+    val dist = hist.agg(
+      max($"n").as("n_converted"),
+      min(when($"cum" * 2 >= $"n", $"lat_min")).as("median_min"),
+      min(when($"cum" * 10 >= $"n" * 9, $"lat_min")).as("p90_min"),
+      max($"lat_min").as("max_min"),
+      sum($"lat_min" * $"cnt").as("sum_min"))
+    val nUsers = signup.agg(count(lit(1)).as("n_signup"))
+    dist.crossJoin(broadcast(nUsers))
+      .select($"n_signup", $"n_converted",
+        expr("n_converted * 1000000 DIV n_signup").as("conversion_ppm"),
+        $"median_min", $"p90_min", $"max_min",
+        round($"sum_min".cast("double") / $"n_converted", 9).as("mean_min"))
+  }
+
+  private val conversionLatencySql =
+    """WITH su AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS st
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt, MIN(st) AS st
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st
+      |  GROUP BY 1),
+      |lat AS (SELECT (pt - st) // 60000000 AS lat_min FROM pu),
+      |hist AS (
+      |  SELECT lat_min, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (ORDER BY lat_min) AS cum,
+      |    SUM(COUNT(*)) OVER () AS n
+      |  FROM lat GROUP BY lat_min),
+      |dist AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+      |    MIN(CASE WHEN cum * 2 >= n THEN lat_min END) AS median_min,
+      |    MIN(CASE WHEN cum * 10 >= n * 9 THEN lat_min END) AS p90_min,
+      |    MAX(lat_min) AS max_min,
+      |    CAST(SUM(lat_min * cnt) AS BIGINT) AS sum_min
+      |  FROM hist),
+      |nu AS (SELECT COUNT(*) AS n_signup FROM su)
+      |SELECT n_signup, n_converted,
+      |  CAST(n_converted * 1000000 // n_signup AS BIGINT) AS conversion_ppm,
+      |  median_min, p90_min, max_min,
+      |  round(CAST(sum_min AS DOUBLE) / n_converted, 9) AS mean_min
+      |FROM dist CROSS JOIN nu""".stripMargin
+
+  // ------------------------------------------------------------ q_data_freshness
+  /** Feed freshness — the first page of every ingest-ops dashboard: per
+    * event feed (event_type), its last event time and how many minutes
+    * stale it is against the freshest feed. Exact integer minutes; one
+    * keyed aggregation plus a single-row broadcast of the global max. */
+  private def dataFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perFeed = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros($"ts")).as("last_us"))
+    val global = perFeed.agg(max($"last_us").as("max_us"))
+    perFeed.crossJoin(broadcast(global))
+      .select($"event_type", $"n_events",
+        date_format(timestamp_micros($"last_us"), "yyyy-MM-dd HH:mm:ss")
+          .as("last_event"),
+        expr("(max_us - last_us) DIV 60000000").as("staleness_min"))
+      .orderBy($"event_type")
+  }
+
+  private val dataFreshnessSql =
+    """WITH pf AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT MAX(last_us) AS max_us FROM pf)
+      |SELECT event_type, n_events,
+      |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_event,
+      |  CAST((max_us - last_us) // 60000000 AS BIGINT) AS staleness_min
+      |FROM pf CROSS JOIN g
+      |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -1004,6 +1101,10 @@ object AnalyticsExtra {
     NamedQuery("q_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql), bench = true),
     NamedQuery("q_active_users", activeUsers, Some(activeUsersSql), bench = true),
+    NamedQuery("q_conversion_latency", conversionLatency,
+      Some(conversionLatencySql), bench = true),
+    NamedQuery("q_data_freshness", dataFreshness, Some(dataFreshnessSql),
+      bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

@@ -331,6 +331,24 @@ class AnalyticsExtraSpec extends GraftSuite {
     }
   }
 
+  test("q_conversion_latency: quantiles ordered, rate bounded by signups") {
+    val r = run("q_conversion_latency").collect().head
+    assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signup"))
+    assert(r.getAs[Long]("conversion_ppm") <= 1000000L)
+    val (med, p90, mx) = (r.getAs[Long]("median_min"),
+      r.getAs[Long]("p90_min"), r.getAs[Long]("max_min"))
+    assert(med <= p90 && p90 <= mx)
+    val mean = r.getAs[Double]("mean_min")
+    assert(mean >= 0 && mean <= mx)
+  }
+
+  test("q_data_freshness: the freshest feed has zero staleness") {
+    val rows = run("q_data_freshness").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("staleness_min") == 0L))
+    assert(rows.forall(_.getAs[Long]("staleness_min") >= 0L))
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)

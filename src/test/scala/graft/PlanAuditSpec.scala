@@ -94,6 +94,7 @@ object UnpartitionedWindowAudit {
     "q_partial_corr",       // month grid (q_acf shape, 3 series)
     "q_vocab_growth",       // <=10-row decile frame cumulative
     "q_seasonal_anomalies", // month grid + residual value histogram
+    "q_conversion_latency", // latency-minute grid (calendar-span-bounded)
     // fixed bucket/score axes
     "q_benford",            // 9-row leading-digit grid
     "q_degree_dist",        // <=64-row log2 bucket axis
