@@ -310,7 +310,8 @@ object EventStream {
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_dedup_${Integer.toHexString(dir.hashCode)}")
     if (Files.exists(stage)) {
-      Files.list(stage).forEach(p => Files.delete(p))
+      val ls = Files.list(stage)
+      try ls.forEach(p => Files.delete(p)) finally ls.close()
     } else Files.createDirectories(stage)
     Files.copy(src, stage.resolve("copy_a.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
