@@ -901,12 +901,17 @@ object AnalyticsExtra {
     val userDay = Tables.events(s, dir)
       .select($"user_id", to_date($"ts").as("uday")).distinct()
     val grid = userDay.select($"uday".as("day")).distinct()
-    val wau = userDay.join(grid,
-        $"day" >= $"uday" && $"day" <= date_add($"uday", 6))
-      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
-    val mau = userDay.join(grid,
-        $"day" >= $"uday" && $"day" <= date_add($"uday", 29))
-      .groupBy($"day").agg(countDistinct($"user_id").as("mau"))
+    // row-local fan-out (explode of a <=7/<=30-element day sequence) +
+    // EQUI-join against the active-day grid: cost is O(user-days x
+    // window), never the O(user-days x |grid|) a range-condition
+    // nested-loop join would pay on a multi-year grid
+    def trailing(windowDays: Int): DataFrame = userDay
+      .select($"user_id", explode(expr(
+        s"sequence(uday, date_add(uday, ${windowDays - 1}))")).as("day"))
+      .join(grid, "day")
+      .groupBy($"day").agg(countDistinct($"user_id").as(s"au_$windowDays"))
+    val wau = trailing(7).withColumnRenamed("au_7", "wau")
+    val mau = trailing(30).withColumnRenamed("au_30", "mau")
     val dau = userDay.groupBy($"uday".as("day"))
       .agg(countDistinct($"user_id").as("dau"))
     dau.join(wau, "day").join(mau, "day")
