@@ -1036,6 +1036,108 @@ object AnalyticsExtra {
       |FROM pf CROSS JOIN g
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------- q_repurchase_gap
+  /** Repurchase cadence: days between a customer's consecutive orders,
+    * summarized per market segment — the retention metric behind
+    * "how often do BUILDING customers come back?". Per-customer gaps
+    * come from a lag window PARTITIONED BY customer (scale-safe); the
+    * per-segment summary takes exact lower median / p90 off the
+    * segment's gap-day histogram (calendar-bounded grid) and an exact
+    * integer mean numerator. */
+  private def repurchaseGap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderdate", 1).over(wc))
+      .filter($"prev".isNotNull)
+      .select($"o_custkey", datediff($"o_orderdate", $"prev").as("gap_days"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+    val hist = gaps.groupBy($"c_mktsegment", $"gap_days")
+      .agg(count(lit(1)).as("cnt"))
+    val ws = Window.partitionBy($"c_mktsegment").orderBy($"gap_days")
+    val wAll = Window.partitionBy($"c_mktsegment")
+    hist
+      .withColumn("cum", sum($"cnt").over(ws))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .groupBy($"c_mktsegment")
+      .agg(max($"n").as("n_gaps"),
+        min(when($"cum" * 2 >= $"n", $"gap_days")).as("median_days"),
+        min(when($"cum" * 10 >= $"n" * 9, $"gap_days")).as("p90_days"),
+        sum($"gap_days" * $"cnt").as("sum_days"))
+      .select($"c_mktsegment", $"n_gaps", $"median_days", $"p90_days",
+        round($"sum_days".cast("double") / $"n_gaps", 9).as("mean_days"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val repurchaseGapSql =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |j AS (
+      |  SELECT c_mktsegment, gap_days FROM g
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE gap_days IS NOT NULL),
+      |hist AS (
+      |  SELECT c_mktsegment, gap_days, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment ORDER BY gap_days)
+      |      AS cum,
+      |    SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM j GROUP BY 1, 2)
+      |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  MIN(CASE WHEN cum * 2 >= n THEN gap_days END) AS median_days,
+      |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_days END) AS p90_days,
+      |  round(CAST(SUM(gap_days * cnt) AS DOUBLE) / MAX(n), 9) AS mean_days
+      |FROM hist
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------- q_discount_elasticity
+  /** Discount elasticity profile: how order-line quantity responds to
+    * the discount level — the pricing view TPC-H Q6/Q19 only sample.
+    * One row per discount value (the domain is a fixed price-book
+    * grid): line count, exact quantity sum, and a quantity INDEX in
+    * exact ppm — this band's mean quantity over the corpus mean,
+    * computed as one DECIMAL cross-multiplication (no float division
+    * decides the index). */
+  private def discountElasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byBand = Tables.lineitem(s, dir)
+      .groupBy($"l_discount")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum($"l_quantity".cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("qty_h"))
+    val tot = byBand.agg(sum($"n_lines").as("n_tot"), sum($"qty_h").as("qty_tot"))
+    byBand.crossJoin(broadcast(tot))
+      .select($"l_discount", $"n_lines",
+        ($"qty_h".cast(DoubleType) / 100).as("sum_qty"),
+        // integral DIV on DECIMAL(38) operands — exact in Spark; the
+        // oracle routes the same product through HUGEINT (DuckDB's //
+        // on decimals silently degrades to double)
+        expr("(CAST(qty_h AS DECIMAL(38,0)) * n_tot * 1000000) DIV " +
+          "(CAST(qty_tot AS DECIMAL(38,0)) * n_lines)").as("qty_index_ppm"))
+      .orderBy($"l_discount")
+  }
+
+  private val discountElasticitySql =
+    """WITH b AS (
+      |  SELECT l_discount, COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS qty_h
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS n_tot,
+      |             CAST(SUM(qty_h) AS BIGINT) AS qty_tot FROM b)
+      |SELECT l_discount, n_lines,
+      |  CAST(qty_h AS DOUBLE) / 100 AS sum_qty,
+      |  CAST((CAST(qty_h AS HUGEINT) * n_tot * 1000000)
+      |    // (CAST(qty_tot AS HUGEINT) * n_lines) AS BIGINT)
+      |    AS qty_index_ppm
+      |FROM b CROSS JOIN t
+      |ORDER BY l_discount""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -1110,6 +1212,10 @@ object AnalyticsExtra {
       Some(conversionLatencySql), bench = true),
     NamedQuery("q_data_freshness", dataFreshness, Some(dataFreshnessSql),
       bench = true),
+    NamedQuery("q_repurchase_gap", repurchaseGap, Some(repurchaseGapSql),
+      bench = true),
+    NamedQuery("q_discount_elasticity", discountElasticity,
+      Some(discountElasticitySql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

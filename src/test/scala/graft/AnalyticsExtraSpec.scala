@@ -349,6 +349,28 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("staleness_min") >= 0L))
   }
 
+  test("q_repurchase_gap: quantiles ordered within each segment") {
+    val rows = run("q_repurchase_gap").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (med, p90) = (r.getAs[Int]("median_days"), r.getAs[Int]("p90_days"))
+      assert(med <= p90)
+      val mean = r.getAs[Double]("mean_days")
+      assert(mean > 0)
+    }
+  }
+
+  test("q_discount_elasticity: indexes average to ~1M ppm weighted by lines") {
+    val rows = run("q_discount_elasticity").collect()
+    assert(rows.length == 11) // the fixed discount price-book grid
+    val nTot = rows.map(_.getAs[Long]("n_lines")).sum
+    val weighted = rows.map(r =>
+      r.getAs[Long]("qty_index_ppm") * r.getAs[Long]("n_lines")).sum / nTot
+    // truncation in each band's DIV can only pull the weighted mean
+    // slightly under the exact 1,000,000
+    assert(weighted <= 1000000L && weighted > 999000L, s"weighted=$weighted")
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
