@@ -36,6 +36,36 @@ class PlanAuditSpec extends GraftSuite {
   private val auditedBoundedWindowQueries: Set[String] = Set.empty ++
     UnpartitionedWindowAudit.allowed
 
+  /** BNLJ gate, the q_active_users lesson made permanent: a
+    * BroadcastNestedLoopJoin is legitimate exactly twice here — a
+    * single-row broadcast frame (a global aggregate crossed back onto a
+    * keyed frame; build side is 1 row by construction) and the
+    * calendar²-bounded pair frames of the rank statistics. A BNLJ whose
+    * build side GROWS WITH THE DATA pays O(stream × build) compute — at
+    * 100× scale that's the first thing to melt, and unlike a
+    * CartesianProduct it hides behind the word "broadcast". Every query
+    * below is audited as one of the two legitimate shapes; anything new
+    * fails until audited. */
+  private val auditedBnljQueries: Set[String] = BnljAudit.allowed
+
+  test("no BroadcastNestedLoopJoin outside the audited set") {
+    val found = SparkEntry.all.flatMap { q =>
+      val plan =
+        try q.fn(spark, sf).queryExecution.sparkPlan.toString
+        catch { case _: Throwable => null } // planning failures caught above
+      if (plan != null && plan.contains("BroadcastNestedLoopJoin")) Some(q.name)
+      else None
+    }.toSet
+    val unaudited = found -- auditedBnljQueries
+    val stale = auditedBnljQueries -- found
+    assert(unaudited.isEmpty,
+      s"unaudited BroadcastNestedLoopJoin in: ${unaudited.toSeq.sorted.mkString(", ")} — " +
+        "verify the build side is a single-row frame or a calendar-bounded " +
+        "grid (graft.NljAudit lists occurrences), then whitelist")
+    assert(stale.isEmpty,
+      s"stale BNLJ whitelist entries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("no unpartitioned WindowExec outside the audited bounded-frame set") {
     import org.apache.spark.sql.execution.window.WindowExecBase
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -70,6 +100,30 @@ class PlanAuditSpec extends GraftSuite {
     assert(stale.isEmpty,
       s"stale whitelist entries (no unpartitioned window found): ${stale.toSeq.sorted.mkString(", ")}")
   }
+}
+
+/** The audited BroadcastNestedLoopJoin allow-list. Shape legend:
+  * "1-row" = global-aggregate frame (count/sum/max totals, fences,
+  * thresholds) crossed back onto a keyed frame — build side is one row
+  * by construction; "pair" = the calendar²-bounded month-pair frame of
+  * the rank statistics (broadcast side is the month grid). Audited via
+  * graft.NljAudit over every registered plan (round 6). */
+object BnljAudit {
+  val allowed: Set[String] = Set(
+    // 1-row global-aggregate broadcasts
+    "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",
+    "q_conversion_latency", "q_cross_corr", "q_data_freshness",
+    "q_date_window", "q_dedup_embedding", "q_degree_dist",
+    "q_discount_elasticity", "q_dsir_weights", "q_embedding_cosine_topk",
+    "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
+    "q_jl_project", "q_kcore", "q_kmeans", "q_ks_test", "q_lift",
+    "q_lm_surprisal", "q_mann_whitney", "q_seasonal_anomalies",
+    "q_simhash_recall", "q_tpch_q11", "q_tpch_q22", "q_vocab_growth",
+    "q_weekday_profile", "q_chi_square", "q_cluster_purity", "q_knn_graph",
+    "q_modularity", "q_semdedup", "q_t_closeness", "q_decile_share",
+    "q_forget_cascade", "q_survival", "q_dataset_card", "q_hits", "q_rfm",
+    // calendar²-bounded month-pair frames
+    "q_kendall_tau", "q_theil_sen", "q_mann_kendall")
 }
 
 /** The audited allow-list, one line per query with the bounded frame the
