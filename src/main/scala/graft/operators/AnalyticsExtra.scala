@@ -1138,6 +1138,95 @@ object AnalyticsExtra {
       |FROM b CROSS JOIN t
       |ORDER BY l_discount""".stripMargin
 
+  // ------------------------------------------------------------ q_order_size_dist
+  /** Order-size distribution: how many orders have k lines — TPC-H
+    * Q13's silhouette turned on the order itself (no zero bucket:
+    * every order has ≥1 line). One orderkey aggregation, one count-grid
+    * histogram; grid bounded by the line-count domain (~7). */
+  private def orderSizeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .groupBy($"n_lines").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_lines")
+  }
+
+  private val orderSizeDistSql =
+    """SELECT n_lines, COUNT(*) AS n_orders
+      |FROM (SELECT l_orderkey, COUNT(*) AS n_lines
+      |      FROM lineitem GROUP BY 1)
+      |GROUP BY n_lines ORDER BY n_lines""".stripMargin
+
+  // -------------------------------------------------------- q_late_lines_trend
+  /** Service-level trend: per ship month, the share of lines shipped
+    * more than 90 days after their order date, in exact ppm — is
+    * fulfillment getting better or worse? The month axis is the
+    * calendar-bounded grid; lateness is decided row-local at the join,
+    * the ppm by integer DIV. One fact-fact shuffle on the order key. */
+  private def lateLinesTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("n_late"))
+      .withColumn("late_ppm", expr("n_late * 1000000 DIV n_lines"))
+      .orderBy($"ship_month")
+  }
+
+  private val lateLinesTrendSql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  // ------------------------------------------------- q_customer_concentration
+  /** Revenue concentration: what share of total order revenue do the
+    * top 10 customers hold, in exact ppm — the "how dependent are we on
+    * our whales" number next to q_hhi's index and q_decile_share's
+    * curve. Top-k by exact DECIMAL cents (TakeOrderedAndProject — no
+    * global sort), the share one integer cross-multiplication against
+    * the broadcast total. */
+  val ConcentrationTopK = 10
+
+  private def customerConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val total = perCust.agg(sum($"cents").as("tot_cents"),
+      count(lit(1)).as("n_customers"))
+    val top = perCust.orderBy($"cents".desc, $"o_custkey")
+      .limit(ConcentrationTopK)
+      .agg(sum($"cents").as("top_cents"), count(lit(1)).as("k"))
+    top.crossJoin(broadcast(total))
+      .select($"k", $"n_customers", $"top_cents", $"tot_cents",
+        expr("top_cents * 1000000 DIV tot_cents").as("top_share_ppm"))
+  }
+
+  private val customerConcentrationSql =
+    s"""WITH pc AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+      |             COUNT(*) AS n_customers FROM pc),
+      |top AS (
+      |  SELECT CAST(SUM(cents) AS BIGINT) AS top_cents, COUNT(*) AS k
+      |  FROM (SELECT cents FROM pc ORDER BY cents DESC, o_custkey
+      |        LIMIT $ConcentrationTopK))
+      |SELECT k, n_customers, top_cents, tot_cents,
+      |  CAST(top_cents * 1000000 // tot_cents AS BIGINT) AS top_share_ppm
+      |FROM top CROSS JOIN t""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -1216,6 +1305,12 @@ object AnalyticsExtra {
       bench = true),
     NamedQuery("q_discount_elasticity", discountElasticity,
       Some(discountElasticitySql), bench = true),
+    NamedQuery("q_order_size_dist", orderSizeDist, Some(orderSizeDistSql),
+      bench = true),
+    NamedQuery("q_late_lines_trend", lateLinesTrend, Some(lateLinesTrendSql),
+      bench = true),
+    NamedQuery("q_customer_concentration", customerConcentration,
+      Some(customerConcentrationSql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

@@ -371,6 +371,34 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(weighted <= 1000000L && weighted > 999000L, s"weighted=$weighted")
   }
 
+  test("q_order_size_dist: histogram partitions all orders") {
+    import spark.implicits._
+    val rows = run("q_order_size_dist").collect()
+    val totalOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(totalOrders ==
+      Tables.lineitem(spark, sf).select($"l_orderkey").distinct().count())
+  }
+
+  test("q_late_lines_trend: late share bounded, ppm arithmetic exact") {
+    val rows = run("q_late_lines_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, late) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_late"))
+      assert(late <= n)
+      assert(r.getAs[Long]("late_ppm") == late * 1000000L / n)
+    }
+  }
+
+  test("q_customer_concentration: top-k share exceeds the uniform share") {
+    val r = run("q_customer_concentration").collect().head
+    val (k, n) = (r.getAs[Long]("k"), r.getAs[Long]("n_customers"))
+    assert(k == operators.AnalyticsExtra.ConcentrationTopK.toLong)
+    val share = r.getAs[Long]("top_share_ppm")
+    // the top k of n customers must hold at least k/n of revenue
+    assert(share >= k * 1000000L / n)
+    assert(share <= 1000000L)
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
