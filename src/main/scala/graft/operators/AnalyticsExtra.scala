@@ -1227,6 +1227,125 @@ object AnalyticsExtra {
       |  CAST(top_cents * 1000000 // tot_cents AS BIGINT) AS top_share_ppm
       |FROM top CROSS JOIN t""".stripMargin
 
+  // -------------------------------------------------------- q_new_vs_returning
+  /** New-vs-returning revenue split per month — the growth dashboard's
+    * first question: is this month's revenue acquisition or retention?
+    * An order is NEW when it falls in its customer's first active
+    * month. One custkey aggregation for first months, one custkey
+    * shuffle to classify (no broadcast of a customer-sized frame), one
+    * month-grid rollup; the share is exact ppm. */
+  private def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val first = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(min(date_format($"o_orderdate", "yyyy-MM")).as("first_month"))
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .join(first, $"o_custkey" === $"ck")
+      .withColumn("is_new", ($"month" === $"first_month").cast("long"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"is_new").as("n_new"),
+        (sum(when($"is_new" === 1, $"o_totalprice")
+          .otherwise(lit(0.0)).cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("new_cents"),
+        (sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+          .cast("long").as("total_cents"))
+      .select($"month", $"n_orders", $"n_new",
+        ($"n_orders" - $"n_new").as("n_returning"),
+        $"new_cents", $"total_cents",
+        expr("new_cents * 1000000 DIV total_cents").as("new_share_ppm"))
+      .orderBy($"month")
+  }
+
+  private val newVsReturningSql =
+    """WITH f AS (
+      |  SELECT o_custkey AS ck,
+      |    MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+      |  FROM orders GROUP BY 1),
+      |o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
+      |    CASE WHEN strftime(o_orderdate, '%Y-%m') = first_month
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM orders JOIN f ON o_custkey = ck)
+      |SELECT month, COUNT(*) AS n_orders,
+      |  CAST(SUM(is_new) AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS n_returning,
+      |  CAST(SUM(CASE WHEN is_new = 1 THEN CAST(o_totalprice AS DECIMAL(28,2))
+      |    ELSE CAST(0.0 AS DECIMAL(28,2)) END) * 100 AS BIGINT) AS new_cents,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |    AS total_cents,
+      |  CAST(CAST(SUM(CASE WHEN is_new = 1
+      |      THEN CAST(o_totalprice AS DECIMAL(28,2))
+      |      ELSE CAST(0.0 AS DECIMAL(28,2)) END) * 100 AS BIGINT) * 1000000
+      |    // CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |    AS BIGINT) AS new_share_ppm
+      |FROM o GROUP BY month ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------------- q_cohort_ltv
+  /** Cohort lifetime-value matrix: customers grouped by first-order
+    * month, revenue tracked by months-since-acquisition — the
+    * complement of q_cohort_retention's headcount view (who still
+    * ORDERS vs what they still SPEND). Cumulative cents per (cohort,
+    * age) via an age-ordered window PARTITIONED BY COHORT (frame
+    * bounded by the calendar), plus each age's cumulative share of the
+    * cohort's lifetime revenue in exact ppm. */
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mIdx = (c: org.apache.spark.sql.Column) =>
+      year(c) * 12 + month(c)
+    val first = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(min($"o_orderdate").as("first_date"))
+      .select($"ck", date_format($"first_date", "yyyy-MM").as("cohort"),
+        mIdx($"first_date").as("c_idx"))
+    val cells = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice", $"o_orderdate")
+      .join(first, $"o_custkey" === $"ck")
+      .groupBy($"cohort",
+        (mIdx($"o_orderdate") - $"c_idx").cast("long").as("age_months"))
+      .agg((sum($"o_totalprice".cast(DecimalType(28, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.partitionBy($"cohort").orderBy($"age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"cohort")
+    cells
+      .withColumn("cum_cents", sum($"cents").over(w))
+      .withColumn("lifetime_cents", sum($"cents").over(wAll))
+      .select($"cohort", $"age_months", $"cents", $"cum_cents",
+        expr("cum_cents * 1000000 DIV lifetime_cents").as("ltv_share_ppm"))
+      .orderBy($"cohort", $"age_months")
+  }
+
+  private val cohortLtvSql =
+    """WITH f AS (
+      |  SELECT o_custkey AS ck, MIN(o_orderdate) AS first_date
+      |  FROM orders GROUP BY 1),
+      |fc AS (
+      |  SELECT ck, strftime(first_date, '%Y-%m') AS cohort,
+      |    EXTRACT(year FROM first_date) * 12 + EXTRACT(month FROM first_date)
+      |      AS c_idx
+      |  FROM f),
+      |cells AS (
+      |  SELECT cohort,
+      |    CAST(EXTRACT(year FROM o_orderdate) * 12
+      |      + EXTRACT(month FROM o_orderdate) - c_idx AS BIGINT)
+      |      AS age_months,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN fc ON o_custkey = ck
+      |  GROUP BY 1, 2)
+      |SELECT cohort, age_months, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age_months
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |  CAST(CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age_months
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+      |    // CAST(SUM(cents) OVER (PARTITION BY cohort) AS BIGINT)
+      |    AS BIGINT) AS ltv_share_ppm
+      |FROM cells
+      |ORDER BY cohort, age_months""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -1311,6 +1430,9 @@ object AnalyticsExtra {
       bench = true),
     NamedQuery("q_customer_concentration", customerConcentration,
       Some(customerConcentrationSql), bench = true),
+    NamedQuery("q_new_vs_returning", newVsReturning, Some(newVsReturningSql),
+      bench = true),
+    NamedQuery("q_cohort_ltv", cohortLtv, Some(cohortLtvSql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

@@ -399,6 +399,33 @@ class AnalyticsExtraSpec extends GraftSuite {
     assert(share <= 1000000L)
   }
 
+  test("q_new_vs_returning: first month is all-new, splits add up") {
+    val rows = run("q_new_vs_returning").collect()
+    assert(rows.nonEmpty)
+    val firstMonth = rows.minBy(_.getAs[String]("month"))
+    assert(firstMonth.getAs[Long]("n_new") == firstMonth.getAs[Long]("n_orders"),
+      "every order in the corpus' first month is by definition new")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("new_cents") <= r.getAs[Long]("total_cents"))
+    }
+  }
+
+  test("q_cohort_ltv: cumulative share reaches exactly 1M ppm at max age") {
+    val rows = run("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort"))
+    byCohort.foreach { case (cohort, rs) =>
+      val last = rs.maxBy(_.getAs[Long]("age_months"))
+      assert(last.getAs[Long]("ltv_share_ppm") == 1000000L,
+        s"cohort $cohort cumulative must close at its lifetime total")
+      val shares = rs.sortBy(_.getAs[Long]("age_months"))
+        .map(_.getAs[Long]("ltv_share_ppm"))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)
