@@ -1346,6 +1346,112 @@ object AnalyticsExtra {
       |FROM cells
       |ORDER BY cohort, age_months""".stripMargin
 
+  // -------------------------------------------------------------- q_abc_analysis
+  /** ABC inventory classification: parts ranked by revenue, classified
+    * A (first 80% of cumulative revenue), B (next 15%), C (the tail) —
+    * the classic Pareto cut. The interesting part at scale is the
+    * CUMULATIVE SUM OVER A PART-SIZED FRAME: a plain
+    * `sum() over (order by revenue)` serializes through one task, so
+    * this runs the Corpus.globalIndex recipe generalized to prefix
+    * sums — range-repartition by (revenue desc, partkey), per-partition
+    * cents totals broadcast as offsets, in-partition cumulative windows
+    * PARTITIONED BY __pid. Class boundaries are exact integer
+    * cross-multiplications; output is the 3-row class summary. */
+  private def abcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg((sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast(DecimalType(28, 4))) * 10000).cast("long").as("tenths_mil"))
+    // distributed prefix sum: range layout pinned once (the globalIndex
+    // localCheckpoint contract), per-partition offsets broadcast back
+    val parts = perPart
+      .repartitionByRange((-$"tenths_mil").asc, $"l_partkey".asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parts.groupBy($"__pid")
+      .agg(sum($"tenths_mil").as("__p_cents"))
+      .withColumn("__offset",
+        coalesce(sum($"__p_cents").over(
+          Window.orderBy($"__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__p_cents")
+    val wIn = Window.partitionBy($"__pid")
+      .orderBy((-$"tenths_mil").asc, $"l_partkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts
+      .withColumn("__in_cum", sum($"tenths_mil").over(wIn))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select($"l_partkey", $"tenths_mil",
+        ($"__in_cum" + $"__offset").as("cum"))
+    val total = perPart.agg(sum($"tenths_mil").as("tot"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"tot" * 80, "A")
+          .when($"cum" * 100 <= $"tot" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"tenths_mil").as("class_tenths_mil"))
+      .withColumn("revenue", round($"class_tenths_mil".cast("double") / 10000, 4))
+      .drop("class_tenths_mil")
+      .orderBy($"abc_class")
+  }
+
+  private val abcAnalysisSql =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,4))) * 10000 AS BIGINT) AS tenths_mil
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, tenths_mil,
+      |    SUM(tenths_mil) OVER (ORDER BY tenths_mil DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(tenths_mil) OVER () AS tot
+      |  FROM pp)
+      |SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+      |            WHEN cum * 100 <= tot * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  COUNT(*) AS n_parts,
+      |  round(CAST(SUM(tenths_mil) AS DOUBLE) / 10000, 4) AS revenue
+      |FROM c
+      |GROUP BY 1 ORDER BY abc_class""".stripMargin
+
+  // ----------------------------------------------------------------- q_fill_rate
+  /** Order fill rate per month: the share of orders whose EVERY line
+    * shipped within 90 days — the order-level SLA (q_late_lines_trend
+    * counts lines; a customer experiences ORDERS). The universal
+    * quantifier collapses to one order-level aggregate (max ship lag ≤
+    * bound decides), bucketed by order month; the rate is exact ppm. */
+  private def fillRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perOrder = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+      .agg(max(datediff($"l_shipdate", $"o_orderdate")).as("max_lag"))
+    perOrder.groupBy($"order_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"max_lag" <= 90, 1L).otherwise(0L)).as("n_filled"))
+      .withColumn("fill_ppm", expr("n_filled * 1000000 DIV n_orders"))
+      .orderBy($"order_month")
+  }
+
+  private val fillRateSql =
+    """WITH po AS (
+      |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+      |    MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT order_month, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN max_lag <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_filled,
+      |  CAST(SUM(CASE WHEN max_lag <= 90 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS fill_ppm
+      |FROM po GROUP BY 1 ORDER BY order_month""".stripMargin
+
   // ----------------------------------------------------------------- q_skewness
   /** Third-moment skewness of the monthly revenue distribution — are
     * revenue months symmetric around their mean, or tail-heavy? Raw
@@ -1433,6 +1539,8 @@ object AnalyticsExtra {
     NamedQuery("q_new_vs_returning", newVsReturning, Some(newVsReturningSql),
       bench = true),
     NamedQuery("q_cohort_ltv", cohortLtv, Some(cohortLtvSql), bench = true),
+    NamedQuery("q_abc_analysis", abcAnalysis, Some(abcAnalysisSql), bench = true),
+    NamedQuery("q_fill_rate", fillRate, Some(fillRateSql), bench = true),
     NamedQuery("q_skewness", skewness, Some(skewnessSql), bench = true),
     NamedQuery("q_kendall_tau", kendallTau, Some(kendallTauSql), bench = true),
     NamedQuery("q_theil_sen", theilSen, Some(theilSenSql), bench = true),

@@ -426,6 +426,27 @@ class AnalyticsExtraSpec extends GraftSuite {
     }
   }
 
+  test("q_abc_analysis: classes partition the part population, A dominates") {
+    import spark.implicits._
+    val rows = run("q_abc_analysis").collect()
+    val totalParts = rows.map(_.getAs[Long]("n_parts")).sum
+    assert(totalParts ==
+      Tables.lineitem(spark, sf).select($"l_partkey").distinct().count())
+    val rev = rows.map(r => r.getAs[String]("abc_class") -> r.getAs[Double]("revenue")).toMap
+    assert(rev.getOrElse("A", 0.0) > rev.getOrElse("C", 0.0),
+      "the 80% band must out-earn the tail")
+  }
+
+  test("q_fill_rate: rate bounded and exact") {
+    val rows = run("q_fill_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, f) = (r.getAs[Long]("n_orders"), r.getAs[Long]("n_filled"))
+      assert(f <= n)
+      assert(r.getAs[Long]("fill_ppm") == f * 1000000L / n)
+    }
+  }
+
   test("q_rel_division: every returned supplier covers the full brand set") {
     import spark.implicits._
     val promoBrands = Tables.part(spark, sf)

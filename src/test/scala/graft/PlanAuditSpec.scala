@@ -111,6 +111,7 @@ class PlanAuditSpec extends GraftSuite {
 object BnljAudit {
   val allowed: Set[String] = Set(
     // 1-row global-aggregate broadcasts
+    "q_abc_analysis",
     "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",
     "q_conversion_latency", "q_cross_corr", "q_data_freshness",
     "q_date_window", "q_dedup_embedding", "q_degree_dist",
