@@ -197,6 +197,7 @@ object Analytics {
        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q_seasonality
+  // audited-global-window(q_seasonality): frame = month grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Month-of-year seasonal index of order revenue: each calendar
     * month's average order value as parts-per-million of the overall
     * average — the classical seasonal-naive profile for a monthly
@@ -811,6 +812,7 @@ object Analytics {
        |GROUP BY n.n_name ORDER BY n_name""".stripMargin
 
   // ------------------------------------------------------------- q_heavy_hitters
+  // audited-bnlj(q_heavy_hitters): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Exact heavy hitters via the two-pass sketch pattern: pass 1 runs the
     * native Misra-Gries typed aggregate (functions/SketchExprs.scala) —
     * bounded memory per task, candidate set guaranteed a SUPERSET of
@@ -1021,6 +1023,7 @@ object Analytics {
   }
 
   // ------------------------------------------------------------ q_basket_rules
+  // audited-bnlj(q_basket_rules): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Market-basket association rules over co-purchased parts: for the
     * top pairs by support, both directional confidences and the lift —
     * all in integer ppm (support·1e6 DIV basket count; confidence·1e6
@@ -1116,6 +1119,7 @@ object Analytics {
       |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
 
   // --------------------------------------------------------- q_running_distinct
+  // audited-global-window(q_running_distinct): frame = YEAR offset frame (day cum is partitioned by year) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Cumulative distinct buyers per day — the DAU/"users to date" curve.
     * Windowed COUNT(DISTINCT) does not exist in Spark (the state is a
     * set, not mergeable a row at a time); the scalable spelling is
@@ -1364,6 +1368,7 @@ object Analytics {
       |ORDER BY cohort_month, months_since""".stripMargin
 
   // ----------------------------------------------------------------- q_funnel
+  // audited-bnlj(q_funnel): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Ordered event funnel over the event stream: signup → view → click →
     * purchase, each step's timestamp strictly after the previous step's.
     * This is the EXACT chained formulation — min(view AFTER signup), not
@@ -1700,6 +1705,7 @@ object Analytics {
        |FROM est ORDER BY grp""".stripMargin
 
   // --------------------------------------------------------------- q_bootstrap
+  // audited-global-window(q_bootstrap): frame = fixed replicate count frame — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Poisson bootstrap of the mean order value — the uncertainty
     * quantification a pipeline attaches to any headline statistic
     * ("mean quality score ± what?"). Classical resampling needs n draws
@@ -1772,6 +1778,8 @@ object Analytics {
        |FROM agg ORDER BY b""".stripMargin
 
   // --------------------------------------------------------------------- q_acf
+  // audited-global-window(q_acf): frame = month-lag grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_acf): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Autocorrelation function of the monthly revenue series at lags
     * 1..6 — the serial-dependence diagnostic behind seasonality and
     * forecast-model choice (q_seasonality assumes a period; the ACF is
@@ -1930,6 +1938,8 @@ object Analytics {
        |FROM est ORDER BY word""".stripMargin
 
   // --------------------------------------------------------------- q_survival
+  // audited-global-window(q_survival): frame = tenure-duration grid (calendar-bounded days) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_survival): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Kaplan–Meier customer survival curve over order activity — the
     * censoring-aware retention statistic (a naive churn rate treats
     * still-active customers as churned; KM removes them from the risk
@@ -2017,6 +2027,7 @@ object Analytics {
        |FROM g2 CROSS JOIN arr ORDER BY t_dur""".stripMargin
 
   // ------------------------------------------------------------ q_decile_share
+  // audited-bnlj(q_decile_share): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Revenue concentration by customer decile — the Lorenz-curve table
     * behind "the top 10% of customers carry X% of revenue". Customers
     * rank by (spend, custkey) — a UNIQUE composite, so the decile cut is
@@ -2077,6 +2088,8 @@ object Analytics {
       |FROM d CROSS JOIN t ORDER BY decile""".stripMargin
 
   // -------------------------------------------------------------------- q_rfm
+  // audited-global-window(q_rfm): frame = R day-grid, F count-grid (M fallback documented) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_rfm): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic retail scoring grid. Each dimension scores 1–5 by QUINTILE
     * cut from its VALUE HISTOGRAM (quintile = 5·cum_below DIV n — every
@@ -2213,6 +2226,7 @@ object Analytics {
       |FROM stats ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------- q_peaks
+  // audited-global-window(q_peaks): frame = month grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Local maxima of the monthly revenue series — months strictly above
     * every neighbor within ±2 (the change-point family's "where are the
     * spikes" complement to q_cusum's "did the level shift"). Pure
@@ -2268,6 +2282,7 @@ object Analytics {
       |ORDER BY month""".stripMargin
 
   // --------------------------------------------------------- q_weekday_profile
+  // audited-bnlj(q_weekday_profile): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Day-of-week revenue profile — order volume and value by weekday
     * plus each day's index against the all-days average in exact ppm
     * (the seasonality-family audit at week grain; q_seasonality covers
@@ -2480,6 +2495,7 @@ object Analytics {
       |FROM per GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
   // ------------------------------------------------------- q_seasonal_decompose
+  // audited-global-window(q_seasonal_decompose): frame = month grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Classical additive decomposition of the monthly revenue series —
     * cents = trend + seasonal + residual, the structure view behind
     * q_seasonality's index and q_forecast_backtest's baselines:

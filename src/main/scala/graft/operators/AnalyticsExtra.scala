@@ -41,6 +41,8 @@ object AnalyticsExtra {
       |  FROM orders GROUP BY 1""".stripMargin
 
   // -------------------------------------------------------------- q_kendall_tau
+  // audited-global-window(q_kendall_tau): frame = month grid (pair frame is calendar^2-bounded) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_kendall_tau): build side = calendar^2-bounded month-pair frame — audited in PlanAuditSpec/BnljAudit
   /** Kendall rank correlation between monthly revenue and monthly order
     * volume — the tie-robust alternative to Pearson/Spearman (q_correlation /
     * q_spearman): do high-volume months tend to be high-revenue months?
@@ -97,6 +99,8 @@ object AnalyticsExtra {
       |FROM p""".stripMargin
 
   // --------------------------------------------------------------- q_theil_sen
+  // audited-global-window(q_theil_sen): frame = month grid + calendar^2-bounded slope-pair rank — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_theil_sen): build side = calendar^2-bounded month-pair frame — audited in PlanAuditSpec/BnljAudit
   /** Theil–Sen robust trend: the LOWER MEDIAN of all pairwise slopes of
     * the monthly revenue series — outlier-months can't drag it the way
     * they drag an OLS fit. Each slope is one IEEE division of exact
@@ -138,6 +142,7 @@ object AnalyticsExtra {
       |FROM ranked WHERE r = (n_pairs + 1) // 2""".stripMargin
 
   // --------------------------------------------------------------- q_runs_test
+  // audited-global-window(q_runs_test): frame = month grid lag/run scan — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Wald–Wolfowitz runs test on the signs of month-over-month revenue
     * changes: is the up/down sequence random, trending (few long runs),
     * or mean-reverting (many short runs)? Runs, n⁺ and n⁻ are exact
@@ -186,6 +191,8 @@ object AnalyticsExtra {
       |FROM r""".stripMargin
 
   // --------------------------------------------------------------- q_cross_corr
+  // audited-global-window(q_cross_corr): frame = month grid (q_acf shape) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_cross_corr): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Lagged cross-correlation between monthly order VOLUME and monthly
     * REVENUE — does volume lead revenue, or move with it? The q_acf
     * n-scaling makes mean-centering division-free (ndx = n·x − Σx is an
@@ -257,6 +264,7 @@ object AnalyticsExtra {
       |FROM num CROSS JOIN den ORDER BY lag_k""".stripMargin
 
   // -------------------------------------------------------------- q_changepoint
+  // audited-global-window(q_changepoint): frame = month grid prefix sums + splits argmin — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Least-squares single changepoint: the split of the monthly revenue
     * series that minimizes pooled SSE — "when did the level shift?",
     * the offline complement to q_cusum's sequential detector. Prefix
@@ -293,8 +301,11 @@ object AnalyticsExtra {
       .filter($"r" === 1)
       .select($"month".as("split_month"), $"k".as("n_left"),
         ($"n" - $"k").as("n_right"),
-        ($"s1".cast("long") / $"k").cast("long").as("mean_left_cents"),
-        (($"st" - $"s1").cast("long") / ($"n" - $"k")).cast("long")
+        // integral DIV, not double division: once prefix sums pass
+        // ~2^53 cents a double quotient can round across an integer
+        // boundary and diverge from the oracle's exact floor
+        expr("CAST(s1 AS BIGINT) DIV k").as("mean_left_cents"),
+        expr("CAST(st - s1 AS BIGINT) DIV (n - k)")
           .as("mean_right_cents"),
         round($"sse_total", 6).as("sse_total"),
         round($"sse_split", 6).as("sse_split"))
@@ -427,6 +438,7 @@ object AnalyticsExtra {
       |ORDER BY s_suppkey""".stripMargin
 
   // ---------------------------------------------------------------- q_ols_trend
+  // audited-global-window(q_ols_trend): frame = month grid index + sufficient statistics — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Ordinary-least-squares trend of the monthly revenue series — the
     * parametric complement to q_theil_sen (and its sanity anchor: the
     * two slopes should roughly agree unless outlier months dominate).
@@ -490,6 +502,8 @@ object AnalyticsExtra {
       |FROM d""".stripMargin
 
   // ------------------------------------------------------------- q_mann_kendall
+  // audited-global-window(q_mann_kendall): frame = month grid (calendar^2-bounded pair frame) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_mann_kendall): build side = calendar^2-bounded month-pair frame — audited in PlanAuditSpec/BnljAudit
   /** Mann–Kendall trend test on monthly revenue: S = Σ_{i<j}
     * sign(x_j − x_i) with the tie-corrected variance
     * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — the nonparametric
@@ -542,6 +556,7 @@ object AnalyticsExtra {
       |FROM sp CROSS JOIN ties""".stripMargin
 
   // ---------------------------------------------------------------- q_wilcoxon
+  // audited-global-window(q_wilcoxon): frame = month grid + |diff| value-grid midranks — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Wilcoxon signed-rank on year-over-year monthly revenue: pair month
     * m with m+12, rank |diff| with midranks, sum ranks by diff sign —
     * "did revenue shift YoY" without assuming normality. Midranks are
@@ -601,6 +616,7 @@ object AnalyticsExtra {
       |FROM agg""".stripMargin
 
   // -------------------------------------------------------------- q_partial_corr
+  // audited-global-window(q_partial_corr): frame = month grid (q_acf shape, 3 series) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Partial correlation r_xy·z of monthly revenue (x) and order count
     * (y) controlling for shipped quantity (z) — "do revenue and volume
     * co-move beyond what shipping activity explains?" All three
@@ -809,6 +825,8 @@ object AnalyticsExtra {
       |ORDER BY o_orderpriority""".stripMargin
 
   // -------------------------------------------------------- q_seasonal_anomalies
+  // audited-global-window(q_seasonal_anomalies): frame = month grid + residual value histogram — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_seasonal_anomalies): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Seasonally-adjusted anomaly detection: months whose decomposition
     * RESIDUAL (cents − trend − seasonal, the exact q_seasonal_decompose
     * remainder) breaks its own Tukey fences — "was this month odd after
@@ -940,6 +958,8 @@ object AnalyticsExtra {
       |ORDER BY day""".stripMargin
 
   // -------------------------------------------------------- q_conversion_latency
+  // audited-global-window(q_conversion_latency): frame = latency-minute grid (calendar-span-bounded) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_conversion_latency): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Signup→purchase conversion latency: per user, first signup to the
     * first purchase at-or-after it; summarized as conversion rate (ppm,
     * integer DIV) and the latency distribution in MINUTES — exact lower
@@ -1005,6 +1025,7 @@ object AnalyticsExtra {
       |FROM dist CROSS JOIN nu""".stripMargin
 
   // ------------------------------------------------------------ q_data_freshness
+  // audited-bnlj(q_data_freshness): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Feed freshness — the first page of every ingest-ops dashboard: per
     * event feed (event_type), its last event time and how many minutes
     * stale it is against the freshest feed. Exact integer minutes; one
@@ -1096,6 +1117,7 @@ object AnalyticsExtra {
       |ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------- q_discount_elasticity
+  // audited-bnlj(q_discount_elasticity): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Discount elasticity profile: how order-line quantity responds to
     * the discount level — the pricing view TPC-H Q6/Q19 only sample.
     * One row per discount value (the domain is a fixed price-book
@@ -1187,6 +1209,7 @@ object AnalyticsExtra {
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
 
   // ------------------------------------------------- q_customer_concentration
+  // audited-bnlj(q_customer_concentration): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Revenue concentration: what share of total order revenue do the
     * top 10 customers hold, in exact ppm — the "how dependent are we on
     * our whales" number next to q_hhi's index and q_decile_share's
@@ -1347,6 +1370,7 @@ object AnalyticsExtra {
       |ORDER BY cohort, age_months""".stripMargin
 
   // -------------------------------------------------------------- q_abc_analysis
+  // audited-bnlj(q_abc_analysis): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** ABC inventory classification: parts ranked by revenue, classified
     * A (first 80% of cumulative revenue), B (next 15%), C (the tail) —
     * the classic Pareto cut. The interesting part at scale is the

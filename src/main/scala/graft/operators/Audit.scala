@@ -268,6 +268,7 @@ object Audit {
        |FROM planted ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------- q_forget_cascade
+  // audited-bnlj(q_forget_cascade): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Right-to-be-forgotten cascade audit: given a deletion-request set
     * (customers with c_custkey % 97 == 0 — a real deployment reads a
     * requests table), delete those customers, their orders, and those
@@ -358,6 +359,8 @@ object Audit {
       |FROM u ORDER BY tbl""".stripMargin
 
   // -------------------------------------------------------------- q_chi_square
+  // audited-global-window(q_chi_square): frame = contingency-cell grid (category x category) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_chi_square): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Chi-square independence audit between ingest `source` and `lang`
     * on `documents` — the statistical dependence check behind "is this
     * source language-skewed?": the full contingency table (zero cells
@@ -440,6 +443,7 @@ object Audit {
       |FROM u ORDER BY source, lang""".stripMargin
 
   // -------------------------------------------------------------- q_t_closeness
+  // audited-bnlj(q_t_closeness): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** t-closeness — the third rung of the release-audit ladder after
     * k-anonymity and l-diversity: a group can be large AND diverse yet
     * still leak if its sensitive-value DISTRIBUTION deviates from the

@@ -111,6 +111,7 @@ object Checks {
       |ORDER BY check_name""".stripMargin
 
   // ----------------------------------------------------------------- q_benford
+  // audited-global-window(q_benford): frame = 9-row leading-digit grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Benford first-digit audit over order totals — the classic
     * fabricated-amounts alarm for financial data: observed first-digit
     * rates vs Benford's log₁₀(1 + 1/d) expectation, with the per-digit

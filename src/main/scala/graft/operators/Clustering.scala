@@ -76,6 +76,7 @@ object Clustering {
   }
 
   // -------------------------------------------------------------------- q_kmeans
+  // audited-bnlj(q_kmeans): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Driver-visible gate: plant k well-separated clusters over the
     * corpus id spine — member c of cluster (id % k) sits at
     * one-hot(c) * 10 plus ±0.05 jitter, so inter-cluster distance
@@ -118,6 +119,7 @@ object Clustering {
        |FROM m ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------ q_semdedup
+  // audited-bnlj(q_semdedup): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then within each
     * cluster drop every vector whose cosine to a LOWER-ID cluster-mate
@@ -191,6 +193,7 @@ object Clustering {
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------ q_cluster_purity
+  // audited-bnlj(q_cluster_purity): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Cluster-purity audit: k-means assignments (the planted-cluster
     * gate's REAL Lloyd path) crossed with the embeddings' independent
     * `label` column — per cluster, the majority label's share in exact

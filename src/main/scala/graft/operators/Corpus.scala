@@ -201,6 +201,7 @@ object Corpus {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q_mix_weights
+  // audited-global-window(q_mix_weights): frame = per-source weight frame (#sources) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Temperature-based source mixing (the standard alpha-sampling recipe:
     * weight ∝ tokens^alpha with alpha = 0.5, flattening the source
     * distribution so small sources aren't drowned). Token counts are
@@ -304,6 +305,7 @@ object Corpus {
       |FROM b ORDER BY zkey, o_orderkey""".stripMargin
 
   // ----------------------------------------------------------------- q_mix_sample
+  // audited-global-window(q_mix_sample): frame = per-source weight frame (#sources) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Temperature mixing APPLIED: turn q_mix_weights' per-source ratios
     * into an actual sampled corpus, deterministically. Each source's
     * ratio becomes an integer threshold floor(ratio · 16^6); a doc is
@@ -914,6 +916,8 @@ object Corpus {
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------- q_dataset_card
+  // audited-global-window(q_dataset_card): frame = datasheet summary rows (fixed section count) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_dataset_card): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** One-row dataset datasheet — the summary block a corpus release
     * ships (Datasheets for Datasets, Gebru et al.): sizes, language/
     * source breadth, the dominant language's share, exact median

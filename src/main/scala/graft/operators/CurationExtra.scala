@@ -116,6 +116,8 @@ object CurationExtra {
       |ORDER BY n_docs DESC, prefix_md5""".stripMargin
 
   // -------------------------------------------------------------- q_vocab_growth
+  // audited-global-window(q_vocab_growth): frame = <=10-row decile frame cumulative — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_vocab_growth): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Vocabulary growth curve (Heaps-law diagnostic): sweep the corpus
     * in doc_id order, bucket into deciles, and count the NEW BIGRAM
     * types each decile contributes — a flattening curve says the tail
@@ -133,6 +135,11 @@ object CurationExtra {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val firstSeen = docs
       .select($"doc_id", split($"text", " ", -1).as("__w"))
+      // A <2-word doc has no bigrams. Without this guard Spark's
+      // sequence(1, 0) yields a DESCENDING [1, 0] (null rows via
+      // out-of-bounds __w[i]) while the oracle's generate_series(1, 0)
+      // is empty — a degenerate doc would flip the row count.
+      .filter(size($"__w") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(__w) - 1)," +
           " i -> concat(__w[i - 1], ' ', __w[i]))")).as("bigram"))

@@ -791,6 +791,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------- q_simhash_recall
+  // audited-bnlj(q_simhash_recall): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Driver-visible equivalence gate for the banded SimHash path, as a
     * NON-VACUOUS one-row count summary: the banded pair set must equal
     * the brute-force all-pairs hamming ≤ `SimHashMaxHamming` set
@@ -844,6 +845,7 @@ object Dedup {
        |FROM cnt""".stripMargin
 
   // ---------------------------------------------------------- q_dedup_embedding
+  // audited-bnlj(q_dedup_embedding): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Embedding-cosine near-dup: top-100 most similar embedding pairs.
     * Brute-force formulation (the small-scale oracle baseline; the scale
     * path is the LSH-bucketed join in Similarity.annLsh). */

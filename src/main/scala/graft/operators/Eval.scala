@@ -110,6 +110,7 @@ object Eval {
        |FROM m ORDER BY class""".stripMargin
 
   // ---------------------------------------------------------------------- q_auc
+  // audited-global-window(q_auc): frame = integer-ppm score grid, <=1e6+1 distinct rows hard ceiling — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Threshold-free ranking quality: AUC via the rank-sum identity
     * 2U = 2·ΣR_pos − n_pos(n_pos+1), with tied scores handled exactly
     * through doubled average ranks (a value group at cumulative offset
@@ -183,6 +184,8 @@ object Eval {
        |FROM b ORDER BY bucket""".stripMargin
 
   // --------------------------------------------------------------------- q_lift
+  // audited-global-window(q_lift): frame = decile axis — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_lift): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Cumulative gain / lift curve — "if I take the top-k% by score, what
     * fraction of the positives do I capture, and how much better than
     * random is that?" Deciles DESCENDING by score; per decile the

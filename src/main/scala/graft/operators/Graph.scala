@@ -409,6 +409,7 @@ object Graph {
        |ORDER BY n_common DESC, u, v LIMIT 50""".stripMargin
 
   // ------------------------------------------------------------------ q_kcore
+  // audited-bnlj(q_kcore): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Bounded-round k-core peeling over the symmetrized customer↔supplier
     * graph: repeatedly drop nodes with degree < k (k = the p25 initial
     * degree, three peel rounds) and the edges they carry — the density
@@ -497,7 +498,12 @@ object Graph {
     kcoreConverged(edges0, Seq(k.toLong).toDF("k"))
   }
 
-  private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+  /** Shared graph + threshold construction for the two k-core rows:
+    * symmetrized interaction edges, initial degrees, and the p25
+    * order-statistic threshold frame. Returns (edges, deg0, kFrame),
+    * each localCheckpoint'd for its multiple consumers. */
+  private def kcoreInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
@@ -528,7 +534,14 @@ object Graph {
       .filter($"global_idx" === expr("(n + 3) DIV 4"))
       .select($"deg0".as("k"))
       .localCheckpoint(true)
-    val core = kcorePeel(edges, kFrame, KcoreRounds)
+    (edges, deg0, kFrame)
+  }
+
+  /** Final projection shared by the two k-core rows: surviving-core
+    * degrees joined back onto initial degrees + the threshold. */
+  private def kcoreProject(core: DataFrame, deg0: DataFrame,
+      kFrame: DataFrame): DataFrame = {
+    import core.sparkSession.implicits._
     core.groupBy($"src").agg(count(lit(1)).as("deg_core"))
       .select($"src".as("node"), $"deg_core")
       .join(deg0, Seq("node"))
@@ -537,34 +550,76 @@ object Graph {
       .orderBy($"node")
   }
 
-  private val kcoreSql = {
+  private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg0, kFrame) = kcoreInputs(s, dir)
+    kcoreProject(kcorePeel(edges, kFrame, KcoreRounds), deg0, kFrame)
+  }
+
+  // -------------------------------------------------------- q_kcore_converged
+  // audited-bnlj(q_kcore_converged): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
+  /** Round cap for the driver-visible CONVERGED k-core row. The oracle
+    * unrolls exactly this many rounds: peeling is monotone and
+    * idempotent past its fixpoint, so once kcoreConverged detects
+    * convergence within the cap (fixpoint distance ≤ cap − checkEvery,
+    * else it THROWS rather than silently diverge), the cap-round unroll
+    * equals the fixpoint at any scale factor. Fixture distance is 1–3
+    * rounds (GraphSpec measures it); 12 leaves an order-of-magnitude
+    * margin while keeping the oracle's CTE chain replayable. */
+  val KcoreConvergedMaxRounds = 12
+
+  /** The TRUE k-core (fixpoint), driver-visible: same graph, threshold,
+    * and projection as q_kcore, but driven to convergence by the
+    * batched-polling production loop instead of a fixed round count.
+    * Scale shape: identical per round to q_kcore (degree agg + two
+    * semi-joins, localCheckpoint'd lineage), plus one count() per
+    * 3-round batch as the convergence poll. */
+  private def kcoreConvergedQuery(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg0, kFrame) = kcoreInputs(s, dir)
+    val core = kcoreConverged(edges, kFrame,
+      maxRounds = KcoreConvergedMaxRounds, checkEvery = 3)
+    kcoreProject(core, deg0, kFrame)
+  }
+
+  /** Unrolled-CTE oracle for an `nRounds`-round peel. Used at
+    * KcoreRounds for q_kcore and at KcoreConvergedMaxRounds for
+    * q_kcore_converged (where the unroll provably reaches the fixpoint
+    * — see KcoreConvergedMaxRounds). */
+  private def kcoreSqlFor(nRounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: DuckDB inlines a CTE at each
+    // reference, and e_{r-1} is referenced three times per round — an
+    // inlined chain re-plans the base scan O(3^rounds) times (the
+    // 12-round unroll exhausted the file-handle limit re-opening
+    // lineitem.parquet); materialization keeps the chain linear in rounds
     def round(r: Int): String =
-      s"""k$r AS (SELECT src AS node FROM e${r - 1}
+      s"""k$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1}
          |        GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kv)),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN k$r a ON e.src = a.node
          |  JOIN k$r b ON e.dst = b.node)""".stripMargin
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM pairs
        |  UNION ALL SELECT b, a FROM pairs),
-       |d0 AS (SELECT src AS node, COUNT(*) AS deg0 FROM e0 GROUP BY src),
-       |kv AS (
+       |d0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg0 FROM e0 GROUP BY src),
+       |kv AS MATERIALIZED (
        |  SELECT deg0 AS k FROM (
        |    SELECT deg0, row_number() OVER (ORDER BY deg0, node) AS rn,
        |      COUNT(*) OVER () AS n
        |    FROM d0)
        |  WHERE rn = (n + 3) // 4),
-       |${(1 to KcoreRounds).map(round).mkString(",\n")}
+       |${(1 to nRounds).map(round).mkString(",\n")}
        |SELECT f.node, d0.deg0, f.deg_core, (SELECT k FROM kv) AS k
        |FROM (SELECT src AS node, COUNT(*) AS deg_core
-       |      FROM e$KcoreRounds GROUP BY src) f
+       |      FROM e$nRounds GROUP BY src) f
        |JOIN d0 ON f.node = d0.node
        |ORDER BY f.node""".stripMargin
   }
+
+  private val kcoreSql = kcoreSqlFor(KcoreRounds)
+  private val kcoreConvergedSql = kcoreSqlFor(KcoreConvergedMaxRounds)
 
   // ---------------------------------------------------------- q_assortativity
   /** Degree assortativity of the interaction graph — the Pearson
@@ -633,6 +688,7 @@ object Graph {
        |FROM t""".stripMargin
 
   // -------------------------------------------------------------------- q_hits
+  // audited-bnlj(q_hits): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     * customer→supplier trading graph — the bipartite complement to
     * pageRank's symmetrized ranking: customers score as hubs (good
@@ -787,6 +843,8 @@ object Graph {
        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
   // ------------------------------------------------------------- q_degree_dist
+  // audited-global-window(q_degree_dist): frame = <=64-row log2 bucket axis — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_degree_dist): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Log2-bucketed degree distribution with CCDF — the structural audit
     * that tells you whether a graph is scale-free BEFORE you pick join
     * strategies for it (a heavy tail means skew guards and salting; a
@@ -840,6 +898,7 @@ object Graph {
        |FROM buckets ORDER BY log2_bucket""".stripMargin
 
   // -------------------------------------------------------------- q_modularity
+  // audited-bnlj(q_modularity): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Newman modularity of the NATION partition over the symmetrized
     * co-purchase graph — "is trade more intra-nation than a random
     * graph with the same degrees predicts?" — the quality score used to
@@ -942,6 +1001,7 @@ object Graph {
        |FROM rows_ CROSS JOIN m2 ORDER BY community""".stripMargin
 
   // -------------------------------------------------------------- q_conductance
+  // audited-bnlj(q_conductance): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Cut conductance of each nation community over the co-purchase
     * graph — the cut-quality complement to q_modularity's density score:
     * φ(C) = cut(C) / min(vol(C), vol(C̄)), where vol is summed degree
@@ -1064,6 +1124,8 @@ object Graph {
     NamedQuery("q_degree_dist", degreeDist, Some(degreeDistSql), bench = true),
     NamedQuery("q_hits", hitsQuery, Some(hitsSql), bench = true),
     NamedQuery("q_kcore", kcoreQuery, Some(kcoreSql), bench = true),
+    NamedQuery("q_kcore_converged", kcoreConvergedQuery,
+      Some(kcoreConvergedSql), bench = true),
     NamedQuery("q_assortativity", assortativity, Some(assortativitySql),
       bench = true),
     NamedQuery("q_pagerank", pageRankQuery, Some(pageRankSql), bench = true),

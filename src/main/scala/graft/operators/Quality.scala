@@ -326,6 +326,7 @@ object Quality {
   }
 
   // ------------------------------------------------------------------ q_drift_tvd
+  // audited-global-window(q_drift_tvd): frame = shared histogram bucket axis — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Distribution-drift detection between two eras of the order stream:
     * per price band, era counts and rates, plus the per-band rate gap —
     * the ingredients of total-variation distance (TVD = Σ|p_a - p_b|/2),
@@ -519,6 +520,8 @@ object Quality {
       |FROM g ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------- q_ks_test
+  // audited-global-window(q_ks_test): frame = metric-value grid (capped doc metrics) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
+  // audited-bnlj(q_ks_test): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Two-sample Kolmogorov–Smirnov statistic between the length
     * distributions of two sources (lexicographic min vs max) — the
     * order-statistic drift test that complements q_drift_tvd's binned
@@ -694,6 +697,7 @@ object Quality {
       |FROM f ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ q_mann_whitney
+  // audited-bnlj(q_mann_whitney): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Mann–Whitney U between every source pair's length distributions —
     * the nonparametric two-sample test (does source A stochastically
     * dominate source B?) that complements q_ks_test's sup-norm drift
@@ -803,6 +807,7 @@ object Quality {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- q_spearman
+  // audited-global-window(q_spearman): frame = value grid (mann-whitney fallback documented) — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Spearman rank correlation between per-customer order count and
     * total spend — the monotone-association statistic that is robust to
     * the heavy-tailed spend distribution a Pearson r is distorted by.
@@ -929,6 +934,7 @@ object Quality {
       |FROM g WHERE n_docs >= 2 ORDER BY source""".stripMargin
 
   // --------------------------------------------------------- q_quantile_transform
+  // audited-global-window(q_quantile_transform): frame = metric-value grid — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Quantile (rank) transform of document length — the feature scaling
     * that makes any heavy-tailed feature uniform on [0, 1] (here ppm):
     * q(v) = cum_below(v) / n, derived from the VALUE HISTOGRAM exactly

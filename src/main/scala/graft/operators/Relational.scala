@@ -566,6 +566,7 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------- q_date_window
+  // audited-bnlj(q_date_window): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** F3: relative date-window arithmetic — the reference's
     * `today - relativedelta(years=2) .. today` fetch window
     * (retrieval.py:36-38), anchored on max(o_orderdate) instead of

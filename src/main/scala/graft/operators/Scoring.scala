@@ -39,6 +39,7 @@ object Scoring {
   val WordPat = "[a-z]+"
 
   // ---------------------------------------------------------- q_lm_surprisal
+  // audited-bnlj(q_lm_surprisal): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   private def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -79,6 +80,7 @@ object Scoring {
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------- q_dsir_weights
+  // audited-bnlj(q_dsir_weights): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** DSIR-style importance weights for data selection (Xie et al. 2023):
     * score every document by how much its hashed-bigram feature
     * distribution looks like a TARGET domain versus the RAW corpus —

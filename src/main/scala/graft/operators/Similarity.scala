@@ -56,6 +56,7 @@ object Similarity {
   }
 
   // ----------------------------------------------------- q_embedding_cosine_topk
+  // audited-bnlj(q_embedding_cosine_topk): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Brute-force cosine top-k for the query vector vec_id=0 (exactness
     * baseline; oracle checks the full pipeline incl. the native
     * CosineSimilarity codegen expression). */
@@ -346,6 +347,7 @@ object Similarity {
       |FROM r ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------- q_hard_negatives
+  // audited-bnlj(q_hard_negatives): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Hard-negative mining for contrastive training data: for every
     * vector, the single most-similar vector with a DIFFERENT label — the
     * pairs that make embedding-model training batches informative.
@@ -487,6 +489,7 @@ object Similarity {
       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
   // ------------------------------------------------------------ q_jl_project
+  // audited-bnlj(q_jl_project): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Johnson–Lindenstrauss random projection over the QUANTIZED vector
     * corpus — the dimensionality-reduction step that makes massive-scale
     * candidate generation cheap (project 64-d to 16-d, bucket or index
@@ -555,6 +558,7 @@ object Similarity {
        |ORDER BY vec_id, j""".stripMargin
 
   // -------------------------------------------------------------- q_knn_graph
+  // audited-bnlj(q_knn_graph): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Mutual k-nearest-neighbor graph over the embedding space — the
     * backbone structure of graph-based dedup/clustering (and of
     * HNSW-style index builds): an undirected edge (a, b) exists iff a
@@ -684,5 +688,8 @@ object Similarity {
       Some(annRecallRateSql)),
     NamedQuery("q_ann_lsh_mrr", annMrr(annCandidateIds), Some(annMrrSql),
       bench = true),
-    NamedQuery("q_ann_ivf_mrr", annMrr(ivfCandidateIds), Some(annMrrSql)))
+    // benched for symmetry with q_ann_lsh_mrr: same MRR kernel over the
+    // IVF candidate path, so the bench covers both index families
+    NamedQuery("q_ann_ivf_mrr", annMrr(ivfCandidateIds), Some(annMrrSql),
+      bench = true))
 }

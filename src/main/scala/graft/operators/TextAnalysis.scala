@@ -142,6 +142,7 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- q_fingerprint
+  // audited-bnlj(q_fingerprint): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Document fingerprints via the custom codegen expressions: winnowing
     * rolling-min-hash over chars + 64-bit SimHash over tokens. The raw
     * hash values have no SQL equivalent, but their load-bearing
@@ -319,6 +320,7 @@ object TextAnalysis {
     }
 
   // --------------------------------------------------------------------- q_bm25
+  // audited-bnlj(q_bm25): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** BM25-family retrieval scoring of the corpus against a fixed term
     * query — the ranking function behind lexical retrieval, used in
     * training-data pipelines to pull topic-relevant documents and to
@@ -488,6 +490,7 @@ object TextAnalysis {
       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------- q_collocations
+  // audited-bnlj(q_collocations): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** Collocation (phrase) mining: adjacent word bigrams ranked by
     * INTEGER lift — observed pair count vs the independence expectation,
     * lift = n_pair · N / (n₁ · n₂), the PMI exponential. Computed

@@ -280,6 +280,7 @@ object TpchExtra {
       |LIMIT 100""".stripMargin
 
   // ----------------------------------------------------------------- q_tpch_q22
+  // audited-bnlj(q_tpch_q22): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** TPC-H Q22 (global sales opportunity), adapted: the fixture has no
     * c_phone, so the country-code grouping becomes the nation dim, and
     * "no orders ever" (vacuous on this dense fixture) becomes "no

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 /** TPC-H wave 2 — completes the suite's applicable surface (with Q3/Q5
   * in Relational and Q4/Q6/Q10/Q14/Q15/Q17/Q18/Q22 in TpchExtra):
   * Q7/Q8/Q12/Q13/Q16/Q19/Q21 plus a Q2-spirit min-cost-supplier.
-  * Q9/Q11/Q20 stay n/a — they are partsupp-centric and the fixture has
-  * no partsupp table (documented, like SURVEY §2's S7/R4/F9). Schema
+  * Q9/Q11/Q20 (partsupp-centric — the fixture has no partsupp table)
+  * are implemented in TpchExtra3 via documented supplier×part
+  * adaptations, completing the Q1–Q22 suite. Schema
   * adaptations per query are documented inline; the arithmetic
   * discipline is the TpchExtra one: DECIMAL-exact aggregation,
   * cross-multiplied inequalities, floats only in final output

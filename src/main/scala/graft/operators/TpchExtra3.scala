@@ -64,6 +64,7 @@ object TpchExtra3 {
       |ORDER BY nation, o_year DESC""".stripMargin
 
   // ----------------------------------------------------------------- q_tpch_q11
+  // audited-bnlj(q_tpch_q11): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
   /** TPC-H Q11 (important stock identification), adapted: "stock value"
     * proxies to SHIPPED-VOLUME value (quantity × p_retailprice, exact
     * DECIMAL) for parts supplied from one nation; a part is "important"

@@ -305,18 +305,37 @@ object EventStream {
     * copy is fixture plumbing, not part of the measured plan. */
   private def streamDedupReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
+    // Scratch dir keyed on the SANITIZED ABSOLUTE PATH (not String
+    // .hashCode, which can collide or race between concurrent runs over
+    // different fixture dirs).
+    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_dedup_${Integer.toHexString(dir.hashCode)}")
-    if (Files.exists(stage)) {
-      val ls = Files.list(stage)
-      try ls.forEach(p => Files.delete(p)) finally ls.close()
-    } else Files.createDirectories(stage)
-    Files.copy(src, stage.resolve("copy_a.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(src, stage.resolve("copy_b.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+      s"graft_stream_dedup_$key")
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.forEach(deleteRecursively) finally ls.close()
+      }
+      Files.delete(p)
+    }
+    if (Files.exists(stage)) deleteRecursively(stage)
+    Files.createDirectories(stage)
+    // events.parquet may be a single file OR a directory of part files
+    // (readEvents supports both) — copy recursively either way; a
+    // shallow Files.copy of a directory would stage an EMPTY dir and
+    // silently stream 0 rows.
+    def copyInto(from: Path, to: Path): Unit = {
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        val ls = Files.list(from)
+        try ls.forEach(c => copyInto(c, to.resolve(c.getFileName.toString)))
+        finally ls.close()
+      } else Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+    copyInto(src, stage.resolve("copy_a.parquet"))
+    copyInto(src, stage.resolve("copy_b.parquet"))
     runDedupAvailableNow(s, stage.toString, "q_stream_dedup_mem")
       .select($"event_id", unix_micros($"ts").as("us"),
         $"user_id", $"event_type", $"value")

@@ -88,9 +88,18 @@ object Sessionize {
     * (q_sessionize, `> gap`) keeps the boundary event. Both are valid
     * contracts; each is documented where it holds.
     *
-    * Scale shape: session state is per-user open windows bounded by the
-    * watermark; the aggregation shuffles once on user_id per
-    * micro-batch — the same key the batch plan shuffles on. */
+    * Scale shape: the aggregation shuffles once on user_id per
+    * micro-batch — the same key the batch plan shuffles on. NOTE on
+    * state: this driver-visible row runs in COMPLETE output mode so the
+    * oracle sees every session including those still inside the final
+    * watermark horizon — and in complete mode watermarking does NOT
+    * evict aggregate state, so state here is all-sessions-sized. The
+    * production-shape variant is append-mode output (watermark-closed
+    * sessions only, state bounded to per-user OPEN windows) — that path
+    * is `runSessionStream` below (flatMapGroupsWithState with
+    * EventTimeTimeout), exercised in SessionizeSpec. It can't be the
+    * driver-visible row because append would withhold the fixture's
+    * final-hour sessions while the oracle compares the full set. */
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = EventStream.readEvents(s, dir + "/events.parquet")

@@ -100,6 +100,37 @@ class PlanAuditSpec extends GraftSuite {
     assert(stale.isEmpty,
       s"stale whitelist entries (no unpartitioned window found): ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  /** The audited-contract tags: every allow-listed query must carry its
+    * bound as a comment AT THE OPERATOR SITE (a greppable
+    * `audited-global-window(q_x)` / `audited-bnlj(q_x)` line in main
+    * source), so the contract is visible where the plan is authored —
+    * not only in this spec's allow-lists. Sync is enforced both ways:
+    * a listed query without a tag fails, and a tag for a query no
+    * longer listed fails (stale contract). */
+  test("every allow-listed query carries its audited-contract tag at the operator site") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of("src/main/scala/graft")
+    val src = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(Files.readString)
+      .mkString("\n")
+    def tagged(kind: String): Set[String] =
+      s"""$kind\\((q_\\w+)\\)""".r.findAllMatchIn(src).map(_.group(1)).toSet
+    val winTags = tagged("audited-global-window")
+    val bnljTags = tagged("audited-bnlj")
+    val winMissing = UnpartitionedWindowAudit.allowed -- winTags
+    val winStale = winTags -- UnpartitionedWindowAudit.allowed
+    val bnljMissing = BnljAudit.allowed -- bnljTags
+    val bnljStale = bnljTags -- BnljAudit.allowed
+    assert(winMissing.isEmpty && winStale.isEmpty,
+      s"audited-global-window tags out of sync — missing: ${winMissing.toSeq.sorted.mkString(", ")}; " +
+        s"stale: ${winStale.toSeq.sorted.mkString(", ")}")
+    assert(bnljMissing.isEmpty && bnljStale.isEmpty,
+      s"audited-bnlj tags out of sync — missing: ${bnljMissing.toSeq.sorted.mkString(", ")}; " +
+        s"stale: ${bnljStale.toSeq.sorted.mkString(", ")}")
+  }
 }
 
 /** The audited BroadcastNestedLoopJoin allow-list. Shape legend:
@@ -117,7 +148,8 @@ object BnljAudit {
     "q_date_window", "q_dedup_embedding", "q_degree_dist",
     "q_discount_elasticity", "q_dsir_weights", "q_embedding_cosine_topk",
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
-    "q_jl_project", "q_kcore", "q_kmeans", "q_ks_test", "q_lift",
+    "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
+    "q_lift",
     "q_lm_surprisal", "q_mann_whitney", "q_seasonal_anomalies",
     "q_simhash_recall", "q_tpch_q11", "q_tpch_q22", "q_vocab_growth",
     "q_weekday_profile", "q_customer_concentration",
