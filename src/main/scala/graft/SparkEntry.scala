@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Quality.all ++
       operators.Checks.all ++ operators.Upsert.all ++
       operators.Chunking.all ++ operators.Corpus.all ++
-      operators.CurationExtra.all ++
+      operators.CurationExtra.all ++ operators.PretrainOps.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++

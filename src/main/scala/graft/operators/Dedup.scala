@@ -325,9 +325,11 @@ object Dedup {
     * shallow depth would show up as a mismatch, never a false pass. */
   private val ClusterOracleIters = 10
 
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE ${minhashPlantedSetsSql},
-       |e0 AS (SELECT doc_a, doc_b FROM verified),
+  /** Recursive min-label propagation over the verified pair graph —
+    * shared by the cluster and canonical-selection oracles. Expects the
+    * `verified` CTE in scope; yields `final(doc_id, cluster_id)`. */
+  private def minhashClusterGraphSql: String =
+    s"""e0 AS (SELECT doc_a, doc_b FROM verified),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM e0
        |  UNION SELECT doc_b, doc_a FROM e0
@@ -343,10 +345,72 @@ object Dedup {
        |  GROUP BY lp.iter + 1, e.dst),
        |final AS (
        |  SELECT node AS doc_id, label AS cluster_id
-       |  FROM lp WHERE iter = $ClusterOracleIters)
+       |  FROM lp WHERE iter = $ClusterOracleIters)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE ${minhashPlantedSetsSql},
+       |${minhashClusterGraphSql}
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM final ORDER BY cluster_id, doc_id""".stripMargin
+
+  // ------------------------------------------------------------ q_canonical_docs
+  /** Survivorship selection after near-dup clustering — the step a
+    * dedup pipeline runs LAST: within each resolved near-dup cluster,
+    * keep the canonical member (longest text; doc_id breaks ties —
+    * near-dup clusters mix originals with truncated mirrors, and
+    * "longest survives" is the standard keep rule since truncation only
+    * loses content) and account for what the drop costs. Emits one row
+    * per cluster: canonical doc + length, member count, total vs
+    * dropped chars. The canonical election is a single exact
+    * `min(struct(-len, doc_id))` aggregate — no window, no shuffle
+    * beyond the cluster_id groupBy, deterministic under any tie.
+    *
+    * Scale shape: cluster resolution is the audited iterative resolver;
+    * the election adds ONE keyed aggregation over (doc, cluster) rows —
+    * lengths ride as a single long, text never shuffles. */
+  private def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "canonicalDocs")
+    val planted = plantedNearDupDocs(docs)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    val verified = minhashVerifiedPairs(docs).select($"doc_a", $"doc_b")
+    resolveClusters(verified)
+      .join(planted, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"len").as("total_chars"),
+        min(struct((-$"len").as("neg_len"), $"doc_id")).as("__c"))
+      .select($"cluster_id", $"__c.doc_id".as("canonical_doc"),
+        (-$"__c.neg_len").as("canonical_len"), $"n_members",
+        $"total_chars", ($"total_chars" + $"__c.neg_len").as("dropped_chars"))
+      .orderBy($"cluster_id")
+  }
+
+  private val canonicalDocsSql =
+    s"""WITH RECURSIVE ${minhashPlantedSetsSql},
+       |${minhashClusterGraphSql},
+       |lens AS (
+       |  SELECT doc_id, CAST(length(array_to_string(w, ' ')) AS BIGINT) AS len
+       |  FROM planted),
+       |joined AS (
+       |  SELECT f.cluster_id, f.doc_id, l.len
+       |  FROM final f JOIN lens l USING (doc_id)),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, len,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                       ORDER BY len DESC, doc_id) AS rn
+       |  FROM joined),
+       |agg AS (
+       |  SELECT cluster_id, COUNT(*) AS n_members,
+       |    CAST(SUM(len) AS BIGINT) AS total_chars
+       |  FROM joined GROUP BY cluster_id)
+       |SELECT a.cluster_id, r.doc_id AS canonical_doc,
+       |  r.len AS canonical_len, a.n_members, a.total_chars,
+       |  a.total_chars - r.len AS dropped_chars
+       |FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+       |ORDER BY a.cluster_id""".stripMargin
 
   // ------------------------------------------------------ q_cluster_propagation
   /** Driver-visible gate for the iterative cluster resolver — the
@@ -1329,6 +1393,8 @@ object Dedup {
     NamedQuery("q_minhash_dedup", minhashDedup, Some(minhashDedupSql),
       bench = true),
     NamedQuery("q_minhash_recall", minhashRecall, Some(minhashRecallSql),
+      bench = true),
+    NamedQuery("q_canonical_docs", canonicalDocs, Some(canonicalDocsSql),
       bench = true),
     NamedQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       bench = true),

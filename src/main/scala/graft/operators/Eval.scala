@@ -310,8 +310,75 @@ object Eval {
        |        * (1.0 / n_a + 1.0 / n_b)), 9) AS z_score
        |FROM wide""".stripMargin
 
+  // ------------------------------------------------------------------ q_did
+  /** Difference-in-differences — the panel-data readout for rollouts
+    * that can't randomize (the A/B test's observational sibling):
+    * treatment = odd user_id, the period boundary is the fixture
+    * window's midpoint (events span exactly 2024-01-01..31 at every
+    * sf), the metric is purchase value in exact cents. The estimate is
+    * the classic (post−pre) gap of the treated minus the same gap for
+    * control; all four cell means are integer-cents floors (exact DIV)
+    * and the DiD itself is a difference of those integers — replayed
+    * exactly by the oracle with no float anywhere.
+    *
+    * Scale shape: row-local flags, ONE global aggregation with
+    * map-side partials, 1-row output. */
+  val DidCutoff = "2024-01-16 00:00:00"
+
+  private def did(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2).as("treated"),
+        ($"ts" >= lit(DidCutoff).cast("timestamp")).cast("long").as("post"),
+        round($"value" * 100).cast("long").as("cents"))
+      .agg(
+        sum(when($"treated" === 0 && $"post" === 0, 1L).otherwise(0L)).as("n_pre_c"),
+        sum(when($"treated" === 0 && $"post" === 1, 1L).otherwise(0L)).as("n_post_c"),
+        sum(when($"treated" === 1 && $"post" === 0, 1L).otherwise(0L)).as("n_pre_t"),
+        sum(when($"treated" === 1 && $"post" === 1, 1L).otherwise(0L)).as("n_post_t"),
+        sum(when($"treated" === 0 && $"post" === 0, $"cents").otherwise(0L)).as("s_pre_c"),
+        sum(when($"treated" === 0 && $"post" === 1, $"cents").otherwise(0L)).as("s_post_c"),
+        sum(when($"treated" === 1 && $"post" === 0, $"cents").otherwise(0L)).as("s_pre_t"),
+        sum(when($"treated" === 1 && $"post" === 1, $"cents").otherwise(0L)).as("s_post_t"))
+    cells.select(
+      $"n_pre_c", $"n_post_c", $"n_pre_t", $"n_post_t",
+      expr("s_pre_c DIV n_pre_c").as("mean_pre_c_cents"),
+      expr("s_post_c DIV n_post_c").as("mean_post_c_cents"),
+      expr("s_pre_t DIV n_pre_t").as("mean_pre_t_cents"),
+      expr("s_post_t DIV n_post_t").as("mean_post_t_cents"),
+      expr("(s_post_t DIV n_post_t - s_pre_t DIV n_pre_t)" +
+        " - (s_post_c DIV n_post_c - s_pre_c DIV n_pre_c)").as("did_cents"))
+  }
+
+  private val didSql =
+    s"""WITH cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_c,
+       |    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_c,
+       |    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_t,
+       |    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_t,
+       |    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN c ELSE 0 END) AS BIGINT) AS s_pre_c,
+       |    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN c ELSE 0 END) AS BIGINT) AS s_post_c,
+       |    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN c ELSE 0 END) AS BIGINT) AS s_pre_t,
+       |    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN c ELSE 0 END) AS BIGINT) AS s_post_t
+       |  FROM (
+       |    SELECT user_id % 2 AS t,
+       |      CASE WHEN ts >= TIMESTAMP '$DidCutoff' THEN 1 ELSE 0 END AS p,
+       |      CAST(round(value * 100) AS BIGINT) AS c
+       |    FROM events WHERE event_type = 'purchase'))
+       |SELECT n_pre_c, n_post_c, n_pre_t, n_post_t,
+       |  s_pre_c // n_pre_c AS mean_pre_c_cents,
+       |  s_post_c // n_post_c AS mean_post_c_cents,
+       |  s_pre_t // n_pre_t AS mean_pre_t_cents,
+       |  s_post_t // n_post_t AS mean_post_t_cents,
+       |  (s_post_t // n_post_t - s_pre_t // n_pre_t)
+       |    - (s_post_c // n_post_c - s_pre_c // n_pre_c) AS did_cents
+       |FROM cells""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ab_test", abTest, Some(abTestSql), bench = true),
+    NamedQuery("q_did", did, Some(didSql), bench = true),
     NamedQuery("q_lift", lift, Some(liftSql), bench = true),
     NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),
     NamedQuery("q_auc", auc, Some(aucSql), bench = true),

@@ -177,11 +177,91 @@ object Sources {
        |GROUP BY c.c_mktsegment
        |ORDER BY segment""".stripMargin
 
+  // --------------------------------------------------------- q_partitioned_scan
+  /** Hive-style partitioned layout end to end, driver-visible: events
+    * write once to a scratch dir PARTITIONED BY day (the layout any
+    * 100 TB event lake uses), then one day is aggregated back — the
+    * partition-pruned read path (directory pruning at planning time —
+    * non-selected days are never opened; PartitioningSpec asserts the
+    * pruned file count on this same layout) hash-compares against the
+    * oracle's WHERE-filtered scan of the original file. The scratch
+    * write is fixture plumbing keyed on the sf dir (the stream-dedup
+    * staging recipe) and skipped when already present.
+    *
+    * Partition values round-trip as STRINGS deliberately: a
+    * date-formatted partition directory name (`day=2024-01-15`) is the
+    * universal lake convention, immune to partition-column type
+    * inference differences across engines. */
+  val PartitionedDay = "2024-01-15"
+
+  private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val scratch = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_part_events_$key")
+    val marker = new java.io.File(scratch, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.events(s, dir)
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(scratch.toString)
+    }
+    s.read.parquet(scratch.toString)
+      .filter($"day" === PartitionedDay)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  private val partitionedScanSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE strftime(ts, '%Y-%m-%d') = '$PartitionedDay'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ q_orc_roundtrip
+  /** ORC as the second columnar lake format (many warehouses are
+    * ORC-resident): lineitem's measure columns round-trip through an
+    * ORC scratch write and aggregate back per return flag; the oracle
+    * computes the same aggregate from the original parquet, so any
+    * value corruption in the ORC write/read path (type mapping,
+    * predicate pushdown, vectorized reader) breaks the hash compare.
+    * Scratch keyed on the sf dir, skipped when present. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val scratch = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_orc_lineitem_$key")
+    val marker = new java.io.File(scratch, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .write.mode("overwrite").orc(scratch.toString)
+    }
+    s.read.orc(scratch.toString)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val orcRoundtripSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     // csv/json scans read 10-row serving fixtures, not sf-scaled tables —
     // a timing on them measures fixture IO, so they are correctness-only
     NamedQuery("q_csv_scan", csvScan, Some(csvScanSql)),
     NamedQuery("q_json_scan", jsonScan, Some(jsonScanSql)),
     NamedQuery("q_bad_records", badRecords, Some(badRecordsSql)),
-    NamedQuery("q_sql_serving", sqlServing, Some(sqlServingSql), bench = true))
+    NamedQuery("q_sql_serving", sqlServing, Some(sqlServingSql), bench = true),
+    NamedQuery("q_partitioned_scan", partitionedScan,
+      Some(partitionedScanSql)),
+    NamedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)))
 }

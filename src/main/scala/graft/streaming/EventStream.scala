@@ -346,13 +346,47 @@ object EventStream {
     """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------- q_stream_enrich
+  /** DRIVER-VISIBLE stream-static enrichment: the event stream joins
+    * the static customer dimension (keyed user_id = c_custkey) inside a
+    * real Structured Streaming query and the oracle replays it as a
+    * batch left join — the stream-static join semantics (per-batch
+    * re-plan of the static side, stateless, broadcast) become a
+    * hash-compared CORRECTNESS row alongside the windowed-agg,
+    * stream-stream-join, dedup, and session rows. Left join, so events
+    * from users outside the dimension survive with null attributes —
+    * the enrich contract `cleaning.py:85-88` applies batch-side.
+    *
+    * Scale shape: the static side broadcasts (dimension-sized), the
+    * unbounded stream side never shuffles, and the join holds ZERO
+    * state — the only enrich shape that stays O(1) state on an
+    * unbounded ingest. Append output: rows emit as they arrive. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.Tables.customer(s, dir)
+      .select($"c_custkey".as("user_id"), $"c_nationkey", $"c_mktsegment")
+    runEnrichAvailableNow(s, dir + "/events.parquet", dim,
+        "q_stream_enrich_mem")
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value", $"c_nationkey", $"c_mktsegment")
+      .orderBy($"event_id")
+  }
+
+  private val streamEnrichSql =
+    """SELECT e.event_id, epoch_us(e.ts) AS us, e.user_id, e.event_type,
+      |  e.value, c.c_nationkey, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_replay", streamReplay, Some(streamReplaySql),
       bench = true),
     graft.NamedQuery("q_stream_interval_join", streamIntervalJoin,
       Some(streamIntervalJoinSql), bench = true),
     graft.NamedQuery("q_stream_dedup_replay", streamDedupReplay,
-      Some(streamDedupReplaySql), bench = true))
+      Some(streamDedupReplaySql), bench = true),
+    graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql),
+      bench = true))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

@@ -147,6 +147,7 @@ object BnljAudit {
     "q_conversion_latency", "q_cross_corr", "q_data_freshness",
     "q_date_window", "q_dedup_embedding", "q_degree_dist",
     "q_discount_elasticity", "q_dsir_weights", "q_embedding_cosine_topk",
+    "q_filter_funnel",
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
     "q_lift",

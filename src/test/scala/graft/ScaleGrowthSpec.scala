@@ -40,4 +40,27 @@ class ScaleGrowthSpec extends GraftSuite {
           f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
     }
   }
+
+  /** The dedup/text heads: unlike the iterative graph family these are
+    * fixed DAGs, but their 100 TB verdict previously rested on
+    * plan-shape audits alone — and the dangerous failure modes here are
+    * DATA-dependent, not plan-dependent: a shingle/band bucket whose
+    * occupancy grows super-linearly feeds a quadratic within-bucket
+    * pair step; an n-gram posting list with a corpus-frequency hot key
+    * skews one reducer. Measuring 10x-document growth catches exactly
+    * those. Same methodology (warm-up pass, fixed overhead inflates the
+    * small side → leniency-only bias), same ceiling. */
+  for (q <- Seq("q_minhash_dedup", "q_containment", "q_winnow",
+      "q_novelty", "q_dup_spans", "q_bpe_roundtrip")) {
+    test(s"$q: wall-time growth over 10x documents is ~linear (< ${MaxRatioFor10x}x)") {
+      wall(q, sf)
+      val small = wall(q, Sf001)
+      val large = wall(q, Sf01)
+      val ratio = large / math.max(small, 0.1)
+      info(f"$q: sf0.01 = $small%.2fs, sf0.1 = $large%.2fs, ratio = $ratio%.1fx")
+      assert(ratio < MaxRatioFor10x,
+        f"$q grew $ratio%.1fx for 10x data (sf0.01 $small%.2fs -> sf0.1 " +
+          f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
+    }
+  }
 }
