@@ -1540,6 +1540,67 @@ object AnalyticsExtra {
       |        / CAST(n AS DOUBLE))), 9) AS skewness
       |FROM sums""".stripMargin
 
+  // ---------------------------------------------------------------- q_holt
+  /** Holt linear (double) exponential smoothing over the monthly
+    * revenue grid — level + trend with fixed alpha = 0.3, beta = 0.2 —
+    * computed as a SEQUENTIAL FOLD inside one row: the calendar-bounded
+    * month grid collects into a sorted array and `aggregate` (the
+    * codegen'd HOF) folds the recurrence l' = a*y + (1-a)(l+b),
+    * b' = B(l'-l) + (1-B)b left to right. The oracle replays the same
+    * fold as a recursive CTE with the IDENTICAL expression tree —
+    * +,*,- only (no transcendentals), so the doubles agree bit-for-bit
+    * before the final 6dp display round. Init: l1 = y1, b1 = 0.
+    *
+    * Scale shape: one orders aggregation to the month grid (map-side
+    * partials), then a single-row fold over a frame bounded by data
+    * lifetime in months — the idiomatic Spark shape for inherently
+    * sequential small-state recurrences (collect the BOUNDED grid, fold
+    * in one task) instead of a serialized global window. */
+  private def holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    monthly(s, dir)
+      .agg(sort_array(collect_list(struct($"month", $"cents"))).as("ms"))
+      .select(expr("transform(ms, x -> CAST(x.cents AS DOUBLE))").as("ys"))
+      .select(size($"ys").cast("long").as("n_months"),
+        expr(
+          "aggregate(ys, named_struct('l', 0.0D, 'b', 0.0D, 'i', 0), " +
+            "(a, y) -> IF(a.i = 0, named_struct('l', y, 'b', 0.0D, 'i', 1), " +
+            "named_struct(" +
+            "'l', 0.3D * y + 0.7D * (a.l + a.b), " +
+            "'b', 0.2D * ((0.3D * y + 0.7D * (a.l + a.b)) - a.l) + 0.8D * a.b, " +
+            "'i', a.i + 1)))").as("h"))
+      // floor-scaled milli-cents, NOT round(x, 6): the folded doubles
+      // are bit-identical across engines, but round() is not — Spark
+      // rounds the double's SHORTEST DECIMAL representation (BigDecimal
+      // .valueOf) while DuckDB rounds the binary value, and they split
+      // on representations near a rounding boundary (observed at sf0.01
+      // on the forecast sum). floor of identical doubles is identical.
+      .select($"n_months",
+        floor($"h.l" * 1000).cast("long").as("level_mcents"),
+        floor($"h.b" * 1000).cast("long").as("trend_mcents"),
+        floor(($"h.l" + $"h.b") * 1000).cast("long").as("forecast_next_mcents"))
+  }
+
+  private val holtSql =
+    s"""WITH RECURSIVE monthly AS ($monthlySql),
+       |g AS (
+       |  SELECT CAST(cents AS DOUBLE) AS y,
+       |    ROW_NUMBER() OVER (ORDER BY month) AS idx
+       |  FROM monthly),
+       |n AS (SELECT COUNT(*) AS c FROM g),
+       |holt(idx, l, b) AS (
+       |  SELECT 1, y, 0.0e0 FROM g WHERE idx = 1
+       |  UNION ALL
+       |  SELECT h.idx + 1,
+       |    0.3e0 * t.y + 0.7e0 * (h.l + h.b),
+       |    0.2e0 * ((0.3e0 * t.y + 0.7e0 * (h.l + h.b)) - h.l) + 0.8e0 * h.b
+       |  FROM holt h JOIN g t ON t.idx = h.idx + 1)
+       |SELECT (SELECT c FROM n) AS n_months,
+       |  CAST(floor(l * 1000) AS BIGINT) AS level_mcents,
+       |  CAST(floor(b * 1000) AS BIGINT) AS trend_mcents,
+       |  CAST(floor((l + b) * 1000) AS BIGINT) AS forecast_next_mcents
+       |FROM holt WHERE idx = (SELECT c FROM n)""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ship_latency", shipLatency, Some(shipLatencySql), bench = true),
     NamedQuery("q_latency_tail", latencyTail, Some(latencyTailSql), bench = true),
@@ -1571,6 +1632,7 @@ object AnalyticsExtra {
     NamedQuery("q_runs_test", runsTest, Some(runsTestSql), bench = true),
     NamedQuery("q_cross_corr", crossCorr, Some(crossCorrSql), bench = true),
     NamedQuery("q_changepoint", changepoint, Some(changepointSql), bench = true),
+    NamedQuery("q_holt", holt, Some(holtSql), bench = true),
     NamedQuery("q_max_concurrent", maxConcurrent, Some(maxConcurrentSql), bench = true),
     NamedQuery("q_rel_division", relDivision, Some(relDivisionSql), bench = true),
     NamedQuery("q_ols_trend", olsTrend, Some(olsTrendSql), bench = true),

@@ -376,9 +376,84 @@ object Eval {
        |    - (s_post_c // n_post_c - s_pre_c // n_pre_c) AS did_cents
        |FROM cells""".stripMargin
 
+  // ------------------------------------------------------------------ q_ndcg
+  /** NDCG@10 with EXACT integer arithmetic: graded relevance is planted
+    * as label·(1 + doc_id % 3) ∈ {0..3} (so it correlates with the
+    * planted ranker score like a real judgment set), the ranker is the
+    * shared `planted` score, and the discount is the reciprocal-rank
+    * variant 1/(i+1) scaled by L = lcm(2..11) = 27720 — making DCG and
+    * IDCG exact integers and NDCG an exact ppm DIV. The log2 discount
+    * is deliberately avoided: ln's last ulp is libm-dependent (the
+    * q_bm25 odds-ratio precedent), while this variant needs no float
+    * anywhere.
+    *
+    * Scale shape: two TakeOrderedAndProject top-10s (ranker order and
+    * ideal order), each collapsed into ONE row via sort_array +
+    * posexplode — no unpartitioned window, corpus reduces row-locally. */
+  val NdcgK = 10
+  /** lcm(2..11): scales 1/(i+1) for i = 1..10 to exact integers. */
+  val NdcgScale = 27720L
+
+  /** Scaled DCG of a ≤k-row (sortkey, rel) frame: positions come from
+    * sort_array over the single collected row (k-bounded), discount =
+    * NdcgScale/(pos+1), gain = 2^rel − 1 (exact shiftleft). */
+  private def scaledDcg(top: DataFrame, out: String): DataFrame = {
+    import top.sparkSession.implicits._
+    top.agg(sort_array(collect_list(struct($"skey", $"doc_id", $"rel")))
+        .as("a"))
+      .select(posexplode($"a"))
+      .select(($"pos" + 1).as("i"), $"col.rel".as("rel"))
+      .agg(coalesce(sum(
+        (expr("CAST(shiftleft(1, CAST(rel AS INT)) AS BIGINT)") - 1L) *
+          expr(s"$NdcgScale DIV (i + 1)")), lit(0L)).as(out))
+  }
+
+  private def ndcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val graded = planted(s, dir)
+      .select($"doc_id", $"score_ppm",
+        ($"label" * (lit(1L) + $"doc_id" % 3)).as("rel"))
+    val byScore = graded
+      .select((-$"score_ppm").as("skey"), $"doc_id", $"rel")
+      .orderBy($"skey", $"doc_id").limit(NdcgK)
+    val byRel = graded
+      .select((-$"rel").as("skey"), $"doc_id", $"rel")
+      .orderBy($"skey", $"doc_id").limit(NdcgK)
+    scaledDcg(byScore, "dcg_scaled")
+      .crossJoin(scaledDcg(byRel, "idcg_scaled"))
+      .select($"dcg_scaled", $"idcg_scaled",
+        expr("dcg_scaled * 1000000 DIV idcg_scaled").as("ndcg_ppm"))
+  }
+
+  private val ndcgSql =
+    s"""WITH graded AS (
+       |  SELECT doc_id, score_ppm, label * (1 + doc_id % 3) AS rel
+       |  FROM (
+       |    SELECT doc_id, doc_id % 2 AS label,
+       |      CAST(md5_number_lower('scr:' || CAST(doc_id AS VARCHAR))
+       |        & ${Long.MaxValue}::UBIGINT AS BIGINT) % 600000
+       |      + (doc_id % 2) * 300000 AS score_ppm
+       |    FROM documents)),
+       |by_score AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS i
+       |  FROM graded ORDER BY score_ppm DESC, doc_id LIMIT $NdcgK),
+       |by_rel AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS i
+       |  FROM graded ORDER BY rel DESC, doc_id LIMIT $NdcgK),
+       |d AS (
+       |  SELECT CAST(COALESCE(SUM(((1 << rel) - 1) * ($NdcgScale // (i + 1))), 0)
+       |    AS BIGINT) AS dcg_scaled FROM by_score),
+       |i AS (
+       |  SELECT CAST(COALESCE(SUM(((1 << rel) - 1) * ($NdcgScale // (i + 1))), 0)
+       |    AS BIGINT) AS idcg_scaled FROM by_rel)
+       |SELECT d.dcg_scaled, i.idcg_scaled,
+       |  d.dcg_scaled * 1000000 // i.idcg_scaled AS ndcg_ppm
+       |FROM d CROSS JOIN i""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ab_test", abTest, Some(abTestSql), bench = true),
     NamedQuery("q_did", did, Some(didSql), bench = true),
+    NamedQuery("q_ndcg", ndcg, Some(ndcgSql), bench = true),
     NamedQuery("q_lift", lift, Some(liftSql), bench = true),
     NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),
     NamedQuery("q_auc", auc, Some(aucSql), bench = true),

@@ -162,7 +162,54 @@ object Scoring {
        |FROM bk JOIN st USING (bucket)
        |GROUP BY bk.doc_id ORDER BY bk.doc_id""".stripMargin
 
+  // ------------------------------------------------------ q_target_encoding
+  /** Leave-one-out target encoding — the feature-engineering transform
+    * for categoricals in tabular ML: each user's market segment is
+    * encoded as the purchase rate of the OTHER users in that segment
+    * ((Σy − y_u) ppm DIV (n − 1)), which avoids the self-leakage plain
+    * mean encoding suffers. Outcome y = "user made ≥1 purchase event";
+    * category = the customer dimension's mktsegment. Exact integer ppm
+    * throughout; NULL when a segment has one user (DIV by NULLIF 0).
+    *
+    * Scale shape: one events aggregation to user grain (map-side
+    * partials), one broadcast dim join, one segment-sized aggregation
+    * broadcast back — users never shuffle twice, the segment frame is
+    * roster-sized. */
+  private def targetEncoding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("y"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))),
+        Seq("user_id"))
+    val seg = users.groupBy($"segment")
+      .agg(count(lit(1)).as("n_seg"), sum($"y").as("sum_y"))
+    users.join(broadcast(seg), Seq("segment"))
+      .select($"user_id", $"segment", $"y",
+        expr("(sum_y - y) * 1000000 DIV NULLIF(n_seg - 1, 0)").as("loo_ppm"))
+      .orderBy($"user_id")
+  }
+
+  private val targetEncodingSql =
+    """WITH users AS (
+      |  SELECT e.user_id,
+      |    CAST(MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y,
+      |    ANY_VALUE(c.c_mktsegment) AS segment
+      |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |  GROUP BY e.user_id),
+      |seg AS (
+      |  SELECT segment, COUNT(*) AS n_seg, CAST(SUM(y) AS BIGINT) AS sum_y
+      |  FROM users GROUP BY segment)
+      |SELECT u.user_id, u.segment, u.y,
+      |  (s.sum_y - u.y) * 1000000 // NULLIF(s.n_seg - 1, 0) AS loo_ppm
+      |FROM users u JOIN seg s USING (segment)
+      |ORDER BY u.user_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_target_encoding", targetEncoding, Some(targetEncodingSql),
+      bench = true),
     NamedQuery("q_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),
       bench = true),
     NamedQuery("q_dsir_weights", dsirWeights, Some(dsirWeightsSql),

@@ -660,7 +660,88 @@ object Similarity {
       |  CAST(1000000 AS BIGINT) AS mrr_ppm
       |FROM embeddings""".stripMargin
 
+  // --------------------------------------------------------------------- q_rrf
+  // audited-bnlj(q_rrf): build side = 1-row query-vector broadcast — audited in PlanAuditSpec/BnljAudit
+  /** Reciprocal rank fusion — the standard hybrid-retrieval combiner:
+    * the BM25 lexical ranking (TextAnalysis.bm25Score, fixed term
+    * query) and the embedding-cosine semantic ranking (query vector
+    * vec_id = 0) each contribute 1/(60 + rank) for their top-50, and
+    * documents are re-ranked by the sum. Ranks are deterministic
+    * (score DESC, doc_id; cosine at the established 4dp compare grain)
+    * and the fused score is a two-term IEEE sum in fixed order — no
+    * rounding needed for the oracle hash. Documents outside a list
+    * contribute 0 from it (the standard RRF convention).
+    *
+    * Scale shape: both rankers end in TakeOrderedAndProject top-50s;
+    * each 50-row frame collapses to ONE row via sort_array +
+    * posexplode for rank assignment (no unpartitioned window), and the
+    * fusion is a full outer join of two 50-row frames. */
+  val RrfTopK = 50
+  val RrfC = 60
+
+  /** (doc_id, 1-based rank) of a <=k-row frame ordered by (skey asc,
+    * doc_id asc) — windowless rank via single-row array collapse. */
+  private def rankByCollapse(top: DataFrame, rankCol: String): DataFrame = {
+    import top.sparkSession.implicits._
+    top.agg(sort_array(collect_list(struct($"skey", $"doc_id"))).as("a"))
+      .select(posexplode($"a"))
+      .select($"col.doc_id".as("doc_id"),
+        ($"pos" + 1).cast("long").as(rankCol))
+  }
+
+  private def rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lexTop = TextAnalysis
+      .bm25Score(Tables.documents(s, dir), TextAnalysis.Bm25Terms)
+      .select((-$"score").as("skey"), $"doc_id")
+      .orderBy($"skey", $"doc_id").limit(RrfTopK)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val semTop = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        (-round(VectorFunctions.cosine($"embedding", $"q_emb"), 4)).as("skey"),
+        $"vec_id".as("doc_id"))
+      .orderBy($"skey", $"doc_id").limit(RrfTopK)
+    rankByCollapse(lexTop, "rank_lex")
+      .join(rankByCollapse(semTop, "rank_sem"), Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"rank_lex", $"rank_sem",
+        (coalesce(lit(1.0) / ($"rank_lex" + RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / ($"rank_sem" + RrfC), lit(0.0))).as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val rrfSql =
+    s"""WITH lex AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+       |      AS rank_lex
+       |  FROM ${TextAnalysis.bm25ScoredSubquerySql} AS scored
+       |  ORDER BY score DESC, doc_id LIMIT $RrfTopK),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cos AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(e.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(qv.q_emb,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS c
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+       |sem AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id)
+       |      AS rank_sem
+       |  FROM cos ORDER BY c DESC, doc_id LIMIT $RrfTopK)
+       |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |  l.rank_lex, s.rank_sem,
+       |  COALESCE(1.0e0 / (l.rank_lex + $RrfC), 0.0e0)
+       |    + COALESCE(1.0e0 / (s.rank_sem + $RrfC), 0.0e0) AS rrf_score
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_rrf", rrf, Some(rrfSql), bench = true),
     NamedQuery("q_knn_graph", knnGraph, Some(knnGraphSql)),
     NamedQuery("q_jl_project", jlProject, Some(jlProjectSql), bench = true),
     NamedQuery("q_gram_matrix", gramMatrix, Some(gramMatrixSql), bench = true),

@@ -375,7 +375,9 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
-  private val bm25Sql = {
+  /** Oracle fragment shared by q_bm25 and q_rrf: the scored
+    * term-bearing docs as an embeddable subquery (no ORDER/LIMIT). */
+  def bm25ScoredSubquerySql: String = {
     val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
     }.mkString(",\n    ")
@@ -390,7 +392,7 @@ object TextAnalysis {
          |    / (tf$i + ${Bm25K1}e0 * ((${1.0 - Bm25B}e0) + ${Bm25B}e0 * (dl / (CAST(sdl AS DOUBLE) / n))))"""
         .stripMargin
     }.mkString("\n  + ")
-    s"""WITH perdoc AS (
+    s"""(WITH perdoc AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |    $tfs
        |  FROM documents),
@@ -399,9 +401,12 @@ object TextAnalysis {
        |SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf$i").mkString(", ")},
        |  $score AS score
        |FROM perdoc CROSS JOIN stats
-       |WHERE ${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} > 0
-       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+       |WHERE ${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} > 0)""".stripMargin
   }
+
+  private val bm25Sql =
+    s"""SELECT * FROM ${bm25ScoredSubquerySql} AS scored
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   // ---------------------------------------------------------- q_normalize_text
   /** Canonical text normalization — the first pass of every corpus
@@ -985,7 +990,51 @@ object TextAnalysis {
        |    AS share_ppm
        |FROM cells ORDER BY lang, pred""".stripMargin
 
+  // ------------------------------------------------------ q_feature_hashing
+  /** The hashing trick — fixed-width feature buckets without a
+    * vocabulary pass: every token maps to bucket md5_64(token) mod B
+    * (B = 64) and the corpus reduces to a B-row histogram of token
+    * occurrences and distinct-type counts per bucket. This is the
+    * streaming-friendly featurizer (no dictionary to build, ship, or
+    * version) used when a bag-of-words surface must be fixed-width; the
+    * shared md5-ppm hash makes both engines land every token in the
+    * same bucket.
+    *
+    * Scale shape: tokens explode row-locally and pre-aggregate
+    * map-side onto at most B x partitions partial rows before the one
+    * B-row shuffle; distinct types go through the (bucket, word)
+    * grain, whose cardinality is the corpus vocabulary — the same
+    * O(vocab) frame q_lm_surprisal already carries. */
+  val HashBuckets = 64
+
+  private def featureHashing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = Tables.documents(s, dir)
+      .select(explode(split($"text", " ", -1)).as("w"))
+      .filter($"w" =!= "")
+      .select($"w", (TextFunctions.md5Lower64($"w")
+        .bitwiseAND(lit(Long.MaxValue)) % HashBuckets).as("bucket"))
+    tokens
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("n_types"))
+      .orderBy($"bucket")
+  }
+
+  private val featureHashingSql =
+    s"""WITH tokens AS (
+       |  SELECT w,
+       |    CAST(md5_number_lower(w) & ${Long.MaxValue}::UBIGINT AS BIGINT)
+       |      % $HashBuckets AS bucket
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT bucket, COUNT(*) AS n_tokens,
+       |  COUNT(DISTINCT w) AS n_types
+       |FROM tokens GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_feature_hashing", featureHashing, Some(featureHashingSql),
+      bench = true),
     NamedQuery("q_langid_confusion", langidConfusion,
       Some(langidConfusionSql), bench = true),
     NamedQuery("q_fertility", fertility, Some(fertilitySql), bench = true),
