@@ -450,9 +450,79 @@ object Eval {
        |  d.dcg_scaled * 1000000 // i.idcg_scaled AS ndcg_ppm
        |FROM d CROSS JOIN i""".stripMargin
 
+  // ------------------------------------------------------------ q_multiclass
+  /** Per-class precision/recall/F1 over the embeddings table's REAL
+    * 10-class label column — the multiclass readout next to
+    * q_confusion's binary one. The classifier is planted as "true label
+    * shifted to the next class for an md5-selected ~20% of rows", so
+    * every class has both error kinds and all 100 confusion cells are
+    * replayable from vec_id alone. All metrics exact ppm, identical DIV
+    * order both engines (macro aggregation is spec-side — the row
+    * contract stays one-class-per-row).
+    *
+    * Scale shape: row-local (label, pred) projection, one 10×10-bounded
+    * aggregation with map-side partials, metrics on the 10-row frame. */
+  val MulticlassErrPpm = 200000L
+
+  private def multiclass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val noise = TextFunctions
+      .md5Lower64(concat(lit("mc:"), $"vec_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)) % 1000000L
+    val scored = Tables.embeddings(s, dir).select(
+      $"label".cast("long").as("label"),
+      pmod($"label" + (noise < MulticlassErrPpm).cast("long"), lit(10L))
+        .as("pred"))
+    val perClass = scored.groupBy($"label").agg(count(lit(1)).as("support"))
+      .join(scored.groupBy($"pred".as("label"))
+        .agg(count(lit(1)).as("n_pred")), Seq("label"), "full_outer")
+      .join(scored.filter($"label" === $"pred")
+        .groupBy($"label").agg(count(lit(1)).as("tp")), Seq("label"), "full_outer")
+      .select($"label",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"tp", lit(0L)).as("tp"))
+    perClass
+      .withColumn("precision_ppm", expr("tp * 1000000 DIV NULLIF(n_pred, 0)"))
+      .withColumn("recall_ppm", expr("tp * 1000000 DIV NULLIF(support, 0)"))
+      .withColumn("f1_ppm", expr(
+        "2 * precision_ppm * recall_ppm DIV NULLIF(precision_ppm + recall_ppm, 0)"))
+      .orderBy($"label")
+  }
+
+  private val multiclassSql =
+    s"""WITH scored AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    (label + CASE WHEN CAST(md5_number_lower('mc:' ||
+       |        CAST(vec_id AS VARCHAR)) & ${Long.MaxValue}::UBIGINT AS BIGINT)
+       |        % 1000000 < $MulticlassErrPpm THEN 1 ELSE 0 END) % 10 AS pred
+       |  FROM embeddings),
+       |sup AS (SELECT label, COUNT(*) AS support FROM scored GROUP BY label),
+       |prd AS (SELECT pred AS label, COUNT(*) AS n_pred FROM scored GROUP BY pred),
+       |tps AS (SELECT label, COUNT(*) AS tp FROM scored
+       |        WHERE label = pred GROUP BY label),
+       |cls AS (
+       |  SELECT COALESCE(s.label, p.label, t.label) AS label,
+       |    COALESCE(s.support, 0) AS support,
+       |    COALESCE(p.n_pred, 0) AS n_pred,
+       |    COALESCE(t.tp, 0) AS tp
+       |  FROM sup s
+       |  FULL OUTER JOIN prd p ON s.label = p.label
+       |  FULL OUTER JOIN tps t ON COALESCE(s.label, p.label) = t.label),
+       |m AS (
+       |  SELECT label, support, n_pred, tp,
+       |    tp * 1000000 // NULLIF(n_pred, 0) AS precision_ppm,
+       |    tp * 1000000 // NULLIF(support, 0) AS recall_ppm
+       |  FROM cls)
+       |SELECT label, support, n_pred, tp, precision_ppm, recall_ppm,
+       |  2 * precision_ppm * recall_ppm
+       |    // NULLIF(precision_ppm + recall_ppm, 0) AS f1_ppm
+       |FROM m ORDER BY label""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ab_test", abTest, Some(abTestSql), bench = true),
     NamedQuery("q_did", did, Some(didSql), bench = true),
+    NamedQuery("q_multiclass", multiclass, Some(multiclassSql), bench = true),
     NamedQuery("q_ndcg", ndcg, Some(ndcgSql), bench = true),
     NamedQuery("q_lift", lift, Some(liftSql), bench = true),
     NamedQuery("q_confusion", confusion, Some(confusionSql), bench = true),

@@ -128,8 +128,58 @@ object Skew {
     """SELECT COUNT(*) AS join_rows
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
+  // ------------------------------------------------------------ q_salted_join
+  /** Salted fact↔dim equi-join — the manual skew fix for when one join
+    * key carries a disproportionate share of the fact side and even
+    * AQE's skew split can't help (e.g. the dim side is too big to
+    * broadcast but a handful of keys dominate): the FACT side gets a
+    * deterministic salt in [0, B) hashed from a row-unique column, the
+    * DIM side is replicated ×B with every salt value, and the join runs
+    * on (key, salt) — the hot key's rows now spread over B reducers.
+    * Result is IDENTICAL to the plain join by construction; the oracle
+    * runs the PLAIN join, so the equivalence is hash-checked, not
+    * claimed. Salt = pmod(xxhash64(unique col), B) — deterministic on
+    * any partitioning, no RNG.
+    *
+    * Scale shape: dim replication costs ×B dim rows (B = 8 here — dim
+    * stays tiny relative to the fact side); both sides shuffle once on
+    * (key, salt); downstream aggregation is unchanged. */
+  val JoinSaltBuckets = 8
+
+  /** Fact↔dim inner equi-join with fact-side salting and ×B dim
+    * replication; key column must exist on both sides. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltOn: Column, buckets: Int): DataFrame = {
+    val saltedFact = fact
+      .withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets.toLong)))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  private def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, dir)
+      .select($"l_suppkey".as("skey"), $"l_orderkey", $"l_extendedprice")
+    val dim = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("skey"), $"s_nationkey")
+    saltedJoin(fact, dim, "skey", $"l_orderkey", JoinSaltBuckets)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
+  private val saltedJoinSql =
+    s"""SELECT s_nationkey, COUNT(*) AS n_lines,
+       |  ${graft.functions.Exact.sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_topk_per_key", topkPerKey, Some(topkPerKeySql), bench = true),
     NamedQuery("q_skew_report", skewReport, Some(skewReportSql), bench = true),
-    NamedQuery("q_join_size", joinSize, Some(joinSizeSql), bench = true))
+    NamedQuery("q_join_size", joinSize, Some(joinSizeSql), bench = true),
+    NamedQuery("q_salted_join", saltedJoinQuery, Some(saltedJoinSql),
+      bench = true))
 }

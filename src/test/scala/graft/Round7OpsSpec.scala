@@ -153,6 +153,30 @@ class Round7OpsSpec extends GraftSuite {
     assertSameRows(orc, pq)
   }
 
+  test("q_salted_join equals the plain join it replaces") {
+    val salted = q("q_salted_join")
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey")
+    assertSameRows(salted, plain)
+  }
+
+  test("q_multiclass: supports sum to the corpus and diagonal dominates") {
+    val rows = q("q_multiclass").collect()
+    assert(rows.length == 10)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("support")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_pred")).sum == total)
+    // ~20% planted error -> every class still predicted mostly right
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") > 500000L,
+        s"class ${r.getAs[Long]("label")} recall collapsed: $r")
+    }
+  }
+
   test("q_kcore_converged: fixpoint is stable under one more peel round") {
     val conv = q("q_kcore_converged")
     val fixed = q("q_kcore") // 3 fixed rounds on the same graph/threshold
