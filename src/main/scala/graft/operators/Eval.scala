@@ -377,6 +377,7 @@ object Eval {
        |FROM cells""".stripMargin
 
   // ------------------------------------------------------------------ q_ndcg
+  // audited-bnlj(q_ndcg): build side = 1-row scaled-DCG frame — audited in PlanAuditSpec/BnljAudit
   /** NDCG@10 with EXACT integer arithmetic: graded relevance is planted
     * as label·(1 + doc_id % 3) ∈ {0..3} (so it correlates with the
     * planted ranker score like a real judgment set), the ranker is the

@@ -155,7 +155,8 @@ object BnljAudit {
     "q_simhash_recall", "q_tpch_q11", "q_tpch_q22", "q_vocab_growth",
     "q_weekday_profile", "q_customer_concentration",
     "q_chi_square", "q_cluster_purity", "q_knn_graph",
-    "q_modularity", "q_rrf", "q_semdedup", "q_t_closeness", "q_decile_share",
+    "q_modularity", "q_ndcg", "q_rrf", "q_semdedup", "q_t_closeness",
+    "q_decile_share",
     "q_forget_cascade", "q_survival", "q_dataset_card", "q_hits", "q_rfm",
     // calendar²-bounded month-pair frames
     "q_kendall_tau", "q_theil_sen", "q_mann_kendall")
