@@ -346,6 +346,91 @@ object EventStream {
     """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------- q_stream_left_join
+  /** DRIVER-VISIBLE stream-stream LEFT OUTER interval join — the state
+    * semantics the inner join (q_stream_interval_join) can't show: an
+    * unmatched left row emits with NULL right columns only once the
+    * GLOBAL watermark proves no match can still arrive (its join window
+    * has passed entirely below the watermark), which is exactly the
+    * eviction rule that keeps outer-join state bounded on an unbounded
+    * ingest. The oracle replays the rule explicitly: matched pairs are
+    * the batch interval join; a view emits unmatched iff it has no
+    * click AND view_ts + 10min < the final watermark of
+    * the AvailableNow pass — the MIN of the two sides'
+    * per-operator maxima (each watermark operator sees only its
+    * filtered stream — the global watermark is their minimum),
+    * truncated to MILLISECONDS (Spark tracks watermarks in ms),
+    * minus 1h — Spark's no-data final micro-batch flushes
+    * exactly the windows below it). Views still inside the final
+    * horizon are withheld — deliberately: that's the streaming
+    * contract, and the oracle encodes it rather than pretending the
+    * stream saw a closed input. Boundary note: a view sitting EXACTLY
+    * on the watermark microsecond could split the engines on
+    * strict-vs-inclusive eviction; the fixture (and any real event
+    * stream) has measure-zero probability of that instant, and a
+    * mismatch would surface as a hash diff, never a silent wrong
+    * answer. */
+  private def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = readEvents(s, dir + "/events.parquet")
+    val v = events.filter($"event_type" === "view")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = events.filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id".as("c_user_id"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val joined = v.join(c,
+      $"user_id" === $"c_user_id" &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined
+      .select($"user_id", $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"click_ts").as("click_us"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_loj_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_loj_mem")
+      .orderBy($"view_id", $"click_id")
+  }
+
+  private val streamLeftJoinSql =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT (epoch_us(least(
+      |      (SELECT max(view_ts) FROM v),
+      |      (SELECT max(click_ts) FROM c))) // 1000 - 3600000) * 1000
+      |    AS w_us),
+      |matched AS (
+      |  SELECT v.user_id, v.view_id, c.click_id,
+      |    epoch_us(v.view_ts) AS view_us, epoch_us(c.click_ts) AS click_us
+      |  FROM v JOIN c ON v.user_id = c.user_id
+      |    AND c.click_ts >= v.view_ts
+      |    AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE),
+      |unmatched AS (
+      |  SELECT v.user_id, v.view_id, NULL::BIGINT AS click_id,
+      |    epoch_us(v.view_ts) AS view_us, NULL::BIGINT AS click_us
+      |  FROM v CROSS JOIN wm
+      |  WHERE epoch_us(v.view_ts) + 600000000 < wm.w_us
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM c WHERE c.user_id = v.user_id
+      |        AND c.click_ts >= v.view_ts
+      |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE))
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM unmatched
+      |ORDER BY view_id, click_id""".stripMargin
+
   // ------------------------------------------------------- q_stream_enrich
   /** DRIVER-VISIBLE stream-static enrichment: the event stream joins
     * the static customer dimension (keyed user_id = c_custkey) inside a
@@ -386,7 +471,9 @@ object EventStream {
     graft.NamedQuery("q_stream_dedup_replay", streamDedupReplay,
       Some(streamDedupReplaySql), bench = true),
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql),
-      bench = true))
+      bench = true),
+    graft.NamedQuery("q_stream_left_join", streamLeftJoin,
+      Some(streamLeftJoinSql), bench = true))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

@@ -177,6 +177,25 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_stream_left_join: matched part equals the inner join; unmatched obey the watermark bound") {
+    val loj = q("q_stream_left_join")
+    val inner = q("q_stream_interval_join")
+    // the matched subset of the outer join IS the inner join
+    assertSameRows(
+      loj.filter($"click_id".isNotNull)
+        .select($"user_id", $"view_id", $"click_id", $"view_us", $"click_us"),
+      inner.select($"user_id", $"view_id", $"click_id", $"view_us", $"click_us"))
+    // every null-extended view cleared the final two-sided watermark
+    val ev = Tables.events(spark, sf)
+    val wmUs = ev.filter($"event_type".isin("view", "click"))
+      .groupBy($"event_type").agg(max(unix_micros($"ts")).as("m"))
+      .agg(min($"m")).collect().head.getLong(0) / 1000 * 1000 - 3600L * 1000000
+    val bad = loj.filter($"click_id".isNull)
+      .filter($"view_us" + 600000000L >= wmUs)
+    assert(bad.count() == 0,
+      "an unmatched view emitted before its join window passed the watermark")
+  }
+
   test("q_kcore_converged: fixpoint is stable under one more peel round") {
     val conv = q("q_kcore_converged")
     val fixed = q("q_kcore") // 3 fixed rounds on the same graph/threshold
