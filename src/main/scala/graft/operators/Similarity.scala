@@ -660,6 +660,62 @@ object Similarity {
       |  CAST(1000000 AS BIGINT) AS mrr_ppm
       |FROM embeddings""".stripMargin
 
+  // ----------------------------------------------------------------- q_ann_pq
+  /** Product quantization — the third ANN index family next to LSH and
+    * IVF (FAISS's workhorse): the embedding splits into PqM contiguous
+    * subvectors, each quantized to the nearest of PqK deterministic
+    * centroids (the IVF quantizer applied per SUBSPACE — same
+    * deterministic centroid family, so no new kernel and no RNG; real
+    * deployments train per-subspace codebooks with sampled k-means, and
+    * the plan shape is identical). Codes are 4x log2(16) = 16 bits per
+    * vector — a 128x compression of a 64-dim float32 embedding. The
+    * candidate rule is code-block collision: two vectors are candidates
+    * when >= PqMinShared of their PqM codes agree in the same subspace —
+    * the PQ analogue of MinHash banding — and the same verified-recall /
+    * MRR gates as LSH and IVF run over it with the planted expected
+    * answer as oracle.
+    *
+    * Scale shape: codes are id-only (vec_id, m, code) rows — embeddings
+    * never ride the exchange; the per-(m, code) bucket guard drops
+    * degenerate hot cells; the shared >= threshold is one count
+    * aggregation over the collision pairs, exactly the banding plan. */
+  val PqM = 4
+  val PqK = 16
+  val PqMinShared = 2
+
+  /** Per-subspace PQ code array: element m = nearest-centroid id of the
+    * m-th contiguous subvector (dynamic subvector width size/PqM — no
+    * plan-time dimension constant). */
+  def pqCodes(emb: Column): Column = {
+    val d = size(emb)
+    val sub = (d / PqM).cast("int")
+    array((0 until PqM).map { m =>
+      element_at(
+        VectorFunctions.ivfCells(slice(emb, lit(m) * sub + 1, sub), PqK, 1), 1)
+    }: _*)
+  }
+
+  /** Directed candidate pairs from PQ code-block collisions (>=
+    * PqMinShared of PqM subspace codes equal). Mirrors annCandidateIds:
+    * id-only frames, per-bucket skew guard, distinct pairs. */
+  def pqCandidateIds(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coded = e.select($"vec_id",
+        posexplode(pqCodes($"embedding")).as(Seq("m", "code")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"m", $"code")))
+      .filter($"bucket_n" <= MaxBucket)
+    val recv = coded.select($"m", $"code", $"vec_id".as("vec_b"))
+    val probe = coded.select($"m", $"code", $"vec_id".as("vec_a"))
+    probe.join(recv, Seq("m", "code"))
+      .filter($"vec_a" =!= $"vec_b")
+      .groupBy($"vec_a", $"vec_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= PqMinShared)
+      .select($"vec_a", $"vec_b")
+  }
+
   // --------------------------------------------------------------------- q_rrf
   // audited-bnlj(q_rrf): build side = 1-row query-vector broadcast — audited in PlanAuditSpec/BnljAudit
   /** Reciprocal rank fusion — the standard hybrid-retrieval combiner:
@@ -772,5 +828,12 @@ object Similarity {
     // benched for symmetry with q_ann_lsh_mrr: same MRR kernel over the
     // IVF candidate path, so the bench covers both index families
     NamedQuery("q_ann_ivf_mrr", annMrr(ivfCandidateIds), Some(annMrrSql),
+      bench = true),
+    // the PQ family rides the same planted gates as LSH and IVF
+    NamedQuery("q_ann_pq_recall", annRecall(pqCandidateIds),
+      Some(annRecallSql), bench = true),
+    NamedQuery("q_ann_pq_rate", annRecallRate(pqCandidateIds),
+      Some(annRecallRateSql)),
+    NamedQuery("q_ann_pq_mrr", annMrr(pqCandidateIds), Some(annMrrSql),
       bench = true))
 }

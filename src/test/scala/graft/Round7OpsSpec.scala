@@ -177,6 +177,21 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("PQ codes are in range and the candidate relation is symmetric") {
+    import operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val codes = e.select(Similarity.pqCodes($"embedding").as("c"))
+    val bad = codes.select(explode($"c").as("code"))
+      .filter($"code" < 0 || $"code" >= Similarity.PqK)
+    assert(bad.count() == 0, s"codes must lie in [0, ${Similarity.PqK})")
+    assert(codes.filter(size($"c") =!= Similarity.PqM).count() == 0)
+    // code equality is symmetric, so the >= threshold relation is too
+    val cand = Similarity.pqCandidateIds(e)
+    val asym = cand.select($"vec_a".as("x"), $"vec_b".as("y"))
+      .except(cand.select($"vec_b".as("x"), $"vec_a".as("y")))
+    assert(asym.count() == 0, "PQ candidate pairs must be symmetric")
+  }
+
   test("q_stream_left_join: matched part equals the inner join; unmatched obey the watermark bound") {
     val loj = q("q_stream_left_join")
     val inner = q("q_stream_interval_join")
