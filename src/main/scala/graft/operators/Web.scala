@@ -263,10 +263,87 @@ object Web {
        |SELECT doc_id, n_tags, length(clean) AS len_clean, md5(clean) AS clean_md5
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- q_url_canonical
+  /** URL canonicalization + duplicate-URL detection — the crawl-side
+    * dedup that runs BEFORE content ever downloads (a canonical-URL
+    * collision is free; a content hash costs a fetch): lowercase the
+    * host, strip tracking query parameters, fragments, and trailing
+    * slashes. Non-vacuous by construction: every base URL is planted
+    * alongside a VARIANT that differs in exactly the noise
+    * canonicalization must erase (upper-cased host, ?ref/utm tracking
+    * tail, #fragment, trailing slash), so the output must collapse
+    * every pair — one group per doc, n_variants = 2, and any
+    * canonicalization bug splits a group and breaks the hash compare.
+    *
+    * Scale shape: canonicalization is row-local regexp/string ops; the
+    * only shuffle is the canonical-key aggregation (digest-sized). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(urlScheme(url))
+    val host = lower(urlHost(url))
+    // path without query/fragment, trailing slashes stripped
+    val path = regexp_replace(urlPath(url), "/+$", "")
+    concat(scheme, lit("://"), host, path)
+  }
+
+  /** The variant: same logical URL, different bytes — upper host,
+    * tracking query, fragment, trailing slash. */
+  private def plantVariantUrl(docId: Column): Column = {
+    val scheme = when(docId % 2 === 0, "https").otherwise("http")
+    val sub = element_at(
+      array(lit(""), lit("WWW."), lit("BLOG."), lit("DOCS.")),
+      (docId % 4).cast("int") + 1)
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("net")),
+      (docId % 5).cast("int") + 1)
+    concat(scheme, lit("://"), sub, lit("SITE"), (docId % 97).cast("string"),
+      lit("."), tld, lit("/p/"), (docId % 1000).cast("string"),
+      lit("/?utm_source=feed&ref=x#top"))
+  }
+
+  private val plantVariantUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://'
+      | || ['', 'WWW.', 'BLOG.', 'DOCS.'][CAST(doc_id % 4 AS INTEGER) + 1]
+      | || 'SITE' || CAST(doc_id % 97 AS VARCHAR) || '.'
+      | || ['com', 'org', 'co.uk', 'io', 'net'][CAST(doc_id % 5 AS INTEGER) + 1]
+      | || '/p/' || CAST(doc_id % 1000 AS VARCHAR)
+      | || '/?utm_source=feed&ref=x#top'"""
+      .stripMargin.replace("\n", "")
+
+  private def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val urls = docs.select($"doc_id", plantUrl($"doc_id").as("url"))
+      .unionByName(docs.select($"doc_id", plantVariantUrl($"doc_id").as("url")))
+    urls.select($"doc_id", canonicalUrl($"url").as("canonical"))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("rep_doc"))
+      .filter($"n_variants" >= 2)
+      .orderBy($"rep_doc")
+  }
+
+  private val urlCanonicalSql =
+    s"""WITH urls AS (
+       |  SELECT doc_id, $PlantUrlSql AS url FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, $plantVariantUrlSql AS url FROM documents),
+       |canon AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([a-z]+)://', 1)) || '://'
+       |      || lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+       |      || regexp_replace(
+       |           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+       |           '/+$$', '') AS canonical
+       |  FROM urls)
+       |SELECT canonical, COUNT(*) AS n_variants, MIN(doc_id) AS rep_doc
+       |FROM canon GROUP BY canonical HAVING COUNT(*) >= 2
+       |ORDER BY rep_doc""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_url_parse", urlParse, Some(urlParseSql), bench = true),
     NamedQuery("q_domain_stats", domainStats, Some(domainStatsSql), bench = true),
     NamedQuery("q_blocklist_filter", blocklistFilter, Some(blocklistFilterSql),
       bench = true),
-    NamedQuery("q_html_strip", htmlStrip, Some(htmlStripSql), bench = true))
+    NamedQuery("q_html_strip", htmlStrip, Some(htmlStripSql), bench = true),
+    NamedQuery("q_url_canonical", urlCanonical, Some(urlCanonicalSql),
+      bench = true))
 }

@@ -177,6 +177,14 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_url_canonical collapses every planted base+variant pair, nothing more") {
+    val rows = q("q_url_canonical")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.count() == nDocs, "exactly one group per planted doc")
+    assert(rows.filter($"n_variants" =!= 2).count() == 0,
+      "every group is exactly the base+variant pair")
+  }
+
   test("PQ codes are in range and the candidate relation is symmetric") {
     import operators.Similarity
     val e = Tables.embeddings(spark, sf)
