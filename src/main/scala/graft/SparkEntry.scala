@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Web.all ++ operators.Scoring.all ++
       operators.Annotate.all ++ operators.Eval.all ++
       streaming.Sessionize.all ++ streaming.EventStream.all ++
+      streaming.StateV2.all ++
       pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

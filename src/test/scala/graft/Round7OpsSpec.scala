@@ -177,6 +177,21 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_stream_running (transformWithState) equals the batch cumulative window") {
+    val streamed = q("q_stream_running")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("c"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .withColumn("running_cents", sum($"c").over(w))
+      .select($"user_id", $"event_id", $"us", $"running_n", $"running_cents")
+      .orderBy($"event_id")
+    assertSameRows(streamed, batch)
+  }
+
   test("q_url_canonical collapses every planted base+variant pair, nothing more") {
     val rows = q("q_url_canonical")
     val nDocs = Tables.documents(spark, sf).count()
