@@ -280,6 +280,73 @@ object Multimodal {
        |  COUNT(DISTINCT frame_hex) AS n_distinct_frames
        |FROM f GROUP BY 1, 2 ORDER BY media_type, frame_idx""".stripMargin
 
+  // --------------------------------------------------------- q_media_shard_pack
+  /** WebDataset-style shard assignment — the layout step between a
+    * curated multimodal corpus and training: assets pack into
+    * fixed-byte-budget shards in doc_id (ingest) order, shard id =
+    * exclusive-prefix-bytes DIV ShardBytes (the q_pack_sequences
+    * offset-chunk rule applied to bytes: an asset starting inside shard
+    * k belongs to k even if it crosses the boundary — deterministic,
+    * exactly SQL-replayable, and within one asset of greedy fill).
+    * The part everyone gets wrong at scale is the CUMULATIVE BYTES
+    * OVER AN ASSET-SIZED FRAME: this runs the distributed prefix-sum
+    * recipe (range-repartition by doc_id, per-partition byte totals
+    * broadcast as offsets, in-partition cumulative windows PARTITIONED
+    * BY __pid) — no single-task window. Output is the shard manifest:
+    * per shard its asset count, byte total, and doc_id span.
+    *
+    * Payload bytes never move: only (doc_id, n_bytes) enters the
+    * prefix sum; the actual blob-to-tar copy is the downstream writer's
+    * sequential read per shard. */
+  val ShardBytes = 16384L
+
+  private def mediaShardPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sized = assets(s, dir).toDF()
+      .select($"doc_id", $"media_type", length($"payload").cast("long").as("n_bytes"))
+    val parts = sized
+      .repartitionByRange($"doc_id".asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parts.groupBy($"__pid")
+      .agg(sum($"n_bytes").as("__p_bytes"))
+      .withColumn("__offset",
+        coalesce(sum($"__p_bytes").over(
+          Window.orderBy($"__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__p_bytes")
+    val wIn = Window.partitionBy($"__pid").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("__cum_in", coalesce(sum($"n_bytes").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("shard_id",
+        expr(s"(__cum_in + __offset) DIV $ShardBytes"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("shard_bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"shard_id")
+  }
+
+  private val mediaShardPackSql =
+    s"""WITH a AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_bytes,
+       |    COALESCE(CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM a)
+       |SELECT cum_before // $ShardBytes AS shard_id,
+       |  COUNT(*) AS n_assets,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   // -------------------------------------------------------------- q_media_dedup
   /** Exact media dedup — the image/audio dedup step of a multimodal
     * pipeline: assets group by PAYLOAD DIGEST within a modality, the
@@ -433,6 +500,8 @@ object Multimodal {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_binary_stats", binaryStats, Some(binaryStatsSql), bench = true),
     NamedQuery("q_frame_stats", frameStats, Some(frameStatsSql), bench = true),
+    NamedQuery("q_media_shard_pack", mediaShardPack, Some(mediaShardPackSql),
+      bench = true),
     NamedQuery("q_media_dedup", mediaDedup, Some(mediaDedupSql), bench = true),
     NamedQuery("q_media_neardup", mediaNearDup, Some(mediaNearDupSql),
       bench = true))

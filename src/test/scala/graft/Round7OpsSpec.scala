@@ -177,6 +177,27 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_media_shard_pack: shards partition the corpus in doc order within budget+1") {
+    val rows = q("q_media_shard_pack").collect()
+    val totalBytes = Tables.documents(spark, sf)
+      .agg(sum(length(encode($"text", "UTF-8")))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("shard_bytes")).sum == totalBytes,
+      "every byte lands in exactly one shard")
+    // doc spans are disjoint and ordered: shard k's last_doc < k+1's first
+    rows.sortBy(_.getAs[Long]("shard_id")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // offset-chunk rule: a shard holds at most budget + one asset's bytes
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(length(encode($"text", "UTF-8")))).collect().head.getInt(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shard_bytes") <=
+        operators.Multimodal.ShardBytes + maxDoc)
+    }
+  }
+
   test("q_stream_running (transformWithState) equals the batch cumulative window") {
     val streamed = q("q_stream_running")
     val w = org.apache.spark.sql.expressions.Window
