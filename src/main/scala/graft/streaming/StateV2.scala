@@ -95,7 +95,108 @@ object StateV2 {
       |             ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------- q_stream_digest
+  case class DigestEvent(user_id: Long, day: String, day_ms: Long, cents: Long)
+  case class DigestState(n: Long, cents: Long)
+  case class DigestOut(user_id: Long, day: String, n_events: Long,
+      total_cents: Long)
+
+  /** Emission horizon after a day's START before its digest fires:
+    * day length + a full watermark delay + slack, so a day's digest
+    * can only fire once no in-order event for it can still arrive. */
+  val DigestHorizonMs: Long = 48L * 3600 * 1000
+
+  /** Per-(user, day) digest emitted by an EVENT-TIME TIMER — the
+    * `handleExpiredTimer` half of the transformWithState API: input
+    * rows only accumulate state and (re-)register the day's timer at
+    * day_start + DigestHorizonMs; the digest row emits exclusively
+    * from the timer callback once the event-time watermark passes that
+    * horizon, and the state clears with it. Days still inside the
+    * horizon at end of input are WITHHELD — the streaming contract —
+    * and the oracle encodes exactly that: aggregate per user-day WHERE
+    * day_start + horizon < final watermark (max ts ms-truncated − 1h).
+    *
+    * Scale shape: state is one (n, cents) pair + one timer per OPEN
+    * user-day, cleared at fire time — retention is horizon-bounded, not
+    * history-bounded; each micro-batch shuffles once on the composite
+    * key. */
+  class DailyDigestProcessor
+      extends StatefulProcessor[(Long, String), DigestEvent, DigestOut] {
+    @transient private var state: ValueState[DigestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DigestState](
+        "digest", Encoders.product[DigestState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[DigestEvent],
+        timerValues: TimerValues): Iterator[DigestOut] = {
+      var acc = if (state.exists()) state.get() else DigestState(0L, 0L)
+      var expiry = -1L
+      rows.foreach { r =>
+        acc = DigestState(acc.n + 1, acc.cents + r.cents)
+        expiry = r.day_ms + DigestHorizonMs
+      }
+      state.update(acc)
+      // idempotent per key: same expiry every time this day's rows arrive
+      if (expiry > 0) getHandle.registerTimer(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[DigestOut] = {
+      val acc = if (state.exists()) state.get() else DigestState(0L, 0L)
+      state.clear()
+      Iterator.single(DigestOut(key._1, key._2, acc.n, acc.cents))
+    }
+  }
+
+  private def streamDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventStream.readEvents(s, dir + "/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id",
+        date_format($"ts", "yyyy-MM-dd").as("day"),
+        (unix_micros(date_trunc("DAY", $"ts")) / 1000).cast("long").as("day_ms"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[DigestEvent]
+    val q = events
+      .groupByKey(e => (e.user_id, e.day))
+      .transformWithState(new DailyDigestProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_digest_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_digest_mem").orderBy($"user_id", $"day")
+  }
+
+  private val streamDigestSql =
+    s"""WITH wm AS (
+       |  SELECT epoch_us(max(ts)) // 1000 - 3600000 AS w_ms FROM events),
+       |d AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |    epoch_ms(date_trunc('day', ts)) AS day_ms,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events)
+       |SELECT user_id, day, COUNT(*) AS n_events,
+       |  CAST(SUM(cents) AS BIGINT) AS total_cents
+       |FROM d CROSS JOIN wm
+       |WHERE day_ms + $DigestHorizonMs < wm.w_ms
+       |GROUP BY user_id, day
+       |ORDER BY user_id, day""".stripMargin
+
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_running", streamRunning,
-      Some(streamRunningSql), bench = true))
+      Some(streamRunningSql), bench = true),
+    graft.NamedQuery("q_stream_digest", streamDigest,
+      Some(streamDigestSql), bench = true))
 }

@@ -177,6 +177,27 @@ class Round7OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_stream_digest: timer-emitted days equal batch aggregates below the horizon") {
+    val emitted = q("q_stream_digest")
+    val ev = Tables.events(spark, sf)
+    val wmMs = ev.agg(max(unix_micros($"ts"))).collect().head.getLong(0) /
+      1000 - 3600000L
+    val expected = ev
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
+        (unix_micros(date_trunc("DAY", $"ts")) / 1000).cast("long").as("day_ms"),
+        round($"value" * 100).cast("long").as("cents"))
+      .filter($"day_ms" + streaming.StateV2.DigestHorizonMs < wmMs)
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+      .orderBy($"user_id", $"day")
+    assertSameRows(emitted, expected)
+    // days inside the horizon are withheld, proving the timer actually gates
+    val withheld = ev.select(
+        (unix_micros(date_trunc("DAY", $"ts")) / 1000).cast("long").as("day_ms"))
+      .filter($"day_ms" + streaming.StateV2.DigestHorizonMs >= wmMs)
+    assert(withheld.count() > 0, "fixture must exercise the withheld tail")
+  }
+
   test("q_media_shard_pack: shards partition the corpus in doc order within budget+1") {
     val rows = q("q_media_shard_pack").collect()
     val totalBytes = Tables.documents(spark, sf)
