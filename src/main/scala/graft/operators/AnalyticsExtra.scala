@@ -1601,6 +1601,60 @@ object AnalyticsExtra {
        |  CAST(floor((l + b) * 1000) AS BIGINT) AS forecast_next_mcents
        |FROM holt WHERE idx = (SELECT c FROM n)""".stripMargin
 
+  // ------------------------------------------------------------ q_event_path
+  /** Sequential-pattern (CEP-lite) detection: complete view -> click ->
+    * purchase paths per user where each step follows the previous
+    * within PathStepMinutes (4h) — the MATCH_RECOGNIZE-style query Spark
+    * lacks natively, composed as CHAINED INTERVAL EQUI-JOINS (user_id
+    * equality + bounded time distance), the formulation that shuffles
+    * on the user key and never degenerates into a time-cross-product.
+    * Emits each path with its step ids and total latency in exact
+    * microseconds.
+    *
+    * Scale shape: two user-keyed joins over type-filtered slices (each
+    * a pushed-filter scan), candidate growth bounded by per-user
+    * activity within the step window; at 100 TB the same plan runs as
+    * the stream-stream interval-join chain (q_stream_interval_join is
+    * step one of this exact pattern). */
+  /** 4h per step: the fixture's per-user event cadence is ~hourly at
+    * the gate scale, so minutes-scale windows are vacuous — 240 gives a
+    * small non-empty path set at sf0.01 and a dense one at sf0.1. */
+  val PathStepMinutes = 240
+
+  private def eventPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    def slice(t: String, idAs: String, tsAs: String) =
+      e.filter($"event_type" === t)
+        .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
+    val v = slice("view", "view_id", "view_ts")
+    val c = slice("click", "click_id", "click_ts")
+    val p = slice("purchase", "purchase_id", "purchase_ts")
+    val step = expr(s"INTERVAL $PathStepMinutes MINUTES")
+    v.join(c, Seq("user_id"))
+      .filter($"click_ts" >= $"view_ts" && $"click_ts" <= $"view_ts" + step)
+      .join(p, Seq("user_id"))
+      .filter($"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + step)
+      .select($"user_id", $"view_id", $"click_id", $"purchase_id",
+        (unix_micros($"purchase_ts") - unix_micros($"view_ts"))
+          .as("path_latency_us"))
+      .orderBy($"view_id", $"click_id", $"purchase_id")
+  }
+
+  private val eventPathSql =
+    s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       |  p.event_id AS purchase_id,
+       |  epoch_us(p.ts) - epoch_us(v.ts) AS path_latency_us
+       |FROM events v
+       |JOIN events c ON c.user_id = v.user_id
+       |  AND v.event_type = 'view' AND c.event_type = 'click'
+       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $PathStepMinutes MINUTE
+       |JOIN events p ON p.user_id = v.user_id
+       |  AND p.event_type = 'purchase'
+       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $PathStepMinutes MINUTE
+       |ORDER BY view_id, click_id, purchase_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ship_latency", shipLatency, Some(shipLatencySql), bench = true),
     NamedQuery("q_latency_tail", latencyTail, Some(latencyTailSql), bench = true),
@@ -1632,6 +1686,7 @@ object AnalyticsExtra {
     NamedQuery("q_runs_test", runsTest, Some(runsTestSql), bench = true),
     NamedQuery("q_cross_corr", crossCorr, Some(crossCorrSql), bench = true),
     NamedQuery("q_changepoint", changepoint, Some(changepointSql), bench = true),
+    NamedQuery("q_event_path", eventPath, Some(eventPathSql), bench = true),
     NamedQuery("q_holt", holt, Some(holtSql), bench = true),
     NamedQuery("q_max_concurrent", maxConcurrent, Some(maxConcurrentSql), bench = true),
     NamedQuery("q_rel_division", relDivision, Some(relDivisionSql), bench = true),
