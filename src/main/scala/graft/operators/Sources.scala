@@ -254,6 +254,52 @@ object Sources {
        |  ${sqlDsum("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ q_schema_merge
+  /** Parquet schema EVOLUTION end to end: two batches of the same feed
+    * land with different schemas (the later batch adds `event_type` —
+    * the standard additive evolution), the reader merges footers
+    * (`mergeSchema`), and rows from the pre-evolution batch surface the
+    * new column as NULL. The oracle recomputes per-batch aggregates
+    * from the original table with the evolution rule applied, so a
+    * wrong merge (dropped column, misaligned nulls, type clash) breaks
+    * the hash compare. Batch membership is event_id parity; the layout
+    * is a Hive `batch=` partition dir per schema generation (how
+    * evolving feeds actually land).
+    *
+    * Scratch keyed on the sf dir, written once (the q_partitioned_scan
+    * recipe). */
+  private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val scratch = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_schema_merge_$key")
+    if (!new java.io.File(scratch, "_DONE").exists()) {
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+      e.filter($"event_id" % 2 === 0).drop("event_type")
+        .write.mode("overwrite").parquet(s"$scratch/batch=0")
+      e.filter($"event_id" % 2 === 1)
+        .write.mode("overwrite").parquet(s"$scratch/batch=1")
+      new java.io.File(scratch, "_DONE").createNewFile()
+    }
+    s.read.option("mergeSchema", "true")
+      .option("basePath", scratch.toString)
+      .parquet(s"$scratch/batch=0", s"$scratch/batch=1")
+      .groupBy($"batch")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"event_type").as("n_typed"),
+        dsum($"value").as("total_value"))
+      .orderBy($"batch")
+  }
+
+  private val schemaMergeSql =
+    s"""SELECT event_id % 2 AS batch, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_typed,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY batch""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     // csv/json scans read 10-row serving fixtures, not sf-scaled tables —
     // a timing on them measures fixture IO, so they are correctness-only
@@ -263,5 +309,6 @@ object Sources {
     NamedQuery("q_sql_serving", sqlServing, Some(sqlServingSql), bench = true),
     NamedQuery("q_partitioned_scan", partitionedScan,
       Some(partitionedScanSql)),
-    NamedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)))
+    NamedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    NamedQuery("q_schema_merge", schemaMerge, Some(schemaMergeSql)))
 }
