@@ -194,9 +194,85 @@ object StateV2 {
        |GROUP BY user_id, day
        |ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------- q_stream_recent
+  case class PurchaseEvent(user_id: Long, event_id: Long, us: Long)
+  case class RecentOut(user_id: Long, event_id: Long, us: Long,
+      prev1: java.lang.Long, prev2: java.lang.Long, prev3: java.lang.Long)
+
+  /** How many prior purchases each event carries as context. */
+  val RecentK = 3
+
+  /** Per-user recent-purchase context via a typed ListState — the
+    * online feature-store pattern (each event enriched with the user's
+    * last K prior items) run through the transformWithState LIST state
+    * primitive: the list holds at most K ids (trimmed on every append),
+    * so state is O(K) per user regardless of history length. Each
+    * purchase emits its user's previous up-to-3 purchase ids
+    * (most-recent first, nulls when history is shorter); the oracle is
+    * the user-partitioned LAG window. Same intra-batch event-time sort
+    * contract as q_stream_running. */
+  class RecentItemsProcessor
+      extends StatefulProcessor[Long, PurchaseEvent, RecentOut] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long](
+        "recent", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PurchaseEvent],
+        timerValues: TimerValues): Iterator[RecentOut] = {
+      // state list is most-recent-FIRST, length <= RecentK
+      var hist: List[Long] =
+        if (recent.exists()) recent.get().toList else Nil
+      val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
+        def at(i: Int): java.lang.Long =
+          if (hist.isDefinedAt(i)) java.lang.Long.valueOf(hist(i)) else null
+        val o = RecentOut(r.user_id, r.event_id, r.us, at(0), at(1), at(2))
+        hist = (r.event_id :: hist).take(RecentK)
+        o
+      }
+      recent.put(hist.toArray)
+      out.iterator
+    }
+  }
+
+  private def streamRecent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventStream.readEvents(s, dir + "/events.parquet")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[PurchaseEvent]
+    val q = events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentItemsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_recent_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_recent_mem").orderBy($"event_id")
+  }
+
+  private val streamRecentSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  LAG(event_id, 1) OVER w AS prev1,
+      |  LAG(event_id, 2) OVER w AS prev2,
+      |  LAG(event_id, 3) OVER w AS prev3
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_running", streamRunning,
       Some(streamRunningSql), bench = true),
     graft.NamedQuery("q_stream_digest", streamDigest,
-      Some(streamDigestSql), bench = true))
+      Some(streamDigestSql), bench = true),
+    graft.NamedQuery("q_stream_recent", streamRecent,
+      Some(streamRecentSql), bench = true))
 }
