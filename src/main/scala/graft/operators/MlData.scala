@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Supervised-dataset construction — the step between curated tables
+  * and a trainable matrix: temporally-sound label/feature windows
+  * (churn prediction) and deterministic negative sampling for implicit-
+  * feedback interaction data. Both are exact-integer, layout-invariant
+  * constructions: a training set that changes under repartitioning is
+  * an irreproducible experiment. */
+object MlData {
+
+  // ---------------------------------------------------- q_churn_features
+  /** Churn-label construction with a leakage-sound temporal split: the
+    * fixture's 30-day event window divides into a FEATURE period (days
+    * 1–23) and a LABEL period (the last 7 days); features aggregate
+    * ONLY the feature period (count, active days, purchase count,
+    * cents, recency in minutes to the cutoff) and the label is "no
+    * events in the label period". Computing features strictly before
+    * the label window is the discipline that keeps the label out of
+    * the features — the classic leakage bug this query's shape
+    * prevents. Cutoff = fixed calendar instant (the fixture window is
+    * 2024-01-01..31 at every sf).
+    *
+    * Scale shape: one user-keyed aggregation with map-side partials
+    * over row-local period flags; no window, no join. */
+  val ChurnCutoff = "2024-01-24 00:00:00"
+
+  private def churnFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit(ChurnCutoff).cast("timestamp")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type",
+        round($"value" * 100).cast("long").as("cents"),
+        ($"ts" < cutoff).cast("long").as("feat"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"feat").as("n_events"),
+        countDistinct(when($"feat" === 1,
+          date_format($"ts", "yyyy-MM-dd"))).as("n_active_days"),
+        sum(when($"feat" === 1 && $"event_type" === "purchase", 1L)
+          .otherwise(0L)).as("n_purchases"),
+        coalesce(sum(when($"feat" === 1, $"cents")), lit(0L)).as("feat_cents"),
+        max(when($"feat" === 1, unix_micros($"ts"))).as("last_feat_us"),
+        max(when($"feat" === 0, 1L).otherwise(0L)).as("active_in_label"))
+      .select($"user_id", $"n_events", $"n_active_days", $"n_purchases",
+        $"feat_cents",
+        ((unix_micros(lit(ChurnCutoff).cast("timestamp")) - $"last_feat_us")
+          / lit(60000000L)).cast("long").as("recency_min"),
+        (lit(1L) - $"active_in_label").as("churned"))
+      .orderBy($"user_id")
+  }
+
+  private val churnFeaturesSql =
+    s"""SELECT user_id,
+       |  CAST(SUM(CASE WHEN ts < TIMESTAMP '$ChurnCutoff' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_events,
+       |  COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '$ChurnCutoff'
+       |    THEN strftime(ts, '%Y-%m-%d') END) AS n_active_days,
+       |  CAST(SUM(CASE WHEN ts < TIMESTAMP '$ChurnCutoff'
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_purchases,
+       |  CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '$ChurnCutoff'
+       |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+       |    AS feat_cents,
+       |  (epoch_us(TIMESTAMP '$ChurnCutoff')
+       |    - MAX(CASE WHEN ts < TIMESTAMP '$ChurnCutoff'
+       |          THEN epoch_us(ts) END)) // 60000000 AS recency_min,
+       |  1 - MAX(CASE WHEN ts >= TIMESTAMP '$ChurnCutoff' THEN 1 ELSE 0 END)
+       |    AS churned
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------- q_negative_sampling
+  /** Deterministic negative sampling for implicit-feedback training
+    * (the recsys/embedding-model data op): positives are the DISTINCT
+    * (customer, part) purchase interactions; each positive draws
+    * NegPerPos pseudo-random candidate parts (md5 of the triple — same
+    * draw on any partitioning or engine) and candidates that are
+    * themselves positives for that customer are REMOVED by an
+    * anti-join, not silently kept — the correctness step naive modular
+    * sampling skips. Emits label=1 positives and label=0 surviving
+    * negatives.
+    *
+    * Scale shape: positives aggregate once; negatives are a row-local
+    * explode (xNegPerPos) followed by ONE anti-join on the interaction
+    * key — the interaction frame is the big side and shuffles once;
+    * the part-count frame is a 1-row broadcast. */
+  val NegPerPos = 2
+
+  private def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pos = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_partkey".as("partkey"))
+      .distinct()
+    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
+    val cand = pos.crossJoin(broadcast(nParts))
+      .select($"custkey", $"partkey",
+        explode(expr(s"sequence(1, $NegPerPos)")).as("k"), $"n_parts")
+      .select($"custkey",
+        (TextFunctions.md5Lower64(concat_ws(":",
+          lit("neg"), $"custkey", $"partkey", $"k"))
+          .bitwiseAND(lit(Long.MaxValue)) % $"n_parts").as("partkey"))
+    val negatives = cand
+      .join(pos, Seq("custkey", "partkey"), "left_anti")
+      .distinct()
+    pos.select($"custkey", $"partkey", lit(1L).as("label"))
+      .unionByName(negatives.select($"custkey", $"partkey", lit(0L).as("label")))
+      .orderBy($"custkey", $"partkey", $"label")
+  }
+
+  private val negativeSamplingSql =
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |np AS (SELECT COUNT(*) AS n_parts FROM part),
+       |cand AS (
+       |  SELECT DISTINCT custkey,
+       |    CAST(md5_number_lower('neg:' || CAST(custkey AS VARCHAR) || ':'
+       |        || CAST(partkey AS VARCHAR) || ':' || CAST(k AS VARCHAR))
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) % np.n_parts AS partkey
+       |  FROM pos CROSS JOIN np
+       |  CROSS JOIN unnest(generate_series(1, $NegPerPos)) t(k)),
+       |negs AS (
+       |  SELECT c.custkey, c.partkey FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |    WHERE p.custkey = c.custkey AND p.partkey = c.partkey))
+       |SELECT custkey, partkey, CAST(1 AS BIGINT) AS label FROM pos
+       |UNION ALL
+       |SELECT custkey, partkey, CAST(0 AS BIGINT) AS label FROM negs
+       |ORDER BY custkey, partkey, label""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_churn_features", churnFeatures, Some(churnFeaturesSql),
+      bench = true),
+    NamedQuery("q_negative_sampling", negativeSampling,
+      Some(negativeSamplingSql), bench = true))
+}
