@@ -208,6 +208,38 @@ object Dedup {
       .distinct()
   }
 
+  /** ASYMMETRIC banded candidates — the incremental near-dup shape: a
+    * NEW batch probes the HISTORY side's band index, so only (band,
+    * band_hash, id) rows of the new batch meet the pre-bucketed history
+    * frame; history text never reshuffles per batch (at production
+    * scale the banded history lives as a bucketed table keyed on
+    * (band, band_hash) and this join is exchange-free on that side).
+    * Directed (new -> history); the skew guard bounds HISTORY buckets
+    * (a degenerate history bucket would quadratically amplify every
+    * future batch — the guard is an index-build-time decision). */
+  def incrementalMinhashCandidateIds(history: DataFrame, newDocs: DataFrame,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    import history.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val numBands = numHashes / rowsPerBand
+    def banded(docs: DataFrame, idAs: String) = docs.select(
+        col("doc_id").as(idAs),
+        TextFunctions.trigramMinhash($"text", numHashes).as("sig"))
+      .select(col(idAs),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val histIdx = banded(history, "hist_doc")
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"band", $"band_hash")))
+      .filter($"bucket_n" <= MaxBucket)
+      .select($"band", $"band_hash", $"hist_doc")
+    banded(newDocs, "new_doc")
+      .join(histIdx, Seq("band", "band_hash"))
+      .select($"new_doc", $"hist_doc")
+      .distinct()
+  }
+
   /** Candidate pairs with shingle-SET hashes re-attached for exact-Jaccard
     * verification: ONE re-join per side after the id-level `distinct()` —
     * the only point where arrays are shuffled, proportional to the
@@ -353,6 +385,57 @@ object Dedup {
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM final ORDER BY cluster_id, doc_id""".stripMargin
+
+  // ------------------------------------------------------ q_incremental_neardup
+  /** Incremental NEAR-dup of a new batch against the historical corpus
+    * — the production mode of MinHash dedup (full-corpus re-pairing per
+    * ingest is unaffordable; each batch probes the standing band
+    * index): history = the base documents, new batch = the planted
+    * truncated mirrors, candidates from [[incrementalMinhashCandidateIds]]
+    * (directed new -> history), verified by exact shingle-set Jaccard >=
+    * the admission threshold. The oracle BRUTE-FORCES the complete
+    * new x history >= threshold pair set in SQL, so banding recall on
+    * the asymmetric path, the directedness, and the verifier are all
+    * hash-checked — complementing q_incremental_dedup (exact digests)
+    * with the near-dup tier of the same incremental contract. */
+  private def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Similarity.requirePlantable(docs, "doc_id", "incrementalNearDup")
+    val history = docs.select($"doc_id", $"text")
+    val w = split($"text", " ", -1)
+    val newBatch = docs.select(
+      ($"doc_id" + Similarity.PlantOffset).as("doc_id"),
+      concat_ws(" ",
+        slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
+        .as("text"))
+    val hs = history.unionByName(newBatch)
+      .select($"doc_id", TextFunctions.trigramHashes($"text").as("hs"))
+    incrementalMinhashCandidateIds(history, newBatch,
+        numHashes = 16, rowsPerBand = 2)
+      .join(hs.select($"doc_id".as("new_doc"), $"hs".as("hs_n")), "new_doc")
+      .join(hs.select($"doc_id".as("hist_doc"), $"hs".as("hs_h")), "hist_doc")
+      .select($"new_doc", $"hist_doc",
+        jaccard($"hs_n", $"hs_h").as("jaccard"))
+      .filter($"jaccard" >= MinHashRecallJaccard)
+      .orderBy($"new_doc", $"hist_doc")
+  }
+
+  private val incrementalNearDupSql =
+    s"""WITH ${minhashPlantedSetsSql}
+       |SELECT n.doc_id AS new_doc, h.doc_id AS hist_doc,
+       |  CAST(len(list_filter(n.sh, x -> list_contains(h.sh, x))) AS DOUBLE)
+       |    / (len(n.sh) + len(h.sh)
+       |       - len(list_filter(n.sh, x -> list_contains(h.sh, x))))
+       |    AS jaccard
+       |FROM d n JOIN d h
+       |  ON n.doc_id >= ${Similarity.PlantOffset}
+       |  AND h.doc_id < ${Similarity.PlantOffset}
+       |WHERE CAST(len(list_filter(n.sh, x -> list_contains(h.sh, x))) AS DOUBLE)
+       |    / (len(n.sh) + len(h.sh)
+       |       - len(list_filter(n.sh, x -> list_contains(h.sh, x))))
+       |    >= $MinHashRecallJaccard
+       |ORDER BY new_doc, hist_doc""".stripMargin
 
   // ------------------------------------------------------------ q_canonical_docs
   /** Survivorship selection after near-dup clustering — the step a
@@ -1396,6 +1479,8 @@ object Dedup {
       bench = true),
     NamedQuery("q_canonical_docs", canonicalDocs, Some(canonicalDocsSql),
       bench = true),
+    NamedQuery("q_incremental_neardup", incrementalNearDup,
+      Some(incrementalNearDupSql), bench = true),
     NamedQuery("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       bench = true),
     NamedQuery("q_cluster_propagation", clusterPropagation,
