@@ -470,10 +470,13 @@ object EventStream {
       Some(streamIntervalJoinSql), bench = true),
     graft.NamedQuery("q_stream_dedup_replay", streamDedupReplay,
       Some(streamDedupReplaySql), bench = true),
-    graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql),
-      bench = true),
+    // enrich/left-join stay UNBENCHED: an AvailableNow run is ~3-5s of
+    // fixed stream-startup regardless of data volume, so benching them
+    // would time the harness, not the plan; the three rows above keep
+    // streaming represented in the headline (and r6-comparable)
+    graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
     graft.NamedQuery("q_stream_left_join", streamLeftJoin,
-      Some(streamLeftJoinSql), bench = true))
+      Some(streamLeftJoinSql)))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

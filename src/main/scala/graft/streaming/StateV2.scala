@@ -268,11 +268,14 @@ object StateV2 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // unbenched: AvailableNow startup (~3-5s fixed) dominates any
+  // fixture-sized data volume — benching would time the harness, not
+  // the state machine (same rationale as the enrich/left-join rows)
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_running", streamRunning,
-      Some(streamRunningSql), bench = true),
+      Some(streamRunningSql)),
     graft.NamedQuery("q_stream_digest", streamDigest,
-      Some(streamDigestSql), bench = true),
+      Some(streamDigestSql)),
     graft.NamedQuery("q_stream_recent", streamRecent,
-      Some(streamRecentSql), bench = true))
+      Some(streamRecentSql)))
 }
