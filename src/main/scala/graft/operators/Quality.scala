@@ -79,6 +79,52 @@ object Quality {
       |WHERE d.n_chars >= t.p75
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // --------------------------------------------------------- q_source_terms
+  /** Top-5 most DISCRIMINATIVE words per ingest source — the grouped
+    * tf-idf readout a corpus datasheet prints per slice ("what is this
+    * source about"): within each source rank words by source-frequency
+    * ascending (a word appearing in fewer sources is more distinctive),
+    * ties by in-source token count desc then word — the q_rare_terms
+    * integer-deterministic recipe lifted from document grain to source
+    * grain (for a given tf, tf-idf is monotone in the frequency, so no
+    * float score is needed at all).
+    *
+    * Scale shape: tokens pre-aggregate map-side to (source, word)
+    * counts; the source-frequency frame is vocabulary-sized and
+    * broadcasts; the top-k window partitions BY SOURCE (never global).
+    * >= 4-char words, as in q_rare_terms. */
+  private def sourceTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ", -1)).as("word"))
+      .filter(length($"word") >= 4)
+    val tf = words.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy($"word").agg(count(lit(1)).as("sf"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"sf".asc, $"tf".desc, $"word".asc)
+    tf.join(broadcast(sf), Seq("word"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"word", $"tf", $"sf")
+      .orderBy($"source", $"rank")
+  }
+
+  private val sourceTermsSql =
+    """WITH words AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, word, COUNT(*) AS tf FROM words
+      |  WHERE length(word) >= 4 GROUP BY source, word),
+      |sf AS (SELECT word, COUNT(*) AS sf FROM tf GROUP BY word),
+      |r AS (
+      |  SELECT t.source, t.word, t.tf, s.sf,
+      |    ROW_NUMBER() OVER (PARTITION BY t.source
+      |      ORDER BY s.sf ASC, t.tf DESC, t.word ASC) AS rank
+      |  FROM tf t JOIN sf s USING (word))
+      |SELECT source, rank, word, tf, sf FROM r
+      |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   // --------------------------------------------------------------- q_rare_terms
   /** Top-3 most distinctive words per document: rank by corpus document
     * frequency ascending (rarest first) — the integer-deterministic core
@@ -1077,5 +1123,7 @@ object Quality {
     NamedQuery("q_quantile_stats", quantileStats, Some(quantileStatsSql), bench = true),
     NamedQuery("q_quality_cutoff", qualityCutoff, Some(qualityCutoffSql), bench = true),
     NamedQuery("q_rare_terms", rareTerms, Some(rareTermsSql), bench = true),
+    NamedQuery("q_source_terms", sourceTerms, Some(sourceTermsSql),
+      bench = true),
     NamedQuery("q_winsorize", winsorize, Some(winsorizeSql), bench = true))
 }
