@@ -133,8 +133,56 @@ object MlData {
        |SELECT custkey, partkey, CAST(0 AS BIGINT) AS label FROM negs
        |ORDER BY custkey, partkey, label""".stripMargin
 
+  // ------------------------------------------------------ q_rate_smoothing
+  // audited-bnlj(q_rate_smoothing): build side = 1-row global-prior broadcast — audited in PlanAuditSpec/BnljAudit
+  /** Empirical-Bayes rate shrinkage — the standard CTR-feature
+    * treatment for sparse keys: each user's raw purchase rate shrinks
+    * toward the global prior with SmoothK pseudo-events, so a 2-event
+    * user doesn't swing between 0 and 500000 ppm. All exact integer
+    * ppm: prior = global purchases*1e6 DIV events; smoothed =
+    * (purchases*1e6 + K*prior) DIV (n + K) — same DIV order both
+    * engines, layout-invariant.
+    *
+    * Scale shape: one user aggregation (map-side partials) + a 1-row
+    * global-prior broadcast. */
+  val SmoothK = 20L
+
+  private def rateSmoothing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"event_type" === "purchase").cast("long")).as("n_purchases"))
+    val prior = per.agg(
+      expr("CAST(sum(n_purchases) * 1000000 DIV sum(n_events) AS BIGINT)")
+        .as("prior_ppm"))
+    per.crossJoin(broadcast(prior))
+      .select($"user_id", $"n_events", $"n_purchases", $"prior_ppm",
+        expr("n_purchases * 1000000 DIV n_events").as("raw_ppm"),
+        expr(s"(n_purchases * 1000000 + $SmoothK * prior_ppm)" +
+          s" DIV (n_events + $SmoothK)").as("smoothed_ppm"))
+      .orderBy($"user_id")
+  }
+
+  private val rateSmoothingSql =
+    s"""WITH per AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_purchases
+       |  FROM events GROUP BY user_id),
+       |prior AS (
+       |  SELECT CAST(SUM(n_purchases) * 1000000 // SUM(n_events) AS BIGINT)
+       |    AS prior_ppm FROM per)
+       |SELECT user_id, n_events, n_purchases, prior_ppm,
+       |  n_purchases * 1000000 // n_events AS raw_ppm,
+       |  (n_purchases * 1000000 + $SmoothK * prior_ppm)
+       |    // (n_events + $SmoothK) AS smoothed_ppm
+       |FROM per CROSS JOIN prior ORDER BY user_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_churn_features", churnFeatures, Some(churnFeaturesSql),
+      bench = true),
+    NamedQuery("q_rate_smoothing", rateSmoothing, Some(rateSmoothingSql),
       bench = true),
     NamedQuery("q_negative_sampling", negativeSampling,
       Some(negativeSamplingSql), bench = true))
