@@ -74,6 +74,7 @@ object MlData {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------- q_negative_sampling
+  // audited-bnlj(q_negative_sampling): build side = 1-row part-count broadcast — audited in PlanAuditSpec/BnljAudit
   /** Deterministic negative sampling for implicit-feedback training
     * (the recsys/embedding-model data op): positives are the DISTINCT
     * (customer, part) purchase interactions; each positive draws
