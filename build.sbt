@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach the real stdout RAW: sbt's default
+// LoggedOutput re-logs every program line with an "[info] " prefix,
+// which made the driver's tail-parse of Bench's compact JSON line fail
+// every round (BENCH_r01-r07 all show parsed:null — the line was there,
+// prefixed). StdoutOutput inherits the parent process's stdio instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
