@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++
+      operators.SqlFace.all ++
       operators.Annotate.all ++ operators.Eval.all ++
       streaming.Sessionize.all ++ streaming.EventStream.all ++
       streaming.StateV2.all ++

@@ -774,7 +774,7 @@ object Dedup {
        |  SELECT doc_a, doc_b, jaccard FROM pairs
        |  WHERE jaccard >= $MinHashRecallJaccard)""".stripMargin
 
-  private val minhashDedupSql =
+  private[operators] val minhashDedupSql =
     s"""WITH ${minhashPlantedSetsSql}
        |SELECT doc_a, doc_b, jaccard FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin

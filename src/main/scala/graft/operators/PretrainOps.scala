@@ -73,7 +73,7 @@ object PretrainOps {
       .orderBy($"rule_idx")
   }
 
-  private val filterFunnelSql =
+  private[operators] val filterFunnelSql =
     """WITH flags AS (
       |  SELECT CASE
       |    WHEN nw < 20 THEN 1

@@ -93,7 +93,7 @@ object Relational {
       .orderBy($"segment")
   }
 
-  private val industryAvgSql =
+  private[operators] val industryAvgSql =
     s"""WITH fs AS (
        |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
        |  FROM orders GROUP BY o_custkey),

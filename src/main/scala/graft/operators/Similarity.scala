@@ -660,6 +660,78 @@ object Similarity {
       |  CAST(1000000 AS BIGINT) AS mrr_ppm
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------ q_ann_{lsh,ivf,pq}_recall10
+  /** Size of the bounded query roster for the natural-regime recall
+    * gates (and the broadcast build side of their exact-baseline pair
+    * frame — bounded by this constant, never by the corpus). */
+  val NatQueryCount = 200
+
+  /** NATURAL-regime recall@10 — the planted gates (`q_ann_*_recall`)
+    * measure the near-dup regime (cos ≈ 0.9997, the easy case ANN dedup
+    * targets); this row measures what each index family retrieves on the
+    * corpus's OWN similarity structure (natural max cosine ≈ 0.5, the
+    * hard case): for a bounded roster of `NatQueryCount` query vectors,
+    * |ANN top-10 ∩ exact brute-force top-10| over the full corpus,
+    * reported as integer-exact ppm (BIGINT multiply-then-DIV).
+    *
+    * Both sides run the SAME scoring kernel (`scoreAndRank`: exact
+    * cosine rounded to the 4dp compare grain, ties by id), so the
+    * intersection is deterministic on any partitioning; the exact
+    * baseline's pair frame is roster × corpus — the broadcast build side
+    * is ≤ NatQueryCount rows BY CONSTRUCTION, the bounded-roster BNLJ
+    * shape, while the ANN side is the real production candidate path.
+    *
+    * Oracle: the LSH planes / IVF centroids / PQ codebooks derive from
+    * splitmix64 (`VectorImpl.planeComponent`), whose wrapping 64-bit
+    * multiply DuckDB cannot express — no SQL replay of candidate
+    * generation exists. The oracle therefore PINS the measured hit
+    * counts per shipped fixture scale (keyed on corpus row count, the
+    * `q_ann_*_mrr` pinned-expectation precedent): recall is measured,
+    * then frozen — any drift in bands/probes/codebooks or in the scoring
+    * kernel lands as a hash-mismatched CORRECTNESS row. Uncalibrated
+    * scales yield NULL → a LOUD hash fail, never a silent pass.
+    * SimilaritySpec additionally holds each family above its calibrated
+    * recall floor so a regression fails in-suite before the driver sees
+    * it. */
+  // audited-bnlj(q_ann_lsh_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
+  // audited-bnlj(q_ann_ivf_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
+  // audited-bnlj(q_ann_pq_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
+  private def annNaturalRecall10(candGen: DataFrame => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qIds = e.filter($"vec_id" < NatQueryCount).select($"vec_id".as("vec_a"))
+    val exactCand = e.select($"vec_id".as("vec_b"))
+      .crossJoin(broadcast(qIds))
+      .filter($"vec_a" =!= $"vec_b")
+      .select($"vec_a", $"vec_b")
+    val exact10 = scoreAndRank(exactCand, e, topK = 10)
+    val ann10 = scoreAndRank(candGen(e), e, topK = 10)
+      .filter($"vec_a" < NatQueryCount)
+    exact10
+      .join(ann10.select($"vec_a", $"vec_b", lit(1L).as("__hit")),
+        Seq("vec_a", "vec_b"), "left")
+      .agg(countDistinct($"vec_a").as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"),
+        coalesce(sum($"__hit"), lit(0L)).as("n_hits"))
+      .select($"n_queries", $"n_exact_pairs", $"n_hits",
+        expr("n_hits * 1000000 DIV n_exact_pairs").as("recall_ppm"))
+  }
+
+  /** Pinned-measurement oracle for one ANN family's natural recall row:
+    * (corpus rows -> measured hits) per calibrated fixture scale. */
+  private def natRecall10Sql(hitsBySize: Map[Int, Long]): String = {
+    val cases = hitsBySize.toSeq.sorted
+      .map { case (n, h) => s"WHEN $n THEN $h" }.mkString(" ")
+    s"""WITH c AS (SELECT count(*) AS n FROM embeddings)
+       |SELECT CAST(LEAST(n, $NatQueryCount) AS BIGINT) AS n_queries,
+       |  CAST(LEAST(n, $NatQueryCount) * 10 AS BIGINT) AS n_exact_pairs,
+       |  CAST(CASE n $cases END AS BIGINT) AS n_hits,
+       |  CAST(CASE n $cases END AS BIGINT) * 1000000
+       |    // (LEAST(n, $NatQueryCount) * 10) AS recall_ppm
+       |FROM c""".stripMargin
+  }
+
   // ----------------------------------------------------------------- q_ann_pq
   /** Product quantization — the third ANN index family next to LSH and
     * IVF (FAISS's workhorse): the embedding splits into PqM contiguous
@@ -796,6 +868,20 @@ object Similarity {
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Measured natural-regime hit counts per corpus size (the pinned
+    * oracle expectations — calibrated by running the Spark side on the
+    * shipped sf0.01 / sf0.1 fixtures, frozen here as the regression
+    * contract). The ordering LSH < PQ < IVF is the honest story on
+    * natural-cosine structure with these budgets: 4×16-bit sign bands +
+    * 1-bit multiprobe collide reliably only in the near-dup regime
+    * (recall@10 ≈ 1.5-2%); 2-of-4 shared PQ codes ≈ 10-12%; 4-of-64
+    * probed IVF cells ≈ 19-22%. Production tuning raises bands/probes
+    * for natural-regime serving; these rows exist so that trade is
+    * MEASURED and any kernel drift moves a pinned integer. */
+  val NatLshHits: Map[Int, Long] = Map(500 -> 29L, 2000 -> 41L)
+  val NatIvfHits: Map[Int, Long] = Map(500 -> 381L, 2000 -> 435L)
+  val NatPqHits: Map[Int, Long] = Map(500 -> 202L, 2000 -> 234L)
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_rrf", rrf, Some(rrfSql), bench = true),
     NamedQuery("q_knn_graph", knnGraph, Some(knnGraphSql)),
@@ -835,5 +921,16 @@ object Similarity {
     NamedQuery("q_ann_pq_rate", annRecallRate(pqCandidateIds),
       Some(annRecallRateSql)),
     NamedQuery("q_ann_pq_mrr", annMrr(pqCandidateIds), Some(annMrrSql),
-      bench = true))
+      bench = true),
+    // natural-regime recall@10 rows — measured once per fixture scale,
+    // then pinned in the oracle (see annNaturalRecall10 Scaladoc);
+    // benched: the ANN side is the real production candidate path and
+    // the exact side is roster-bounded, so the timing reflects engine
+    // work, not an unbounded brute force
+    NamedQuery("q_ann_lsh_recall10", annNaturalRecall10(annCandidateIds),
+      Some(natRecall10Sql(NatLshHits)), bench = true),
+    NamedQuery("q_ann_ivf_recall10", annNaturalRecall10(ivfCandidateIds),
+      Some(natRecall10Sql(NatIvfHits)), bench = true),
+    NamedQuery("q_ann_pq_recall10", annNaturalRecall10(pqCandidateIds),
+      Some(natRecall10Sql(NatPqHits)), bench = true))
 }

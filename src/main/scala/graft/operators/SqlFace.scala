@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL FACE of the engine: flagship queries whose Spark side is
+  * `spark.sql(...)` ONLY — temp views over the shared tables plus the
+  * registered native functions (`GraftFunctionRegistry`: `graft_*`
+  * codegen expressions), no DataFrame combinators. This is how a
+  * dashboard author (the reference's `Frontend.py:28-79` persona, which
+  * issues raw SQL strings) would drive the engine; these rows prove the
+  * inventory composes from pure SQL — Catalyst plans the identical
+  * physical query from either spelling, so every plan-shape audit on
+  * the column-API sibling covers the SQL face too.
+  *
+  * Each row REUSES its sibling's DuckDB oracle verbatim
+  * (`industryAvgSql` / `minhashDedupSql` / `filterFunnelSql`) — one
+  * expected answer, two independent Spark spellings, one hash gate.
+  *
+  * Unbenched by design: each face plans the same physical query as its
+  * benched sibling (q_industry_avg / q_minhash_dedup /
+  * q_filter_funnel), so benching would double-count identical plans.
+  */
+object SqlFace {
+
+  /** Register the named tables of `dir` as session temp views. Views
+    * are session-scoped metadata over the parquet scan — re-planned per
+    * query, so filter/column pushdown behaves exactly as the direct
+    * DataFrame read (same PushedFilters, same ReadSchema). */
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach {
+      case n @ "documents" => Tables.documents(s, dir).createOrReplaceTempView(n)
+      case n @ "customer" => Tables.customer(s, dir).createOrReplaceTempView(n)
+      case n @ "orders" => Tables.orders(s, dir).createOrReplaceTempView(n)
+      case n @ "lineitem" => Tables.lineitem(s, dir).createOrReplaceTempView(n)
+      case n => throw new IllegalArgumentException(s"no view recipe for $n")
+    }
+
+  // ------------------------------------------------------ q_sql_face_industry_avg
+  /** The flagship J5+A2 query (`Frontend.py:60-69` silhouette) in pure
+    * Spark SQL — same decimal-routed exact aggregation spelling as the
+    * column API (`Exact.dsum/davg/iavg`), so the doubles are
+    * bit-identical to both the sibling row and the oracle. */
+  private def sqlIndustryAvg(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem")
+    s.sql("""
+      WITH fs AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_spend,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey),
+      r AS (
+        SELECT o.o_custkey,
+          CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+          CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey)
+      SELECT c.c_mktsegment AS segment,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE)/COUNT(c.c_acctbal) AS avg_acctbal,
+        CAST(SUM(CAST(fs.total_spend AS DECIMAL(28,2))) AS DOUBLE)/COUNT(fs.total_spend) AS avg_spend,
+        CAST(SUM(fs.n_orders) AS DOUBLE)/COUNT(fs.n_orders) AS avg_orders,
+        CAST(SUM(CAST(r.revenue AS DECIMAL(28,4))) AS DOUBLE)/COUNT(r.revenue) AS avg_revenue,
+        CAST(SUM(CAST(r.total_qty AS DECIMAL(28,2))) AS DOUBLE)/COUNT(r.total_qty) AS avg_qty
+      FROM customer c
+      LEFT JOIN fs ON c.c_custkey = fs.o_custkey
+      LEFT JOIN r ON c.c_custkey = r.o_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY segment""")
+  }
+
+  // ---------------------------------------------------- q_sql_face_minhash_dedup
+  /** The MinHash near-dup decision kernel (`Dedup.minhashVerifiedPairs`)
+    * in pure Spark SQL over the registered native expressions:
+    * `graft_trigram_minhash` (one-pass banded signatures) and
+    * `graft_trigram_hashes` (exact shingle sets for the Jaccard
+    * verifier). Same constants as the sibling (16 hashes x 8 bands of
+    * 2, bucket guard 2..MaxBucket, j >= MinHashRecallJaccard, plants at
+    * doc_id + PlantOffset), same id-only band shuffle — the LATERAL
+    * VIEW + window + self-join spelling of the identical plan. */
+  private def sqlMinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "documents")
+    s.sql(s"""
+      WITH t AS (SELECT doc_id, split(text, ' ', -1) AS w FROM documents),
+      planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + ${Similarity.PlantOffset} AS doc_id,
+          array_join(slice(w, 1, greatest(size(w) - ${Dedup.TruncateWords}, 3)), ' ') AS text
+        FROM t),
+      sig AS (
+        SELECT doc_id, graft_trigram_minhash(text, 16) AS sig FROM planted),
+      banded AS (
+        SELECT doc_id, band, xxhash64(slice(sig, band * 2 + 1, 2)) AS band_hash
+        FROM sig LATERAL VIEW explode(sequence(0, 7)) bt AS band),
+      kept AS (
+        SELECT * FROM (
+          SELECT doc_id, band, band_hash,
+            COUNT(*) OVER (PARTITION BY band, band_hash) AS bucket_n
+          FROM banded)
+        WHERE bucket_n BETWEEN 2 AND ${Dedup.MaxBucket}),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM kept l JOIN kept r
+          ON l.band = r.band AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id),
+      hs AS (SELECT doc_id, graft_trigram_hashes(text) AS hs FROM planted),
+      scored AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(size(array_intersect(a.hs, b.hs)) AS DOUBLE)
+            / (size(a.hs) + size(b.hs) - size(array_intersect(a.hs, b.hs))) AS jaccard
+        FROM cand c
+        JOIN hs a ON c.doc_a = a.doc_id
+        JOIN hs b ON c.doc_b = b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM scored
+      WHERE jaccard >= ${Dedup.MinHashRecallJaccard}
+      ORDER BY doc_a, doc_b""")
+  }
+
+  // ---------------------------------------------------- q_sql_face_filter_funnel
+  // audited-bnlj(q_sql_face_filter_funnel): build side = 1-row total frame + <=4-row rule-grid drops frame (same shape as q_filter_funnel) — audited in PlanAuditSpec/BnljAudit
+  /** The C4/Gopher-style ordered filter funnel (`PretrainOps
+    * .filterFunnel`) in pure Spark SQL: row-local first-fail
+    * classification, a <=5-row grid aggregation, and the triangular
+    * join cumulative — identical integer rules and plan shape. */
+  private def sqlFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "documents")
+    s.sql("""
+      WITH flags AS (
+        SELECT CASE
+          WHEN nw < 20 THEN 1L
+          WHEN nw > 80 THEN 2L
+          WHEN alpha < nw * 2 OR alpha > nw * 12 THEN 3L
+          WHEN nd * 5 > nc THEN 4L
+          ELSE 0L END AS first_fail
+        FROM (
+          SELECT nw, nc, nc - (nw - 1) AS alpha, nd
+          FROM (
+            SELECT CAST(size(split(text, ' ', -1)) AS BIGINT) AS nw,
+              CAST(length(text) AS BIGINT) AS nc,
+              CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT) AS nd
+            FROM documents))),
+      drops AS (
+        SELECT first_fail, COUNT(*) AS n_dropped FROM flags
+        WHERE first_fail > 0 GROUP BY first_fail),
+      total AS (SELECT COUNT(*) AS n_total FROM flags),
+      rules AS (
+        SELECT * FROM VALUES
+          (1L, 'min_words'), (2L, 'max_words'),
+          (3L, 'avg_word_len'), (4L, 'digit_ratio') AS rules(rule_idx, rule))
+      SELECT rule_idx, rule,
+        n_total - dropped_before AS n_in,
+        n_dropped,
+        n_total - dropped_before - n_dropped AS n_out
+      FROM (
+        SELECT r.rule_idx, r.rule, t.n_total,
+          COALESCE(SUM(CASE WHEN d.first_fail < r.rule_idx THEN d.n_dropped END), 0L)
+            AS dropped_before,
+          COALESCE(SUM(CASE WHEN d.first_fail = r.rule_idx THEN d.n_dropped END), 0L)
+            AS n_dropped
+        FROM rules r
+        CROSS JOIN total t
+        LEFT JOIN drops d ON d.first_fail <= r.rule_idx
+        GROUP BY r.rule_idx, r.rule, t.n_total)
+      ORDER BY rule_idx""")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_industry_avg", sqlIndustryAvg,
+      Some(Relational.industryAvgSql)),
+    NamedQuery("q_sql_face_minhash_dedup", sqlMinhashDedup,
+      Some(Dedup.minhashDedupSql)),
+    NamedQuery("q_sql_face_filter_funnel", sqlFilterFunnel,
+      Some(PretrainOps.filterFunnelSql)))
+}

@@ -268,14 +268,124 @@ object StateV2 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------- q_stream_restart_running
+  /** EXACTLY-ONCE ACROSS A RESTART on the Spark 4 state API: the
+    * running-totals machine (same `RunningTotalsProcessor` as
+    * q_stream_running) run as TWO LIFECYCLES of one query against one
+    * checkpoint — the events fixture is split into two time tranches
+    * (ts-midpoint cutoff; the split is a clean event-time prefix, so
+    * arrival order across lifecycles equals event-time order per user),
+    * lifecycle 1 processes tranche A and STOPS, tranche B then lands in
+    * the source dir, and lifecycle 2 restarts from the checkpoint:
+    * RocksDB restores every user's (n, cents) ValueState, the file
+    * source's offset log skips tranche A's files, and the parquet
+    * sink's _spark_metadata commits each batch exactly once. The result
+    * (one committed read of the sink across both lifecycles) must equal
+    * the batch cumulative oracle — the same SQL as q_stream_running —
+    * so a dropped/duplicated batch, a state snapshot miss, or an offset
+    * replay all land as a hash-mismatched CORRECTNESS row.
+    *
+    * Staging (tranche writes, scratch lifecycle) is fixture plumbing
+    * reifying "the upstream kept producing while the job was down";
+    * the measured machinery — state store recovery, offset tracking,
+    * sink commit log — is exactly what a production restart exercises.
+    * Scale shape: identical to q_stream_running (O(users) state, one
+    * keyed exchange per micro-batch); recovery cost is state-store
+    * size, not history size. */
+  private def streamRestartRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Paths.get(dir, "events.parquet")
+    // scratch keyed on the sanitized absolute source path (the
+    // q_stream_dedup_replay convention — no String.hashCode collisions)
+    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_restart_$key")
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.forEach(deleteRecursively) finally ls.close()
+      }
+      Files.delete(p)
+    }
+    if (Files.exists(scratch)) deleteRecursively(scratch)
+    val inDir = scratch.resolve("in")
+    val outDir = scratch.resolve("out")
+    val ckpt = scratch.resolve("ckpt")
+    Files.createDirectories(inDir)
+    // Tranche split on the RAW frame (schema preserved bit-for-bit so
+    // the staged files probe identically to the original): the cutoff
+    // compares ts through a monotone double cast, which cannot send an
+    // earlier event to tranche B than any tranche-A event of the same
+    // user (equal doubles land on the same side; sub-ulp ties are
+    // re-ordered by the processor's in-batch event-time sort).
+    val raw = s.read.parquet(src.toString)
+    // NTZ has no direct numeric cast — route through (UTC) timestamp;
+    // nanos-long fixtures compare numerically as-is
+    val tsNum = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp").cast("double")
+      case _ => col("ts").cast("double")
+    }
+    val stats = raw.agg(min(tsNum), max(tsNum)).head()
+    val cutoff = (stats.getDouble(0) + stats.getDouble(1)) / 2.0
+    def stageTranche(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = scratch.resolve(s"tmp_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part =
+        try ls.iterator.asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file written for tranche $name"))
+        finally ls.close()
+      Files.move(part, inDir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+    }
+    def runLifecycle(): Unit = {
+      val events = EventStream.readEvents(s, inDir.toString)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+          round($"value" * 100).cast("long").as("cents"))
+        .as[RunEvent]
+      val q = events
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    }
+    stageTranche(raw.filter(tsNum <= cutoff), "tranche_a")
+    runLifecycle() // lifecycle 1: tranche A only, then STOP
+    stageTranche(raw.filter(tsNum > cutoff), "tranche_b")
+    runLifecycle() // lifecycle 2: recover state + offsets, process B
+    s.read.parquet(outDir.toString)
+      .select($"user_id", $"event_id", $"us", $"running_n", $"running_cents")
+      .orderBy($"event_id")
+  }
+
   // unbenched: AvailableNow startup (~3-5s fixed) dominates any
   // fixture-sized data volume — benching would time the harness, not
-  // the state machine (same rationale as the enrich/left-join rows)
+  // the state machine (same rationale as the enrich/left-join rows);
+  // the restart row pays that startup TWICE by design (two lifecycles)
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_running", streamRunning,
       Some(streamRunningSql)),
     graft.NamedQuery("q_stream_digest", streamDigest,
       Some(streamDigestSql)),
     graft.NamedQuery("q_stream_recent", streamRecent,
-      Some(streamRecentSql)))
+      Some(streamRecentSql)),
+    // same oracle as q_stream_running: a restart must change NOTHING
+    graft.NamedQuery("q_stream_restart_running", streamRestartRunning,
+      Some(streamRunningSql)))
 }

@@ -137,17 +137,23 @@ class PlanAuditSpec extends GraftSuite {
   * "1-row" = global-aggregate frame (count/sum/max totals, fences,
   * thresholds) crossed back onto a keyed frame — build side is one row
   * by construction; "pair" = the calendar²-bounded month-pair frame of
-  * the rank statistics (broadcast side is the month grid). Audited via
-  * graft.NljAudit over every registered plan (round 6). */
+  * the rank statistics (broadcast side is the month grid); "roster" =
+  * a constant-bounded query roster (≤ Similarity.NatQueryCount rows by
+  * construction — the exact-baseline side of the natural-regime recall
+  * gates; the corpus side streams, never builds). Audited via
+  * graft.NljAudit over every registered plan (round 6; roster shape
+  * round 8). */
 object BnljAudit {
   val allowed: Set[String] = Set(
+    // bounded query-roster broadcasts (natural-regime ANN recall gates)
+    "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
     // 1-row global-aggregate broadcasts
     "q_abc_analysis",
     "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",
     "q_conversion_latency", "q_cross_corr", "q_data_freshness",
     "q_date_window", "q_dedup_embedding", "q_degree_dist",
     "q_discount_elasticity", "q_dsir_weights", "q_embedding_cosine_topk",
-    "q_filter_funnel",
+    "q_filter_funnel", "q_sql_face_filter_funnel",
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
     "q_negative_sampling", "q_rate_smoothing",

@@ -1,0 +1,79 @@
+package graft
+
+/** Round-8 additions:
+  *  - natural-regime ANN recall@10 rows: structural invariants + the
+  *    calibrated per-family floors (the pinned-oracle values are the
+  *    exact gate; the floors catch a regression in-suite before the
+  *    driver sees it, and document the honest natural-regime ordering
+  *    LSH < PQ < IVF at these index budgets);
+  *  - SQL-face rows: the pure-`spark.sql` spellings must produce
+  *    byte-identical frames to their column-API siblings (two
+  *    independent Spark spellings, one answer);
+  *  - transformWithState restart-recovery: the two-lifecycle
+  *    checkpointed run must equal the single-lifecycle row exactly —
+  *    a restart changes NOTHING.
+  */
+class Round8OpsSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  private def one(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect().head
+
+  test("natural recall rows: roster/pair invariants hold at the smoke scale") {
+    val n = Tables.embeddings(spark, sf).count()
+    val roster = math.min(n, operators.Similarity.NatQueryCount.toLong)
+    for (q <- Seq("q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10")) {
+      val r = one(q)
+      assert(r.getLong(0) == roster, s"$q n_queries")
+      assert(r.getLong(1) == roster * 10, s"$q n_exact_pairs")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), s"$q n_hits bounds")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1), s"$q ppm arithmetic")
+    }
+  }
+
+  test("natural recall floors: calibrated per-family minima at the pinned scales") {
+    // floors are deliberately below the measured values (Similarity
+    // .Nat*Hits Scaladoc) so they fail only on a REGRESSION, not noise —
+    // the pipeline is deterministic, so any change is a code change
+    import operators.Similarity._
+    def ppm(m: Map[Int, Long], n: Int) = m(n) * 1000000L / (NatQueryCount * 10L)
+    for (n <- Seq(500, 2000)) {
+      assert(ppm(NatLshHits, n) >= 10000L, s"LSH natural recall floor @$n")
+      assert(ppm(NatPqHits, n) >= 80000L, s"PQ natural recall floor @$n")
+      assert(ppm(NatIvfHits, n) >= 150000L, s"IVF natural recall floor @$n")
+      // the documented ordering at these budgets
+      assert(NatLshHits(n) < NatPqHits(n) && NatPqHits(n) < NatIvfHits(n),
+        s"family ordering @$n")
+    }
+  }
+
+  test("SQL-face rows equal their column-API siblings bit-for-bit") {
+    for ((face, sibling) <- Seq(
+        "q_sql_face_industry_avg" -> "q_industry_avg",
+        "q_sql_face_minhash_dedup" -> "q_minhash_dedup",
+        "q_sql_face_filter_funnel" -> "q_filter_funnel")) {
+      assertSameRows(
+        SparkEntry.queries(face)(spark, sf),
+        SparkEntry.queries(sibling)(spark, sf))
+    }
+  }
+
+  test("restart-recovery run equals the single-lifecycle row exactly") {
+    assertSameRows(
+      SparkEntry.queries("q_stream_restart_running")(spark, sf),
+      SparkEntry.queries("q_stream_running")(spark, sf))
+  }
+
+  test("restart-recovery staged both tranches (the split is non-degenerate)") {
+    // guards the fixture assumption behind the restart row: the ts
+    // midpoint must actually split the corpus, or lifecycle 2 would
+    // test nothing (an empty tranche B degrades the row to a re-run)
+    val e = Tables.events(spark, sf)
+    val mm = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    val below = e.filter(unix_micros(col("ts")) <= cut).count()
+    val total = e.count()
+    assert(below > 0 && below < total,
+      s"degenerate tranche split: $below of $total at/below midpoint")
+  }
+}
