@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+
+/** STEADY-STATE streaming micro-bench. The streaming CORRECTNESS rows
+  * run one AvailableNow pass whose wall is dominated by the ~3-5s fixed
+  * query-startup cost, so they are excluded from graft.Bench — which
+  * leaves the per-batch MARGINAL cost (the number that decides whether
+  * a stateful query survives week-long uptime) unmeasured. This main
+  * measures it: the events fixture is staged as N time-ordered file
+  * tranches, each stateful pipeline runs as ONE streaming query with
+  * `maxFilesPerTrigger=1` under Trigger.AvailableNow — N micro-batches
+  * in one lifecycle, startup amortized — and the per-batch
+  * `triggerExecution` walls + state-store row counts come from the
+  * query's own progress telemetry.
+  *
+  * The claim under test: batch-over-batch wall stays FLAT (state cost
+  * is O(live keys), not O(history)) while state rows grow only with the
+  * key space. A leak (unbounded state) or accumulating per-batch
+  * replanning cost shows up as a rising batch_ms tail — visible in the
+  * emitted series, which appends to BENCH_HISTORY.jsonl so every
+  * round's series diffs against the last.
+  *
+  * Covered pipelines: the stream-stream interval join (two-sided
+  * watermarked buffers) and the three Spark 4 transformWithState
+  * machines (ValueState running totals, event-time-timer digests,
+  * ListState recent-K) — the stateful rows the single-pass bench can't
+  * see. */
+object StreamBench {
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.forEach(deleteRecursively) finally ls.close()
+    }
+    Files.delete(p)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val spark = GraftSession.create("graft-stream-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+
+    // ---- stage the fixture as nBatches time-ordered tranche files ----
+    // (staging is harness plumbing — the measured walls start at the
+    // first micro-batch of each query, after this dir is fully built)
+    val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_bench")
+    if (Files.exists(scratch)) deleteRecursively(scratch)
+    val inDir = scratch.resolve("in")
+    Files.createDirectories(inDir)
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    // global row_number: staging-only (one 100k-row sort on the bench
+    // driver, never part of a measured plan)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val assigned = ev
+      .withColumn("__t",
+        (((row_number().over(w) - 1) * nBatches) / n).cast("int"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    for (i <- 0 until nBatches) {
+      val tmp = scratch.resolve(s"tmp_$i")
+      assigned.filter($"__t" === i).drop("__t")
+        .repartition(1).write.parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part =
+        try ls.iterator.asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        finally ls.close()
+      Files.move(part, inDir.resolve(f"batch_$i%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+    }
+
+    def src(): DataFrame = streaming.EventStream.readEvents(spark,
+      inDir.toString, Map("maxFilesPerTrigger" -> "1"))
+
+    // ---- the four stateful pipelines over the staged source ----
+    def runningTotals(): DataFrame = src()
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[streaming.StateV2.RunEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new streaming.StateV2.RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+
+    def dailyDigest(): DataFrame = src()
+      .withWatermark("ts", "1 hour")
+      .select($"user_id",
+        date_format($"ts", "yyyy-MM-dd").as("day"),
+        (unix_micros(date_trunc("DAY", $"ts")) / 1000).cast("long").as("day_ms"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[streaming.StateV2.DigestEvent]
+      .groupByKey(e => (e.user_id, e.day))
+      .transformWithState(new streaming.StateV2.DailyDigestProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+
+    def recentK(): DataFrame = src()
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[streaming.StateV2.PurchaseEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new streaming.StateV2.RecentItemsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+
+    def intervalJoin(): DataFrame = {
+      val events = src()
+      streaming.EventStream.intervalJoin(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "click"))
+    }
+
+    val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "q_stream_running" -> (() => runningTotals()),
+      "q_stream_digest" -> (() => dailyDigest()),
+      "q_stream_recent" -> (() => recentK()),
+      "q_stream_interval_join" -> (() => intervalJoin()))
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    var perQuery = Vector.empty[String]
+    pipelines.foreach { case (name, build) =>
+      val ckpt = scratch.resolve(s"ckpt_$name")
+      val q = build()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName(s"${name}_sb_mem")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      // per-batch telemetry from the engine's own progress events;
+      // keep only batches that consumed input (AvailableNow appends a
+      // final no-data flush batch — report it separately as wm_flush)
+      val prog = q.recentProgress.toSeq
+      val fed = prog.filter(_.numInputRows > 0)
+      val batchMs = fed.map(_.durationMs.get("triggerExecution").toLong)
+      val inputRows = fed.map(_.numInputRows)
+      val stateRows = fed.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val flushMs = prog.filter(_.numInputRows == 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sum
+      perQuery :+= s"${jstr(name)}:{" +
+        s""""batch_ms":[${batchMs.mkString(",")}],""" +
+        s""""input_rows":[${inputRows.mkString(",")}],""" +
+        s""""state_rows":[${stateRows.mkString(",")}],""" +
+        s""""wm_flush_ms":$flushMs}"""
+      // flatness digest for the console reader
+      if (batchMs.size >= 4) {
+        val head = batchMs.drop(1).take(batchMs.size / 2 - 1)
+        val tail = batchMs.drop(batchMs.size / 2)
+        System.err.println(f"[stream-bench] $name: early-half median " +
+          f"${median(head)}%d ms, late-half median ${median(tail)}%d ms " +
+          f"over ${batchMs.size}%d fed batches")
+      }
+    }
+
+    val line =
+      s"""{"metric":"stream_steady_state","unit":"ms","n_batches":$nBatches,""" +
+        s""""per_query":{${perQuery.mkString(",")}},"sf":${jstr(sfDir)}}"""
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "BENCH_HISTORY.jsonl")
+    Files.writeString(Paths.get(histPath),
+      line.init + s""","ts_ms":${System.currentTimeMillis}}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(line)
+    spark.stop()
+  }
+
+  private def median(xs: Seq[Long]): Long =
+    if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+}

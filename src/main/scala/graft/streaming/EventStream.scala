@@ -49,7 +49,8 @@ object EventStream {
     * file-vs-directory probe goes through the Hadoop FileSystem API, not
     * java.io.File, so an `hdfs://`/`s3a://` single-file path takes the
     * same parent-dir branch as a local one. */
-  def readEvents(s: SparkSession, path: String): DataFrame = {
+  def readEvents(s: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val isFile =
       try p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -73,11 +74,11 @@ object EventStream {
       }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val base = s.readStream.schema(schema).options(options)
     val src =
       if (isFile)
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
-      else s.readStream.schema(schema).parquet(path)
+        base.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
+      else base.parquet(path)
     tsType match {
       case LongType =>
         src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SECOND decade of scale evidence. ScaleGrowthSpec pins sf0.01→sf0.1
+  * (one decade); this spec synthesizes an sf1-EQUIVALENT corpus — 10×
+  * the sf0.1 rows — and pins sf0.1→sf1 for the top benched heads, so
+  * the near-linear-growth claim rests on TWO measured decades (100× end
+  * to end), not an extrapolation from one.
+  *
+  * Synthesis is deterministic id-shifted replication (no RNG, no
+  * driver fixture needed): replica k shifts every join key by k × a
+  * per-key stride (strides far above each key's natural range, so
+  * replicas are DISJOINT and referential integrity is preserved —
+  * orders⋈lineitem⋈customer/supplier all land inside their replica),
+  * and document TEXT is Caesar-rotated by k. Rotation is a bijection
+  * on the alphabet, so within each replica every pairwise
+  * shingle/fingerprint relation of the original corpus is preserved
+  * EXACTLY (same Jaccard structure, same bucket occupancy profile),
+  * while across replicas letter n-grams are disjoint — the corpus
+  * becomes 10 isomorphic, non-colliding copies: exactly "10× the data,
+  * same data distribution", which is what a linear-growth measurement
+  * needs. (Naive replication without rotation would plant 9 exact
+  * duplicates of every document and drive the near-dup PAIR count
+  * quadratic — a data artifact, not an engine property.)
+  *
+  * Document ids shift by 100k per replica, keeping the max synthetic
+  * doc_id (~905k) below Similarity.PlantOffset (1M) — the planted-gate
+  * heads keep their plantability contract at sf1.
+  *
+  * Same methodology as ScaleGrowthSpec: warm-up pass first; fixed
+  * per-job overhead inflates the SMALL side, so the bias is
+  * leniency-only on slow machines and the assert cannot flake toward
+  * failure on a fast one. Ceiling 15× for 10× rows (ScaleGrowthSpec's
+  * constant): super-linear pathologies (bucket-occupancy quadratics,
+  * round-count creep, plan growth) land near 100×, not 15×.
+  */
+class ScaleDecade2Spec extends GraftSuite {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Replicas = 10
+  private val MaxRatioFor10x = 15.0
+
+  /** Per-replica key strides — far above each key's sf0.1 range. */
+  private val Strides: Map[String, Long] = Map(
+    "l_orderkey" -> 10000000L, "o_orderkey" -> 10000000L,
+    "l_partkey" -> 1000000L, "p_partkey" -> 1000000L,
+    "l_suppkey" -> 1000000L, "s_suppkey" -> 1000000L,
+    "o_custkey" -> 1000000L, "c_custkey" -> 1000000L,
+    "doc_id" -> 100000L)
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private def rot(k: Int): (String, String) = {
+    val to = Lower.drop(k) + Lower.take(k)
+    (Lower + Lower.toUpperCase, to + to.toUpperCase)
+  }
+
+  /** 10 disjoint replicas: join keys shifted, text Caesar-rotated. */
+  private def replicate(df: DataFrame): DataFrame =
+    (0 until Replicas).map { k =>
+      val (from, to) = rot(k)
+      df.select(df.columns.map { c =>
+        if (Strides.contains(c)) (col(c) + k * Strides(c)).as(c)
+        else if (c == "text" && k > 0) translate(col(c), from, to).as(c)
+        else col(c)
+      }: _*)
+    }.reduce(_.unionByName(_))
+
+  /** Build target/scale2-sf1 once per suite run (idempotent rebuild —
+    * stale synth from an edited spec must never survive). */
+  private lazy val synthDir: String = {
+    val dir = new java.io.File("target/scale2-sf1")
+    rmTree(dir)
+    for (t <- Seq("documents", "lineitem", "orders", "customer",
+        "supplier", "part"))
+      replicate(Tables.load(spark, Sf01, t))
+        .write.mode("overwrite").parquet(s"${dir.getPath}/$t.parquet")
+    // dimension roster tables referenced by nationkey — unshifted copies
+    for (t <- Seq("region", "nation"))
+      Tables.load(spark, Sf01, t)
+        .write.mode("overwrite").parquet(s"${dir.getPath}/$t.parquet")
+    dir.getPath
+  }
+
+  private def wall(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("synthetic sf1 is a faithful 10x: row counts and disjoint key ranges") {
+    val docs = Tables.documents(spark, synthDir)
+    val li = Tables.lineitem(spark, synthDir)
+    assert(docs.count() == 10 * Tables.documents(spark, Sf01).count())
+    assert(li.count() == 10 * Tables.lineitem(spark, Sf01).count())
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
+    assert(maxDoc < operators.Similarity.PlantOffset,
+      s"synth doc ids ($maxDoc) collide with the planted-gate offset")
+    // replicas must not collide on shifted keys (disjointness = the
+    // iso-copy claim): 10x the distinct keys, or two replicas merged
+    val dOrig = Tables.lineitem(spark, Sf01)
+      .agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val dSynth = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(dSynth == 10 * dOrig,
+      s"expected ${10 * dOrig} distinct synthetic order keys, got $dSynth")
+  }
+
+  // The top benched heads per family (graph / minhash / postings /
+  // fingerprint / multimodal layout / decile): each measured sf0.1 →
+  // synthetic sf1. q_minhash_dedup doubles its corpus via planting, so
+  // it runs 200k banded docs at sf1 — the largest single input any
+  // suite exercises.
+  for (q <- Seq(
+      "q_pagerank", "q_triangle_count", "q_kcore", "q_cluster_star",
+      "q_minhash_dedup", "q_containment", "q_novelty", "q_dup_spans",
+      "q_winnow", "q_media_shard_pack", "q_abc_analysis")) {
+    test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
+      synthDir // force the build before timing anything
+      wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
+      val small = wall(q, Sf01)
+      val large = wall(q, synthDir)
+      val ratio = large / math.max(small, 0.1)
+      info(f"$q: sf0.1 = $small%.2fs, sf1 = $large%.2fs, ratio = $ratio%.1fx")
+      assert(ratio < MaxRatioFor10x,
+        f"$q grew $ratio%.1fx for 10x data (sf0.1 $small%.2fs -> sf1 " +
+          f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
+    }
+  }
+}
