@@ -292,8 +292,17 @@ object StateV2 {
     * Scale shape: identical to q_stream_running (O(users) state, one
     * keyed exchange per micro-batch); recovery cost is state-store
     * size, not history size. */
-  private def streamRestartRunning(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The shared two-lifecycle restart harness: split the events fixture
+    * into two time tranches (ts-midpoint cutoff — a clean event-time
+    * prefix, so arrival order across lifecycles equals event-time order
+    * per user), run `pipeline` over the staged source dir as lifecycle
+    * 1 (tranche A only), STOP, land tranche B, run the SAME pipeline
+    * against the SAME checkpoint as lifecycle 2, and return the
+    * committed parquet-sink read across both — RocksDB state recovery +
+    * file-source offset log + sink commit log, the full production
+    * restart path. Returns the sink dir. */
+  private def twoLifecycleRun(s: SparkSession, dir: String, tag: String)(
+      pipeline: DataFrame => DataFrame): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -303,7 +312,7 @@ object StateV2 {
     // q_stream_dedup_replay convention — no String.hashCode collisions)
     val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
     val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_restart_$key")
+      s"graft_stream_restart_${tag}_$key")
     def deleteRecursively(p: Path): Unit = {
       if (Files.isDirectory(p)) {
         val ls = Files.list(p)
@@ -332,7 +341,7 @@ object StateV2 {
     }
     val stats = raw.agg(min(tsNum), max(tsNum)).head()
     val cutoff = (stats.getDouble(0) + stats.getDouble(1)) / 2.0
-    def stageTranche(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    def stageTranche(df: DataFrame, name: String): Unit = {
       val tmp = scratch.resolve(s"tmp_$name")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val ls = Files.list(tmp)
@@ -347,15 +356,7 @@ object StateV2 {
       deleteRecursively(tmp)
     }
     def runLifecycle(): Unit = {
-      val events = EventStream.readEvents(s, inDir.toString)
-        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
-          round($"value" * 100).cast("long").as("cents"))
-        .as[RunEvent]
-      val q = events
-        .groupByKey(_.user_id)
-        .transformWithState(new RunningTotalsProcessor,
-          TimeMode.None(), OutputMode.Append())
-        .toDF()
+      val q = pipeline(EventStream.readEvents(s, inDir.toString))
         .writeStream
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
@@ -369,9 +370,57 @@ object StateV2 {
     runLifecycle() // lifecycle 1: tranche A only, then STOP
     stageTranche(raw.filter(tsNum > cutoff), "tranche_b")
     runLifecycle() // lifecycle 2: recover state + offsets, process B
-    s.read.parquet(outDir.toString)
+    outDir.toString
+  }
+
+  private def streamRestartRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = twoLifecycleRun(s, dir, "running") { events =>
+      events
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+          round($"value" * 100).cast("long").as("cents"))
+        .as[RunEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }
+    s.read.parquet(out)
       .select($"user_id", $"event_id", $"us", $"running_n", $"running_cents")
       .orderBy($"event_id")
+  }
+
+  // -------------------------------------------- q_stream_restart_digest
+  /** Restart recovery for the TIMER machine — the half q_stream_restart
+    * _running can't show: event-time timers and the watermark itself
+    * must survive the restart. Lifecycle 1 fires the digests whose
+    * horizon already passed tranche A's watermark and checkpoints the
+    * still-open (user, day) states WITH their registered timers;
+    * lifecycle 2 restores both, the watermark rises over tranche B, and
+    * the remaining timers fire. No flushed day can reopen: a tranche-B
+    * event's day starts within 24h of the cutoff, while every
+    * lifecycle-1-fired day started > 49h before it (horizon 48h +
+    * delay 1h) — so the committed union must equal the single-pass
+    * answer, and the oracle is streamDigestSql VERBATIM (the final
+    * watermark is the same max-ts − 1h either way). */
+  private def streamRestartDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = twoLifecycleRun(s, dir, "digest") { events =>
+      events
+        .withWatermark("ts", "1 hour")
+        .select($"user_id",
+          date_format($"ts", "yyyy-MM-dd").as("day"),
+          (unix_micros(date_trunc("DAY", $"ts")) / 1000).cast("long").as("day_ms"),
+          round($"value" * 100).cast("long").as("cents"))
+        .as[DigestEvent]
+        .groupByKey(e => (e.user_id, e.day))
+        .transformWithState(new DailyDigestProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    }
+    s.read.parquet(out)
+      .select($"user_id", $"day", $"n_events", $"total_cents")
+      .orderBy($"user_id", $"day")
   }
 
   // unbenched: AvailableNow startup (~3-5s fixed) dominates any
@@ -385,7 +434,9 @@ object StateV2 {
       Some(streamDigestSql)),
     graft.NamedQuery("q_stream_recent", streamRecent,
       Some(streamRecentSql)),
-    // same oracle as q_stream_running: a restart must change NOTHING
+    // same oracles as the single-lifecycle rows: a restart changes NOTHING
     graft.NamedQuery("q_stream_restart_running", streamRestartRunning,
-      Some(streamRunningSql)))
+      Some(streamRunningSql)),
+    graft.NamedQuery("q_stream_restart_digest", streamRestartDigest,
+      Some(streamDigestSql)))
 }

@@ -147,6 +147,7 @@ object BnljAudit {
   val allowed: Set[String] = Set(
     // bounded query-roster broadcasts (natural-regime ANN recall gates)
     "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
+    "q_ann_lsh8_recall10",
     // 1-row global-aggregate broadcasts
     "q_abc_analysis",
     "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",

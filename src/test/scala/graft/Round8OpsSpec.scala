@@ -44,6 +44,9 @@ class Round8OpsSpec extends GraftSuite {
       // the documented ordering at these budgets
       assert(NatLshHits(n) < NatPqHits(n) && NatPqHits(n) < NatIvfHits(n),
         s"family ordering @$n")
+      // the measured recall dial: re-cutting 64 planes as 8x8 instead
+      // of 4x16 must lift natural recall over the dedup point
+      assert(NatLsh8Hits(n) > NatLshHits(n), s"8x8 LSH lift @$n")
     }
   }
 
@@ -62,6 +65,12 @@ class Round8OpsSpec extends GraftSuite {
     assertSameRows(
       SparkEntry.queries("q_stream_restart_running")(spark, sf),
       SparkEntry.queries("q_stream_running")(spark, sf))
+  }
+
+  test("timer-machine restart equals the single-lifecycle digest exactly") {
+    assertSameRows(
+      SparkEntry.queries("q_stream_restart_digest")(spark, sf),
+      SparkEntry.queries("q_stream_digest")(spark, sf))
   }
 
   test("restart-recovery staged both tranches (the split is non-degenerate)") {
