@@ -21,7 +21,7 @@ object SparkEntry {
       operators.Checks.all ++ operators.Upsert.all ++
       operators.Chunking.all ++ operators.Corpus.all ++
       operators.CurationExtra.all ++ operators.PretrainOps.all ++
-      operators.MlData.all ++
+      operators.MlData.all ++ operators.PostTrain.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++

@@ -268,6 +268,83 @@ object StateV2 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ q_stream_type_counts
+  case class TypedEvent(user_id: Long, event_id: Long, us: Long,
+      event_type: String, cents: Long)
+  case class TypeTotals(n: Long, cents: Long)
+  case class TypedOut(user_id: Long, event_id: Long, us: Long,
+      event_type: String, type_n: Long, type_cents: Long)
+
+  /** Per-user per-event-type running totals via a typed MAP state — the
+    * fourth transformWithState primitive (ValueState, ListState, and
+    * timers are covered by the rows above): one MapState handle per
+    * user holds event_type → (n, cents), so a user's state is one map
+    * entry per DISTINCT type it has produced (bounded by the type
+    * vocabulary, not by history), and each event emits its own type's
+    * updated running totals. The map primitive is what keys the state
+    * WITHIN the stream key — flattening (user, type) into the stream
+    * key instead would shuffle on the composite and lose the per-user
+    * state locality a per-user feature read needs. Same intra-batch
+    * event-time sort contract as q_stream_running; the oracle is the
+    * (user, type)-partitioned running window. */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypedOut] {
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, TypeTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, TypeTotals](
+        "by_type", Encoders.STRING, Encoders.product[TypeTotals],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypedOut] = {
+      val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
+        val cur =
+          if (byType.containsKey(r.event_type)) byType.getValue(r.event_type)
+          else TypeTotals(0L, 0L)
+        val next = TypeTotals(cur.n + 1, cur.cents + r.cents)
+        byType.updateValue(r.event_type, next)
+        TypedOut(r.user_id, r.event_id, r.us, r.event_type,
+          next.n, next.cents)
+      }
+      out.iterator
+    }
+  }
+
+  private def streamTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = EventStream.readEvents(s, dir + "/events.parquet")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .as[TypedEvent]
+    val q = events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_type_counts_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_type_counts_mem").orderBy($"event_id")
+  }
+
+  private val streamTypeCountsSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |  ROW_NUMBER() OVER w AS type_n,
+      |  CAST(SUM(c) OVER w AS BIGINT) AS type_cents
+      |FROM (SELECT user_id, event_id, ts, event_type,
+      |        CAST(round(value * 100) AS BIGINT) AS c
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |             ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------- q_stream_restart_running
   /** EXACTLY-ONCE ACROSS A RESTART on the Spark 4 state API: the
     * running-totals machine (same `RunningTotalsProcessor` as
@@ -434,6 +511,8 @@ object StateV2 {
       Some(streamDigestSql)),
     graft.NamedQuery("q_stream_recent", streamRecent,
       Some(streamRecentSql)),
+    graft.NamedQuery("q_stream_type_counts", streamTypeCounts,
+      Some(streamTypeCountsSql)),
     // same oracles as the single-lifecycle rows: a restart changes NOTHING
     graft.NamedQuery("q_stream_restart_running", streamRestartRunning,
       Some(streamRunningSql)),
