@@ -28,8 +28,8 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
   * Covered pipelines: the stream-stream interval join (two-sided
   * watermarked buffers) and the three Spark 4 transformWithState
   * machines (ValueState running totals, event-time-timer digests,
-  * ListState recent-K) — the stateful rows the single-pass bench can't
-  * see. */
+  * ListState recent-K, MapState per-type totals) — the stateful rows
+  * the single-pass bench can't see. */
 object StreamBench {
 
   private def deleteRecursively(p: Path): Unit = {
@@ -116,6 +116,15 @@ object StreamBench {
         TimeMode.None(), OutputMode.Append())
       .toDF()
 
+    def typeCounts(): DataFrame = src()
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .as[streaming.StateV2.TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new streaming.StateV2.TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+
     def intervalJoin(): DataFrame = {
       val events = src()
       streaming.EventStream.intervalJoin(
@@ -127,6 +136,7 @@ object StreamBench {
       "q_stream_running" -> (() => runningTotals()),
       "q_stream_digest" -> (() => dailyDigest()),
       "q_stream_recent" -> (() => recentK()),
+      "q_stream_type_counts" -> (() => typeCounts()),
       "q_stream_interval_join" -> (() => intervalJoin()))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -500,6 +500,32 @@ object StateV2 {
       .orderBy($"user_id", $"day")
   }
 
+  // ---------------------------------------------- q_stream_restart_types
+  /** Restart recovery for the MAP-state machine: the per-user
+    * event_type → totals map must survive the checkpoint restart
+    * entry-for-entry (RocksDB persists each map key as its own state
+    * row). Same two-lifecycle harness and the same batch oracle as
+    * q_stream_type_counts — the tranche split is an event-time prefix,
+    * so the per-(user, type) running order across lifecycles equals
+    * event-time order and a restart changes NOTHING. */
+  private def streamRestartTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = twoLifecycleRun(s, dir, "types") { events =>
+      events
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+          $"event_type", round($"value" * 100).cast("long").as("cents"))
+        .as[TypedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }
+    s.read.parquet(out)
+      .select($"user_id", $"event_id", $"us", $"event_type",
+        $"type_n", $"type_cents")
+      .orderBy($"event_id")
+  }
+
   // unbenched: AvailableNow startup (~3-5s fixed) dominates any
   // fixture-sized data volume — benching would time the harness, not
   // the state machine (same rationale as the enrich/left-join rows);
@@ -517,5 +543,7 @@ object StateV2 {
     graft.NamedQuery("q_stream_restart_running", streamRestartRunning,
       Some(streamRunningSql)),
     graft.NamedQuery("q_stream_restart_digest", streamRestartDigest,
-      Some(streamDigestSql)))
+      Some(streamDigestSql)),
+    graft.NamedQuery("q_stream_restart_types", streamRestartTypes,
+      Some(streamTypeCountsSql)))
 }

@@ -127,4 +127,10 @@ class PostTrainSpec extends GraftSuite {
     }
     assert(canon(streamed) == canon(batch))
   }
+
+  test("q_stream_restart_types: a restart changes nothing for MapState") {
+    val restarted = run("q_stream_restart_types")
+    val single = run("q_stream_type_counts")
+    assert(canon(restarted) == canon(single))
+  }
 }
