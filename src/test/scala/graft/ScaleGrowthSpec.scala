@@ -63,4 +63,24 @@ class ScaleGrowthSpec extends GraftSuite {
           f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
     }
   }
+
+  /** The post-training family's representative heads: q_grpo_advantage
+    * is the row-per-response output shape (two window specs over one
+    * prompt-keyed shuffle — the cost is the one exchange plus the
+    * per-partition sorts) and q_dpo_pairs the group-collapsed shape
+    * (partial-agg combine before one exchange). Linear growth here
+    * pins the "one shuffle, map-side partials" plan claims with a
+    * measurement, same methodology as above. */
+  for (q <- Seq("q_grpo_advantage", "q_dpo_pairs")) {
+    test(s"$q: wall-time growth over 10x responses is ~linear (< ${MaxRatioFor10x}x)") {
+      wall(q, sf)
+      val small = wall(q, Sf001)
+      val large = wall(q, Sf01)
+      val ratio = large / math.max(small, 0.1)
+      info(f"$q: sf0.01 = $small%.2fs, sf0.1 = $large%.2fs, ratio = $ratio%.1fx")
+      assert(ratio < MaxRatioFor10x,
+        f"$q grew $ratio%.1fx for 10x data (sf0.01 $small%.2fs -> sf0.1 " +
+          f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
+    }
+  }
 }
