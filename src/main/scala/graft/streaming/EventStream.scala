@@ -432,6 +432,85 @@ object EventStream {
       |UNION ALL SELECT * FROM unmatched
       |ORDER BY view_id, click_id""".stripMargin
 
+  // ------------------------------------------------------ q_stream_chained
+  /** DRIVER-VISIBLE CHAINED STATEFUL OPERATORS — Spark 4's
+    * multiple-stateful-operators-per-query support, which older
+    * releases rejected outright: exactly-once dedup
+    * (`dropDuplicatesWithinWatermark`) feeding an event-time windowed
+    * aggregation INSIDE ONE streaming query, over the doubled staged
+    * input of the q_stream_dedup_replay convention (an at-least-once
+    * upstream, reified). The dedup stage must drop every planted
+    * duplicate BEFORE the counts aggregate, and the shared event-time
+    * watermark must drive both state machines: dedup eviction above it,
+    * window finalization below it. The oracle composes the two rows'
+    * oracles: hourly counts over the ORIGINAL single copy, windows
+    * emitted iff finalized below the final watermark (max ts
+    * ms-truncated − 1h — one watermark operator, the full stream).
+    * The last in-horizon windows are withheld — the streaming
+    * contract, encoded in the oracle as in q_stream_left_join.
+    *
+    * Scale shape: dedup state is watermark-horizon-bounded ids; window
+    * state is open-windows × types; one keyed exchange per stage per
+    * micro-batch — the same two exchanges the batch twin plans. */
+  private def streamChained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_chained_$key")
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.forEach(deleteRecursively) finally ls.close()
+      }
+      Files.delete(p)
+    }
+    if (Files.exists(stage)) deleteRecursively(stage)
+    Files.createDirectories(stage)
+    def copyInto(from: Path, to: Path): Unit = {
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        val ls = Files.list(from)
+        try ls.forEach(c => copyInto(c, to.resolve(c.getFileName.toString)))
+        finally ls.close()
+      } else Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+    copyInto(src, stage.resolve("copy_a.parquet"))
+    copyInto(src, stage.resolve("copy_b.parquet"))
+    val q = readEvents(s, stage.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("total_cents"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), $"event_type", $"n", $"total_cents")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_chained_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_chained_mem").orderBy($"window_start", $"event_type")
+  }
+
+  private val streamChainedSql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) AS w_ms FROM events),
+      |b AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, n, total_cents
+      |FROM b CROSS JOIN wm
+      |WHERE epoch_ms(bucket) + 3600000 <= wm.w_ms
+      |ORDER BY window_start, event_type""".stripMargin
+
   // ------------------------------------------------------- q_stream_enrich
   /** DRIVER-VISIBLE stream-static enrichment: the event stream joins
     * the static customer dimension (keyed user_id = c_custkey) inside a
@@ -477,7 +556,9 @@ object EventStream {
     // streaming represented in the headline (and r6-comparable)
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
     graft.NamedQuery("q_stream_left_join", streamLeftJoin,
-      Some(streamLeftJoinSql)))
+      Some(streamLeftJoinSql)),
+    graft.NamedQuery("q_stream_chained", streamChained,
+      Some(streamChainedSql)))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

@@ -165,4 +165,34 @@ class StreamingSpec extends GraftSuite {
     assert(StageMarker.runGated(dir, "retrieval", "transform") { ran = true })
     assert(ran && StageMarker.isComplete(dir, "transform"))
   }
+
+  test("chained stateful ops: dedup feeds the window agg, duplicates never inflate counts") {
+    import org.apache.spark.sql.functions._
+    val chained = SparkEntry.queries("q_stream_chained")(spark, sf)
+    // batch twin over the ORIGINAL single copy: if the in-query dedup
+    // leaked even one planted duplicate into the downstream aggregate,
+    // some window's n would be inflated and this comparison would fail
+    // before the oracle hash does
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"), col("total_cents"))
+    val b = batch.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = chained.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(b.contains(k), s"streamed window $k unknown to batch")
+      assert(b(k) == ((r.getLong(2), r.getLong(3))),
+        s"window $k: streamed ${(r.getLong(2), r.getLong(3))} != batch ${b(k)}")
+    }
+    // the final watermark horizon must WITHHOLD a tail (the streaming
+    // contract this row encodes) — emitted strictly fewer than batch
+    assert(rows.length < b.size,
+      "no windows withheld — the watermark-horizon rule isn't being exercised")
+  }
 }
