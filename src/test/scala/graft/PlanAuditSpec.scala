@@ -198,6 +198,7 @@ object UnpartitionedWindowAudit {
     "q_benford",            // 9-row leading-digit grid
     "q_degree_dist",        // <=64-row log2 bucket axis
     "q_lift",               // decile axis
+    "q_path_ngrams",        // type-vocab³-bounded trigram axis
     "q_auc",                // integer-ppm score grid (<=1e6+1 distinct)
     "q_bootstrap",          // fixed replicate count frame
     // value histograms over finite value domains
