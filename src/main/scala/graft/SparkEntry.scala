@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Chunking.all ++ operators.Corpus.all ++
       operators.CurationExtra.all ++ operators.PretrainOps.all ++
       operators.MlData.all ++ operators.PostTrain.all ++
-      operators.Journey.all ++
+      operators.Journey.all ++ operators.Experiment.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++

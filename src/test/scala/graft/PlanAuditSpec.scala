@@ -159,6 +159,7 @@ object BnljAudit {
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
     "q_negative_sampling", "q_rate_smoothing",
     "q_pref_transitivity", "q_mix_anneal",
+    "q_conformal_interval", "q_cuped",
     "q_lift",
     "q_lm_surprisal", "q_mann_whitney", "q_seasonal_anomalies",
     "q_simhash_recall", "q_tpch_q11", "q_tpch_q22", "q_vocab_growth",
@@ -199,6 +200,7 @@ object UnpartitionedWindowAudit {
     "q_degree_dist",        // <=64-row log2 bucket axis
     "q_lift",               // decile axis
     "q_path_ngrams",        // type-vocab³-bounded trigram axis
+    "q_conformal_interval", // residual value histogram (cents-domain-bounded)
     "q_auc",                // integer-ppm score grid (<=1e6+1 distinct)
     "q_bootstrap",          // fixed replicate count frame
     // value histograms over finite value domains
