@@ -181,8 +181,164 @@ object Experiment {
        |FROM per CROSS JOIN means CROSS JOIN theta
        |GROUP BY treat ORDER BY treat""".stripMargin
 
+  // ----------------------------------------------------- q_uplift_bands
+  /** Uplift readout by activity band — the heterogeneous-treatment-
+    * effect table behind a Qini curve: users band by PRE-period
+    * activity (fixed-width count bands — band count is bounded by the
+    * per-user event rate, which the fixture holds constant across
+    * scales, so no user-sized global ranking is ever needed), treatment
+    * is the md5 coin, outcome is any POST-period purchase, and each
+    * band reports treated/control conversion ppm and their difference.
+    * Banding on a pre-period covariate keeps the split
+    * treatment-independent — the same leakage discipline as
+    * q_churn_features' temporal split.
+    *
+    * Scale shape: one user-keyed aggregation (map-side partials), one
+    * band-keyed rollup over a rate-bounded band axis; zero windows,
+    * zero joins. */
+  val UpliftBandWidth = 10L
+
+  private def upliftBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = lit(CupedSplit).cast("timestamp")
+    val per = Tables.events(s, dir)
+      .select($"user_id",
+        ($"ts" < split).cast("long").as("pre"),
+        ($"ts" >= split && $"event_type" === "purchase")
+          .cast("long").as("post_purchase"))
+      .groupBy($"user_id")
+      .agg(sum($"pre").as("n_pre"), max($"post_purchase").as("converted"))
+      .select($"user_id",
+        expr(s"n_pre DIV $UpliftBandWidth").as("band"), $"converted",
+        (TextFunctions.md5Lower64(concat(lit("uplift:"),
+          $"user_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)) % 2).as("treat"))
+    per.groupBy($"band")
+      .agg(sum(($"treat" === 1).cast("long")).as("n_t"),
+        sum(($"treat" === 0).cast("long")).as("n_c"),
+        sum(when($"treat" === 1, $"converted").otherwise(0L)).as("conv_t"),
+        sum(when($"treat" === 0, $"converted").otherwise(0L)).as("conv_c"))
+      .select($"band", $"n_t", $"n_c", $"conv_t", $"conv_c",
+        expr("conv_t * 1000000 DIV nullif(n_t, 0)").as("rate_t_ppm"),
+        expr("conv_c * 1000000 DIV nullif(n_c, 0)").as("rate_c_ppm"))
+      .select($"band", $"n_t", $"n_c", $"conv_t", $"conv_c",
+        $"rate_t_ppm", $"rate_c_ppm",
+        ($"rate_t_ppm" - $"rate_c_ppm").as("uplift_ppm"))
+      .orderBy($"band")
+  }
+
+  private val upliftBandsSql =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+       |      THEN 1 ELSE 0 END) AS BIGINT) // $UpliftBandWidth AS band,
+       |    CAST(MAX(CASE WHEN ts >= TIMESTAMP '$CupedSplit'
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS converted,
+       |    CAST(md5_number_lower('uplift:' || CAST(user_id AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % 2 AS treat
+       |  FROM events GROUP BY user_id),
+       |b AS (
+       |  SELECT band,
+       |    CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN treat = 1 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_t,
+       |    CAST(SUM(CASE WHEN treat = 0 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_c
+       |  FROM per GROUP BY band)
+       |SELECT band, n_t, n_c, conv_t, conv_c,
+       |  conv_t * 1000000 // nullif(n_t, 0) AS rate_t_ppm,
+       |  conv_c * 1000000 // nullif(n_c, 0) AS rate_c_ppm,
+       |  conv_t * 1000000 // nullif(n_t, 0)
+       |    - conv_c * 1000000 // nullif(n_c, 0) AS uplift_ppm
+       |FROM b ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------- q_policy_replay
+  /** Offline policy evaluation by the replay (exact-match) estimator:
+    * each logged event carries an md5-UNIFORM logged action and a
+    * reward that depends on whether the action hit the user's planted
+    * preferred arm; a candidate policy is evaluated by averaging reward
+    * over exactly those events where the log happened to play the
+    * policy's action — unbiased when logging is uniform (Li et al.'s
+    * replay method), and every quantity here is an exact integer. The
+    * row reports the candidate's matched value against the logging
+    * policy's overall value; the planted preference makes the expected
+    * ordering verifiable (the candidate targets each user's preferred
+    * arm, so its replay value must exceed the behavior value —
+    * spec-asserted).
+    *
+    * Scale shape: one scan, row-local action/reward arithmetic inside
+    * codegen, one global aggregate — zero shuffles beyond the final
+    * 1-row reduce. */
+  val PolicyArms = 4
+
+  private def policyReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def h(tag: String) = TextFunctions
+      .md5Lower64(concat(lit(tag), $"event_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .select($"user_id", $"cents",
+        (h("act:") % PolicyArms).as("logged_action"),
+        ($"user_id" % PolicyArms).as("preferred"))
+      // reward: full cents when the logged action hit the user's
+      // preferred arm, a quarter otherwise — action-dependent by
+      // construction, deterministic on both engines
+      .select($"user_id", $"logged_action", $"preferred",
+        when($"logged_action" === $"preferred", $"cents")
+          .otherwise(expr("cents DIV 4")).as("reward"))
+      // candidate policy: play the user's preferred arm
+      .withColumn("pi_action", $"preferred")
+    e.agg(
+      count(lit(1)).as("n_logged"),
+      sum(($"logged_action" === $"pi_action").cast("long")).as("n_matched"),
+      sum($"reward").as("behavior_total"),
+      sum(when($"logged_action" === $"pi_action", $"reward").otherwise(0L))
+        .as("matched_total"))
+      .select($"n_logged", $"n_matched",
+        expr("n_matched * 1000000 DIV n_logged").as("match_ppm"),
+        expr("behavior_total * 1000 DIV n_logged").as("behavior_millicents"),
+        expr("matched_total * 1000 DIV nullif(n_matched, 0)")
+          .as("policy_millicents"))
+  }
+
+  private val policyReplaySql =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST(md5_number_lower('act:' || CAST(event_id AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % $PolicyArms
+       |      AS logged_action,
+       |    user_id % $PolicyArms AS preferred,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, logged_action, preferred,
+       |    CASE WHEN logged_action = preferred THEN cents
+       |         ELSE cents // 4 END AS reward,
+       |    preferred AS pi_action
+       |  FROM e)
+       |SELECT COUNT(*) AS n_logged,
+       |  CAST(SUM(CASE WHEN logged_action = pi_action THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matched,
+       |  CAST(SUM(CASE WHEN logged_action = pi_action THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // COUNT(*) AS match_ppm,
+       |  CAST(SUM(reward) AS BIGINT) * 1000 // COUNT(*)
+       |    AS behavior_millicents,
+       |  CAST(SUM(CASE WHEN logged_action = pi_action THEN reward
+       |    ELSE 0 END) AS BIGINT) * 1000
+       |    // nullif(CAST(SUM(CASE WHEN logged_action = pi_action
+       |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS policy_millicents
+       |FROM r""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_conformal_interval", conformalInterval,
       Some(conformalIntervalSql), bench = true),
-    NamedQuery("q_cuped", cuped, Some(cupedSql), bench = true))
+    NamedQuery("q_cuped", cuped, Some(cupedSql), bench = true),
+    NamedQuery("q_uplift_bands", upliftBands, Some(upliftBandsSql),
+      bench = true),
+    NamedQuery("q_policy_replay", policyReplay, Some(policyReplaySql),
+      bench = true))
 }

@@ -38,4 +38,33 @@ class ExperimentSpec extends GraftSuite {
           s"$raw -> $adj milli — implausibly large")
     }
   }
+
+  test("q_uplift_bands: accounting closes; null-treatment coin is balanced-ish") {
+    val rows = run("q_uplift_bands").collect()
+    assert(rows.nonEmpty)
+    val (nt, nc) = (rows.map(_.getAs[Long]("n_t")).sum,
+      rows.map(_.getAs[Long]("n_c")).sum)
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(nt + nc == users, "every user lands in exactly one band+arm")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_t") <= r.getAs[Long]("n_t"))
+      assert(r.getAs[Long]("conv_c") <= r.getAs[Long]("n_c"))
+    }
+    // md5 coin: neither arm should be grossly starved at any scale
+    assert(nt * 3 > nc && nc * 3 > nt, s"coin implausibly skewed: $nt/$nc")
+  }
+
+  test("q_policy_replay: the preferred-arm policy must beat the behavior log") {
+    val r = run("q_policy_replay").collect().head
+    assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_logged"))
+    // uniform logging over 4 arms matches ~25% of events
+    val matchPpm = r.getAs[Long]("match_ppm")
+    assert(matchPpm > 150000L && matchPpm < 350000L)
+    // the candidate plays each user's planted preferred arm: its replay
+    // value must exceed the behavior average (which mixes 3/4 quartered
+    // rewards) — the ordering the estimator exists to detect
+    assert(r.getAs[Long]("policy_millicents") >
+      r.getAs[Long]("behavior_millicents"))
+  }
 }
