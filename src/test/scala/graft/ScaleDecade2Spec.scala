@@ -48,7 +48,10 @@ class ScaleDecade2Spec extends GraftSuite {
     "l_partkey" -> 1000000L, "p_partkey" -> 1000000L,
     "l_suppkey" -> 1000000L, "s_suppkey" -> 1000000L,
     "o_custkey" -> 1000000L, "c_custkey" -> 1000000L,
-    "doc_id" -> 100000L)
+    "doc_id" -> 100000L,
+    // events: users and event ids shift per replica; ts stays (replicas
+    // share the calendar — per-user groups never straddle replicas)
+    "event_id" -> 10000000L, "user_id" -> 1000000L)
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private def rot(k: Int): (String, String) = {
@@ -73,7 +76,7 @@ class ScaleDecade2Spec extends GraftSuite {
     val dir = new java.io.File("target/scale2-sf1")
     rmTree(dir)
     for (t <- Seq("documents", "lineitem", "orders", "customer",
-        "supplier", "part"))
+        "supplier", "part", "events"))
       replicate(Tables.load(spark, Sf01, t))
         .write.mode("overwrite").parquet(s"${dir.getPath}/$t.parquet")
     // dimension roster tables referenced by nationkey — unshifted copies
@@ -114,7 +117,10 @@ class ScaleDecade2Spec extends GraftSuite {
   for (q <- Seq(
       "q_pagerank", "q_triangle_count", "q_kcore", "q_cluster_star",
       "q_minhash_dedup", "q_containment", "q_novelty", "q_dup_spans",
-      "q_winnow", "q_media_shard_pack", "q_abc_analysis")) {
+      "q_winnow", "q_media_shard_pack", "q_abc_analysis",
+      // post-training family representative: row-per-response windows
+      // over one prompt-keyed exchange, 1M events at sf1
+      "q_grpo_advantage")) {
     test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
       synthDir // force the build before timing anything
       wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
