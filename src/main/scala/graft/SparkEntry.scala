@@ -23,6 +23,7 @@ object SparkEntry {
       operators.CurationExtra.all ++ operators.PretrainOps.all ++
       operators.MlData.all ++ operators.PostTrain.all ++
       operators.Journey.all ++ operators.Experiment.all ++
+      operators.Geo.all ++ operators.Privacy.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++

@@ -148,6 +148,8 @@ object BnljAudit {
     // bounded query-roster broadcasts (natural-regime ANN recall gates)
     "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
     "q_ann_lsh8_recall10",
+    // constant-bounded geo rosters (25-row POI / 5-row fence broadcasts)
+    "q_nearest_poi", "q_geofence",
     // 1-row global-aggregate broadcasts
     "q_abc_analysis",
     "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",
