@@ -100,7 +100,14 @@ object Geo {
     * shuffle carries (id, x, y) only, and the verify filter is
     * row-local integer arithmetic. No all-pairs anywhere; the oracle
     * instead uses a band-predicate join (DuckDB IEJoin) — a different
-    * algorithm agreeing on the exact pair set. */
+    * algorithm agreeing on the exact pair set.
+    *
+    * Density caveat (measured in ScaleDecade2Spec): at fixed R, k× the
+    * points in the SAME world is k× density, so candidates AND result
+    * pairs grow ~k² — inherent to the radius-join SPEC, not the
+    * blocking. The per-candidate cost is what blocking bounds; a real
+    * 100 TB deployment holds density constant (R shrinks or the world
+    * grows with the corpus), which restores linear growth. */
   private def points(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir)

@@ -92,6 +92,31 @@ class ScaleDecade2Spec extends GraftSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // q_spatial_join is the one head whose work is NOT linear in rows by
+  // design: replicas land in the SAME world square, so 10× points is
+  // 10× density — candidate AND result pairs grow ~100× (n²R²/A). The
+  // right scale assertion is output-normalized: wall per RESULT pair
+  // must stay flat (the blocking bound is per-candidate work, and
+  // candidates are proportional to true pairs at fixed R). At a real
+  // 100 TB the operator holds density constant by shrinking R or
+  // growing the world — documented at Geo.spatialJoin.
+  test("q_spatial_join: second-decade growth is output-bound (density regime)") {
+    synthDir // force the build before timing anything
+    wall("q_spatial_join", sf) // warm-up: JIT, codegen cache
+    val small = wall("q_spatial_join", Sf01)
+    val large = wall("q_spatial_join", synthDir)
+    val outSmall = SparkEntry.queries("q_spatial_join")(spark, Sf01).count()
+    val outLarge = SparkEntry.queries("q_spatial_join")(spark, synthDir).count()
+    val outGrowth = outLarge.toDouble / math.max(outSmall, 1L)
+    val wallRatio = large / math.max(small, 0.1)
+    info(f"pairs $outSmall -> $outLarge (${outGrowth}%.0fx), " +
+      f"wall $small%.2fs -> $large%.2fs (${wallRatio}%.1fx)")
+    assert(outGrowth > 20.0, "density regime should grow pairs ~100x")
+    assert(wallRatio < math.max(MaxRatioFor10x, 3.0 * outGrowth),
+      f"wall grew $wallRatio%.1fx vs output growth $outGrowth%.0fx — " +
+        "per-pair cost exploded; the blocking bound is broken")
+  }
+
   test("synthetic sf1 is a faithful 10x: row counts and disjoint key ranges") {
     val docs = Tables.documents(spark, synthDir)
     val li = Tables.lineitem(spark, synthDir)
@@ -120,7 +145,9 @@ class ScaleDecade2Spec extends GraftSuite {
       "q_winnow", "q_media_shard_pack", "q_abc_analysis",
       // post-training family representative: row-per-response windows
       // over one prompt-keyed exchange, 1M events at sf1
-      "q_grpo_advantage")) {
+      "q_grpo_advantage",
+      // geo density grid + DP clipped mean: row-local + keyed agg
+      "q_geo_grid", "q_dp_mean")) {
     test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
       synthDir // force the build before timing anything
       wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
