@@ -75,6 +75,9 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder", "_FUNC_(x, y) - Morton z-order interleave of two 16-bit buckets"),
       arity("graft_zorder", 2)(args => ZOrder2(args(0), args(1)))),
+    (FunctionIdentifier("graft_deflate_len"),
+      info("graft_deflate_len", "_FUNC_(s) - DEFLATE-compressed byte length (entropy proxy)"),
+      arity("graft_deflate_len", 1)(args => DeflateLen(args(0)))),
     (FunctionIdentifier("graft_misra_gries"),
       info("graft_misra_gries", "_FUNC_(col, k) - Misra-Gries heavy-hitter candidate set"),
       arity("graft_misra_gries", 2)(args => {

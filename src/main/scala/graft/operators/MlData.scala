@@ -180,7 +180,70 @@ object MlData {
        |    // (n_events + $SmoothK) AS smoothed_ppm
        |FROM per CROSS JOIN prior ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------- q_class_balance
+  // audited-bnlj(q_class_balance): build side = 1-row min-class-count aggregate — audited in PlanAuditSpec/BnljAudit
+  /** Majority-class downsampling to a bounded imbalance ratio: each
+    * language's documents cap at ⌈1.5 × the minority-class count⌉;
+    * within a class, survivors are the lowest md5 ranks (the
+    * deterministic-lottery discipline — the kept set is a pure function
+    * of doc ids, not of layout or arrival order). The row is the
+    * per-class accounting table: before, cap, kept, kept-ppm.
+    *
+    * Scale shape: one class-keyed count (map-side partials), a 1-row
+    * min broadcast, one class-partitioned rank window (per-class rows
+    * are corpus-share-bounded, and the window carries only
+    * (lang, doc_id, hash)), one class-keyed rollup. */
+  val BalanceRatioPct = 150L
+
+  private def classBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        TextFunctions.md5Lower64(concat(lit("bal:"),
+          $"doc_id".cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)).as("h"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_before"))
+    val cap = counts
+      .agg(min($"n_before").as("min_n"))
+      .select(expr(s"(min_n * $BalanceRatioPct + 99) DIV 100").as("cap"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"h", $"doc_id")).cast("long"))
+    ranked.crossJoin(broadcast(cap))
+      .select($"lang", ($"rn" <= $"cap").cast("long").as("kept"), $"cap")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_before"), max($"cap").as("cap"),
+        sum($"kept").as("n_kept"))
+      .select($"lang", $"n_before", $"cap", $"n_kept",
+        expr("n_kept * 1000000 DIV n_before").as("kept_ppm"))
+      .orderBy($"lang")
+  }
+
+  private val classBalanceSql =
+    s"""WITH docs AS (
+       |  SELECT lang, doc_id,
+       |    CAST(md5_number_lower('bal:' || CAST(doc_id AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) AS h
+       |  FROM documents),
+       |cap AS (
+       |  SELECT (MIN(n) * $BalanceRatioPct + 99) // 100 AS cap
+       |  FROM (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang)),
+       |ranked AS (
+       |  SELECT lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM docs)
+       |SELECT r.lang, COUNT(*) AS n_before, MAX(c.cap) AS cap,
+       |  CAST(SUM(CASE WHEN r.rn <= c.cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN r.rn <= c.cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS kept_ppm
+       |FROM ranked r CROSS JOIN cap c
+       |GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_class_balance", classBalance, Some(classBalanceSql),
+      bench = true),
     NamedQuery("q_churn_features", churnFeatures, Some(churnFeaturesSql),
       bench = true),
     NamedQuery("q_rate_smoothing", rateSmoothing, Some(rateSmoothingSql),

@@ -207,7 +207,45 @@ object Scoring {
       |FROM users u JOIN seg s USING (segment)
       |ORDER BY u.user_id""".stripMargin
 
+  // ------------------------------------------------- q_compress_ratio
+  /** Compressibility-based selection signal (the Gopher pipeline's
+    * "compression-ratio" filter): per-document deflate(text)/bytes in
+    * ppm via the native `graft_deflate_len` expression, rolled up per
+    * source with low-tail (boilerplate/repetition, < 20%) and
+    * high-tail (entropy noise, > 90%) counts — the two tails a
+    * curation pass drops.
+    *
+    * No DuckDB twin exists for zlib, so this is a rows-only driver row;
+    * CompressSpec pins the semantics (monotonicity on repetition vs
+    * noise, exact agreement with driver-side java.util.zip, SQL-path
+    * parity through the registered function).
+    *
+    * Scale shape: the deflate pass is row-local inside whole-stage
+    * codegen (one static call per row, thread-local Deflater); the
+    * rollup is one keyed aggregation over the source vocabulary. */
+  val CompressLowPpm = 200000L
+  val CompressHighPpm = 900000L
+
+  private def compressRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        graft.functions.CompressFunctions.deflateLen($"text").as("dlen"),
+        octet_length($"text").cast("long").as("nbytes"))
+      .selectExpr("source",
+        "dlen * 1000000 DIV greatest(nbytes, 1L) AS ratio_ppm")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(ratio_ppm) DIV count(1)").as("mean_ratio_ppm"),
+        min($"ratio_ppm").as("min_ratio_ppm"),
+        max($"ratio_ppm").as("max_ratio_ppm"),
+        sum(($"ratio_ppm" < CompressLowPpm).cast("long")).as("n_low"),
+        sum(($"ratio_ppm" > CompressHighPpm).cast("long")).as("n_high"))
+      .orderBy($"source")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_compress_ratio", compressRatio, None, bench = true),
     NamedQuery("q_target_encoding", targetEncoding, Some(targetEncodingSql),
       bench = true),
     NamedQuery("q_lm_surprisal", lmSurprisal, Some(lmSurprisalSql),

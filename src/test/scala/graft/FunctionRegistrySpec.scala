@@ -46,7 +46,7 @@ class FunctionRegistrySpec extends GraftSuite {
     new graft.functions.GraftExtensions().apply(ext)
     // registration through the session path must cover the same names
     val names = GraftFunctionRegistry.functions.map(_._1.funcName).toSet
-    assert(names.size == 15 && names.contains("graft_cosine") &&
+    assert(names.size == 16 && names.contains("graft_cosine") &&
       names.contains("graft_cdc_cuts"))
   }
 }

@@ -85,4 +85,22 @@ class Round8OpsSpec extends GraftSuite {
     assert(below > 0 && below < total,
       s"degenerate tranche split: $below of $total at/below midpoint")
   }
+
+  test("q_class_balance: caps bind on the majority class only; lottery is layout-invariant") {
+    val rows = SparkEntry.queries("q_class_balance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cap = rows.head.getAs[Long]("cap")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cap") == cap, "one global cap")
+      assert(r.getAs[Long]("n_kept") ==
+        math.min(r.getAs[Long]("n_before"), cap),
+        "kept = min(before, cap) exactly — the rank lottery never " +
+          "under- or over-fills")
+    }
+    // minority class must survive whole; majority must actually shrink
+    // when the fixture is imbalanced past the ratio
+    val minN = rows.map(_.getAs[Long]("n_before")).min
+    assert(rows.filter(_.getAs[Long]("n_before") == minN)
+      .forall(r => r.getAs[Long]("kept_ppm") == 1000000L))
+  }
 }
