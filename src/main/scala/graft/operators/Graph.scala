@@ -1114,7 +1114,97 @@ object Graph {
        |FROM wedges GROUP BY u, v
        |ORDER BY ra_nano DESC, u, v LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------ q_random_walk
+  /** Deterministic random walks (the DeepWalk/node2vec corpus-generation
+    * primitive): from every start node, [[WalkSteps]] steps; step t at
+    * node v moves to the neighbor ranked md5("walk:<walker>:<t>") mod
+    * deg(v) in v's dst-sorted adjacency. The "randomness" is a hash of
+    * (walker, step) — layout- and engine-independent — so the DuckDB
+    * oracle replays every walk bit-for-bit in a recursive CTE and the
+    * emitted paths hash-compare exactly. Walks never die: the
+    * symmetrized interaction graph gives every node degree ≥ 1.
+    *
+    * Scale shape: the ranked adjacency (src, rnk, dst) is built once
+    * (one src-keyed window whose per-partition state is one node's
+    * neighbor list) and localCheckpoint'd with its degree frame; each
+    * step is two keyed equi-joins — walkers ⋈ degrees on the current
+    * node to compute the pick, then (node, pick) ⋈ adjacency on
+    * (src, rnk) — so a step never expands beyond ONE row per walker
+    * regardless of hub degree (a filter-after-join on a hub's full
+    * neighborhood would). Walker state is (walker, node, path);
+    * lineage is cut every 3 steps. */
+  val WalkSteps = 6
+  val WalkStartMod = 25L
+
+  private def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val w = Window.partitionBy($"src").orderBy($"dst")
+    val adj = edges
+      .withColumn("rnk", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(true)
+    var walk = adj.select($"src".as("walker")).distinct()
+      .filter($"walker" < SupplierOffset && $"walker" % WalkStartMod === 1L)
+      .select($"walker", $"walker".as("node"),
+        $"walker".cast("string").as("path"))
+    for (t <- 1 to WalkSteps) {
+      val stepped = walk
+        .join(deg, Seq("node"))
+        .withColumn("pick",
+          graft.functions.TextFunctions.md5Lower64(
+            concat(lit("walk:"), $"walker".cast("string"),
+              lit(":"), lit(t.toString)))
+            .bitwiseAND(lit(Long.MaxValue)) % $"deg")
+        .join(adj.select($"src".as("node"), $"rnk".as("pick"), $"dst"),
+          Seq("node", "pick"))
+        .select($"walker", $"dst".as("node"),
+          concat($"path", lit(","), $"dst".cast("string")).as("path"))
+      walk = if (t % 3 == 0) stepped.localCheckpoint(true) else stepped
+    }
+    walk.select($"walker", $"node".as("final_node"), $"path")
+      .orderBy($"walker")
+  }
+
+  private val randomWalkSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |adj AS (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+       |    COUNT(*) OVER (PARTITION BY src) AS deg
+       |  FROM edges),
+       |starts AS (
+       |  SELECT DISTINCT src AS walker FROM adj
+       |  WHERE src < $SupplierOffset AND src % $WalkStartMod = 1),
+       |walk(walker, step, node, path) AS (
+       |  SELECT walker, 0, walker, CAST(walker AS VARCHAR) FROM starts
+       |  UNION ALL
+       |  SELECT w.walker, w.step + 1, a.dst,
+       |    w.path || ',' || CAST(a.dst AS VARCHAR)
+       |  FROM walk w JOIN adj a ON a.src = w.node
+       |    AND a.rnk = CAST(md5_number_lower(
+       |        'walk:' || CAST(w.walker AS VARCHAR) || ':' ||
+       |        CAST(w.step + 1 AS VARCHAR))
+       |      & 9223372036854775807::UBIGINT AS BIGINT) % a.deg
+       |  WHERE w.step < $WalkSteps)
+       |SELECT walker, node AS final_node, path FROM walk
+       |WHERE step = $WalkSteps ORDER BY walker""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_random_walk", randomWalkQuery, Some(randomWalkSql),
+      bench = true),
     NamedQuery("q_resource_alloc", resourceAlloc, Some(resourceAllocSql),
       bench = true),
     NamedQuery("q_conductance", conductance, Some(conductanceSql),

@@ -1032,7 +1032,86 @@ object TextAnalysis {
        |  COUNT(DISTINCT w) AS n_types
        |FROM tokens GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------- q_phrase_search
+  /** Positional-index phrase search — the retrieval primitive behind
+    * exact-quote lookup and n-gram decontamination probes: the corpus's
+    * top-K trigram phrases (count-then-phrase tie-break, the q_vocab
+    * convention) are searched back through a POSITIONAL index — word →
+    * (doc_id, position) postings intersected under the adjacency
+    * constraint pos₂ = pos₁+1, pos₃ = pos₁+2 — rather than re-scanned.
+    * The DuckDB oracle is deliberately the OTHER formulation (a
+    * window-scan over LEAD bigrams), so agreement checks that index
+    * intersection and sequential scan find the identical occurrence
+    * set.
+    *
+    * Scale shape: trigram discovery is doc-partitioned LEAD windows
+    * (per-partition state = one doc's tokens); the roster is K rows
+    * via TakeOrdered. The search side filters the posting table with a
+    * broadcast semi-join on the roster's ≤3K distinct words BEFORE any
+    * wide work — at 100 TB the index probe touches only matching
+    * postings, and the two adjacency joins share one
+    * (doc_id, pos)-keyed exchange. */
+  val PhraseTopK = 5
+
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(
+        expr(s"regexp_extract_all(lower(text), '${Scoring.WordPat}', 0)"))
+        .as(Seq("pos", "word")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tri = toks
+      .withColumn("p2", lead($"word", 1).over(w))
+      .withColumn("p3", lead($"word", 2).over(w))
+      .filter($"p2".isNotNull && $"p3".isNotNull)
+      .select($"word".as("p1"), $"p2", $"p3")
+    val roster = tri.groupBy($"p1", $"p2", $"p3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"p1", $"p2", $"p3").limit(PhraseTopK)
+      .select($"p1", $"p2", $"p3")
+    val words = roster
+      .select(explode(array($"p1", $"p2", $"p3")).as("word")).distinct()
+    val posting = toks.join(broadcast(words), Seq("word"), "left_semi")
+    posting.select($"doc_id", $"pos", $"word".as("p1"))
+      .join(broadcast(roster), Seq("p1"))
+      .join(posting.select($"doc_id", ($"pos" - 1).as("pos"),
+        $"word".as("p2")), Seq("doc_id", "pos", "p2"))
+      .join(posting.select($"doc_id", ($"pos" - 2).as("pos"),
+        $"word".as("p3")), Seq("doc_id", "pos", "p3"))
+      .groupBy($"p1", $"p2", $"p3")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_hits"))
+      .select(concat_ws(" ", $"p1", $"p2", $"p3").as("phrase"),
+        $"n_docs", $"n_hits")
+      .orderBy($"phrase")
+  }
+
+  private val phraseSearchSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ord - 1 AS pos, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '${Scoring.WordPat}'))
+       |        AS word,
+       |      generate_subscripts(
+       |        regexp_extract_all(lower(text), '${Scoring.WordPat}'), 1)
+       |        AS ord
+       |    FROM documents)),
+       |tri AS (
+       |  SELECT doc_id, word AS p1,
+       |    LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p2,
+       |    LEAD(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p3
+       |  FROM toks),
+       |roster AS (
+       |  SELECT p1, p2, p3 FROM tri WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |  ORDER BY COUNT(*) DESC, p1, p2, p3 LIMIT $PhraseTopK)
+       |SELECT p1 || ' ' || p2 || ' ' || p3 AS phrase,
+       |  COUNT(DISTINCT t.doc_id) AS n_docs, COUNT(*) AS n_hits
+       |FROM tri t JOIN roster r USING (p1, p2, p3)
+       |GROUP BY 1 ORDER BY phrase""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_phrase_search", phraseSearch, Some(phraseSearchSql),
+      bench = true),
     NamedQuery("q_feature_hashing", featureHashing, Some(featureHashingSql),
       bench = true),
     NamedQuery("q_langid_confusion", langidConfusion,

@@ -432,6 +432,98 @@ object EventStream {
       |UNION ALL SELECT * FROM unmatched
       |ORDER BY view_id, click_id""".stripMargin
 
+  // -------------------------------------------------- q_stream_full_join
+  /** DRIVER-VISIBLE stream-stream FULL OUTER interval join — completes
+    * the join-matrix (inner → left-outer → full-outer) with the one
+    * eviction rule the left join can't show: the RIGHT side's. A click
+    * can only match views with view_ts ≤ click_ts (the interval is
+    * one-sided), so a click is provably unmatchable as soon as the
+    * global watermark passes click_ts itself — no +10min grace like the
+    * view side, whose match window extends FORWARD. The oracle encodes
+    * both rules explicitly against the same final-watermark formula as
+    * q_stream_left_join (MIN of the two sides' per-operator maxima,
+    * ms-truncated, minus 1h): matched pairs are the batch interval
+    * join; a view emits null-extended iff unmatched AND
+    * view_ts + 10min < wm; a click emits null-extended iff unmatched
+    * AND click_ts < wm. user_id is COALESCEd across sides so the
+    * null-extended rows keep their key.
+    *
+    * Scale shape: identical buffers to the left join — each side's
+    * state is watermark-bounded by its own eviction horizon; the
+    * asymmetric horizons (wm − 10min vs wm) are exactly why the right
+    * buffer stays SMALLER than the left on this condition shape. */
+  private def streamFullJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = readEvents(s, dir + "/events.parquet")
+    val v = events.filter($"event_type" === "view")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = events.filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id".as("c_user_id"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val joined = v.join(c,
+      $"user_id" === $"c_user_id" &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    val q = joined
+      .select(coalesce($"user_id", $"c_user_id").as("user_id"),
+        $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"click_ts").as("click_us"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("q_stream_foj_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_foj_mem")
+      .orderBy($"view_id", $"click_id")
+  }
+
+  private val streamFullJoinSql =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT (epoch_us(least(
+      |      (SELECT max(view_ts) FROM v),
+      |      (SELECT max(click_ts) FROM c))) // 1000 - 3600000) * 1000
+      |    AS w_us),
+      |matched AS (
+      |  SELECT v.user_id, v.view_id, c.click_id,
+      |    epoch_us(v.view_ts) AS view_us, epoch_us(c.click_ts) AS click_us
+      |  FROM v JOIN c ON v.user_id = c.user_id
+      |    AND c.click_ts >= v.view_ts
+      |    AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE),
+      |unmatched_v AS (
+      |  SELECT v.user_id, v.view_id, NULL::BIGINT AS click_id,
+      |    epoch_us(v.view_ts) AS view_us, NULL::BIGINT AS click_us
+      |  FROM v CROSS JOIN wm
+      |  WHERE epoch_us(v.view_ts) + 600000000 < wm.w_us
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM c WHERE c.user_id = v.user_id
+      |        AND c.click_ts >= v.view_ts
+      |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)),
+      |unmatched_c AS (
+      |  SELECT c.user_id, NULL::BIGINT AS view_id, c.click_id,
+      |    NULL::BIGINT AS view_us, epoch_us(c.click_ts) AS click_us
+      |  FROM c CROSS JOIN wm
+      |  WHERE epoch_us(c.click_ts) < wm.w_us
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM v WHERE v.user_id = c.user_id
+      |        AND c.click_ts >= v.view_ts
+      |        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE))
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM unmatched_v
+      |UNION ALL SELECT * FROM unmatched_c
+      |ORDER BY view_id, click_id""".stripMargin
+
   // ------------------------------------------------------ q_stream_chained
   /** DRIVER-VISIBLE CHAINED STATEFUL OPERATORS — Spark 4's
     * multiple-stateful-operators-per-query support, which older
@@ -555,6 +647,8 @@ object EventStream {
     // would time the harness, not the plan; the three rows above keep
     // streaming represented in the headline (and r6-comparable)
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
+    graft.NamedQuery("q_stream_full_join", streamFullJoin,
+      Some(streamFullJoinSql)),
     graft.NamedQuery("q_stream_left_join", streamLeftJoin,
       Some(streamLeftJoinSql)),
     graft.NamedQuery("q_stream_chained", streamChained,

@@ -103,4 +103,68 @@ class Round8OpsSpec extends GraftSuite {
     assert(rows.filter(_.getAs[Long]("n_before") == minN)
       .forall(r => r.getAs[Long]("kept_ppm") == 1000000L))
   }
+
+  test("q_phrase_search: index intersection finds real, distinct top phrases") {
+    val rows = SparkEntry.queries("q_phrase_search")(spark, sf).collect()
+    assert(rows.length == operators.TextAnalysis.PhraseTopK,
+      "the full roster must be found — every top trigram occurs by construction")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[String]("phrase")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[String]("phrase").split(" ").length == 3)
+      val (d, h) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_hits"))
+      assert(d >= 1 && h >= d && d <= nDocs,
+        s"occurrence accounting: docs=$d hits=$h")
+    }
+  }
+
+  test("q_random_walk: every step of every path is a real edge; no walker dies") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_random_walk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // symmetrized edge set, same derivation as the query
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"),
+        ($"l_suppkey" + operators.Graph.SupplierOffset).as("b"))
+      .distinct().collect()
+    val edges = pairs.flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+      (r.getLong(1), r.getLong(0)))).toSet
+    rows.foreach { r =>
+      val path = r.getAs[String]("path").split(",").map(_.toLong)
+      assert(path.length == operators.Graph.WalkSteps + 1,
+        "a walk on a degree>=1 graph never dies")
+      assert(path.head == r.getAs[Long]("walker"))
+      assert(path.last == r.getAs[Long]("final_node"))
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(edges.contains((u, v)), s"non-edge step $u -> $v")
+      }
+    }
+    // one walk per qualifying start node, none lost mid-flight
+    val starts = edges.map(_._1)
+      .count(n => n < operators.Graph.SupplierOffset &&
+        n % operators.Graph.WalkStartMod == 1L)
+    assert(rows.length == starts, s"${rows.length} walks for $starts starts")
+  }
+
+  test("q_stream_full_join extends q_stream_left_join by exactly the evicted clicks") {
+    val full = SparkEntry.queries("q_stream_full_join")(spark, sf).collect()
+    val left = SparkEntry.queries("q_stream_left_join")(spark, sf).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(i => if (r.isNullAt(i)) "∅" else r.get(i).toString)
+        .mkString("|")
+    val fullSet = full.map(key).toSet
+    assert(full.length == fullSet.size, "full-outer emits no duplicate rows")
+    val leftSet = left.map(key).toSet
+    assert(leftSet.subsetOf(fullSet),
+      "every left-join row (matched + null-extended views) must appear in the full join")
+    val extra = full.filter(r => !leftSet.contains(key(r)))
+    assert(extra.nonEmpty, "the fixture has unmatched clicks below the watermark")
+    extra.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("view_id")) &&
+        r.isNullAt(r.fieldIndex("view_us")) &&
+        !r.isNullAt(r.fieldIndex("click_id")),
+        "full-minus-left rows are exactly the null-extended clicks")
+    }
+  }
 }
