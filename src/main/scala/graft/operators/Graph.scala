@@ -1136,7 +1136,10 @@ object Graph {
   val WalkSteps = 6
   val WalkStartMod = 25L
 
-  private def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The walk frame (walker, node, path) after [[WalkSteps]] steps —
+    * shared by q_random_walk (emits it) and q_skipgram_pairs (mines it
+    * for training pairs). */
+  private def randomWalks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
@@ -1169,11 +1172,19 @@ object Graph {
           concat($"path", lit(","), $"dst".cast("string")).as("path"))
       walk = if (t % 3 == 0) stepped.localCheckpoint(true) else stepped
     }
-    walk.select($"walker", $"node".as("final_node"), $"path")
+    walk
+  }
+
+  private def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    randomWalks(s, dir)
+      .select($"walker", $"node".as("final_node"), $"path")
       .orderBy($"walker")
   }
 
-  private val randomWalkSql =
+  /** Walk-generating CTE chain shared by the q_random_walk and
+    * q_skipgram_pairs oracles (everything up to the final SELECT). */
+  private val walkCtes =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -1198,12 +1209,62 @@ object Graph {
        |        'walk:' || CAST(w.walker AS VARCHAR) || ':' ||
        |        CAST(w.step + 1 AS VARCHAR))
        |      & 9223372036854775807::UBIGINT AS BIGINT) % a.deg
-       |  WHERE w.step < $WalkSteps)
+       |  WHERE w.step < $WalkSteps)""".stripMargin
+
+  private val randomWalkSql =
+    s"""$walkCtes
        |SELECT walker, node AS final_node, path FROM walk
        |WHERE step = $WalkSteps ORDER BY walker""".stripMargin
 
+  // ---------------------------------------------------- q_skipgram_pairs
+  /** Skip-gram training-pair extraction from the walks — the second half
+    * of the DeepWalk recipe: every (center, context) node pair within
+    * ±[[SkipgramWindow]] positions of each other inside a walk, counted
+    * across the walk corpus. Pair generation is entirely ROW-LOCAL
+    * (nested array HOFs inside codegen — a walk never leaves its task
+    * until the one (center, context)-keyed count), which is the property
+    * that makes the recipe corpus-scale: 100 TB of walks shuffle only
+    * their pair histogram. The oracle formulates it the OTHER way — a
+    * positional self-join on unnested paths — so agreement also checks
+    * the HOF window arithmetic against a declarative spelling. */
+  val SkipgramWindow = 2
+
+  private def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    randomWalks(s, dir)
+      .select(split($"path", ",").as("toks"))
+      .select(explode(expr(
+        s"""flatten(transform(toks, (c, i) ->
+           |  transform(
+           |    filter(sequence(greatest(0, i - $SkipgramWindow),
+           |                    least(size(toks) - 1, i + $SkipgramWindow)),
+           |           j -> j != i),
+           |    j -> struct(CAST(c AS BIGINT) AS center,
+           |                CAST(element_at(toks, j + 1) AS BIGINT)
+           |                  AS context))))""".stripMargin)).as("p"))
+      .select($"p.center", $"p.context")
+      .groupBy($"center", $"context")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"center", $"context")
+  }
+
+  private val skipgramPairsSql =
+    s"""$walkCtes,
+       |pos AS (
+       |  SELECT walker, CAST(node AS BIGINT) AS node, ord FROM (
+       |    SELECT walker, unnest(string_split(path, ',')) AS node,
+       |      generate_subscripts(string_split(path, ','), 1) AS ord
+       |    FROM walk WHERE step = $WalkSteps))
+       |SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+       |FROM pos a JOIN pos b
+       |  ON a.walker = b.walker AND a.ord <> b.ord
+       |  AND abs(a.ord - b.ord) <= $SkipgramWindow
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_random_walk", randomWalkQuery, Some(randomWalkSql),
+      bench = true),
+    NamedQuery("q_skipgram_pairs", skipgramPairs, Some(skipgramPairsSql),
       bench = true),
     NamedQuery("q_resource_alloc", resourceAlloc, Some(resourceAllocSql),
       bench = true),

@@ -147,6 +147,25 @@ class Round8OpsSpec extends GraftSuite {
     assert(rows.length == starts, s"${rows.length} walks for $starts starts")
   }
 
+  test("q_skipgram_pairs: exact pair-count identity and histogram symmetry") {
+    val rows = SparkEntry.queries("q_skipgram_pairs")(spark, sf).collect()
+    val walks = SparkEntry.queries("q_random_walk")(spark, sf).count()
+    // path length L = WalkSteps+1, window w: ordered pairs per walk =
+    // L*(2w) - 2*(w + (w-1) + ... + 1) boundary losses = 22 for L=7, w=2
+    val L = operators.Graph.WalkSteps + 1
+    val w = operators.Graph.SkipgramWindow
+    val perWalk = (0 until L).map(i =>
+      (math.max(0, i - w) to math.min(L - 1, i + w)).count(_ != i)).sum
+    assert(rows.map(_.getAs[Long]("n")).sum == walks * perWalk,
+      s"every walk contributes exactly $perWalk ordered pairs")
+    // (i, j) and (j, i) are both generated -> the histogram is symmetric
+    val m = rows.map(r => (r.getAs[Long]("center"), r.getAs[Long]("context"))
+      -> r.getAs[Long]("n")).toMap
+    m.foreach { case ((c, x), n) =>
+      assert(m.get((x, c)).contains(n), s"asymmetry at ($c, $x)")
+    }
+  }
+
   test("q_stream_full_join extends q_stream_left_join by exactly the evicted clicks") {
     val full = SparkEntry.queries("q_stream_full_join")(spark, sf).collect()
     val left = SparkEntry.queries("q_stream_left_join")(spark, sf).collect()
