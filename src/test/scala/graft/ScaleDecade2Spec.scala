@@ -147,7 +147,11 @@ class ScaleDecade2Spec extends GraftSuite {
       // over one prompt-keyed exchange, 1M events at sf1
       "q_grpo_advantage",
       // geo density grid + DP clipped mean: row-local + keyed agg
-      "q_geo_grid", "q_dp_mean")) {
+      "q_geo_grid", "q_dp_mean",
+      // third-wave heads: iterative keyed-equi-join walks (replica
+      // custkeys stay below SupplierOffset, so node spaces remain
+      // disjoint at sf1) and broadcast-filtered positional search
+      "q_random_walk", "q_phrase_search")) {
     test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
       synthDir // force the build before timing anything
       wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
