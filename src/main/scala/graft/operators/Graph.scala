@@ -1211,7 +1211,7 @@ object Graph {
        |      & 9223372036854775807::UBIGINT AS BIGINT) % a.deg
        |  WHERE w.step < $WalkSteps)""".stripMargin
 
-  private val randomWalkSql =
+  private[operators] val randomWalkSql =
     s"""$walkCtes
        |SELECT walker, node AS final_node, path FROM walk
        |WHERE step = $WalkSteps ORDER BY walker""".stripMargin

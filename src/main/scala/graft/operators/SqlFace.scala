@@ -165,7 +165,54 @@ object SqlFace {
       ORDER BY rule_idx""")
   }
 
+  // ---------------------------------------------------- q_sql_face_random_walk
+  /** The deterministic random walks (`Graph.randomWalkQuery`) as ONE
+    * pure-SQL statement on Spark 4's `WITH RECURSIVE` — the iterative
+    * driver loop of the column-API sibling re-expressed as a recursive
+    * CTE (Catalyst's UnionLoop), with the registered
+    * `graft_md5_lower64` supplying the engine-portable next-hop hash.
+    * This face is deliberately a DIFFERENT execution strategy from its
+    * sibling (recursive-union plan vs per-step checkpointed joins);
+    * both must land the exact same walks against the same recursive-CTE
+    * oracle — three engines/strategies, one bit-exact answer. */
+  private def sqlRandomWalk(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "lineitem")
+    s.sql(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey AS a,
+          l_suppkey + ${Graph.SupplierOffset} AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      adj AS (
+        SELECT src, dst,
+          CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+            AS BIGINT) AS rnk,
+          COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM edges),
+      starts AS (
+        SELECT DISTINCT src AS walker FROM adj
+        WHERE src < ${Graph.SupplierOffset}
+          AND src % ${Graph.WalkStartMod} = 1),
+      walk(walker, step, node, path) AS (
+        SELECT walker, 0, walker, CAST(walker AS STRING) FROM starts
+        UNION ALL
+        SELECT w.walker, w.step + 1, a.dst,
+          w.path || ',' || CAST(a.dst AS STRING)
+        FROM walk w JOIN adj a ON a.src = w.node
+          AND a.rnk = (graft_md5_lower64(
+              'walk:' || CAST(w.walker AS STRING) || ':' ||
+              CAST(w.step + 1 AS STRING))
+            & ${Long.MaxValue}L) % a.deg
+        WHERE w.step < ${Graph.WalkSteps})
+      SELECT walker, node AS final_node, path FROM walk
+      WHERE step = ${Graph.WalkSteps} ORDER BY walker""")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_random_walk", sqlRandomWalk,
+      Some(Graph.randomWalkSql)),
     NamedQuery("q_sql_face_industry_avg", sqlIndustryAvg,
       Some(Relational.industryAvgSql)),
     NamedQuery("q_sql_face_minhash_dedup", sqlMinhashDedup,

@@ -54,7 +54,8 @@ class Round8OpsSpec extends GraftSuite {
     for ((face, sibling) <- Seq(
         "q_sql_face_industry_avg" -> "q_industry_avg",
         "q_sql_face_minhash_dedup" -> "q_minhash_dedup",
-        "q_sql_face_filter_funnel" -> "q_filter_funnel")) {
+        "q_sql_face_filter_funnel" -> "q_filter_funnel",
+        "q_sql_face_random_walk" -> "q_random_walk")) {
       assertSameRows(
         SparkEntry.queries(face)(spark, sf),
         SparkEntry.queries(sibling)(spark, sf))
