@@ -132,12 +132,24 @@ object StreamBench {
         events.filter($"event_type" === "click"))
     }
 
+    // Full-outer variant: the steady-state claim it adds over the inner
+    // join is OUTER-STATE eviction cost — null-extension scans run per
+    // micro-batch as the watermark advances, so a flat per-batch wall
+    // here proves eviction work tracks the horizon, not history.
+    def fullOuterJoin(): DataFrame = {
+      val events = src()
+      streaming.EventStream.intervalJoinOuter(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "click"), "full_outer")
+    }
+
     val pipelines: Seq[(String, () => DataFrame)] = Seq(
       "q_stream_running" -> (() => runningTotals()),
       "q_stream_digest" -> (() => dailyDigest()),
       "q_stream_recent" -> (() => recentK()),
       "q_stream_type_counts" -> (() => typeCounts()),
-      "q_stream_interval_join" -> (() => intervalJoin()))
+      "q_stream_interval_join" -> (() => intervalJoin()),
+      "q_stream_full_join" -> (() => fullOuterJoin()))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     var perQuery = Vector.empty[String]

@@ -184,6 +184,27 @@ object EventStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Outer-join variant of [[intervalJoin]] (left_outer / full_outer):
+    * same watermarks and interval condition, user_id COALESCEd across
+    * sides so null-extended rows keep their key. Kept separate from the
+    * inner helper so the inner plan is untouched. */
+  def intervalJoinOuter(views: DataFrame, clicks: DataFrame,
+                        joinType: String,
+                        windowMinutes: Int = 10): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+        col("view_id"), col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** One-shot AvailableNow run of the interval join over one input
     * directory split by event_type into the two stream sides. */
   def runIntervalJoinAvailableNow(s: SparkSession, path: String,
@@ -455,21 +476,10 @@ object EventStream {
   private def streamFullJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = readEvents(s, dir + "/events.parquet")
-    val v = events.filter($"event_type" === "view")
-      .withWatermark("ts", "1 hour")
-      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
-    val c = events.filter($"event_type" === "click")
-      .withWatermark("ts", "1 hour")
-      .select($"user_id".as("c_user_id"), $"event_id".as("click_id"),
-        $"ts".as("click_ts"))
-    val joined = v.join(c,
-      $"user_id" === $"c_user_id" &&
-        $"click_ts" >= $"view_ts" &&
-        $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"),
-      "full_outer")
-    val q = joined
-      .select(coalesce($"user_id", $"c_user_id").as("user_id"),
-        $"view_id", $"click_id",
+    val q = intervalJoinOuter(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "click"), "full_outer")
+      .select($"user_id", $"view_id", $"click_id",
         unix_micros($"view_ts").as("view_us"),
         unix_micros($"click_ts").as("click_us"))
       .writeStream
