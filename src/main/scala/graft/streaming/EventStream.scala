@@ -282,6 +282,50 @@ object EventStream {
        |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------- q_stream_sliding
+  /** DRIVER-VISIBLE SLIDING (overlapping) windowed aggregation — the one
+    * window shape the tumbling replay can't show: a 1-hour window
+    * sliding every 15 minutes, so every event contributes to EXACTLY
+    * window÷slide = 4 overlapping windows and the engine maintains 4×
+    * the open-window state of the tumbling plan (still bounded by the
+    * watermark horizon, never by history). Complete mode, same
+    * batch-parity contract as q_stream_replay; the oracle generates
+    * each event's 4 grid-aligned window starts explicitly (UNNEST k ∈
+    * 0..3 of time_bucket(15min, ts) − k·15min — membership is exact
+    * because ts − start < 15 + 45 min for every k), so Spark's
+    * window-assignment arithmetic is replayed, not assumed. */
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = readEvents(s, dir + "/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q_stream_sliding_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_sliding_mem")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val streamSlidingSql =
+    s"""WITH assigned AS (
+       |  SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+       |      - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+       |      AS window_start,
+       |    event_type, value
+       |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+       |SELECT window_start, event_type, COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM assigned GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
   // ------------------------------------------------- q_stream_interval_join
   /** DRIVER-VISIBLE stream-stream correlation: the view→click interval
     * join runs as a REAL two-sided streaming join (both sides
@@ -657,6 +701,8 @@ object EventStream {
     // would time the harness, not the plan; the three rows above keep
     // streaming represented in the headline (and r6-comparable)
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
+    graft.NamedQuery("q_stream_sliding", streamSliding,
+      Some(streamSlidingSql)),
     graft.NamedQuery("q_stream_full_join", streamFullJoin,
       Some(streamFullJoinSql)),
     graft.NamedQuery("q_stream_left_join", streamLeftJoin,

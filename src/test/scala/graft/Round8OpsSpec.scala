@@ -167,6 +167,16 @@ class Round8OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_stream_sliding: every event lands in exactly window/slide = 4 windows") {
+    val rows = SparkEntry.queries("q_stream_sliding")(spark, sf).collect()
+    val events = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 4 * events,
+      "sliding-window multiplicity must be exact")
+    val tumbling = SparkEntry.queries("q_stream_replay")(spark, sf).count()
+    assert(rows.length > tumbling,
+      "overlap must produce strictly more (window_start, type) groups")
+  }
+
   test("q_stream_full_join extends q_stream_left_join by exactly the evicted clicks") {
     val full = SparkEntry.queries("q_stream_full_join")(spark, sf).collect()
     val left = SparkEntry.queries("q_stream_left_join")(spark, sf).collect()
