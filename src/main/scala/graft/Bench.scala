@@ -156,15 +156,29 @@ object Bench {
     val bs = bytes.map { case (k, v) => s"${jstr(k)}:${fmtBytes(v)}" }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    // Head-level regression gate (BenchRegression): fresh walls vs the
+    // committed history medians, BEFORE this run's line is appended.
+    // Reported here (JSON + loud stderr), enforced by
+    // BenchRegressionSpec in the suite.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    val regs = BenchRegression.check(
+      BenchRegression.historyFor(histPath, sfDir), times.toMap)
+    regs.toSeq.sortBy(_._1).foreach { case (n, (w, med)) =>
+      System.err.println(
+        f"[bench] REGRESSION $n: $w%.2fs vs history median $med%.2fs " +
+        f"(>${BenchRegression.RatioGate}%.1fx and >${BenchRegression.AbsGateS}%.0fs)")
+    }
+    val rg = regs.toSeq.sortBy(_._1).map { case (n, (w, med)) =>
+      s"""${jstr(n)}:{"fresh":${sec(w)},"hist_median":${sec(med)}}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"regressions":$rg,"n_regressed":${regs.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Round-over-round persistence: the driver's BENCH_r{N}.json keeps
     // only a ~2 KB stdout tail, which truncated the full per-query map in
     // rounds 2-4 and made per-query regression diffs impossible. Append
     // the COMPLETE line (stamped) to a committed history file so every
     // round's full detail survives in git.
-    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
     val histLine = line.init + s""","ts_ms":${System.currentTimeMillis}}"""
     Files.writeString(Paths.get(histPath), histLine + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -177,7 +191,7 @@ object Bench {
     var compact = ""
     def render(ts: Vector[(String, Double)]): String = {
       val m = ts.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"n_queries":${times.size},"n_failed":${failures.size},"runs":$runs,"agg":"min","queries_note":"slowest ${ts.size} of ${times.size}; full detail in $outPath","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"n_queries":${times.size},"n_failed":${failures.size},"n_regressed":${regs.size},"runs":$runs,"agg":"min","queries_note":"slowest ${ts.size} of ${times.size}; full detail in $outPath","sf":${jstr(sfDir)}}"""
     }
     compact = render(slowest)
     while (compact.length > 1800 && slowest.nonEmpty) {

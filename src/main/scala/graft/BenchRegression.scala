@@ -1,0 +1,87 @@
+package graft
+
+/** Head-level bench regression gate — the builder's manual round-over-
+  * round convention (">1.5x its history median AND >1s absolute, on
+  * heads over 2s"), encoded so it runs on every bench and every test
+  * pass instead of by hand. Two enforcement points:
+  *
+  *   - `graft.Bench` calls [[check]] against the committed
+  *     BENCH_HISTORY.jsonl before appending its own line, emits a
+  *     `"regressions"` map + `"n_regressed"` count into the full JSON
+  *     artifact, and prints each hit loudly to stderr (the run still
+  *     exits 0 — a noisy machine must not turn the round's bench
+  *     artifact into a failure; the SPEC is the hard gate);
+  *   - `BenchRegressionSpec` replays the same check over the committed
+  *     history (latest full line vs its priors) and FAILS the suite on
+  *     any hit, so a regressed head cannot be committed quietly.
+  *
+  * The gate needs >= 2 prior observations of a head before it can fire
+  * (a brand-new query has no history), uses the per-query MIN estimator
+  * (what the history lines carry), and takes the median across rounds
+  * as the reference — one noisy historical sample cannot shift the
+  * gate the way a mean would.
+  */
+object BenchRegression {
+  /** Only heads slower than this are gated: sub-2s walls are dominated
+    * by fixed session overhead and swing freely under machine noise. */
+  val MinHeadWallS = 2.0
+  /** Flag when fresh > ratio x history-median ... */
+  val RatioGate = 1.5
+  /** ... AND the absolute move exceeds this (a 2.1s -> 3.2s move is
+    * noise; a 5s -> 8s move is a regression). */
+  val AbsGateS = 1.0
+
+  /** Extract one `"key":{...}` flat map from a bench JSON line without
+    * a JSON library: Bench writes query names as plain quoted strings
+    * and walls as %.3f decimals, so a brace-free body split is exact.
+    * Returns empty on absent key or empty body. */
+  def queriesMap(line: String, key: String = "queries"): Map[String, Double] = {
+    val re = ("\"" + key + "\":\\{([^}]*)\\}").r
+    re.findFirstMatchIn(line).map(_.group(1)).filter(_.nonEmpty) match {
+      case None => Map.empty
+      case Some(body) =>
+        body.split(",").iterator.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              val name = k.trim.stripPrefix("\"").stripSuffix("\"")
+              v.toDoubleOption.map(name -> _)
+            case _ => None
+          }
+        }.toMap
+    }
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** The gate: name -> (fresh wall, history median) for every head that
+    * trips BOTH the ratio and absolute thresholds. */
+  def check(history: Seq[Map[String, Double]],
+      fresh: Map[String, Double]): Map[String, (Double, Double)] =
+    fresh.flatMap { case (name, w) =>
+      val prior = history.flatMap(_.get(name))
+      if (w > MinHeadWallS && prior.size >= 2) {
+        val med = median(prior)
+        if (w > RatioGate * med && w - med > AbsGateS) Some(name -> (w, med))
+        else None
+      } else None
+    }
+
+  /** Per-query maps of the committed full-bench lines for one sf dir
+    * (stream_steady_state and other non-"total" lines are skipped). */
+  def historyFor(path: String, sfDir: String): Seq[Map[String, Double]] = {
+    val f = new java.io.File(path)
+    if (!f.exists) Nil
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toVector
+        .filter(l => l.contains("\"metric\":\"total\"")
+          && l.contains("\"sf\":\"" + sfDir + "\""))
+        .map(l => queriesMap(l)).filter(_.nonEmpty)
+      finally src.close()
+    }
+  }
+}

@@ -22,15 +22,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * (level 6, raw stream) so no per-row allocation survives.
   *
   * Determinism: zlib output for a fixed input/level/strategy is
-  * deterministic within a JVM, and the LENGTH (all this expression
-  * exposes) is stable across the zlib builds the JDK ships — but there
-  * is no DuckDB twin, so q_compress_ratio is a rows-only driver row
-  * with its semantics pinned by CompressSpec instead of an oracle.
+  * deterministic within a JVM build; the LENGTH (all this expression
+  * exposes) has been stable across the zlib builds the JDK ships, but
+  * that is an observation, not a guarantee — so q_compress_ratio's
+  * driver oracle PINS the measured per-fixture rollup
+  * (`Scoring.compressPins`) and CompressSpec pins the expression
+  * bit-exact against driver-side `java.util.zip` on the running JVM:
+  * a zlib change fails the suite first, then the recalibration
+  * procedure in the q_compress_ratio Scaladoc refreshes the pins.
+  *
+  * Native-memory lifecycle: one Deflater per task thread, retained for
+  * the executor's life (bounded: threads × ~256 KB zlib state — the
+  * standard thread-local-codec trade). A JVM shutdown hook `end()`s
+  * every instance so the native state is released deterministically
+  * rather than waiting on finalization.
   */
 object CompressImpl {
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.zip.Deflater]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = live.poll()
+    while (d != null) { d.end(); d = live.poll() }
+  }))
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6, true)
+    override def initialValue(): java.util.zip.Deflater = {
+      val d = new java.util.zip.Deflater(6, true)
+      live.add(d)
+      d
+    }
   }
   private val buf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](8192)

@@ -362,12 +362,12 @@ object Dedup {
     * `verified` CTE in scope; yields `final(doc_id, cluster_id)`. */
   private def minhashClusterGraphSql: String =
     s"""e0 AS (SELECT doc_a, doc_b FROM verified),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM e0
        |  UNION SELECT doc_b, doc_a FROM e0
        |  UNION SELECT doc_a, doc_a FROM e0
        |  UNION SELECT doc_b, doc_b FROM e0),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
        |lp(iter, node, label) AS (
        |  SELECT 0, node, node FROM nodes
        |  UNION ALL
@@ -749,6 +749,17 @@ object Dedup {
 
   /** Shingle-set CTE shared by the pair and cluster oracles: word lists,
     * truncated word lists, the planted union, and per-doc shingle sets. */
+  /** Oracle cost notes (sf0.1 is the binding scale): every CTE the
+    * recursive label propagation references is `AS MATERIALIZED` —
+    * DuckDB otherwise INLINES the whole chain into each recursive
+    * iteration, re-running the O(n²) brute force once per round (the
+    * two cluster oracles timed out the default 600s sweep budget that
+    * way; materialized they run in ~1 min). The pair join also carries
+    * a PROVABLY LOSSLESS size prefilter: J(A,B) = |A∩B|/|A∪B| ≤
+    * min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires each shingle-set
+    * length ≥ t× the other — a cheap integer compare that prunes most
+    * of the n² grid BEFORE the expensive list intersection, without
+    * depending on the banding path under test. */
   private def minhashPlantedSetsSql: String =
     s"""t AS (
        |  SELECT doc_id, w, w[1:greatest(len(w) - $TruncateWords, 3)] AS wt
@@ -757,20 +768,22 @@ object Dedup {
        |  SELECT doc_id, w FROM t
        |  UNION ALL
        |  SELECT doc_id + ${Similarity.PlantOffset}, wt FROM t),
-       |d AS (
+       |d AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(CASE WHEN len(w) >= 3
        |      THEN list_transform(generate_series(1, len(w) - 2),
        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |      ELSE [array_to_string(w, ' ')] END) AS sh
        |  FROM planted),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
        |      / (len(a.sh) + len(b.sh)
        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
-       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
-       |verified AS (
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |    AND len(a.sh) >= $MinHashRecallJaccard * len(b.sh)
+       |    AND len(b.sh) >= $MinHashRecallJaccard * len(a.sh)),
+       |verified AS MATERIALIZED (
        |  SELECT doc_a, doc_b, jaccard FROM pairs
        |  WHERE jaccard >= $MinHashRecallJaccard)""".stripMargin
 

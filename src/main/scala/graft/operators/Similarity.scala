@@ -743,16 +743,33 @@ object Similarity {
   }
 
   /** Pinned-measurement oracle for one ANN family's natural recall row:
-    * (corpus rows -> measured hits) per calibrated fixture scale. */
-  private def natRecall10Sql(hitsBySize: Map[Int, Long]): String = {
-    val cases = hitsBySize.toSeq.sorted
-      .map { case (n, h) => s"WHEN $n THEN $h" }.mkString(" ")
-    s"""WITH c AS (SELECT count(*) AS n FROM embeddings)
-       |SELECT CAST(LEAST(n, $NatQueryCount) AS BIGINT) AS n_queries,
-       |  CAST(LEAST(n, $NatQueryCount) * 10 AS BIGINT) AS n_exact_pairs,
-       |  CAST(CASE n $cases END AS BIGINT) AS n_hits,
-       |  CAST(CASE n $cases END AS BIGINT) * 1000000
-       |    // (LEAST(n, $NatQueryCount) * 10) AS recall_ppm
+    * ((corpus rows, content fingerprint) -> measured hits) per
+    * calibrated fixture. The fingerprint — SUM(floor(first embedding
+    * component × 1e6)), exact integer arithmetic on IEEE doubles in
+    * both engines — disambiguates fixtures that share a row count: the
+    * shipped sf0.001 and sf0.01 corpora BOTH have 500 vectors with
+    * different content (measured hits differ, e.g. LSH 25 vs 29), so a
+    * bare-count key would silently serve one fixture's pin for the
+    * other. An unrecognized (n, fp) pair yields NULL hit columns → a
+    * LOUD hash fail. Recalibration procedure (new fixture scale or
+    * regenerated corpus): run `graft.Verify <sfDir> <out>
+    * q_ann_{lsh,ivf,pq,lsh8}_recall10`, read the measured n_hits, and
+    * add a `(rows, fp) -> hits` entry to each Nat*Hits map (the
+    * fingerprint prints from the DuckDB expression in this SQL;
+    * SimilaritySpec's pin-coverage test fails until every shipped
+    * fixture has an entry). */
+  private def natRecall10Sql(hitsByFp: Map[(Long, Long), Long]): String = {
+    val cases = hitsByFp.toSeq.sortBy(_._1)
+      .map { case ((n, fp), h) => s"WHEN c.n = $n AND c.fp = $fp THEN $h" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT count(*) AS n,
+       |  CAST(SUM(CAST(floor(embedding[1] * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS fp FROM embeddings)
+       |SELECT CAST(LEAST(c.n, $NatQueryCount) AS BIGINT) AS n_queries,
+       |  CAST(LEAST(c.n, $NatQueryCount) * 10 AS BIGINT) AS n_exact_pairs,
+       |  CAST(CASE $cases END AS BIGINT) AS n_hits,
+       |  CAST(CASE $cases END AS BIGINT) * 1000000
+       |    // (LEAST(c.n, $NatQueryCount) * 10) AS recall_ppm
        |FROM c""".stripMargin
   }
 
@@ -892,24 +909,33 @@ object Similarity {
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
-  /** Measured natural-regime hit counts per corpus size (the pinned
-    * oracle expectations — calibrated by running the Spark side on the
-    * shipped sf0.01 / sf0.1 fixtures, frozen here as the regression
-    * contract). The ordering LSH < PQ < IVF is the honest story on
+  /** Measured natural-regime hit counts per (corpus rows, content
+    * fingerprint) — the pinned oracle expectations, calibrated by
+    * running the Spark side on ALL shipped fixtures (sf0.001 / sf0.01 /
+    * sf0.1), frozen here as the regression contract; see natRecall10Sql
+    * for the fingerprint definition and the recalibration procedure.
+    * The ordering LSH < PQ < IVF is the honest story on
     * natural-cosine structure with these budgets: 4×16-bit sign bands +
     * 1-bit multiprobe collide reliably only in the near-dup regime
-    * (recall@10 ≈ 1.5-2%); 2-of-4 shared PQ codes ≈ 10-12%; 4-of-64
-    * probed IVF cells ≈ 19-22%. Production tuning raises bands/probes
+    * (recall@10 ≈ 1.2-2%); 2-of-4 shared PQ codes ≈ 10-12%; 4-of-64
+    * probed IVF cells ≈ 18-22%. Production tuning raises bands/probes
     * for natural-regime serving; these rows exist so that trade is
     * MEASURED and any kernel drift moves a pinned integer. */
-  val NatLshHits: Map[Int, Long] = Map(500 -> 29L, 2000 -> 41L)
-  val NatIvfHits: Map[Int, Long] = Map(500 -> 381L, 2000 -> 435L)
-  val NatPqHits: Map[Int, Long] = Map(500 -> 202L, 2000 -> 234L)
+  val NatFpSf0001: (Long, Long) = (500L, -1464190L)
+  val NatFpSf001: (Long, Long) = (500L, 1082114L)
+  val NatFpSf01: (Long, Long) = (2000L, 1529820L)
+  val NatLshHits: Map[(Long, Long), Long] =
+    Map(NatFpSf0001 -> 25L, NatFpSf001 -> 29L, NatFpSf01 -> 41L)
+  val NatIvfHits: Map[(Long, Long), Long] =
+    Map(NatFpSf0001 -> 366L, NatFpSf001 -> 381L, NatFpSf01 -> 435L)
+  val NatPqHits: Map[(Long, Long), Long] =
+    Map(NatFpSf0001 -> 216L, NatFpSf001 -> 202L, NatFpSf01 -> 234L)
   /** The 8x8 serving point (annCandidateIdsTuned) — calibrated like the
-    * rest; its lift over NatLshHits (29 → 1206 @500, 41 → 1313 @2000:
-    * recall@10 1.45% → 60.3% / 2.05% → 65.7%) is the measured recall
-    * dial: same 64-plane budget, re-cut. */
-  val NatLsh8Hits: Map[Int, Long] = Map(500 -> 1206L, 2000 -> 1313L)
+    * rest; its lift over NatLshHits (29 → 1206 @sf0.01, 41 → 1313
+    * @sf0.1: recall@10 1.45% → 60.3% / 2.05% → 65.7%) is the measured
+    * recall dial: same 64-plane budget, re-cut. */
+  val NatLsh8Hits: Map[(Long, Long), Long] =
+    Map(NatFpSf0001 -> 1121L, NatFpSf001 -> 1206L, NatFpSf01 -> 1313L)
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_rrf", rrf, Some(rrfSql), bench = true),

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The head-level bench regression gate (BenchRegression), enforced:
+  * unit-pins the gate semantics on synthetic history, then replays the
+  * gate over the COMMITTED BENCH_HISTORY.jsonl — latest full-bench line
+  * vs the medians of its priors — and fails the suite on any hit. This
+  * is the encoded form of the builder's manual ">1.5x with >1s absolute"
+  * round-over-round scan (round-8's q_cluster_star 4.9 -> 6.9s builder
+  * move — 1.42x, under the gate — is exactly the scale of move this
+  * catches the moment it crosses the line). No SparkSession needed. */
+class BenchRegressionSpec extends AnyFunSuite {
+  import BenchRegression._
+
+  private val hist = Seq(
+    Map("q_big" -> 5.0, "q_small" -> 0.5, "q_new" -> 4.0),
+    Map("q_big" -> 5.2, "q_small" -> 0.6),
+    Map("q_big" -> 4.8, "q_small" -> 0.4))
+
+  test("gate fires only on ratio AND absolute move, on >2s heads with >=2 priors") {
+    // real regression: 5.0 median -> 9.0 (1.8x, +4s)
+    assert(check(hist, Map("q_big" -> 9.0)).contains("q_big"))
+    // ratio alone (sub-2s head): 0.5 -> 1.9 is 3.8x but the head is
+    // under the 2s floor — session-overhead noise, not a regression
+    assert(check(hist, Map("q_small" -> 1.9)).isEmpty)
+    // absolute alone: 5.0 -> 6.9 (+1.9s) is 1.38x — under the ratio gate
+    assert(check(hist, Map("q_big" -> 6.9)).isEmpty)
+    // ratio over a tiny base, >2s fresh: 1.5 median... use a 2.2->3.4
+    // shaped case via a custom history: +1.2s abs, 1.55x -> fires
+    val h2 = Seq(Map("q_mid" -> 2.2), Map("q_mid" -> 2.2))
+    assert(check(h2, Map("q_mid" -> 3.4)).contains("q_mid"))
+    // single prior observation: no gate (no stable reference yet)
+    assert(check(hist, Map("q_new" -> 40.0)).isEmpty)
+    // flagged pair carries (fresh, history median)
+    val (w, med) = check(hist, Map("q_big" -> 9.0))("q_big")
+    assert(w == 9.0 && med == 5.0)
+  }
+
+  test("queriesMap parses Bench's history-line format exactly") {
+    val line = """{"metric":"total","value":1.0,"unit":"sec","queries":{"q_a":1.500,"q_b":0.250},"queries_median":{"q_a":1.600,"q_b":0.300},"bytes":{"q_a":{"scan":10,"shuffle":0}},"sf":"/root/testdata/sf0.1"}"""
+    assert(queriesMap(line) == Map("q_a" -> 1.5, "q_b" -> 0.25))
+    assert(queriesMap(line, "queries_median") == Map("q_a" -> 1.6, "q_b" -> 0.3))
+    assert(queriesMap("""{"queries":{}}""").isEmpty)
+    assert(queriesMap("""{"no_queries_here":1}""").isEmpty)
+  }
+
+  test("committed history: the latest full-bench line has no regressed head") {
+    val path = "BENCH_HISTORY.jsonl"
+    val all = historyFor(path, "/root/testdata/sf0.1")
+    // the gate needs a latest line plus >= 2 priors to say anything
+    assume(all.size >= 3, s"only ${all.size} full-bench lines in $path")
+    val regs = check(all.init, all.last)
+    assert(regs.isEmpty,
+      "regressed heads vs history medians (fresh, median): " +
+        regs.toSeq.sortBy(_._1).map { case (n, (w, m)) =>
+          f"$n $w%.2fs vs $m%.2fs"
+        }.mkString("; "))
+  }
+}

@@ -36,17 +36,49 @@ class Round8OpsSpec extends GraftSuite {
     // .Nat*Hits Scaladoc) so they fail only on a REGRESSION, not noise —
     // the pipeline is deterministic, so any change is a code change
     import operators.Similarity._
-    def ppm(m: Map[Int, Long], n: Int) = m(n) * 1000000L / (NatQueryCount * 10L)
-    for (n <- Seq(500, 2000)) {
-      assert(ppm(NatLshHits, n) >= 10000L, s"LSH natural recall floor @$n")
-      assert(ppm(NatPqHits, n) >= 80000L, s"PQ natural recall floor @$n")
-      assert(ppm(NatIvfHits, n) >= 150000L, s"IVF natural recall floor @$n")
+    def ppm(m: Map[(Long, Long), Long], k: (Long, Long)) =
+      m(k) * 1000000L / (NatQueryCount * 10L)
+    for (k <- Seq(NatFpSf0001, NatFpSf001, NatFpSf01)) {
+      assert(ppm(NatLshHits, k) >= 10000L, s"LSH natural recall floor @$k")
+      assert(ppm(NatPqHits, k) >= 80000L, s"PQ natural recall floor @$k")
+      assert(ppm(NatIvfHits, k) >= 150000L, s"IVF natural recall floor @$k")
       // the documented ordering at these budgets
-      assert(NatLshHits(n) < NatPqHits(n) && NatPqHits(n) < NatIvfHits(n),
-        s"family ordering @$n")
+      assert(NatLshHits(k) < NatPqHits(k) && NatPqHits(k) < NatIvfHits(k),
+        s"family ordering @$k")
       // the measured recall dial: re-cutting 64 planes as 8x8 instead
       // of 4x16 must lift natural recall over the dedup point
-      assert(NatLsh8Hits(n) > NatLshHits(n), s"8x8 LSH lift @$n")
+      assert(NatLsh8Hits(k) > NatLshHits(k), s"8x8 LSH lift @$k")
+    }
+  }
+
+  test("pinned-oracle fingerprint coverage: every shipped fixture is calibrated") {
+    // the pinned-measurement oracles (ANN natural recall@10, compress
+    // ratio) key on a CONTENT fingerprint, not bare row count — the
+    // shipped sf0.001 and sf0.01 fixtures share row counts with
+    // different content. This test recomputes each fixture's
+    // fingerprint in Spark and fails if any pin map lacks the key, so
+    // a regenerated/added fixture can't silently hit the NULL branch.
+    import operators.Similarity._
+    val fixtureDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s").filter(d => new java.io.File(d).exists)
+    assert(fixtureDirs.nonEmpty)
+    for (dir <- fixtureDirs) {
+      val eFp = Tables.embeddings(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(floor(element_at(col("embedding"), 1) * 1000000L).cast("long"))
+            .as("fp"))
+        .collect().head
+      val eKey = (eFp.getLong(0), eFp.getLong(1))
+      for ((fam, m) <- Seq("lsh" -> NatLshHits, "ivf" -> NatIvfHits,
+          "pq" -> NatPqHits, "lsh8" -> NatLsh8Hits))
+        assert(m.contains(eKey), s"$fam pin missing for $dir key=$eKey")
+      val dFp = Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("text")).cast("long")).as("tb"))
+        .collect().head
+      val dKey = (dFp.getLong(0), dFp.getLong(1))
+      assert(operators.Scoring.compressPins.contains(dKey),
+        s"compress pin missing for $dir key=$dKey")
     }
   }
 

@@ -95,11 +95,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                 break
         results[name] = bad or f"OK rows={len(s)}"
 
-    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "NO-ORACLE")))
+    n_hash = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rowsonly = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+    n_ok = n_hash + n_rowsonly
     for k, v in results.items():
         mark = "  " if v.startswith(("OK", "NO-ORACLE")) else "XX"
         print(f"{mark} {k}: {v}")
-    print(f"\n{n_ok}/{len(results)} pass")
+    suffix = (f" ({n_hash} hash-green + {n_rowsonly} rows-only)"
+              if n_rowsonly else " (all hash-green)")
+    print(f"\n{n_ok}/{len(results)} pass{suffix}")
     return 0 if n_ok == len(results) else 1
 
 

@@ -88,12 +88,16 @@ def main(sf_dir, out_dir, timeout=600, procs=10):
             results[name] = res
             done += 1
             print(f"[{done}/{len(names)}] {name}: {res}", flush=True)
-    ok = sum(1 for v in results.values() if v.startswith(("OK", "NO-ORACLE")))
+    n_hash = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rowsonly = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+    ok = n_hash + n_rowsonly
     to = sum(1 for v in results.values() if v.startswith("TIMEOUT"))
     bad = {k: v for k, v in results.items()
            if not v.startswith(("OK", "NO-ORACLE", "TIMEOUT"))}
-    print(f"\n{ok}/{len(names)} pass, {to} timeout, {len(bad)} mismatch",
-          flush=True)
+    suffix = (f" ({n_hash} hash-green + {n_rowsonly} rows-only)"
+              if n_rowsonly else " (all hash-green)")
+    print(f"\n{ok}/{len(names)} pass{suffix}, {to} timeout, "
+          f"{len(bad)} mismatch", flush=True)
     for k, v in sorted(bad.items()):
         print(f"XX {k}: {v}", flush=True)
     return 0 if not bad else 1
