@@ -28,9 +28,15 @@ object PostTrain {
     * response, rejected = the lowest, kept only when the pair separates
     * by at least MarginCents (low-margin pairs teach a reward model
     * noise) and the prompt has >= 2 responses. Argmax/argmin run on a
-    * COLLAPSED key (cents·1e9 ∓ event_id) so ties in reward resolve to
+    * COLLAPSED key (cents·1e12 ∓ event_id) so ties in reward resolve to
     * the smallest event id deterministically — max_by/arg_max with a
     * tied key is engine-unspecified, the bug this construction removes.
+    * Key-validity envelope (PostTrainSpec asserts it per fixture): the
+    * collapse is faithful iff event_id < 1e12 (else a large id
+    * outweighs a real 1-cent reward gap — the inversion bug) and
+    * |cents| < ~9.2e6 (else cents·1e12 overflows Long). Shipped
+    * fixtures sit ≥ 4 decades inside both bounds (event_id ≤ ~1e8 on
+    * the synthetic sf1 corpus, cents ≤ ~6e4).
     *
     * Scale shape: ONE prompt-keyed aggregation with map-side partials
     * (max_by/min_by/count combine associatively); no window, no join. */
@@ -43,8 +49,8 @@ object PostTrain {
         round($"value" * 100).cast("long").as("cents"))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_responses"),
-        expr("max_by(event_id, cents * 1000000000 - event_id)").as("chosen_id"),
-        expr("min_by(event_id, cents * 1000000000 + event_id)").as("rejected_id"),
+        expr("max_by(event_id, cents * 1000000000000 - event_id)").as("chosen_id"),
+        expr("min_by(event_id, cents * 1000000000000 + event_id)").as("rejected_id"),
         max($"cents").as("chosen_cents"),
         min($"cents").as("rejected_cents"))
       .filter($"n_responses" >= 2 &&
@@ -61,8 +67,8 @@ object PostTrain {
        |  FROM events),
        |p AS (
        |  SELECT user_id, COUNT(*) AS n_responses,
-       |    arg_max(event_id, cents * 1000000000 - event_id) AS chosen_id,
-       |    arg_min(event_id, cents * 1000000000 + event_id) AS rejected_id,
+       |    arg_max(event_id, cents * 1000000000000 - event_id) AS chosen_id,
+       |    arg_min(event_id, cents * 1000000000000 + event_id) AS rejected_id,
        |    MAX(cents) AS chosen_cents, MIN(cents) AS rejected_cents
        |  FROM e GROUP BY user_id)
        |SELECT user_id AS prompt_id, n_responses, chosen_id, rejected_id,
@@ -99,7 +105,7 @@ object PostTrain {
       .filter($"rn" <= BestN)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_sampled"),
-        expr("max_by(event_id, cents * 1000000000 - event_id)").as("best_id"),
+        expr("max_by(event_id, cents * 1000000000000 - event_id)").as("best_id"),
         max($"cents").as("best_cents"))
     val full = e.groupBy($"user_id")
       .agg(count(lit(1)).as("n_responses"),
@@ -122,7 +128,7 @@ object PostTrain {
        |  FROM e),
        |sampled AS (
        |  SELECT user_id, COUNT(*) AS n_sampled,
-       |    arg_max(event_id, cents * 1000000000 - event_id) AS best_id,
+       |    arg_max(event_id, cents * 1000000000000 - event_id) AS best_id,
        |    MAX(cents) AS best_cents
        |  FROM r WHERE rn <= $BestN GROUP BY user_id),
        |onefull AS (

@@ -196,8 +196,7 @@ object Sources {
 
   private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = graft.Scratch.key(java.nio.file.Paths.get(dir))
     val scratch = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_part_events_$key")
     val marker = new java.io.File(scratch, "_SUCCESS")
@@ -230,8 +229,7 @@ object Sources {
     * Scratch keyed on the sf dir, skipped when present. */
   private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = graft.Scratch.key(java.nio.file.Paths.get(dir))
     val scratch = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_orc_lineitem_$key")
     val marker = new java.io.File(scratch, "_SUCCESS")
@@ -270,8 +268,7 @@ object Sources {
     * recipe). */
   private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = graft.Scratch.key(java.nio.file.Paths.get(dir))
     val scratch = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_schema_merge_$key")
     if (!new java.io.File(scratch, "_DONE").exists()) {

@@ -373,10 +373,9 @@ object EventStream {
     import s.implicits._
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
-    // Scratch dir keyed on the SANITIZED ABSOLUTE PATH (not String
-    // .hashCode, which can collide or race between concurrent runs over
-    // different fixture dirs).
-    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    // Scratch dir keyed on sanitized path + process token (see Scratch:
+    // collision-free across fixtures AND across concurrent JVMs).
+    val key = graft.Scratch.key(src)
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_dedup_$key")
     def deleteRecursively(p: Path): Unit = {
@@ -602,7 +601,7 @@ object EventStream {
     import s.implicits._
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
-    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = graft.Scratch.key(src)
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_chained_$key")
     def deleteRecursively(p: Path): Unit = {

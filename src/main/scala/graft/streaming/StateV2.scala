@@ -385,9 +385,9 @@ object StateV2 {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val src = Paths.get(dir, "events.parquet")
-    // scratch keyed on the sanitized absolute source path (the
-    // q_stream_dedup_replay convention — no String.hashCode collisions)
-    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    // scratch keyed on sanitized source path + process token (Scratch):
+    // concurrent JVMs over the same fixture must not share the dir
+    val key = graft.Scratch.key(src)
     val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_restart_${tag}_$key")
     def deleteRecursively(p: Path): Unit = {

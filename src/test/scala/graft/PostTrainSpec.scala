@@ -11,6 +11,29 @@ class PostTrainSpec extends GraftSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("collapsed-key envelope: every fixture sits inside the 1e12 key bounds") {
+    // the cents*1e12 -/+ event_id collapse (q_dpo_pairs, q_best_of_n,
+    // q_grpo_advantage) is faithful only while event_id < M (a bigger
+    // id would outweigh a real 1-cent reward gap — tie-break inversion)
+    // and |cents|*M + event_id fits a Long (overflow). Assert both per
+    // shipped fixture, with a decade of headroom on the id bound, so a
+    // regenerated corpus that drifts toward the envelope fails here
+    // before it can silently flip an argmax.
+    val M = 1000000000000L
+    for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")
+        .map(s => s"/root/testdata/$s")
+        .filter(d => new java.io.File(d).exists)) {
+      val r = Tables.events(spark, dir)
+        .agg(max(abs(col("event_id"))).as("id_max"),
+          max(abs(round(col("value") * 100).cast("long"))).as("cents_max"))
+        .collect().head
+      val (idMax, centsMax) = (r.getLong(0), r.getLong(1))
+      assert(idMax < M / 10, s"$dir: event_id $idMax within a decade of the $M collapse bound")
+      assert(centsMax < (Long.MaxValue - idMax) / M,
+        s"$dir: cents $centsMax would overflow the collapsed key")
+    }
+  }
+
   test("q_dpo_pairs: margins gate, chosen strictly beats rejected, ids differ") {
     val rows = run("q_dpo_pairs").collect()
     assert(rows.nonEmpty, "margin gate dropped everything at smoke scale")
