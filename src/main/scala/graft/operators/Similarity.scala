@@ -175,26 +175,36 @@ object Similarity {
     * with identical plan shape. */
   val IvfK = 64
   val IvfProbes = 4
+  /** Second IVF operating point (the probe dial's other end): same
+    * 64-cell quantizer, nprobe 4 → 16. Candidate volume scales ~4× (the
+    * probe side emits 4× the (cell, id) rows; the receptor side is
+    * unchanged), recall climbs accordingly — `q_ann_ivf16_recall10`
+    * pins where, so the recall-vs-cost trade is a MEASURED pair, like
+    * LSH's 4×16-vs-8×8 pair. */
+  val IvfProbesWide = 16
 
   /** IVF candidates: each vector is OWNED by its nearest cell (receptor
-    * side) and PROBES its `IvfProbes` nearest cells — id-only join on the
+    * side) and PROBES its `probes` nearest cells — id-only join on the
     * cell id, embeddings never enter the exchange. */
-  def ivfCandidateIds(e: DataFrame): DataFrame = {
+  def ivfCandidateIdsAt(probes: Int)(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val recv0 = e.select($"vec_id".as("vec_b"),
-      element_at(VectorFunctions.ivfCells($"embedding", IvfK, IvfProbes), 1).as("cell"))
+      element_at(VectorFunctions.ivfCells($"embedding", IvfK, 1), 1).as("cell"))
     val recv = recv0
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy($"cell")))
       .filter($"bucket_n" <= MaxBucket)
       .select($"cell", $"vec_b")
     val probe = e.select($"vec_id".as("vec_a"),
-      explode(VectorFunctions.ivfCells($"embedding", IvfK, IvfProbes)).as("cell"))
+      explode(VectorFunctions.ivfCells($"embedding", IvfK, probes)).as("cell"))
     probe.join(recv, Seq("cell"))
       .filter($"vec_a" =!= $"vec_b")
       .select($"vec_a", $"vec_b")
       .distinct()
   }
+
+  def ivfCandidateIds(e: DataFrame): DataFrame =
+    ivfCandidateIdsAt(IvfProbes)(e)
 
   /** IVF-bucketed ANN — the second scale path (coarse quantization
     * instead of hashing); same verification tail as annLsh. */
@@ -936,6 +946,11 @@ object Similarity {
     * recall dial: same 64-plane budget, re-cut. */
   val NatLsh8Hits: Map[(Long, Long), Long] =
     Map(NatFpSf0001 -> 1121L, NatFpSf001 -> 1206L, NatFpSf01 -> 1313L)
+  /** The nprobe=16 IVF point (ivfCandidateIdsAt(IvfProbesWide)) — the
+    * probe dial's measured far end: 4× candidate volume buys the
+    * recall lift recorded here (vs NatIvfHits at nprobe=4). */
+  val NatIvf16Hits: Map[(Long, Long), Long] =
+    Map(NatFpSf0001 -> 1033L, NatFpSf001 -> 1046L, NatFpSf01 -> 1133L)
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_rrf", rrf, Some(rrfSql), bench = true),
@@ -989,5 +1004,9 @@ object Similarity {
     NamedQuery("q_ann_pq_recall10", annNaturalRecall10(pqCandidateIds),
       Some(natRecall10Sql(NatPqHits)), bench = true),
     NamedQuery("q_ann_lsh8_recall10", annNaturalRecall10(annCandidateIdsTuned),
-      Some(natRecall10Sql(NatLsh8Hits)), bench = true))
+      Some(natRecall10Sql(NatLsh8Hits)), bench = true),
+    // audited-bnlj(q_ann_ivf16_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
+    NamedQuery("q_ann_ivf16_recall10",
+      annNaturalRecall10(ivfCandidateIdsAt(IvfProbesWide)),
+      Some(natRecall10Sql(NatIvf16Hits)), bench = true))
 }

@@ -147,7 +147,7 @@ object BnljAudit {
   val allowed: Set[String] = Set(
     // bounded query-roster broadcasts (natural-regime ANN recall gates)
     "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
-    "q_ann_lsh8_recall10",
+    "q_ann_lsh8_recall10", "q_ann_ivf16_recall10",
     // constant-bounded geo rosters (25-row POI / 5-row fence broadcasts)
     "q_nearest_poi", "q_geofence",
     // 1-row global-aggregate broadcasts

@@ -48,6 +48,9 @@ class Round8OpsSpec extends GraftSuite {
       // the measured recall dial: re-cutting 64 planes as 8x8 instead
       // of 4x16 must lift natural recall over the dedup point
       assert(NatLsh8Hits(k) > NatLshHits(k), s"8x8 LSH lift @$k")
+      // the IVF probe dial: nprobe 4 -> 16 buys ~4x candidates and must
+      // lift recall strictly (measured ~19% -> ~52-57%)
+      assert(NatIvf16Hits(k) > NatIvfHits(k), s"nprobe-16 IVF lift @$k")
     }
   }
 
@@ -70,7 +73,7 @@ class Round8OpsSpec extends GraftSuite {
         .collect().head
       val eKey = (eFp.getLong(0), eFp.getLong(1))
       for ((fam, m) <- Seq("lsh" -> NatLshHits, "ivf" -> NatIvfHits,
-          "pq" -> NatPqHits, "lsh8" -> NatLsh8Hits))
+          "pq" -> NatPqHits, "lsh8" -> NatLsh8Hits, "ivf16" -> NatIvf16Hits))
         assert(m.contains(eKey), s"$fam pin missing for $dir key=$eKey")
       val dFp = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n"),
