@@ -115,9 +115,14 @@ object Geo {
       .selectExpr("id", s"$xExpr AS x", s"$yExpr AS y")
   }
 
-  private def spatialJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pts = points(s, dir)
+  /** The blocked kernel over any (id, x, y) frame — public so the
+    * skew-stress spec can feed a PLANTED hot-cell distribution (real
+    * geodata is power-law dense: cities) and prove AQE's skew-join
+    * split fires on the cell-keyed shuffle while the pair set stays
+    * bit-identical to the unsplit plan. */
+  def spatialJoinOn(pts0: DataFrame): DataFrame = {
+    import pts0.sparkSession.implicits._
+    val pts = pts0
       .selectExpr("id", "x", "y",
         s"x DIV $JoinRadius AS cx", s"y DIV $JoinRadius AS cy")
     val probes = pts
@@ -134,7 +139,11 @@ object Geo {
         (($"xa" - $"xb") * ($"xa" - $"xb") +
           ($"ya" - $"yb") * ($"ya" - $"yb")).as("dist2"))
       .filter($"dist2" <= JoinRadius * JoinRadius)
-      .orderBy($"id_a", $"id_b")
+  }
+
+  private def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spatialJoinOn(points(s, dir)).orderBy($"id_a", $"id_b")
   }
 
   private val spatialJoinSql =
