@@ -326,6 +326,42 @@ object EventStream {
        |FROM assigned GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------- q_sql_face_stream_sliding
+  /** SQL FACE of the sliding-window pipeline — the batch SQL-face
+    * contract (SqlFace.scala) extended to STREAMING: the aggregation is
+    * a pure `spark.sql(...)` spelling over a streaming temp view
+    * (`window(ts, '1 hour', '15 minutes')` resolves in SQL and the
+    * whole plan streams end-to-end into the same AvailableNow/complete
+    * memory sink). The watermark rides in the VIEW's plan — OSS Spark
+    * SQL has no watermark clause, and in complete mode it does not
+    * evict, so binding it DataFrame-side changes nothing — while every
+    * transform the face is about (window assignment, grouping, the
+    * decimal-routed exact sum) is SQL text. Same oracle as
+    * q_stream_sliding; Round8OpsSpec proves the two spellings equal
+    * frame-for-frame. */
+  private def streamSlidingSqlFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    readEvents(s, dir + "/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("stream_events_face")
+    val agg = s.sql(
+      """SELECT
+        |  date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+        |  event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM stream_events_face
+        |GROUP BY window(ts, '1 hour', '15 minutes'), event_type""".stripMargin)
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q_sql_face_stream_sliding_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_sql_face_stream_sliding_mem")
+      .orderBy($"window_start", $"event_type")
+  }
+
   // ------------------------------------------------- q_stream_interval_join
   /** DRIVER-VISIBLE stream-stream correlation: the view→click interval
     * join runs as a REAL two-sided streaming join (both sides
@@ -701,6 +737,8 @@ object EventStream {
     // streaming represented in the headline (and r6-comparable)
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
     graft.NamedQuery("q_stream_sliding", streamSliding,
+      Some(streamSlidingSql)),
+    graft.NamedQuery("q_sql_face_stream_sliding", streamSlidingSqlFace,
       Some(streamSlidingSql)),
     graft.NamedQuery("q_stream_full_join", streamFullJoin,
       Some(streamFullJoinSql)),

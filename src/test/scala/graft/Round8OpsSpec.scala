@@ -90,7 +90,10 @@ class Round8OpsSpec extends GraftSuite {
         "q_sql_face_industry_avg" -> "q_industry_avg",
         "q_sql_face_minhash_dedup" -> "q_minhash_dedup",
         "q_sql_face_filter_funnel" -> "q_filter_funnel",
-        "q_sql_face_random_walk" -> "q_random_walk")) {
+        "q_sql_face_random_walk" -> "q_random_walk",
+        // the STREAMING face: a pure-SQL sliding-window aggregation over
+        // a streaming temp view must equal the DataFrame spelling
+        "q_sql_face_stream_sliding" -> "q_stream_sliding")) {
       assertSameRows(
         SparkEntry.queries(face)(spark, sf),
         SparkEntry.queries(sibling)(spark, sf))
