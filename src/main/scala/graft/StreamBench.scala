@@ -82,11 +82,12 @@ object StreamBench {
       deleteRecursively(tmp)
     }
 
-    def src(): DataFrame = streaming.EventStream.readEvents(spark,
-      inDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    def srcFrom(d: Path): DataFrame = streaming.EventStream.readEvents(spark,
+      d.toString, Map("maxFilesPerTrigger" -> "1"))
+    def src(): DataFrame = srcFrom(inDir)
 
     // ---- the four stateful pipelines over the staged source ----
-    def runningTotals(): DataFrame = src()
+    def runningTotals(d: Path = inDir): DataFrame = srcFrom(d)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         round($"value" * 100).cast("long").as("cents"))
       .as[streaming.StateV2.RunEvent]
@@ -95,7 +96,7 @@ object StreamBench {
         TimeMode.None(), OutputMode.Append())
       .toDF()
 
-    def dailyDigest(): DataFrame = src()
+    def dailyDigest(d: Path = inDir): DataFrame = srcFrom(d)
       .withWatermark("ts", "1 hour")
       .select($"user_id",
         date_format($"ts", "yyyy-MM-dd").as("day"),
@@ -107,7 +108,7 @@ object StreamBench {
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
 
-    def recentK(): DataFrame = src()
+    def recentK(d: Path = inDir): DataFrame = srcFrom(d)
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
       .as[streaming.StateV2.PurchaseEvent]
@@ -116,7 +117,7 @@ object StreamBench {
         TimeMode.None(), OutputMode.Append())
       .toDF()
 
-    def typeCounts(): DataFrame = src()
+    def typeCounts(d: Path = inDir): DataFrame = srcFrom(d)
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         $"event_type", round($"value" * 100).cast("long").as("cents"))
       .as[streaming.StateV2.TypedEvent]
@@ -194,10 +195,82 @@ object StreamBench {
         s""""per_query":{${perQuery.mkString(",")}},"sf":${jstr(sfDir)}}"""
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "BENCH_HISTORY.jsonl")
-    Files.writeString(Paths.get(histPath),
-      line.init + s""","ts_ms":${System.currentTimeMillis}}""" + "\n",
+    def appendHist(l: String): Unit = Files.writeString(Paths.get(histPath),
+      l.init + s""","ts_ms":${System.currentTimeMillis}}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendHist(line)
     println(line)
+
+    // ---- restart COST (two-lifecycle) for the transformWithState ----
+    // machines. Restart CORRECTNESS is a driver row
+    // (q_stream_restart_*); this measures what a restart costs: stage
+    // the first half of the tranches, run lifecycle 1 to completion,
+    // land the second half, run lifecycle 2 from the SAME RocksDB
+    // checkpoint. Reported per machine: lifecycle-2 total wall (query
+    // startup + checkpoint restore + the remaining batches), the FIRST
+    // fed batch after restart (the batch that carries the per-partition
+    // RocksDB restore), and the steady-batch medians of both
+    // lifecycles. The claim: first_batch_after_restart is a bounded
+    // one-off (restore tracks live STATE, not processed history) and
+    // lifecycle-2 steady batches match lifecycle-1's — i.e. a restart
+    // costs ~one extra batch, never a replay.
+    val restartPipes: Seq[(String, Path => DataFrame)] = Seq(
+      "q_stream_running" -> (d => runningTotals(d)),
+      "q_stream_digest" -> (d => dailyDigest(d)),
+      "q_stream_recent" -> (d => recentK(d)),
+      "q_stream_type_counts" -> (d => typeCounts(d)))
+    val half = math.max(nBatches / 2, 1)
+    val tranches = (0 until nBatches).map(i => f"batch_$i%03d.parquet")
+    var restartPer = Vector.empty[String]
+    restartPipes.foreach { case (name, build) =>
+      val in2 = scratch.resolve(s"in_restart_$name")
+      Files.createDirectories(in2)
+      val ckpt = scratch.resolve(s"ckpt_restart_$name")
+      val out = scratch.resolve(s"out_restart_$name")
+      def runLife(tag: String): (Long, Seq[Long]) = {
+        // parquet sink: the memory sink cannot recover from a
+        // checkpoint (same reason StateV2.twoLifecycleRun commits to
+        // parquet); the sink dir is scratch — only telemetry is read
+        val t0 = System.nanoTime()
+        val q = build(in2)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1000000
+        val fed = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong)
+        (wall, fed)
+      }
+      tranches.take(half).foreach(nm =>
+        Files.copy(inDir.resolve(nm), in2.resolve(nm)))
+      val (l1Wall, l1Batches) = runLife("rb1")
+      tranches.drop(half).foreach(nm =>
+        Files.copy(inDir.resolve(nm), in2.resolve(nm)))
+      val (l2Wall, l2Batches) = runLife("rb2")
+      restartPer :+= s"${jstr(name)}:{" +
+        s""""l1_wall_ms":$l1Wall,"l2_wall_ms":$l2Wall,""" +
+        s""""l1_batch_ms":[${l1Batches.mkString(",")}],""" +
+        s""""l2_batch_ms":[${l2Batches.mkString(",")}],""" +
+        s""""first_batch_after_restart_ms":${l2Batches.headOption.getOrElse(-1L)},""" +
+        s""""l1_steady_ms":${median(l1Batches.drop(1))},""" +
+        s""""l2_steady_ms":${median(l2Batches.drop(1))}}"""
+      System.err.println(s"[stream-bench] restart $name: " +
+        s"l2 wall ${l2Wall}ms, first batch after restart " +
+        s"${l2Batches.headOption.getOrElse(-1L)}ms, " +
+        s"steady l1 ${median(l1Batches.drop(1))}ms " +
+        s"vs l2 ${median(l2Batches.drop(1))}ms")
+    }
+    val restartLine =
+      s"""{"metric":"stream_restart_cost","unit":"ms","n_batches":$nBatches,""" +
+        s""""half":$half,"per_query":{${restartPer.mkString(",")}},""" +
+        s""""sf":${jstr(sfDir)}}"""
+    appendHist(restartLine)
+    println(restartLine)
     spark.stop()
   }
 
