@@ -160,7 +160,7 @@ object BnljAudit {
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
     "q_negative_sampling", "q_rate_smoothing", "q_class_balance",
-    "q_pref_transitivity", "q_mix_anneal",
+    "q_pref_transitivity", "q_mix_anneal", "q_kto_pairs",
     "q_conformal_interval", "q_cuped",
     "q_lift",
     "q_lm_surprisal", "q_mann_whitney", "q_seasonal_anomalies",
