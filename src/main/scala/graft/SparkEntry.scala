@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Chunking.all ++ operators.Corpus.all ++
       operators.CurationExtra.all ++ operators.PretrainOps.all ++
       operators.MlData.all ++ operators.PostTrain.all ++
-      operators.LlmEval.all ++
+      operators.LlmEval.all ++ operators.Indicators.all ++
       operators.Journey.all ++ operators.Experiment.all ++
       operators.Geo.all ++ operators.Privacy.all ++
       operators.Tokenize.all ++ operators.Graph.all ++

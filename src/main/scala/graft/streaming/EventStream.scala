@@ -326,6 +326,48 @@ object EventStream {
        |FROM assigned GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------------- q_stream_ohlc
+  /** STREAMING daily OHLC bars — the market-indicator family's bar
+    * sub-plan (operators/Indicators.scala) run as a live stream: open
+    * and close are `min_by`/`max_by` over the unique (tick micros,
+    * event_id) key, which Spark maintains as ordinary streaming
+    * aggregation state (one (open-key, open, close-key, close, hi, lo,
+    * n, Σ) tuple per open window×instrument — bounded by the watermark
+    * horizon, NEVER by tick history). The batch q_ohlc computes the
+    * same bars via ROW_NUMBER order statistics and the shared DuckDB
+    * oracle is that ROW_NUMBER spelling — three formulations of the
+    * open/close order statistic agreeing per cell (streaming min_by
+    * state, batch window ranks, DuckDB ranks) is the differential
+    * point of this row. Complete mode, batch-parity contract as
+    * q_stream_sliding. */
+  private def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = readEvents(s, dir + "/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .select($"ts", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(
+        min_by($"cents", struct($"us", $"event_id")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max_by($"cents", struct($"us", $"event_id")).as("close_cents"),
+        count(lit(1)).as("n_ticks"),
+        sum($"cents").as("notional_cents"))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"),
+        $"event_type", $"open_cents", $"high_cents", $"low_cents",
+        $"close_cents", $"n_ticks", $"notional_cents")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q_stream_ohlc_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_ohlc_mem").orderBy($"event_type", $"day")
+  }
+
   // ------------------------------------- q_sql_face_stream_sliding
   /** SQL FACE of the sliding-window pipeline — the batch SQL-face
     * contract (SqlFace.scala) extended to STREAMING: the aggregation is
@@ -738,6 +780,8 @@ object EventStream {
     graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
     graft.NamedQuery("q_stream_sliding", streamSliding,
       Some(streamSlidingSql)),
+    graft.NamedQuery("q_stream_ohlc", streamOhlc,
+      Some(graft.operators.Indicators.ohlcSql)),
     graft.NamedQuery("q_sql_face_stream_sliding", streamSlidingSqlFace,
       Some(streamSlidingSql)),
     graft.NamedQuery("q_stream_full_join", streamFullJoin,

@@ -217,5 +217,6 @@ object UnpartitionedWindowAudit {
     "q_mix_sample",         // per-source weight frame (#sources)
     "q_mix_weights",        // per-source weight frame (#sources)
     "q_dataset_card",       // datasheet summary rows (fixed section count)
+    "q_embargo_split",      // calendar day grid (index rank + grid count)
   )
 }

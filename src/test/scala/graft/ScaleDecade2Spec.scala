@@ -151,7 +151,13 @@ class ScaleDecade2Spec extends GraftSuite {
       // third-wave heads: iterative keyed-equi-join walks (replica
       // custkeys stay below SupplierOffset, so node spaces remain
       // disjoint at sf1) and broadcast-filtered positional search
-      "q_random_walk", "q_phrase_search")) {
+      "q_random_walk", "q_phrase_search",
+      // indicator family: replicas share the calendar, so 10x rows is
+      // 10x ticks PER (instrument, day) cell — the tick-rate regime the
+      // bar sub-plan's rate-bounded-group claim is about (the bar grid
+      // itself stays 150 rows; q_tick_rule pushes the 10x through the
+      // cell-partitioned lag/carry windows as well)
+      "q_ohlc", "q_tick_rule")) {
     test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
       synthDir // force the build before timing anything
       wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
