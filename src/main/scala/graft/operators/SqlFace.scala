@@ -33,6 +33,7 @@ object SqlFace {
       case n @ "customer" => Tables.customer(s, dir).createOrReplaceTempView(n)
       case n @ "orders" => Tables.orders(s, dir).createOrReplaceTempView(n)
       case n @ "lineitem" => Tables.lineitem(s, dir).createOrReplaceTempView(n)
+      case n @ "events" => Tables.events(s, dir).createOrReplaceTempView(n)
       case n => throw new IllegalArgumentException(s"no view recipe for $n")
     }
 
@@ -210,7 +211,40 @@ object SqlFace {
       WHERE step = ${Graph.WalkSteps} ORDER BY walker""")
   }
 
+  // --------------------------------------------------------- q_sql_face_ohlc
+  /** The market-indicator family's daily-bar sub-plan
+    * (`Indicators.bars`) in pure Spark SQL — the dashboard author's
+    * spelling of the OHLC chart query. Dialect deltas vs the shared
+    * DuckDB oracle: `date_format`/`unix_micros` for
+    * `strftime`/`epoch_us`; the ROW_NUMBER open/close order statistics
+    * and the conditional-MAX rollup are identical text. */
+  private def sqlOhlc(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "events")
+    s.sql("""
+      WITH t AS (
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+          unix_micros(ts) AS us, event_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          ROW_NUMBER() OVER (
+            PARTITION BY event_type, date_format(ts, 'yyyy-MM-dd')
+            ORDER BY unix_micros(ts), event_id) AS ra,
+          ROW_NUMBER() OVER (
+            PARTITION BY event_type, date_format(ts, 'yyyy-MM-dd')
+            ORDER BY unix_micros(ts) DESC, event_id DESC) AS rd
+        FROM events)
+      SELECT event_type, day,
+        MAX(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+        MAX(cents) AS high_cents,
+        MIN(cents) AS low_cents,
+        MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+        COUNT(*) AS n_ticks,
+        SUM(cents) AS notional_cents
+      FROM t GROUP BY event_type, day
+      ORDER BY event_type, day""")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_ohlc", sqlOhlc, Some(Indicators.ohlcSql)),
     NamedQuery("q_sql_face_random_walk", sqlRandomWalk,
       Some(Graph.randomWalkSql)),
     NamedQuery("q_sql_face_industry_avg", sqlIndustryAvg,

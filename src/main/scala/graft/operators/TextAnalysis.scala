@@ -1109,7 +1109,149 @@ object TextAnalysis {
        |FROM tri t JOIN roster r USING (p1, p2, p3)
        |GROUP BY 1 ORDER BY phrase""".stripMargin
 
+  // ------------------------------------------------------------ q_kn_bigram
+  // audited-bnlj(q_kn_bigram): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
+  /** Interpolated Kneser–Ney bigram estimation (Kneser & Ney 1995; Chen
+    * & Goodman 1999) — the n-gram-LM smoothing step of a corpus
+    * pipeline, EXACT in integers: with discount d = 3/4 the classic
+    *   P(w2|w1) = max(c12−d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N_types
+    * clears denominators to
+    *   pkn_ppm = (max(4·c12−3, 0)·N_types + 3·cont_w1·hist_w2) · 1e6
+    *             DIV (4·c1·N_types)
+    * — one truncating division of two exact BIGINTs. The continuation
+    * counts N1+ are distinct-type counts over the bigram-type frame
+    * (the KN insight: "how many distinct contexts has this word completed"
+    * replaces raw frequency). KnBigramSpec replays the counts in BigInt
+    * and proves the normalization identity Σ_w2 P(w2|w1) = 1 — exact by
+    * the same algebra (Σ max(4c12−3,0) = 4c1 − 3·cont(w1) since every
+    * observed c12 ≥ 1, and Σ hist = N_types).
+    *
+    * BIGINT envelope: numerator ≤ 4·c12·N_types + 3·cont·hist ≤
+    * ~8·tokens·types, so ×1e6 needs tokens·types < ~1.1e12 —
+    * spec-asserted per fixture (sf0.1: ~4e5 tokens × ~5e4 types).
+    *
+    * Scale shape: bigrams generate ROW-LOCALLY (zip_with slices, the
+    * q_collocations recipe — no positions self-join); the count frames
+    * are bigram-TYPE-sized (vocabulary², but support-filtered on the
+    * output); context/continuation totals attach by two word-keyed
+    * broadcast joins and the single N_types anchor is a 1-row
+    * broadcast. The oracle uses the positions-self-join formulation —
+    * differential agreement. */
+  private def knBigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ", -1)
+    val n = greatest(size(words) - 1, lit(0))
+    val big = Tables.documents(s, dir)
+      .select(explode(zip_with(
+        slice(words, lit(1), n), slice(words, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter(length($"w1") >= 4 && length($"w2") >= 4)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("cont_w1"))
+    val hist = big.groupBy($"w2").agg(count(lit(1)).as("hist_w2"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    big
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(hist), "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("pkn_ppm", expr(
+        """(greatest(4 * c12 - 3, 0) * n_types + 3 * cont_w1 * hist_w2)
+          | * 1000000 DIV (4 * c1 * n_types)""".stripMargin))
+      .filter($"c12" >= 3)
+      .select($"w1", $"w2", $"c12", $"c1", $"cont_w1", $"hist_w2",
+        $"n_types", $"pkn_ppm")
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  private val knBigramSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |big AS (
+      |  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE length(a.w) >= 4 AND length(b.w) >= 4
+      |  GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS cont_w1
+      |  FROM big GROUP BY 1),
+      |hist AS (SELECT w2, COUNT(*) AS hist_w2 FROM big GROUP BY 1),
+      |types AS (SELECT COUNT(*) AS n_types FROM big)
+      |SELECT w1, w2, c12, c1, cont_w1, hist_w2, n_types,
+      |  (GREATEST(4 * c12 - 3, 0) * n_types + 3 * cont_w1 * hist_w2)
+      |    * 1000000 // (4 * c1 * n_types) AS pkn_ppm
+      |FROM big JOIN ctx USING (w1) JOIN hist USING (w2) CROSS JOIN types
+      |WHERE c12 >= 3
+      |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------- q_good_turing
+  /** Good–Turing frequency-of-frequencies (Good 1953) — the other
+    * classic smoothing accounting next to [[knBigram]], over the
+    * TRIGRAM spectrum (the corpus vocabulary is 24 words, so unigrams
+    * and bigrams saturate; trigram types are genuinely sparse — tens of
+    * thousands of types at counts 1–25, exactly where GT matters):
+    * N_r = how many trigram types occur exactly r times, and the
+    * Turing adjusted count r* = (r+1)·N_{r+1}/N_r in exact ppm (NULL
+    * where N_{r+1} = 0 — the raw estimator is undefined there; the
+    * Gale–Sampson fit would interpolate, surfacing the NULL is the
+    * honest accounting). Rows r ≤ 20, the head of the spectrum.
+    *
+    * Scale shape: trigrams generate ROW-LOCALLY (an index-lambda
+    * transform inside codegen, no positions self-join), then one
+    * gram-keyed count and one count-keyed count (the freq-of-freqs
+    * frame is value-bounded — ≤ max gram frequency rows); the N_{r+1}
+    * attach is a keyed self-join on that tiny frame. The oracle builds
+    * trigrams by positions self-join — differential agreement.
+    * KnBigramSpec proves the mass identity Σ r·N_r = total trigrams. */
+  private def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.documents(s, dir)
+      .selectExpr(
+        """explode(transform(
+          |  sequence(0, greatest(size(split(text, ' ', -1)) - 3, -1)),
+          |  i -> concat_ws(' ', split(text, ' ', -1)[i],
+          |    split(text, ' ', -1)[i + 1],
+          |    split(text, ' ', -1)[i + 2]))) AS g""".stripMargin)
+      .groupBy($"g").agg(count(lit(1)).as("r"))
+    val freqOfFreq = tri.groupBy($"r").agg(count(lit(1)).as("n_r"))
+    freqOfFreq
+      .join(freqOfFreq.select(($"r" - 1).as("r"), $"n_r".as("n_r1")),
+        Seq("r"), "left")
+      .filter($"r" <= 20)
+      .selectExpr("r", "n_r",
+        "(r + 1) * n_r1 * 1000000 DIV n_r AS r_star_ppm")
+      .orderBy($"r")
+  }
+
+  private val goodTuringSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.w || ' ' || b.w || ' ' || c.w AS g, COUNT(*) AS r
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |  GROUP BY 1),
+      |fof AS (SELECT r, COUNT(*) AS n_r FROM tri GROUP BY r)
+      |SELECT a.r, a.n_r,
+      |  (a.r + 1) * b.n_r * 1000000 // a.n_r AS r_star_ppm
+      |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+      |WHERE a.r <= 20
+      |ORDER BY a.r""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kn_bigram", knBigram, Some(knBigramSql), bench = true),
+    NamedQuery("q_good_turing", goodTuring, Some(goodTuringSql),
+      bench = true),
     NamedQuery("q_phrase_search", phraseSearch, Some(phraseSearchSql),
       bench = true),
     NamedQuery("q_feature_hashing", featureHashing, Some(featureHashingSql),

@@ -151,7 +151,7 @@ object BnljAudit {
     // constant-bounded geo rosters (25-row POI / 5-row fence broadcasts)
     "q_nearest_poi", "q_geofence",
     // 1-row global-aggregate broadcasts
-    "q_abc_analysis",
+    "q_abc_analysis", "q_kn_bigram",
     "q_acf", "q_basket_rules", "q_bm25", "q_collocations", "q_conductance",
     "q_conversion_latency", "q_cross_corr", "q_data_freshness",
     "q_date_window", "q_dedup_embedding", "q_degree_dist",
