@@ -144,7 +144,16 @@ object StreamBench {
         events.filter($"event_type" === "click"), "full_outer")
     }
 
+    // Windowed-aggregation variant from the indicator family: day
+    // windows × instruments, min_by/max_by order-statistic state. In
+    // append mode the watermark CLOSES day windows as tranches land, so
+    // the per-batch wall includes window finalization/eviction — state
+    // rows must track open windows (days in flight × instruments),
+    // never tick history.
+    def ohlcBars(): DataFrame = streaming.EventStream.ohlcAgg(src())
+
     val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "q_stream_ohlc" -> (() => ohlcBars()),
       "q_stream_running" -> (() => runningTotals()),
       "q_stream_digest" -> (() => dailyDigest()),
       "q_stream_recent" -> (() => recentK()),

@@ -340,9 +340,13 @@ object EventStream {
     * state, batch window ranks, DuckDB ranks) is the differential
     * point of this row. Complete mode, batch-parity contract as
     * q_stream_sliding. */
-  private def streamOhlc(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val q = readEvents(s, dir + "/events.parquet")
+  /** The streaming OHLC aggregation over any events source frame —
+    * shared by the correctness row below and StreamBench's steady-state
+    * pipeline (where append mode + the watermark make day-window
+    * eviction part of the measured per-batch cost). */
+  def ohlcAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .withWatermark("ts", "1 hour")
       .select($"ts", $"event_type", $"event_id",
         unix_micros($"ts").as("us"),
@@ -358,6 +362,11 @@ object EventStream {
       .select(date_format($"w.start", "yyyy-MM-dd").as("day"),
         $"event_type", $"open_cents", $"high_cents", $"low_cents",
         $"close_cents", $"n_ticks", $"notional_cents")
+  }
+
+  private def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = ohlcAgg(readEvents(s, dir + "/events.parquet"))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("complete")
