@@ -641,6 +641,96 @@ object Indicators {
        |    AS gap_down
        |FROM p ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------- q_var_es
+  /** Historical VaR and expected shortfall at 95% — exact order
+    * statistics, no quantile interpolation: over each instrument's
+    * daily close diffs, k = ⌈0.05·n⌉ (integer ceil-div), VaR is the
+    * k-th worst diff (a row_number pick on the unique (diff, day) key)
+    * and ES is the exact mean of the k worst in millicents (Σ·1000
+    * DIV k). Scale shape: one per-instrument rank window over the
+    * calendar-bounded bar grid + the instrument-keyed rollup. */
+  private def varEs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val wRank = Window.partitionBy($"event_type").orderBy($"x", $"day")
+    bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .filter($"prev".isNotNull)
+      .select($"event_type", $"day", ($"close_cents" - $"prev").as("x"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("k", expr("(n * 5 + 99) DIV 100"))
+      .filter($"rk" <= $"k")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"), max($"k").as("k"),
+        max($"x").as("var_cents"),
+        expr("sum(x) * 1000 DIV max(k)").as("es_millicents"))
+      .select($"event_type", $"n_days", $"k", $"var_cents",
+        $"es_millicents")
+      .orderBy($"event_type")
+  }
+
+  private val varEsSql =
+    s"""$barsSqlCte,
+       |d AS (
+       |  SELECT event_type, day,
+       |    close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day) AS x
+       |  FROM bars),
+       |r AS (
+       |  SELECT event_type, day, x,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY x, day) AS BIGINT) AS rk,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM d WHERE x IS NOT NULL)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+       |  CAST(MAX((n * 5 + 99) // 100) AS BIGINT) AS k,
+       |  MAX(x) AS var_cents,
+       |  CAST(SUM(x) AS BIGINT) * 1000 // MAX((n * 5 + 99) // 100)
+       |    AS es_millicents
+       |FROM r WHERE rk <= (n * 5 + 99) // 100
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------- q_amihud
+  /** Amihud (2002) illiquidity — mean over days of |Δclose| per unit of
+    * traded notional, the classic price-impact-per-volume proxy: per
+    * day, |x|·1e9 DIV notional_cents (exact — |x| < 1e5 keeps the ×1e9
+    * product < 1e14); per instrument, the exact integer mean of the
+    * daily ratios. Scale shape: the diff window over the bar grid, one
+    * instrument-keyed rollup. */
+  private def amihud(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .filter($"prev".isNotNull)
+      .select($"event_type", $"day",
+        abs($"close_cents" - $"prev").as("adx"), $"notional_cents")
+      .withColumn("illiq_ppb", expr("adx * 1000000000 DIV notional_cents"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"adx").as("sum_abs_diff_cents"),
+        expr("sum(illiq_ppb) DIV count(1)").as("amihud_ppb"))
+      .orderBy($"event_type")
+  }
+
+  private val amihudSql =
+    s"""$barsSqlCte,
+       |d AS (
+       |  SELECT event_type, day, notional_cents,
+       |    abs(close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day)) AS adx
+       |  FROM bars),
+       |r AS (
+       |  SELECT event_type, adx,
+       |    adx * 1000000000 // notional_cents AS illiq_ppb
+       |  FROM d WHERE adx IS NOT NULL)
+       |SELECT event_type, COUNT(*) AS n_days,
+       |  CAST(SUM(adx) AS BIGINT) AS sum_abs_diff_cents,
+       |  CAST(SUM(illiq_ppb) AS BIGINT) // COUNT(*) AS amihud_ppb
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ohlc", ohlc, Some(ohlcSql), bench = true),
     NamedQuery("q_vwap", vwap, Some(vwapSql), bench = true),
@@ -655,5 +745,7 @@ object Indicators {
     NamedQuery("q_embargo_split", embargoSplit, Some(embargoSplitSql),
       bench = true),
     NamedQuery("q_candle_patterns", candlePatterns, Some(candlePatternsSql),
-      bench = true))
+      bench = true),
+    NamedQuery("q_var_es", varEs, Some(varEsSql), bench = true),
+    NamedQuery("q_amihud", amihud, Some(amihudSql), bench = true))
 }

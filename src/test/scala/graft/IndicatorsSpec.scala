@@ -281,6 +281,49 @@ class IndicatorsSpec extends GraftSuite {
     }
   }
 
+  test("q_var_es: VaR is the exact k-th order statistic, ES its exact mean") {
+    val rows = run("q_var_es").collect()
+    assert(rows.length == closes.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val diffs = closes(t).sliding(2).map(p => (p(1)._2 - p(0)._2, p(1)._1)).toSeq
+      val n = diffs.size
+      val k = (n * 5 + 99) / 100
+      val worst = diffs.sortBy(identity).take(k)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Long]("k") == k.toLong)
+      assert(r.getAs[Long]("var_cents") == worst.map(_._1).max)
+      assert(r.getAs[Long]("es_millicents") == {
+        val s0 = worst.map(_._1).sum
+        // Scala / truncates toward zero like both engines' DIV
+        s0 * 1000L / k
+      })
+      assert(r.getAs[Long]("var_cents") <= 0 ||
+        diffs.count(_._1 < 0) < k, "95% VaR should sit in the loss tail")
+    }
+  }
+
+  test("q_amihud: per-day ratio and mean replay exactly") {
+    val rows = run("q_amihud").collect()
+    assert(rows.length == refBars.size / 30) // one per instrument
+    val notional: Map[(String, String), Long] =
+      refBars.map { case (k, b) => k -> b._6 }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = closes(t)
+      val ratios = series.sliding(2).map { p =>
+        val adx = math.abs(p(1)._2 - p(0)._2)
+        (adx, adx * 1000000000L / notional((t, p(1)._1)))
+      }.toSeq
+      assert(r.getAs[Long]("n_days") == ratios.size.toLong)
+      assert(r.getAs[Long]("sum_abs_diff_cents") == ratios.map(_._1).sum)
+      assert(r.getAs[Long]("amihud_ppb") ==
+        ratios.map(_._2).sum / ratios.size)
+      // envelope: |diff| < 1e5 keeps the x1e9 product far inside BIGINT
+      ratios.foreach(x => assert(x._1 < 100000L))
+    }
+  }
+
   test("q_beta: sufficient statistics replay in BigInt, envelope holds") {
     val rows = run("q_beta").collect()
     assert(rows.length == closes.size)
