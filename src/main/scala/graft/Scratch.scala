@@ -21,4 +21,32 @@ object Scratch {
   def key(sourcePath: java.nio.file.Path): String =
     sourcePath.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
       s"_p$processToken"
+
+  // Per-pid keys made the dirs collision-free across concurrent JVMs,
+  // but also unshareable — nothing else will ever reuse (or clean)
+  // them, so without this hook every process leaks one staged fixture
+  // copy into java.io.tmpdir until the OS clears /tmp. All scratch
+  // sites name their dirs `graft_*_<key>` directly under tmpdir, and
+  // key ends with `_p<pid>`, so the sweep below can only ever match
+  // dirs THIS process created.
+  private val _cleanup: Unit = java.lang.Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val suffix = s"_p$processToken"
+      val mine = java.nio.file.Files.list(tmp)
+      try mine.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_") && n.endsWith(suffix))
+          deleteRecursively(p)
+      } finally mine.close()
+    }, "graft-scratch-cleanup"))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(deleteRecursively) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
 }

@@ -126,6 +126,23 @@ object StreamBench {
         TimeMode.None(), OutputMode.Append())
       .toDF()
 
+    // TTL'd map-state machine (q_stream_ttl's processor): the eviction
+    // lever's TELEMETRY face — with a 1 ms TTL every batch's entries
+    // expire before the next batch reads them, so state_rows must
+    // PLATEAU at the per-batch active key count instead of climbing to
+    // all-time user×type like q_stream_type_counts; the two
+    // trajectories side by side in per_query are the eviction evidence.
+    def ttlTypeCounts(d: Path = inDir): DataFrame = srcFrom(d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .as[streaming.StateV2.TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new streaming.StateV2.TtlTypeCountsProcessor(
+          java.time.Duration.ofMillis(1)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
+
     def intervalJoin(): DataFrame = {
       val events = src()
       streaming.EventStream.intervalJoin(
@@ -158,10 +175,12 @@ object StreamBench {
       "q_stream_digest" -> (() => dailyDigest()),
       "q_stream_recent" -> (() => recentK()),
       "q_stream_type_counts" -> (() => typeCounts()),
+      "q_stream_ttl" -> (() => ttlTypeCounts()),
       "q_stream_interval_join" -> (() => intervalJoin()),
       "q_stream_full_join" -> (() => fullOuterJoin()))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val totalEventRows = ev.count()
     var perQuery = Vector.empty[String]
     pipelines.foreach { case (name, build) =>
       val ckpt = scratch.resolve(s"ckpt_$name")
@@ -173,6 +192,22 @@ object StreamBench {
         .queryName(s"${name}_sb_mem")
         .option("checkpointLocation", ckpt.toString)
         .start()
+      if (name == "q_stream_ttl") {
+        // ProcessingTime time mode never self-terminates under
+        // AvailableNow (shouldRunAnotherBatch is unconditionally true),
+        // which is the production shape of a TTL'd query — drain by
+        // input accounting like the q_stream_ttl correctness harness:
+        // stop once every staged row (this pipeline feeds ALL event
+        // rows) has been fed and committed.
+        def fedRows: Long = q.recentProgress.map(_.numInputRows).sum
+        val deadline = System.nanoTime + 600L * 1000 * 1000 * 1000
+        while (fedRows < totalEventRows && q.isActive &&
+            System.nanoTime < deadline)
+          Thread.sleep(100)
+        require(fedRows >= totalEventRows,
+          s"$name drain timed out: fed=$fedRows of $totalEventRows")
+        q.stop()
+      }
       q.awaitTermination()
       // per-batch telemetry from the engine's own progress events;
       // keep only batches that consumed input (AvailableNow appends a

@@ -104,6 +104,124 @@ object Indicators {
        |  close_cents, n_ticks, notional_cents
        |FROM bars ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------- q_bars_nmin
+  /** Intraday resample width (minutes) and its microsecond equivalent —
+    * 15-minute bars, the step between [[bars]]' daily candles and the
+    * reference dashboard's monthly trend (`Frontend.py:71-79`).
+    * Buckets are epoch-aligned (`us DIV BucketUs`), identical to
+    * Structured Streaming's `window(ts, "15 minutes")` assignment, so
+    * the streaming sibling (`q_stream_bars_nmin`) lands on the same
+    * grid cells. */
+  val BarMinutes = 15
+  val BucketUs: Long = BarMinutes * 60L * 1000000L
+
+  /** Intraday n-minute OHLC bars WITH GAP-FILLING — the resample
+    * operation every charting/feature pipeline needs: ticks roll up to
+    * per-(instrument, 15-min bucket) bars exactly as [[bars]] does per
+    * day, then each instrument's grid densifies to EVERY bucket between
+    * its first and last active one. Empty buckets emit n_ticks = 0 and
+    * NULL OHLC (the honest accounting), plus `close_ffill_cents` — the
+    * last known close carried forward, the standard fill a charting
+    * layer draws — and an `is_gap` flag.
+    *
+    * Scale shape: ticks → bars is ONE keyed exchange on (instrument,
+    * bucket), the open/close row_numbers riding the same hash
+    * partitioning as the rollup (the [[bars]] plan). Everything after
+    * runs on the calendar-bounded bar grid (instruments × buckets —
+    * tiny at any data scale); the dense grid generates from a 2-column
+    * per-instrument (first, last) frame via `sequence` (no join against
+    * raw ticks), and the forward-fill window partitions per instrument
+    * over the calendar axis, the q_max_drawdown precedent. */
+  private def barsNmin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.events(s, dir).select(
+      $"event_type",
+      expr(s"unix_micros(ts) DIV $BucketUs").as("bucket"),
+      unix_micros($"ts").as("us"),
+      $"event_id",
+      round($"value" * 100).cast("long").as("cents"))
+    val wA = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"us", $"event_id")
+    val wD = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"us".desc, $"event_id".desc)
+    val nbars = ticks
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy($"event_type", $"bucket")
+      .agg(
+        max(when($"ra" === 1, $"cents")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(when($"rd" === 1, $"cents")).as("close_cents"),
+        count(lit(1)).as("n_ticks"),
+        sum($"cents").as("notional_cents"))
+    val grid = nbars.groupBy($"event_type")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"event_type", explode(sequence($"b0", $"b1")).as("bucket"))
+    val wf = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(nbars, Seq("event_type", "bucket"), "left")
+      .withColumn("close_ffill_cents",
+        last($"close_cents", ignoreNulls = true).over(wf))
+      .select($"event_type",
+        date_format(timestamp_micros($"bucket" * BucketUs), "yyyy-MM-dd HH:mm")
+          .as("bucket_start"),
+        coalesce($"n_ticks", lit(0L)).as("n_ticks"),
+        $"open_cents", $"high_cents", $"low_cents", $"close_cents",
+        $"notional_cents", $"close_ffill_cents",
+        when($"open_cents".isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy($"event_type", $"bucket_start")
+  }
+
+  /** DuckDB mirror of the 15-minute bar sub-plan as a CTE prefix
+    * (`nt`/`nbars`) — shared by `q_bars_nmin` and the streaming
+    * sibling's oracle (`EventStream.barsNminSql`). */
+  private[graft] val barsNminSqlCte =
+    s"""WITH nt AS (
+       |  SELECT event_type, epoch_us(ts) // $BucketUs AS bucket,
+       |    epoch_us(ts) AS us, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY event_type, epoch_us(ts) // $BucketUs
+       |      ORDER BY epoch_us(ts), event_id) AS ra,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY event_type, epoch_us(ts) // $BucketUs
+       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+       |  FROM events),
+       |nbars AS (
+       |  SELECT event_type, bucket,
+       |    MAX(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+       |    MAX(cents) AS high_cents,
+       |    MIN(cents) AS low_cents,
+       |    MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+       |    COUNT(*) AS n_ticks,
+       |    CAST(SUM(cents) AS BIGINT) AS notional_cents
+       |  FROM nt GROUP BY 1, 2)""".stripMargin
+
+  private val barsNminSql =
+    s"""$barsNminSqlCte,
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(b0, b1)) AS bucket
+       |  FROM (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+       |        FROM nbars GROUP BY 1)),
+       |filled AS (
+       |  SELECT g.event_type, g.bucket, b.open_cents, b.high_cents,
+       |    b.low_cents, b.close_cents, COALESCE(b.n_ticks, 0) AS n_ticks,
+       |    b.notional_cents
+       |  FROM grid g LEFT JOIN nbars b
+       |    ON b.event_type = g.event_type AND b.bucket = g.bucket)
+       |SELECT event_type,
+       |  strftime(make_timestamp(bucket * $BucketUs), '%Y-%m-%d %H:%M')
+       |    AS bucket_start,
+       |  n_ticks, open_cents, high_cents, low_cents, close_cents,
+       |  notional_cents,
+       |  last_value(close_cents IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS close_ffill_cents,
+       |  CASE WHEN open_cents IS NULL THEN 1 ELSE 0 END AS is_gap
+       |FROM filled ORDER BY event_type, bucket""".stripMargin
+
   // -------------------------------------------------------------- q_vwap
   /** Monthly volume-weighted average price per return flag over
     * lineitem — the one fixture table with both price and quantity
@@ -573,7 +691,7 @@ object Indicators {
        |  FROM d),
        |f AS (
        |  SELECT g.*, CAST(fold AS BIGINT) AS fold
-       |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2]) AS fold)),
+       |  FROM g CROSS JOIN (SELECT unnest([${(0L until Folds).mkString(", ")}]) AS fold)),
        |r AS (
        |  SELECT fold, day, idx, n_events,
        |    fold * n_days // $Folds AS lo,
@@ -733,6 +851,7 @@ object Indicators {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_ohlc", ohlc, Some(ohlcSql), bench = true),
+    NamedQuery("q_bars_nmin", barsNmin, Some(barsNminSql), bench = true),
     NamedQuery("q_vwap", vwap, Some(vwapSql), bench = true),
     NamedQuery("q_max_drawdown", maxDrawdown, Some(maxDrawdownSql),
       bench = true),

@@ -170,7 +170,10 @@ object LlmEval {
       |  CAST(SUM(CASE WHEN cents < ref_cents THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_undesirable,
       |  CAST(SUM(CASE WHEN cents >= ref_cents THEN 1 ELSE 0 END) AS BIGINT)
-      |    * 1000000 // COUNT(*) AS desirable_ppm,
+      |    * 1000000 // (CAST(SUM(CASE WHEN cents >= ref_cents THEN 1 ELSE 0
+      |                             END) AS BIGINT)
+      |                + CAST(SUM(CASE WHEN cents < ref_cents THEN 1 ELSE 0
+      |                             END) AS BIGINT)) AS desirable_ppm,
       |  1000000 // NULLIF(CAST(SUM(CASE WHEN cents >= ref_cents
       |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS w_desirable_ppm,
       |  1000000 // NULLIF(CAST(SUM(CASE WHEN cents < ref_cents

@@ -390,7 +390,7 @@ object Relational {
       .orderBy($"entity", $"metric")
   }
 
-  private val unpivotCompareSql =
+  private[operators] val unpivotCompareSql =
     s"""WITH spend AS (
        |  SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend FROM orders GROUP BY o_custkey),
        |enriched AS (

@@ -216,8 +216,11 @@ object Scoring {
     * curation pass drops.
     *
     * No DuckDB twin exists for zlib, so the oracle PINS the measured
-    * 20-row per-source rollup per shipped fixture (the
-    * `q_ann_*_recall10` precedent, `Similarity.scala`): level-6 raw
+    * 20-row per-source rollup per shipped fixture — the LAST remaining
+    * pinned-measurement oracle (the `q_ann_*_recall10` rows that shared
+    * this pattern became full independent DuckDB replays of their
+    * splitmix64 kernels in round 10; zlib admits no such replay):
+    * level-6 raw
     * Deflater output lengths are deterministic for fixed inputs within
     * a JVM build, so the rollup is measured once per fixture, then
     * frozen — any drift in the expression, the ratio arithmetic, or

@@ -703,9 +703,9 @@ object Similarity {
     * measure the near-dup regime (cos ≈ 0.9997, the easy case ANN dedup
     * targets); this row measures what each index family retrieves on the
     * corpus's OWN similarity structure (natural max cosine ≈ 0.5, the
-    * hard case): for a bounded roster of `NatQueryCount` query vectors,
-    * |ANN top-10 ∩ exact brute-force top-10| over the full corpus,
-    * reported as integer-exact ppm (BIGINT multiply-then-DIV).
+    * hard case): ONE ROW PER ROSTER VECTOR (`NatQueryCount` queries) of
+    * (vec_a, n_exact, n_hits) where n_hits = |ANN top-10 ∩ exact
+    * brute-force top-10| over the full corpus.
     *
     * Both sides run the SAME scoring kernel (`scoreAndRank`: exact
     * cosine rounded to the 4dp compare grain, ties by id), so the
@@ -714,18 +714,18 @@ object Similarity {
     * is ≤ NatQueryCount rows BY CONSTRUCTION, the bounded-roster BNLJ
     * shape, while the ANN side is the real production candidate path.
     *
-    * Oracle: the LSH planes / IVF centroids / PQ codebooks derive from
-    * splitmix64 (`VectorImpl.planeComponent`), whose wrapping 64-bit
-    * multiply DuckDB cannot express — no SQL replay of candidate
-    * generation exists. The oracle therefore PINS the measured hit
-    * counts per shipped fixture scale (keyed on corpus row count, the
-    * `q_ann_*_mrr` pinned-expectation precedent): recall is measured,
-    * then frozen — any drift in bands/probes/codebooks or in the scoring
-    * kernel lands as a hash-mismatched CORRECTNESS row. Uncalibrated
-    * scales yield NULL → a LOUD hash fail, never a silent pass.
-    * SimilaritySpec additionally holds each family above its calibrated
-    * recall floor so a regression fails in-suite before the driver sees
-    * it. */
+    * Oracle: a FULL INDEPENDENT REPLAY of the deterministic index
+    * kernels in DuckDB SQL — splitmix64 plane/centroid generation via
+    * 64-bit wrapping arithmetic emulated through HUGEINT split-multiply
+    * ([[sqlPlanesCte]]), band/cell/code assignment, bucket-guarded
+    * candidate joins, the 4dp-rounded cosine ranking, and the exact
+    * brute-force top-10, all recomputed engine-independently per query
+    * vector. Nothing is pinned: a drift in bands, probes, codebooks,
+    * the mix kernel, or the scoring tail lands as a hash-mismatched
+    * per-query row. (Until round 10 these oracles pinned measured hit
+    * counts per fixture fingerprint; the replay below reproduced every
+    * pinned value — 15/15 across 5 families × 3 shipped scales — before
+    * the pins were deleted.) */
   // audited-bnlj(q_ann_lsh_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
   // audited-bnlj(q_ann_ivf_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
   // audited-bnlj(q_ann_pq_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
@@ -745,43 +745,188 @@ object Similarity {
     exact10
       .join(ann10.select($"vec_a", $"vec_b", lit(1L).as("__hit")),
         Seq("vec_a", "vec_b"), "left")
-      .agg(countDistinct($"vec_a").as("n_queries"),
-        count(lit(1)).as("n_exact_pairs"),
+      .groupBy($"vec_a")
+      .agg(count(lit(1)).as("n_exact"),
         coalesce(sum($"__hit"), lit(0L)).as("n_hits"))
-      .select($"n_queries", $"n_exact_pairs", $"n_hits",
-        expr("n_hits * 1000000 DIV n_exact_pairs").as("recall_ppm"))
+      .orderBy($"vec_a")
   }
 
-  /** Pinned-measurement oracle for one ANN family's natural recall row:
-    * ((corpus rows, content fingerprint) -> measured hits) per
-    * calibrated fixture. The fingerprint — SUM(floor(first embedding
-    * component × 1e6)), exact integer arithmetic on IEEE doubles in
-    * both engines — disambiguates fixtures that share a row count: the
-    * shipped sf0.001 and sf0.01 corpora BOTH have 500 vectors with
-    * different content (measured hits differ, e.g. LSH 25 vs 29), so a
-    * bare-count key would silently serve one fixture's pin for the
-    * other. An unrecognized (n, fp) pair yields NULL hit columns → a
-    * LOUD hash fail. Recalibration procedure (new fixture scale or
-    * regenerated corpus): run `graft.Verify <sfDir> <out>
-    * q_ann_{lsh,ivf,pq,lsh8}_recall10`, read the measured n_hits, and
-    * add a `(rows, fp) -> hits` entry to each Nat*Hits map (the
-    * fingerprint prints from the DuckDB expression in this SQL;
-    * SimilaritySpec's pin-coverage test fails until every shipped
-    * fixture has an entry). */
-  private def natRecall10Sql(hitsByFp: Map[(Long, Long), Long]): String = {
-    val cases = hitsByFp.toSeq.sortBy(_._1)
-      .map { case ((n, fp), h) => s"WHEN c.n = $n AND c.fp = $fp THEN $h" }
-      .mkString(" ")
-    s"""WITH c AS (SELECT count(*) AS n,
-       |  CAST(SUM(CAST(floor(embedding[1] * 1000000) AS BIGINT)) AS BIGINT)
-       |    AS fp FROM embeddings)
-       |SELECT CAST(LEAST(c.n, $NatQueryCount) AS BIGINT) AS n_queries,
-       |  CAST(LEAST(c.n, $NatQueryCount) * 10 AS BIGINT) AS n_exact_pairs,
-       |  CAST(CASE $cases END AS BIGINT) AS n_hits,
-       |  CAST(CASE $cases END AS BIGINT) * 1000000
-       |    // (LEAST(c.n, $NatQueryCount) * 10) AS recall_ppm
-       |FROM c""".stripMargin
+  // ---- DuckDB replay of the deterministic index kernels (oracle side) ----
+
+  /** 64-bit WRAPPING multiply in DuckDB SQL: operand `a` (a UBIGINT
+    * expression) times constant `c`, mod 2^64 — the JVM `Long` `*`
+    * semantics DuckDB's checked arithmetic lacks. Split 32/32: the full
+    * 64×64 product can exceed HUGEINT's 2^127−1, so the cross terms
+    * reduce mod 2^32 BEFORE the 32-bit shift and only lo×lo (< 2^64)
+    * plus the reduced-mid shift (< 2^64) meet in HUGEINT (< 2^65).
+    * Validated bit-exact vs `TextImpl.mix64` over the plane-seed
+    * domain at all three shipped scales. */
+  private def sqlWrapMul(a: String, c: Long): String = {
+    val lo = c & 0xFFFFFFFFL
+    val hi = c >>> 32
+    s"CAST((CAST(($a & 4294967295::UBIGINT) * $lo::UBIGINT AS HUGEINT)" +
+      s" + CAST(((($a & 4294967295::UBIGINT) * $hi::UBIGINT) % 4294967296::UBIGINT" +
+      s" + (($a >> 32) * $lo::UBIGINT) % 4294967296::UBIGINT) % 4294967296::UBIGINT AS HUGEINT)" +
+      s" * 4294967296) % 18446744073709551616 AS UBIGINT)"
   }
+
+  /** CTE generating the deterministic plane/centroid matrix as one
+    * ordered DOUBLE list per plane — the engine-independent twin of
+    * `VectorImpl.planeComponent`: splitmix64 of the (plane, dim) seed
+    * (wrapping add through HUGEINT mod 2^64, the two wrapping multiplies
+    * via [[sqlWrapMul]], xor-shifts on UBIGINT — logical, like Long
+    * `>>>`), then `(h >>> 11) / 2^53 * 2 − 1` in the exact IEEE op
+    * order of the JVM kernel. `planeBase` offsets into the centroid
+    * seed space (`1 << 20`, see `VectorImpl.centroidComponent`);
+    * `dimExpr` is evaluated against one embedding row (dynamic
+    * dimension, like the native kernel's `size(ws)`). */
+  private def sqlPlanesCte(name: String, nPlanes: Int, dimExpr: String,
+      planeBase: Long = 0L): String = {
+    val m1 = sqlWrapMul("z1", 0xbf58476d1ce4e5b9L)
+    val m2 = sqlWrapMul("z2", 0x94d049bb133111ebL)
+    s"""$name AS MATERIALIZED (
+       |  SELECT plane,
+       |    list(CAST(hv >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+       |         ORDER BY dim) AS pl
+       |  FROM (
+       |    SELECT plane, dim, xor(x3, x3 >> 31) AS hv FROM (
+       |      SELECT plane, dim, $m2 AS x3 FROM (
+       |        SELECT plane, dim, xor(x2, x2 >> 27) AS z2 FROM (
+       |          SELECT plane, dim, $m1 AS x2 FROM (
+       |            SELECT plane, dim, xor(x1, x1 >> 30) AS z1 FROM (
+       |              SELECT plane, dim,
+       |                CAST((CAST(CAST(plane + $planeBase AS BIGINT)*131071
+       |                         + CAST(dim AS BIGINT)*524287 + 17 AS HUGEINT)
+       |                      + 11400714819323198485)
+       |                     % 18446744073709551616 AS UBIGINT) AS x1
+       |              FROM generate_series(0, ${nPlanes - 1}) g1(plane)
+       |              CROSS JOIN (SELECT unnest(generate_series(1, $dimExpr)) - 1
+       |                            AS dim
+       |                          FROM (SELECT embedding FROM embeddings LIMIT 1))
+       |                         g2))))))
+       |  GROUP BY plane)""".stripMargin
+  }
+
+  /** The scoring-kernel twin: 4dp-rounded cosine, both list_sums in the
+    * native loop's index order (the established rrfSql spelling). */
+  private def sqlCosine(a: String, b: String): String =
+    s"""round(
+       |    list_sum(list_transform(generate_series(1, len($a)),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |    4)""".stripMargin
+
+  /** Shared recall tail: given a `cand(vec_a, vec_b)` CTE (roster-
+    * filtered ANN candidates), score + rank both the ANN side and the
+    * exact roster×corpus brute force with the same kernel and emit the
+    * per-query (vec_a, n_exact, n_hits) frame the Spark side produces. */
+  private def sqlRecall10Tail: String =
+    s"""annscored AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS cos_sim
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |              JOIN embeddings eb ON eb.vec_id = c.vec_b),
+       |ann10 AS (SELECT vec_a, vec_b FROM (
+       |  SELECT vec_a, vec_b,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS rk
+       |  FROM annscored) WHERE rk <= 10),
+       |exactscored AS MATERIALIZED (
+       |  SELECT q.vec_id AS vec_a, e.vec_id AS vec_b,
+       |    ${sqlCosine("q.embedding", "e.embedding")} AS cos_sim
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE q.vec_id < $NatQueryCount AND e.vec_id <> q.vec_id),
+       |exact10 AS (SELECT vec_a, vec_b FROM (
+       |  SELECT vec_a, vec_b,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS rk
+       |  FROM exactscored) WHERE rk <= 10)
+       |SELECT x.vec_a, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits
+       |FROM exact10 x LEFT JOIN ann10 a ON a.vec_a = x.vec_a AND a.vec_b = x.vec_b
+       |GROUP BY x.vec_a ORDER BY x.vec_a""".stripMargin
+
+  /** Independent replay of `annCandidateIdsWith(e, nPlanes, bits)` +
+    * recall tail: regenerate the planes, compute each vector's banded
+    * sign signature (integer bit-OR as a SUM of disjoint powers of
+    * two), apply the MaxBucket guard over the FULL corpus, join probe
+    * (own bucket + all hamming-1 flips) to receptor buckets, then
+    * score/rank/intersect. */
+  private def lshRecall10Sql(nPlanes: Int, bits: Int): String = {
+    val flips = (0 +: (0 until bits).map(1 << _)).mkString(", ")
+    s"""WITH ${sqlPlanesCte("planes", nPlanes, "len(embedding)")},
+       |sigs AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(p.plane // $bits AS INTEGER) AS band,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i])) > 0
+       |        THEN 1 << (p.plane % $bits) ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.plane // $bits),
+       |kept AS MATERIALIZED (
+       |  SELECT vec_id, band, band_val FROM (
+       |    SELECT vec_id, band, band_val,
+       |      COUNT(*) OVER (PARTITION BY band, band_val) AS n
+       |    FROM sigs) WHERE n <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM kept p CROSS JOIN (SELECT unnest([$flips]) AS f) fl
+       |  JOIN kept r ON r.band = p.band
+       |    AND r.band_val = xor(p.band_val, CAST(fl.f AS BIGINT))
+       |  WHERE p.vec_id <> r.vec_id AND p.vec_id < $NatQueryCount),
+       |$sqlRecall10Tail""".stripMargin
+  }
+
+  /** Independent replay of `ivfCandidateIdsAt(probes)` + recall tail:
+    * regenerate the centroids (seed space `1 << 20`), rank cells per
+    * vector by dot (ties → lowest cell, the kernel's strict-max loop),
+    * receptor = bucket-guarded top-1 cell, probe = roster's top-nprobe
+    * cells. */
+  private def ivfRecall10Sql(k: Int, nprobe: Int): String =
+    s"""WITH ${sqlPlanesCte("cents", k, "len(embedding)", 1L << 20)},
+       |dots AS MATERIALIZED (
+       |  SELECT e.vec_id, c.plane AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.pl[i])) DESC, c.plane) AS rk
+       |  FROM embeddings e CROSS JOIN cents c),
+       |recv AS MATERIALIZED (
+       |  SELECT cell, vec_id AS vec_b FROM (
+       |    SELECT cell, vec_id, COUNT(*) OVER (PARTITION BY cell) AS n
+       |    FROM dots WHERE rk = 1) WHERE n <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS vec_a, r.vec_b
+       |  FROM dots p JOIN recv r ON r.cell = p.cell
+       |  WHERE p.rk <= $nprobe AND p.vec_id <> r.vec_b
+       |    AND p.vec_id < $NatQueryCount),
+       |$sqlRecall10Tail""".stripMargin
+
+  /** Independent replay of `pqCandidateIds` + recall tail: per-subspace
+    * codes from the same centroid family over the sliced dimension
+    * range (subscript arithmetic instead of list slicing — identical
+    * index order to the kernel's sliced loop), bucket guard per
+    * (m, code), candidates = pairs sharing ≥ minShared codes. */
+  private def pqRecall10Sql(mCnt: Int, k: Int, minShared: Int): String =
+    s"""WITH ${sqlPlanesCte("cents", k, s"len(embedding) // $mCnt", 1L << 20)},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cell AS code FROM (
+       |    SELECT e.vec_id, ms.m, c.plane AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(e.embedding) // $mCnt),
+       |          i -> CAST(e.embedding[ms.m * (len(e.embedding) // $mCnt) + i]
+       |                 AS DOUBLE) * c.pl[i])) DESC, c.plane) AS rk
+       |    FROM embeddings e
+       |    CROSS JOIN (SELECT unnest(range(0, $mCnt)) AS m) ms
+       |    CROSS JOIN cents c) WHERE rk = 1),
+       |kept AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, COUNT(*) OVER (PARTITION BY m, code) AS n
+       |    FROM codes) WHERE n <= $MaxBucket),
+       |cand AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT p.vec_id AS vec_a, r.vec_id AS vec_b, COUNT(*) AS n_shared
+       |    FROM kept p JOIN kept r ON r.m = p.m AND r.code = p.code
+       |    WHERE p.vec_id <> r.vec_id AND p.vec_id < $NatQueryCount
+       |    GROUP BY 1, 2) WHERE n_shared >= $minShared),
+       |$sqlRecall10Tail""".stripMargin
 
   // ----------------------------------------------------------------- q_ann_pq
   /** Product quantization — the third ANN index family next to LSH and
@@ -919,38 +1064,15 @@ object Similarity {
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
-  /** Measured natural-regime hit counts per (corpus rows, content
-    * fingerprint) — the pinned oracle expectations, calibrated by
-    * running the Spark side on ALL shipped fixtures (sf0.001 / sf0.01 /
-    * sf0.1), frozen here as the regression contract; see natRecall10Sql
-    * for the fingerprint definition and the recalibration procedure.
-    * The ordering LSH < PQ < IVF is the honest story on
-    * natural-cosine structure with these budgets: 4×16-bit sign bands +
-    * 1-bit multiprobe collide reliably only in the near-dup regime
-    * (recall@10 ≈ 1.2-2%); 2-of-4 shared PQ codes ≈ 10-12%; 4-of-64
-    * probed IVF cells ≈ 18-22%. Production tuning raises bands/probes
-    * for natural-regime serving; these rows exist so that trade is
-    * MEASURED and any kernel drift moves a pinned integer. */
-  val NatFpSf0001: (Long, Long) = (500L, -1464190L)
-  val NatFpSf001: (Long, Long) = (500L, 1082114L)
-  val NatFpSf01: (Long, Long) = (2000L, 1529820L)
-  val NatLshHits: Map[(Long, Long), Long] =
-    Map(NatFpSf0001 -> 25L, NatFpSf001 -> 29L, NatFpSf01 -> 41L)
-  val NatIvfHits: Map[(Long, Long), Long] =
-    Map(NatFpSf0001 -> 366L, NatFpSf001 -> 381L, NatFpSf01 -> 435L)
-  val NatPqHits: Map[(Long, Long), Long] =
-    Map(NatFpSf0001 -> 216L, NatFpSf001 -> 202L, NatFpSf01 -> 234L)
-  /** The 8x8 serving point (annCandidateIdsTuned) — calibrated like the
-    * rest; its lift over NatLshHits (29 → 1206 @sf0.01, 41 → 1313
-    * @sf0.1: recall@10 1.45% → 60.3% / 2.05% → 65.7%) is the measured
-    * recall dial: same 64-plane budget, re-cut. */
-  val NatLsh8Hits: Map[(Long, Long), Long] =
-    Map(NatFpSf0001 -> 1121L, NatFpSf001 -> 1206L, NatFpSf01 -> 1313L)
-  /** The nprobe=16 IVF point (ivfCandidateIdsAt(IvfProbesWide)) — the
-    * probe dial's measured far end: 4× candidate volume buys the
-    * recall lift recorded here (vs NatIvfHits at nprobe=4). */
-  val NatIvf16Hits: Map[(Long, Long), Long] =
-    Map(NatFpSf0001 -> 1033L, NatFpSf001 -> 1046L, NatFpSf01 -> 1133L)
+  // Natural-regime recall context (measured, now verified live by the
+  // independent replay oracles rather than pinned): the ordering
+  // LSH < PQ < IVF is the honest story on natural-cosine structure at
+  // these budgets — 4×16-bit sign bands + 1-bit multiprobe collide
+  // reliably only in the near-dup regime (recall@10 ≈ 1.2-2%), 2-of-4
+  // shared PQ codes ≈ 10-12%, 4-of-64 probed IVF cells ≈ 18-22%; the
+  // re-cut 8×8 LSH point reaches ≈ 56-66% and nprobe=16 IVF ≈ 52-57%.
+  // Round8OpsSpec asserts these floors and orderings on the LIVE
+  // per-query frames.
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_rrf", rrf, Some(rrfSql), bench = true),
@@ -992,21 +1114,21 @@ object Similarity {
       Some(annRecallRateSql)),
     NamedQuery("q_ann_pq_mrr", annMrr(pqCandidateIds), Some(annMrrSql),
       bench = true),
-    // natural-regime recall@10 rows — measured once per fixture scale,
-    // then pinned in the oracle (see annNaturalRecall10 Scaladoc);
-    // benched: the ANN side is the real production candidate path and
-    // the exact side is roster-bounded, so the timing reflects engine
-    // work, not an unbounded brute force
+    // natural-regime recall@10 rows — verified by a FULL independent
+    // DuckDB replay of the index kernels (see annNaturalRecall10
+    // Scaladoc); benched: the ANN side is the real production candidate
+    // path and the exact side is roster-bounded, so the timing reflects
+    // engine work, not an unbounded brute force
     NamedQuery("q_ann_lsh_recall10", annNaturalRecall10(annCandidateIds),
-      Some(natRecall10Sql(NatLshHits)), bench = true),
+      Some(lshRecall10Sql(NumPlanes, BandBits)), bench = true),
     NamedQuery("q_ann_ivf_recall10", annNaturalRecall10(ivfCandidateIds),
-      Some(natRecall10Sql(NatIvfHits)), bench = true),
+      Some(ivfRecall10Sql(IvfK, IvfProbes)), bench = true),
     NamedQuery("q_ann_pq_recall10", annNaturalRecall10(pqCandidateIds),
-      Some(natRecall10Sql(NatPqHits)), bench = true),
+      Some(pqRecall10Sql(PqM, PqK, PqMinShared)), bench = true),
     NamedQuery("q_ann_lsh8_recall10", annNaturalRecall10(annCandidateIdsTuned),
-      Some(natRecall10Sql(NatLsh8Hits)), bench = true),
+      Some(lshRecall10Sql(NumPlanes, TunedBandBits)), bench = true),
     // audited-bnlj(q_ann_ivf16_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
     NamedQuery("q_ann_ivf16_recall10",
       annNaturalRecall10(ivfCandidateIdsAt(IvfProbesWide)),
-      Some(natRecall10Sql(NatIvf16Hits)), bench = true))
+      Some(ivfRecall10Sql(IvfK, IvfProbesWide)), bench = true))
 }

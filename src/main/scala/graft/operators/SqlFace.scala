@@ -243,7 +243,46 @@ object SqlFace {
       ORDER BY event_type, day""")
   }
 
+  // ------------------------------------------------- q_sql_face_unpivot
+  /** The reshape corner's (§2.8) pure-SQL spelling: Spark SQL's
+    * `UNPIVOT` clause over the entity-vs-average comparison frame —
+    * the dashboard's wide→long transpose (`Frontend.py:96-97`) as the
+    * SQL author would write it. `INCLUDE NULLS` matches
+    * `Dataset.unpivot` exactly (the SQL clause defaults to EXCLUDE
+    * NULLS — a silent row-drop divergence on any entity with a null
+    * measure, e.g. a customer with no orders). Shares
+    * `q_unpivot_compare`'s UNION-ALL DuckDB oracle; Round8OpsSpec
+    * proves the two Spark spellings bit-identical. */
+  private def sqlUnpivotCompare(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY o_custkey),
+      enriched AS (
+        SELECT c.*, s.total_spend
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+      base AS (
+        SELECT c_name AS entity, c_acctbal AS acctbal, total_spend
+        FROM enriched WHERE c_custkey = 42
+        UNION ALL
+        SELECT 'Segment Average',
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+            / COUNT(c_acctbal),
+          CAST(SUM(CAST(total_spend AS DECIMAL(28,2))) AS DOUBLE)
+            / COUNT(total_spend)
+        FROM enriched
+        WHERE c_mktsegment =
+          (SELECT c_mktsegment FROM customer WHERE c_custkey = 42))
+      SELECT entity, metric, value
+      FROM base UNPIVOT INCLUDE NULLS (value FOR metric IN (acctbal, total_spend))
+      ORDER BY entity, metric""")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_unpivot", sqlUnpivotCompare,
+      Some(Relational.unpivotCompareSql)),
     NamedQuery("q_sql_face_ohlc", sqlOhlc, Some(Indicators.ohlcSql)),
     NamedQuery("q_sql_face_random_walk", sqlRandomWalk,
       Some(Graph.randomWalkSql)),

@@ -1216,9 +1216,15 @@ object TextAnalysis {
       // split(text) inside the lambda re-evaluates the split per
       // access (measured 3.65s -> the projection form at sf0.1)
       .select(split($"text", " ", -1).as("ws"))
+      // guard short docs BEFORE the index transform: sequence(0, -1)
+      // defaults to step -1 in Spark (yielding [0, -1], whose
+      // out-of-range/negative subscripts concat_ws quietly skips under
+      // non-ANSI null handling) — a <3-token doc would emit spurious
+      // partial grams the positions-self-join oracle never produces
+      .where(expr("size(ws) >= 3"))
       .selectExpr(
         """explode(transform(
-          |  sequence(0, greatest(size(ws) - 3, -1)),
+          |  sequence(0, size(ws) - 3),
           |  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))) AS g""".stripMargin)
       .groupBy($"g").agg(count(lit(1)).as("r"))
     val freqOfFreq = tri.groupBy($"r").agg(count(lit(1)).as("n_r"))

@@ -377,6 +377,63 @@ object EventStream {
     s.table("q_stream_ohlc_mem").orderBy($"event_type", $"day")
   }
 
+  // -------------------------------------------------- q_stream_bars_nmin
+  /** STREAMING 15-minute bars — the intraday resample (`q_bars_nmin`,
+    * operators/Indicators.scala) as a live tumbling-window aggregation:
+    * `window(ts, "15 minutes")` assigns the SAME epoch-aligned buckets
+    * as the batch side's `us DIV BucketUs` (both align to the 1970
+    * epoch in UTC), and open/close are the min_by/max_by streaming
+    * state of the q_stream_ohlc machine. State is one tuple per open
+    * window×instrument, bounded by the watermark horizon. The shared
+    * oracle is the batch ROW_NUMBER spelling over the same grid (bars
+    * only — gap-filling is the batch post-pass, downstream of the
+    * streaming sink), so batch + streaming parity is a hash-compared
+    * CORRECTNESS row, not a spec claim. */
+  def barsNminAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"ts", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy(window($"ts", s"${graft.operators.Indicators.BarMinutes} minutes")
+        .as("w"), $"event_type")
+      .agg(
+        min_by($"cents", struct($"us", $"event_id")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max_by($"cents", struct($"us", $"event_id")).as("close_cents"),
+        count(lit(1)).as("n_ticks"),
+        sum($"cents").as("notional_cents"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("bucket_start"),
+        $"event_type", $"open_cents", $"high_cents", $"low_cents",
+        $"close_cents", $"n_ticks", $"notional_cents")
+  }
+
+  private def streamBarsNmin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = barsNminAgg(readEvents(s, dir + "/events.parquet"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q_stream_bars_nmin_mem")
+      .start()
+    q.awaitTermination()
+    s.table("q_stream_bars_nmin_mem").orderBy($"event_type", $"bucket_start")
+  }
+
+  /** Bars-only projection of the shared 15-minute-bar oracle CTE
+    * (Indicators.barsNminSqlCte) — the streaming sibling emits the
+    * sparse grid (no gap rows). */
+  private val streamBarsNminSql =
+    s"""${graft.operators.Indicators.barsNminSqlCte}
+       |SELECT strftime(make_timestamp(bucket * ${graft.operators.Indicators.BucketUs}),
+       |    '%Y-%m-%d %H:%M') AS bucket_start,
+       |  event_type, open_cents, high_cents, low_cents, close_cents,
+       |  n_ticks, notional_cents
+       |FROM nbars ORDER BY event_type, bucket""".stripMargin
+
   // ------------------------------------- q_sql_face_stream_sliding
   /** SQL FACE of the sliding-window pipeline — the batch SQL-face
     * contract (SqlFace.scala) extended to STREAMING: the aggregation is
@@ -791,6 +848,8 @@ object EventStream {
       Some(streamSlidingSql)),
     graft.NamedQuery("q_stream_ohlc", streamOhlc,
       Some(graft.operators.Indicators.ohlcSql)),
+    graft.NamedQuery("q_stream_bars_nmin", streamBarsNmin,
+      Some(streamBarsNminSql)),
     graft.NamedQuery("q_sql_face_stream_sliding", streamSlidingSqlFace,
       Some(streamSlidingSql)),
     graft.NamedQuery("q_stream_full_join", streamFullJoin,

@@ -345,6 +345,97 @@ object StateV2 {
       |             ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- q_stream_ttl
+  /** The MapState machine with STATE TTL — the production eviction
+    * lever the non-TTL rows deliberately leave at `TTLConfig.NONE`:
+    * every map entry expires `ttl` of processing time after its last
+    * update, so steady-state rows track RECENTLY-ACTIVE (user, type)
+    * pairs, never all-time users. TTL requires
+    * `TimeMode.ProcessingTime` (the expiry clock is batch processing
+    * time); the fold itself is identical to [[TypeCountsProcessor]].
+    *
+    * Expired reads return nothing (`containsKey` = false), so a key's
+    * totals RESTART from zero after an idle gap longer than the TTL —
+    * that restart is exactly what the correctness row pins down. */
+  class TtlTypeCountsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, TypedEvent, TypedOut] {
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, TypeTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, TypeTotals](
+        "by_type_ttl", Encoders.STRING, Encoders.product[TypeTotals],
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypedOut] = {
+      val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
+        val cur =
+          if (byType.containsKey(r.event_type)) byType.getValue(r.event_type)
+          else TypeTotals(0L, 0L)
+        val next = TypeTotals(cur.n + 1, cur.cents + r.cents)
+        byType.updateValue(r.event_type, next)
+        TypedOut(r.user_id, r.event_id, r.us, r.event_type,
+          next.n, next.cents)
+      }
+      out.iterator
+    }
+  }
+
+  /** DRIVER-VISIBLE TTL expiry: the TTL'd MapState machine run through
+    * the SAME two-lifecycle harness as the restart rows, with a 1 ms
+    * TTL — strictly shorter than any lifecycle gap (tranche staging +
+    * query startup is seconds), strictly longer than zero (entries
+    * written and re-read within one micro-batch share that batch's
+    * processing timestamp, so they never self-expire; each user's whole
+    * tranche folds in ONE `handleInputRows` call anyway). The
+    * checkpoint RESTORES tranche A's map entries, and TTL then expires
+    * every one of them before tranche B's reads — so each (user, type)
+    * total provably RESTARTS at the tranche boundary. The oracle
+    * computes that semantic independently: the running window
+    * partitioned by (user, type, TRANCHE), with the tranche cutoff
+    * replicated by the same ts-midpoint arithmetic the harness stages
+    * with (IEEE-identical: epoch-micros / 1e6 doubles both sides).
+    * Differential pair: q_stream_restart_types is the SAME machine,
+    * harness, and fixture with TTL off — its oracle has NO tranche key.
+    * The pair isolates exactly one variable: eviction. */
+  private def streamTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = twoLifecycleRun(s, dir, "ttl", manualDrain = true) { events =>
+      events
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+          $"event_type", round($"value" * 100).cast("long").as("cents"))
+        .as[TypedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new TtlTypeCountsProcessor(java.time.Duration.ofMillis(1)),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF()
+    }
+    s.read.parquet(out)
+      .select($"user_id", $"event_id", $"us", $"event_type",
+        $"type_n", $"type_cents")
+      .orderBy($"event_id")
+  }
+
+  private val streamTtlSql =
+    """WITH b AS (
+      |  SELECT (MIN(epoch_us(ts) / 1000000.0)
+      |        + MAX(epoch_us(ts) / 1000000.0)) / 2.0 AS cutoff
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS c,
+      |    CASE WHEN epoch_us(ts) / 1000000.0 <= b.cutoff
+      |         THEN 0 ELSE 1 END AS tranche
+      |  FROM events CROSS JOIN b)
+      |SELECT user_id, event_id, us, event_type,
+      |  ROW_NUMBER() OVER w AS type_n,
+      |  CAST(SUM(c) OVER w AS BIGINT) AS type_cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id, event_type, tranche
+      |             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------- q_stream_restart_running
   /** EXACTLY-ONCE ACROSS A RESTART on the Spark 4 state API: the
     * running-totals machine (same `RunningTotalsProcessor` as
@@ -378,7 +469,8 @@ object StateV2 {
     * committed parquet-sink read across both — RocksDB state recovery +
     * file-source offset log + sink commit log, the full production
     * restart path. Returns the sink dir. */
-  private def twoLifecycleRun(s: SparkSession, dir: String, tag: String)(
+  private def twoLifecycleRun(s: SparkSession, dir: String, tag: String,
+      manualDrain: Boolean = false)(
       pipeline: DataFrame => DataFrame): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -432,7 +524,7 @@ object StateV2 {
         StandardCopyOption.REPLACE_EXISTING)
       deleteRecursively(tmp)
     }
-    def runLifecycle(): Unit = {
+    def runLifecycle(expectRows: Long): Unit = {
       val q = pipeline(EventStream.readEvents(s, inDir.toString))
         .writeStream
         .trigger(Trigger.AvailableNow())
@@ -441,12 +533,37 @@ object StateV2 {
         .option("path", outDir.toString)
         .option("checkpointLocation", ckpt.toString)
         .start()
-      q.awaitTermination()
+      if (!manualDrain) q.awaitTermination()
+      else {
+        // ProcessingTime time mode NEVER self-terminates — Spark 4's
+        // TransformWithStateExecBase.shouldRunAnotherBatch returns true
+        // unconditionally in that mode, so AvailableNow keeps scheduling
+        // no-data maintenance batches forever (verified: 679 committed
+        // batches on one staged file). That IS the production shape of a
+        // TTL'd query — it runs continuously — so this harness drains by
+        // INPUT ACCOUNTING instead: progress is only reported after a
+        // batch fully commits (sink + state), so once the engine has fed
+        // this lifecycle's tranche rows, the data batch is durable and
+        // stop() only ever interrupts empty maintenance batches (which
+        // append nothing to the exactly-once sink).
+        def fed: Long = q.recentProgress.map(_.numInputRows).sum
+        val deadline = System.nanoTime + 300L * 1000 * 1000 * 1000
+        while (fed < expectRows && q.isActive && System.nanoTime < deadline)
+          Thread.sleep(100)
+        require(fed >= expectRows,
+          s"manual drain timed out: fed=$fed of expected=$expectRows")
+        q.stop()
+        q.awaitTermination()
+      }
     }
-    stageTranche(raw.filter(tsNum <= cutoff), "tranche_a")
-    runLifecycle() // lifecycle 1: tranche A only, then STOP
-    stageTranche(raw.filter(tsNum > cutoff), "tranche_b")
-    runLifecycle() // lifecycle 2: recover state + offsets, process B
+    val trancheA = raw.filter(tsNum <= cutoff)
+    val trancheB = raw.filter(tsNum > cutoff)
+    val (nA, nB) =
+      if (manualDrain) (trancheA.count(), trancheB.count()) else (0L, 0L)
+    stageTranche(trancheA, "tranche_a")
+    runLifecycle(nA) // lifecycle 1: tranche A only, then STOP
+    stageTranche(trancheB, "tranche_b")
+    runLifecycle(nB) // lifecycle 2: recover state + offsets, process B
     outDir.toString
   }
 
@@ -545,5 +662,9 @@ object StateV2 {
     graft.NamedQuery("q_stream_restart_digest", streamRestartDigest,
       Some(streamDigestSql)),
     graft.NamedQuery("q_stream_restart_types", streamRestartTypes,
-      Some(streamTypeCountsSql)))
+      Some(streamTypeCountsSql)),
+    // TTL on: same machine/harness/fixture as q_stream_restart_types,
+    // but the oracle's running window carries a TRANCHE key — eviction
+    // is the single isolated variable between the two rows
+    graft.NamedQuery("q_stream_ttl", streamTtl, Some(streamTtlSql)))
 }

@@ -19,62 +19,56 @@ class Round8OpsSpec extends GraftSuite {
   private def one(name: String) =
     SparkEntry.queries(name)(spark, sf).collect().head
 
-  test("natural recall rows: roster/pair invariants hold at the smoke scale") {
+  test("natural recall rows: per-query frame invariants at the smoke scale") {
     val n = Tables.embeddings(spark, sf).count()
     val roster = math.min(n, operators.Similarity.NatQueryCount.toLong)
     for (q <- Seq("q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10")) {
-      val r = one(q)
-      assert(r.getLong(0) == roster, s"$q n_queries")
-      assert(r.getLong(1) == roster * 10, s"$q n_exact_pairs")
-      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), s"$q n_hits bounds")
-      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1), s"$q ppm arithmetic")
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.length == roster, s"$q one row per roster vector")
+      assert(rows.forall(_.getLong(1) == 10L), s"$q n_exact = 10 per query")
+      assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 10L),
+        s"$q n_hits bounds")
     }
   }
 
-  test("natural recall floors: calibrated per-family minima at the pinned scales") {
-    // floors are deliberately below the measured values (Similarity
-    // .Nat*Hits Scaladoc) so they fail only on a REGRESSION, not noise —
-    // the pipeline is deterministic, so any change is a code change
-    import operators.Similarity._
-    def ppm(m: Map[(Long, Long), Long], k: (Long, Long)) =
-      m(k) * 1000000L / (NatQueryCount * 10L)
-    for (k <- Seq(NatFpSf0001, NatFpSf001, NatFpSf01)) {
-      assert(ppm(NatLshHits, k) >= 10000L, s"LSH natural recall floor @$k")
-      assert(ppm(NatPqHits, k) >= 80000L, s"PQ natural recall floor @$k")
-      assert(ppm(NatIvfHits, k) >= 150000L, s"IVF natural recall floor @$k")
-      // the documented ordering at these budgets
-      assert(NatLshHits(k) < NatPqHits(k) && NatPqHits(k) < NatIvfHits(k),
-        s"family ordering @$k")
-      // the measured recall dial: re-cutting 64 planes as 8x8 instead
-      // of 4x16 must lift natural recall over the dedup point
-      assert(NatLsh8Hits(k) > NatLshHits(k), s"8x8 LSH lift @$k")
-      // the IVF probe dial: nprobe 4 -> 16 buys ~4x candidates and must
-      // lift recall strictly (measured ~19% -> ~52-57%)
-      assert(NatIvf16Hits(k) > NatIvfHits(k), s"nprobe-16 IVF lift @$k")
-    }
+  test("natural recall floors: live per-family minima, ordering, and dial lifts") {
+    // floors are deliberately below the measured values so they fail
+    // only on a REGRESSION, not noise — the pipeline is deterministic,
+    // so any change is a code change. Computed LIVE from the per-query
+    // frames (the pinned-expectation maps these floors used to read
+    // were deleted in round 10 when the oracles became full independent
+    // DuckDB replays).
+    def hits(q: String): Long = SparkEntry.queries(q)(spark, sf)
+      .agg(sum("n_hits")).collect().head.getLong(0)
+    val total = operators.Similarity.NatQueryCount * 10L
+    val lsh = hits("q_ann_lsh_recall10")
+    val ivf = hits("q_ann_ivf_recall10")
+    val pq = hits("q_ann_pq_recall10")
+    assert(lsh * 1000000L / total >= 10000L, "LSH natural recall floor")
+    assert(pq * 1000000L / total >= 80000L, "PQ natural recall floor")
+    assert(ivf * 1000000L / total >= 150000L, "IVF natural recall floor")
+    // the documented ordering at these budgets
+    assert(lsh < pq && pq < ivf, s"family ordering lsh=$lsh pq=$pq ivf=$ivf")
+    // the measured recall dial: re-cutting 64 planes as 8x8 instead of
+    // 4x16 must lift natural recall over the dedup point
+    assert(hits("q_ann_lsh8_recall10") > lsh, "8x8 LSH lift")
+    // the IVF probe dial: nprobe 4 -> 16 buys ~4x candidates and must
+    // lift recall strictly (measured ~19% -> ~52-57%)
+    assert(hits("q_ann_ivf16_recall10") > ivf, "nprobe-16 IVF lift")
   }
 
   test("pinned-oracle fingerprint coverage: every shipped fixture is calibrated") {
-    // the pinned-measurement oracles (ANN natural recall@10, compress
-    // ratio) key on a CONTENT fingerprint, not bare row count — the
-    // shipped sf0.001 and sf0.01 fixtures share row counts with
-    // different content. This test recomputes each fixture's
-    // fingerprint in Spark and fails if any pin map lacks the key, so
-    // a regenerated/added fixture can't silently hit the NULL branch.
-    import operators.Similarity._
+    // the one REMAINING pinned-measurement oracle (compress ratio — no
+    // DuckDB zlib twin exists) keys on a CONTENT fingerprint, not bare
+    // row count. This test recomputes each fixture's fingerprint in
+    // Spark and fails if the pin map lacks the key, so a regenerated/
+    // added fixture can't silently hit the NULL branch. (The ANN
+    // natural-recall pins this test also covered are gone — those
+    // oracles are full independent DuckDB replays since round 10.)
     val fixtureDirs = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(s => s"/root/testdata/$s").filter(d => new java.io.File(d).exists)
     assert(fixtureDirs.nonEmpty)
     for (dir <- fixtureDirs) {
-      val eFp = Tables.embeddings(spark, dir)
-        .agg(count(lit(1)).as("n"),
-          sum(floor(element_at(col("embedding"), 1) * 1000000L).cast("long"))
-            .as("fp"))
-        .collect().head
-      val eKey = (eFp.getLong(0), eFp.getLong(1))
-      for ((fam, m) <- Seq("lsh" -> NatLshHits, "ivf" -> NatIvfHits,
-          "pq" -> NatPqHits, "lsh8" -> NatLsh8Hits, "ivf16" -> NatIvf16Hits))
-        assert(m.contains(eKey), s"$fam pin missing for $dir key=$eKey")
       val dFp = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n"),
           sum(octet_length(col("text")).cast("long")).as("tb"))
@@ -91,6 +85,8 @@ class Round8OpsSpec extends GraftSuite {
         "q_sql_face_minhash_dedup" -> "q_minhash_dedup",
         "q_sql_face_filter_funnel" -> "q_filter_funnel",
         "q_sql_face_random_walk" -> "q_random_walk",
+        // the reshape face: SQL UNPIVOT INCLUDE NULLS vs Dataset.unpivot
+        "q_sql_face_unpivot" -> "q_unpivot_compare",
         // the STREAMING face: a pure-SQL sliding-window aggregation over
         // a streaming temp view must equal the DataFrame spelling
         "q_sql_face_stream_sliding" -> "q_stream_sliding")) {
