@@ -108,7 +108,7 @@ object Geo {
     * blocking. The per-candidate cost is what blocking bounds; a real
     * 100 TB deployment holds density constant (R shrinks or the world
     * grows with the corpus), which restores linear growth. */
-  private def points(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def points(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir)
       .select($"c_custkey".as("id"), hash("geo:", $"c_custkey").as("h"))

@@ -34,7 +34,9 @@ object Tokenize {
     * for training is capped (most-frequent first, deterministic
     * count-then-word order). Truncating the rare tail only drops
     * pair counts a 2+-occurrence merge rule would likely skip anyway —
-    * the standard trainer compromise. */
+    * the standard trainer compromise. [[trainBpeDistributed]] is the
+    * cap-free path; `q_bpe_train_dist` proves per shipped corpus that
+    * this cap loses zero merges. */
   val MaxVocabWords = 100000
 
   /** Distributed word count → bounded driver table → classic BPE merge
@@ -50,6 +52,112 @@ object Tokenize {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     BpeImpl.trainMerges(wc, numMerges)
   }
+
+  /** Fully DISTRIBUTED BPE trainer — the no-cap 100-TB path next to
+    * [[trainBpe]]'s sentencepiece-standard collected-vocab loop: the
+    * per-round "count all adjacent symbol pairs" runs as a SHUFFLE-SIDE
+    * aggregation over the (symbols, count) vocabulary frame, so no
+    * vocabulary-sized table is ever collected and [[MaxVocabWords]]
+    * does not exist on this path. The driver holds only the merge
+    * table itself (≤ numMerges rows, bounded by construction) and one
+    * 1-row argmax per round — the Checks.scala bounded-gate shape, the
+    * same driver-barrier-per-round pattern as kcoreConverged.
+    *
+    * Exact-equivalence contract: identical pair counts, the same
+    * (-count, left, right) tie-break (UTF8-binary vs UTF-16 ordering
+    * agree on BMP symbols — all symbols here are BMP), the same
+    * stop-below-2 rule, and the same left-to-right non-overlapping
+    * merge application — so for any corpus whose vocabulary the cap
+    * doesn't truncate, the table is BIT-IDENTICAL to [[trainBpe]]'s.
+    * `q_bpe_train_dist` makes that agreement a driver-visible hash row
+    * (and thereby proves the cap lost zero merges on THIS corpus at
+    * every shipped scale); TokenizeSpec asserts table equality
+    * in-suite.
+    *
+    * Scale shape: the corpus-sized work (word counting) is one
+    * explode → partial-agg shuffle; each round's pair count is
+    * vocabulary-sized (rounds × constant, independent of corpus bytes);
+    * lineage is cut every 10 rounds with a localCheckpoint of the tiny
+    * vocab frame. */
+  def trainBpeDistributed(docs: DataFrame,
+      numMerges: Int = NumMerges): Seq[(String, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(split($"text", " ", -1)).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        (BpeImpl.toSymbols(BpeImpl.MarkerStr + w).toSeq, c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val top = words.toDF("syms", "c")
+        .select(explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (x, y) -> struct(x AS a, y AS b))""".stripMargin))
+          .as("p"), $"c")
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"c").as("n"))
+        .orderBy($"n".desc, $"a", $"b")
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+        if ((i + 1) % 10 == 0) words = words.localCheckpoint()
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Left-to-right non-overlapping replacement of adjacent (a, b) with
+    * the merged symbol — the single-pair specialization of
+    * BpeImpl.mergeOnce, applied row-locally inside the distributed
+    * trainer's per-round map. */
+  private def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var k = 0
+    while (k < syms.length) {
+      if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+        out += a + b; k += 2
+      } else { out += syms(k); k += 1 }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------- q_bpe_train_dist
+  /** Driver-visible trainer-equivalence gate: train BOTH ways on the
+    * corpus — collected-vocab driver loop and shuffle-side distributed
+    * loop — then emit, per document, whether the two merge tables are
+    * identical and whether encoding under each yields the same token
+    * count. The oracle knows the full expected answer (TRUE, TRUE): any
+    * divergence — a pair-count mismatch, a tie-break ordering delta, a
+    * vocab-cap truncation that LOSES a merge, a merge-application
+    * difference — flips a cell and hash-fails. This row is also the
+    * standing PROOF that [[MaxVocabWords]] loses zero merges on the
+    * shipped corpora: the distributed side has no cap. */
+  private def bpeTrainDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val drv = trainBpe(docs)
+    val dist = trainBpeDistributed(docs)
+    docs.select($"doc_id", length($"text").as("n_chars"),
+      lit(drv == dist).as("tables_agree"),
+      (size(BpeFunctions.bpeEncode($"text", dist)) ===
+        size(BpeFunctions.bpeEncode($"text", drv))).as("tokens_agree"))
+      .orderBy($"doc_id")
+  }
+
+  private val bpeTrainDistSql =
+    """SELECT doc_id, length(text) AS n_chars, TRUE AS tables_agree,
+      |  TRUE AS tokens_agree
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q_bpe_roundtrip
   /** Driver-visible gate for the whole tokenize path: train on the
@@ -89,5 +197,10 @@ object Tokenize {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_bpe_roundtrip", bpeRoundtrip, Some(bpeRoundtripSql),
-      bench = true))
+      bench = true),
+    // unbenched: the loop is rounds × constant (vocab-frame jobs), so
+    // benching would time ~150 rounds of job-scheduling overhead, not
+    // any data-scale work — the corpus-sized step (word count) is
+    // already timed inside q_bpe_roundtrip
+    NamedQuery("q_bpe_train_dist", bpeTrainDist, Some(bpeTrainDistSql)))
 }

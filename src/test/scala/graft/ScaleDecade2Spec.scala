@@ -9,25 +9,12 @@ import org.apache.spark.sql.functions._
   * the near-linear-growth claim rests on TWO measured decades (100× end
   * to end), not an extrapolation from one.
   *
-  * Synthesis is deterministic id-shifted replication (no RNG, no
-  * driver fixture needed): replica k shifts every join key by k × a
-  * per-key stride (strides far above each key's natural range, so
-  * replicas are DISJOINT and referential integrity is preserved —
-  * orders⋈lineitem⋈customer/supplier all land inside their replica),
-  * and document TEXT is Caesar-rotated by k. Rotation is a bijection
-  * on the alphabet, so within each replica every pairwise
-  * shingle/fingerprint relation of the original corpus is preserved
-  * EXACTLY (same Jaccard structure, same bucket occupancy profile),
-  * while across replicas letter n-grams are disjoint — the corpus
-  * becomes 10 isomorphic, non-colliding copies: exactly "10× the data,
-  * same data distribution", which is what a linear-growth measurement
-  * needs. (Naive replication without rotation would plant 9 exact
-  * duplicates of every document and drive the near-dup PAIR count
-  * quadratic — a data artifact, not an engine property.)
-  *
-  * Document ids shift by 100k per replica, keeping the max synthetic
-  * doc_id (~905k) below Similarity.PlantOffset (1M) — the planted-gate
-  * heads keep their plantability contract at sf1.
+  * Synthesis is the shared [[ScaleSynth]] deterministic id-shifted
+  * replication (strides keep replicas disjoint with referential
+  * integrity; document text goes through a per-replica affine cipher so
+  * replicas are isomorphic, non-colliding copies — see ScaleSynth's
+  * Scaladoc for why naive replication would corrupt the measurement,
+  * and for the id-contract headroom that also holds at 100 replicas).
   *
   * Same methodology as ScaleGrowthSpec: warm-up pass first; fixed
   * per-job overhead inflates the SMALL side, so the bias is
@@ -38,53 +25,10 @@ import org.apache.spark.sql.functions._
   */
 class ScaleDecade2Spec extends GraftSuite {
 
-  private val Sf01 = "/root/testdata/sf0.1"
-  private val Replicas = 10
+  private val Sf01 = ScaleSynth.Sf01
   private val MaxRatioFor10x = 15.0
 
-  /** Per-replica key strides — far above each key's sf0.1 range. */
-  private val Strides: Map[String, Long] = Map(
-    "l_orderkey" -> 10000000L, "o_orderkey" -> 10000000L,
-    "l_partkey" -> 1000000L, "p_partkey" -> 1000000L,
-    "l_suppkey" -> 1000000L, "s_suppkey" -> 1000000L,
-    "o_custkey" -> 1000000L, "c_custkey" -> 1000000L,
-    "doc_id" -> 100000L,
-    // events: users and event ids shift per replica; ts stays (replicas
-    // share the calendar — per-user groups never straddle replicas)
-    "event_id" -> 10000000L, "user_id" -> 1000000L)
-
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
-  private def rot(k: Int): (String, String) = {
-    val to = Lower.drop(k) + Lower.take(k)
-    (Lower + Lower.toUpperCase, to + to.toUpperCase)
-  }
-
-  /** 10 disjoint replicas: join keys shifted, text Caesar-rotated. */
-  private def replicate(df: DataFrame): DataFrame =
-    (0 until Replicas).map { k =>
-      val (from, to) = rot(k)
-      df.select(df.columns.map { c =>
-        if (Strides.contains(c)) (col(c) + k * Strides(c)).as(c)
-        else if (c == "text" && k > 0) translate(col(c), from, to).as(c)
-        else col(c)
-      }: _*)
-    }.reduce(_.unionByName(_))
-
-  /** Build target/scale2-sf1 once per suite run (idempotent rebuild —
-    * stale synth from an edited spec must never survive). */
-  private lazy val synthDir: String = {
-    val dir = new java.io.File("target/scale2-sf1")
-    rmTree(dir)
-    for (t <- Seq("documents", "lineitem", "orders", "customer",
-        "supplier", "part", "events"))
-      replicate(Tables.load(spark, Sf01, t))
-        .write.mode("overwrite").parquet(s"${dir.getPath}/$t.parquet")
-    // dimension roster tables referenced by nationkey — unshifted copies
-    for (t <- Seq("region", "nation"))
-      Tables.load(spark, Sf01, t)
-        .write.mode("overwrite").parquet(s"${dir.getPath}/$t.parquet")
-    dir.getPath
-  }
+  private lazy val synthDir: String = ScaleSynth.dir(spark, 10)
 
   private def wall(name: String, dir: String): Double = {
     val t0 = System.nanoTime()

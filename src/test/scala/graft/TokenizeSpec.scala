@@ -72,6 +72,22 @@ class TokenizeSpec extends GraftSuite {
     assert(Tokenize.trainBpe(docs) == Tokenize.trainBpe(docs.repartition(13)))
   }
 
+  test("distributed trainer produces the driver loop's merge table exactly") {
+    // the no-cap shuffle-side trainer (round 10) must be bit-identical
+    // to the collected-vocab loop on any corpus the cap doesn't
+    // truncate — same counts, tie-breaks, stop rule, merge application;
+    // a real training run (non-trivial merge count), not a toy
+    val docs = Tables.documents(spark, sf)
+    val drv = Tokenize.trainBpe(docs)
+    val dist = Tokenize.trainBpeDistributed(docs)
+    assert(dist.nonEmpty && dist.size >= 50,
+      s"expected a real merge table, got ${dist.size} merges")
+    assert(dist == drv,
+      s"trainer divergence at index ${dist.zip(drv).indexWhere(p => p._1 != p._2)}")
+    // layout-invariance holds for the distributed path too
+    assert(Tokenize.trainBpeDistributed(docs.repartition(13)) == drv)
+  }
+
   test("codegen and interpreted encode agree; empty and multi-space texts round-trip") {
     val ranks = BpeImpl.buildRanks(Seq(("a", "b")))
     val df = Seq((1L, "ab ab"), (2L, ""), (3L, "a  b"), (4L, "ab"))
