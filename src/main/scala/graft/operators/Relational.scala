@@ -430,7 +430,7 @@ object Relational {
       .orderBy($"custkey")
   }
 
-  private val pivotAttrsSql =
+  private[operators] val pivotAttrsSql =
     """WITH long AS (
       |  SELECT c_custkey AS custkey, 'name' AS attr, c_name AS value FROM customer
       |  UNION ALL

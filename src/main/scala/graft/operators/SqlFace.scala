@@ -280,7 +280,36 @@ object SqlFace {
       ORDER BY entity, metric""")
   }
 
+  // --------------------------------------------------- q_sql_face_pivot
+  /** The reshape corner's other direction in pure SQL: Spark SQL's
+    * `PIVOT` clause over the long (key, attr, value) frame — the
+    * `pd.Series(ticker.info)` → transpose ingest shape
+    * (`retrieval.py:16-24`) as the SQL author writes it. The IN list is
+    * explicit with aliases, pinning deterministic output columns
+    * exactly like the column-API spelling's explicit value list (and
+    * skipping the distinct-collection job at scale). Shares
+    * `q_pivot_attrs`' conditional-MAX DuckDB oracle; Round8OpsSpec
+    * proves the two Spark spellings bit-identical. */
+  private def sqlPivotAttrs(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer")
+    s.sql("""
+      SELECT * FROM (
+        SELECT c_custkey AS custkey, 'name' AS attr, c_name AS value
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS STRING)
+        FROM customer)
+      PIVOT (first(value) FOR attr
+             IN ('mktsegment' AS mktsegment, 'name' AS name,
+                 'nationkey' AS nationkey))
+      ORDER BY custkey""")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_pivot", sqlPivotAttrs,
+      Some(Relational.pivotAttrsSql)),
     NamedQuery("q_sql_face_unpivot", sqlUnpivotCompare,
       Some(Relational.unpivotCompareSql)),
     NamedQuery("q_sql_face_ohlc", sqlOhlc, Some(Indicators.ohlcSql)),

@@ -85,8 +85,10 @@ class Round8OpsSpec extends GraftSuite {
         "q_sql_face_minhash_dedup" -> "q_minhash_dedup",
         "q_sql_face_filter_funnel" -> "q_filter_funnel",
         "q_sql_face_random_walk" -> "q_random_walk",
-        // the reshape face: SQL UNPIVOT INCLUDE NULLS vs Dataset.unpivot
+        // the reshape faces: SQL UNPIVOT INCLUDE NULLS vs Dataset
+        // .unpivot, SQL PIVOT vs groupBy().pivot()
         "q_sql_face_unpivot" -> "q_unpivot_compare",
+        "q_sql_face_pivot" -> "q_pivot_attrs",
         // the STREAMING face: a pure-SQL sliding-window aggregation over
         // a streaming temp view must equal the DataFrame spelling
         "q_sql_face_stream_sliding" -> "q_stream_sliding")) {
