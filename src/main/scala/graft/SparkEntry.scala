@@ -23,6 +23,7 @@ object SparkEntry {
       operators.CurationExtra.all ++ operators.PretrainOps.all ++
       operators.MlData.all ++ operators.PostTrain.all ++
       operators.LlmEval.all ++ operators.Indicators.all ++
+      operators.Indicators2.all ++ operators.TextMining.all ++
       operators.Journey.all ++ operators.Experiment.all ++
       operators.Geo.all ++ operators.Privacy.all ++
       operators.Tokenize.all ++ operators.Graph.all ++

@@ -38,7 +38,7 @@ object Indicators {
     * (tick micros, event_id) key, ascending and descending — so bars are
     * deterministic under any partitioning even if two ticks share a
     * microsecond. */
-  private def bars(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def bars(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ticks = Tables.events(s, dir).select(
       $"event_type",
@@ -65,7 +65,7 @@ object Indicators {
 
   /** DuckDB mirror of [[bars]] as a CTE prefix: `t` (ticks + the two
     * row_numbers) and `bars`. */
-  private val barsSqlCte =
+  private[operators] val barsSqlCte =
     """WITH t AS (
       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
       |    epoch_us(ts) AS us, event_id,

@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+
+/** Risk & microstructure family (round 10) — the portfolio/risk screen
+  * one step past Indicators' technical-analysis layer. The reference
+  * dashboard serves per-company monthly trends (reference
+  * `Frontend.py:71-79`); a risk desk built on the same tick feed needs
+  * the summary statistics OF those series: risk-adjusted return
+  * (Sharpe/Sortino), realized volatility, effective spread (Roll 1984),
+  * price impact (Kyle-lambda-style regression slope), underwater-spell
+  * accounting, and the cross-instrument correlation matrix.
+  *
+  * Exactness discipline (inherited from [[Indicators]]): prices are
+  * BIGINT cents, every statistic is integer arithmetic over cleared
+  * denominators — variance as n·Σx² − (Σx)², covariance as
+  * n·Σxy − Σx·Σy — with ONE extra primitive this family adds: the
+  * integer square root isqrt(v) = CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS
+  * BIGINT). That is cross-engine deterministic because (a) v < 2⁵² so
+  * the BIGINT→DOUBLE conversion is exact, and (b) IEEE-754 sqrt is
+  * correctly rounded in both JVMs and DuckDB, so both engines floor the
+  * SAME double (the q_correlation / q_cross_corr "IEEE-exact sqrt on
+  * bit-identical operands" argument, here floored to an integer instead
+  * of rounded to 9 decimals). Indicators2Spec asserts the < 2⁵² envelope
+  * per fixture for every isqrt argument.
+  *
+  * Scale shape, shared: everything runs over the calendar-bounded daily
+  * bar grid ([[Indicators.bars]] — ticks collapse in ONE keyed exchange,
+  * windows ride the grid). Each statistic is then one instrument-keyed
+  * aggregation; q_pair_corr's self-join is day-keyed over the grid, so
+  * its per-day match set is |instruments|² — a symbol-roster bound, not
+  * a data bound. Nothing here touches raw ticks twice. */
+object Indicators2 {
+
+  /** Day-ordered close diffs per instrument (cents), the shared series:
+    * one partitioned LAG over the bar grid. */
+  private def diffs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    Indicators.bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .filter($"prev".isNotNull)
+      .select($"event_type", $"day", ($"close_cents" - $"prev").as("x"))
+  }
+
+  /** DuckDB mirror of [[diffs]], appended to [[Indicators.barsSqlCte]]:
+    * CTEs `d0` (lagged) and `diffs` (non-null rows). */
+  private val diffsSqlCte =
+    s"""${Indicators.barsSqlCte},
+       |d0 AS (
+       |  SELECT event_type, day,
+       |    close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day) AS x
+       |  FROM bars),
+       |diffs AS (SELECT * FROM d0 WHERE x IS NOT NULL)""".stripMargin
+
+  /** The isqrt spelling both engines share (see object scaladoc). */
+  private def isqrtSql(v: String): String =
+    s"CAST(FLOOR(SQRT(CAST($v AS DOUBLE))) AS BIGINT)"
+
+  // ------------------------------------------------------------ q_sharpe
+  /** Sharpe and Sortino ratios per instrument on daily close diffs
+    * (cents — diffs, not ratio returns, keep the BIGINT envelope
+    * provable). Clearing n from mean/σ:
+    *   sharpe  = (Σx/n) / (√(n·Σx²−(Σx)²)/n) = Σx / √(n·Σx²−(Σx)²)
+    *   sortino = Σx / √(n·Σmin(x,0)²)      (downside deviation)
+    * both emitted in milli via the exact isqrt; NULL when the deviation
+    * is zero (a flat series has no risk-adjusted return — both engines
+    * agree via NULLIF). Signed numerators truncate toward zero in both
+    * engines (q_cuped precedent). */
+  private def sharpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    diffs(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"),
+        sum(when($"x" < 0, $"x" * $"x").otherwise(lit(0L))).as("sdd"))
+      .withColumn("sharpe_milli", expr(
+        s"sx * 1000 DIV nullif(${isqrtSql("n_days * sxx - sx * sx")}, 0)"))
+      .withColumn("sortino_milli", expr(
+        s"sx * 1000 DIV nullif(${isqrtSql("n_days * sdd")}, 0)"))
+      .select($"event_type", $"n_days", $"sx".as("sum_diff_cents"),
+        $"sharpe_milli", $"sortino_milli")
+      .orderBy($"event_type")
+  }
+
+  private val sharpeSql =
+    s"""$diffsSqlCte,
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS BIGINT) AS sdd
+       |  FROM diffs GROUP BY event_type)
+       |SELECT event_type, n_days, sx AS sum_diff_cents,
+       |  sx * 1000 // NULLIF(${isqrtSql("n_days * sxx - sx * sx")}, 0)
+       |    AS sharpe_milli,
+       |  sx * 1000 // NULLIF(${isqrtSql("n_days * sdd")}, 0)
+       |    AS sortino_milli
+       |FROM stats ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------ q_realized_vol
+  /** Realized volatility per instrument, two estimators side by side:
+    * close-to-close (Σ diff² over the day grid, realized variance in
+    * cents²; vol = isqrt) and the high-low range analogue
+    * (Σ (high−low)² — the Parkinson estimator's exact-integer range
+    * core, without its 1/(4·ln2) float constant, so the column stays a
+    * provable BIGINT). First bar of each instrument has no diff (COUNT
+    * of diffs rides along); range sums cover ALL bars. */
+  private def realizedVol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    Indicators.bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .withColumn("x", $"close_cents" - $"prev")
+      .withColumn("rng", $"high_cents" - $"low_cents")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count($"x").as("n_diffs"),
+        coalesce(sum($"x" * $"x"), lit(0L)).as("rv_cents2"),
+        sum($"rng" * $"rng").as("range_cents2"))
+      .withColumn("rvol_cents", expr(isqrtSql("rv_cents2")))
+      .withColumn("range_vol_cents", expr(isqrtSql("range_cents2")))
+      .orderBy($"event_type")
+  }
+
+  private val realizedVolSql =
+    s"""${Indicators.barsSqlCte},
+       |b AS (
+       |  SELECT event_type,
+       |    close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day) AS x,
+       |    high_cents - low_cents AS rng
+       |  FROM bars),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_days, COUNT(x) AS n_diffs,
+       |    COALESCE(CAST(SUM(x * x) AS BIGINT), 0) AS rv_cents2,
+       |    CAST(SUM(rng * rng) AS BIGINT) AS range_cents2
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, n_days, n_diffs, rv_cents2,
+       |  range_cents2, ${isqrtSql("rv_cents2")} AS rvol_cents,
+       |  ${isqrtSql("range_cents2")} AS range_vol_cents
+       |FROM stats ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------- q_roll_spread
+  /** Roll (1984) implied effective spread: bid-ask bounce makes
+    * consecutive price changes negatively autocorrelated, and
+    * spread = 2·√(−cov(Δp_t, Δp_{t−1})). Cleared covariance over the
+    * n consecutive-diff pairs: cov_num = n·Σ(x_t·x_{t−1}) − Σx_t·Σx_{t−1}
+    * (= n²·cov), so spread = 2·√(−cov_num)/n — emitted in millicents as
+    * 2000·isqrt(−cov_num) DIV n. NULL when cov_num ≥ 0 (the estimator is
+    * undefined under positive autocorrelation — Roll's own convention;
+    * surfacing the NULL is the honest accounting, the q_good_turing
+    * precedent). */
+  private def rollSpread(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    diffs(s, dir)
+      .withColumn("xp", lag($"x", 1).over(wo))
+      .filter($"xp".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"),
+        sum($"xp").as("sy"),
+        sum($"x" * $"xp").as("sxy"))
+      .withColumn("cov_num", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("roll_spread_millicents", expr(
+        s"CASE WHEN cov_num < 0 THEN 2000 * ${isqrtSql("-cov_num")} DIV n_pairs END"))
+      .select($"event_type", $"n_pairs", $"cov_num",
+        $"roll_spread_millicents")
+      .orderBy($"event_type")
+  }
+
+  private val rollSpreadSql =
+    s"""$diffsSqlCte,
+       |p0 AS (
+       |  SELECT event_type, x,
+       |    LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+       |  FROM diffs),
+       |p AS (SELECT * FROM p0 WHERE xp IS NOT NULL),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_pairs,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(xp) AS BIGINT) AS sy,
+       |    CAST(SUM(x * xp) AS BIGINT) AS sxy
+       |  FROM p GROUP BY event_type)
+       |SELECT event_type, n_pairs,
+       |  n_pairs * sxy - sx * sy AS cov_num,
+       |  CASE WHEN n_pairs * sxy - sx * sy < 0
+       |    THEN 2000 * ${isqrtSql("-(n_pairs * sxy - sx * sy)")} // n_pairs
+       |  END AS roll_spread_millicents
+       |FROM stats ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------ q_kyle_lambda
+  /** Price impact per instrument: the OLS slope of |Δclose| (cents) on
+    * daily traded notional (KILOcents — notional_cents DIV 1000 keeps
+    * n·Σv² inside the BIGINT envelope at every shipped scale;
+    * Indicators2Spec asserts it). The Kyle-lambda-style regression the
+    * day grid supports without trade signs — the signed-flow variant
+    * would need per-tick sides (q_tick_rule is the per-tick half).
+    * λ̂ in milli(cents per kilocent):
+    * (n·Σyv − Σy·Σv)·1000 DIV (n·Σv² − (Σv)²); the intercept rides along
+    * in millicents (the q_beta α̂ shape). */
+  private def kyleLambda(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    Indicators.bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .filter($"prev".isNotNull)
+      .select($"event_type",
+        abs($"close_cents" - $"prev").as("y"),
+        expr("notional_cents DIV 1000").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"y").as("sy"),
+        sum($"v").as("sv"),
+        sum($"y" * $"v").as("syv"),
+        sum($"v" * $"v").as("svv"))
+      .withColumn("lambda_milli_per_kc", expr(
+        "(n_days * syv - sy * sv) * 1000" +
+          " DIV nullif(n_days * svv - sv * sv, 0)"))
+      .withColumn("intercept_millicents", expr(
+        "(sy * 1000 - lambda_milli_per_kc * sv) DIV n_days"))
+      .select($"event_type", $"n_days", $"sy".as("sum_abs_diff_cents"),
+        $"lambda_milli_per_kc", $"intercept_millicents")
+      .orderBy($"event_type")
+  }
+
+  private val kyleLambdaSql =
+    s"""${Indicators.barsSqlCte},
+       |b0 AS (
+       |  SELECT event_type,
+       |    ABS(close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day)) AS y,
+       |    notional_cents // 1000 AS v
+       |  FROM bars),
+       |b AS (SELECT * FROM b0 WHERE y IS NOT NULL),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(v) AS BIGINT) AS sv,
+       |    CAST(SUM(y * v) AS BIGINT) AS syv,
+       |    CAST(SUM(v * v) AS BIGINT) AS svv
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, n_days, sy AS sum_abs_diff_cents,
+       |  (n_days * syv - sy * sv) * 1000
+       |    // NULLIF(n_days * svv - sv * sv, 0) AS lambda_milli_per_kc,
+       |  (sy * 1000 - ((n_days * syv - sy * sv) * 1000
+       |    // NULLIF(n_days * svv - sv * sv, 0)) * sv) // n_days
+       |    AS intercept_millicents
+       |FROM stats ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------- q_underwater
+  /** Underwater-spell accounting per instrument — the duration half of
+    * q_max_drawdown's magnitude: a day is underwater when its close sits
+    * strictly below the running peak; consecutive underwater days form a
+    * spell (gaps-and-islands on the day index, the q_islands pattern).
+    * Emits spell count, total underwater days, and the longest spell;
+    * instruments never underwater keep a zero row via the left join from
+    * the instrument roster (both engines agree on the COALESCE). */
+  private def underwater(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val flagged = Indicators.bars(s, dir)
+      .withColumn("run_max", max($"close_cents").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("idx", row_number().over(wo))
+      .filter($"close_cents" < $"run_max")
+    val spells = flagged
+      .withColumn("grp", $"idx" - row_number().over(wo))
+      .groupBy($"event_type", $"grp")
+      .agg(count(lit(1)).as("len"))
+    val perInst = spells.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_spells"),
+        sum($"len").as("days_underwater"),
+        max($"len").as("max_spell_days"))
+    Indicators.bars(s, dir).select($"event_type").distinct()
+      .join(perInst, Seq("event_type"), "left")
+      .select($"event_type",
+        coalesce($"n_spells", lit(0L)).as("n_spells"),
+        coalesce($"days_underwater", lit(0L)).as("days_underwater"),
+        coalesce($"max_spell_days", lit(0L)).as("max_spell_days"))
+      .orderBy($"event_type")
+  }
+
+  private val underwaterSql =
+    s"""${Indicators.barsSqlCte},
+       |m AS (
+       |  SELECT event_type, day, close_cents,
+       |    MAX(close_cents) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx
+       |  FROM bars),
+       |u AS (
+       |  SELECT event_type, idx,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn2
+       |  FROM m WHERE close_cents < run_max),
+       |g AS (
+       |  SELECT event_type, idx - rn2 AS grp, COUNT(*) AS len
+       |  FROM u GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n_spells,
+       |    CAST(SUM(len) AS BIGINT) AS days_underwater,
+       |    MAX(len) AS max_spell_days
+       |  FROM g GROUP BY event_type),
+       |inst AS (SELECT DISTINCT event_type FROM bars)
+       |SELECT inst.event_type,
+       |  COALESCE(n_spells, 0) AS n_spells,
+       |  COALESCE(days_underwater, 0) AS days_underwater,
+       |  COALESCE(max_spell_days, 0) AS max_spell_days
+       |FROM inst LEFT JOIN agg USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------- q_pair_corr
+  /** Cross-instrument correlation matrix (upper triangle) of daily close
+    * diffs — the risk screen's diversification view. Pairs align on
+    * common days via a day-keyed self-join of the diff grid (per-day
+    * match set = |instruments|², a symbol-roster bound); Pearson in
+    * milli with BOTH deviations under the exact isqrt:
+    * (n·Σxy − Σx·Σy)·1000 DIV (isqrt(n·Σx²−(Σx)²)·isqrt(n·Σy²−(Σy)²)).
+    * The floored denominators can push |corr| a hair past 1000 — the
+    * statistic is the deterministic integer form, not a float estimate.
+    * NULL when either side is flat (NULLIF). */
+  private def pairCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = diffs(s, dir)
+    val l = d.select($"event_type".as("a"), $"day", $"x".as("xa"))
+    val r = d.select($"event_type".as("b"), $"day", $"x".as("xb"))
+    l.join(r, Seq("day"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"xa").as("sx"),
+        sum($"xb").as("sy"),
+        sum($"xa" * $"xb").as("sxy"),
+        sum($"xa" * $"xa").as("sxx"),
+        sum($"xb" * $"xb").as("syy"))
+      .withColumn("corr_milli", expr(
+        s"(n_days * sxy - sx * sy) * 1000 DIV nullif(" +
+          s"${isqrtSql("n_days * sxx - sx * sx")} * " +
+          s"${isqrtSql("n_days * syy - sy * sy")}, 0)"))
+      .select($"a", $"b", $"n_days", $"corr_milli")
+      .orderBy($"a", $"b")
+  }
+
+  private val pairCorrSql =
+    s"""$diffsSqlCte,
+       |j AS (
+       |  SELECT l.event_type AS a, r.event_type AS b, l.x AS xa, r.x AS xb
+       |  FROM diffs l JOIN diffs r ON l.day = r.day
+       |  WHERE l.event_type < r.event_type),
+       |stats AS (
+       |  SELECT a, b, COUNT(*) AS n_days,
+       |    CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+       |    CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+       |    CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+       |    CAST(SUM(xb * xb) AS BIGINT) AS syy
+       |  FROM j GROUP BY a, b)
+       |SELECT a, b, n_days,
+       |  (n_days * sxy - sx * sy) * 1000 // NULLIF(
+       |    ${isqrtSql("n_days * sxx - sx * sx")} *
+       |    ${isqrtSql("n_days * syy - sy * sy")}, 0) AS corr_milli
+       |FROM stats ORDER BY a, b""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sharpe", sharpe, Some(sharpeSql), bench = true),
+    NamedQuery("q_realized_vol", realizedVol, Some(realizedVolSql),
+      bench = true),
+    NamedQuery("q_roll_spread", rollSpread, Some(rollSpreadSql),
+      bench = true),
+    NamedQuery("q_kyle_lambda", kyleLambda, Some(kyleLambdaSql),
+      bench = true),
+    NamedQuery("q_underwater", underwater, Some(underwaterSql),
+      bench = true),
+    NamedQuery("q_pair_corr", pairCorr, Some(pairCorrSql), bench = true))
+}

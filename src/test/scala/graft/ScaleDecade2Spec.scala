@@ -100,8 +100,9 @@ class ScaleDecade2Spec extends GraftSuite {
       // 10x ticks PER (instrument, day) cell — the tick-rate regime the
       // bar sub-plan's rate-bounded-group claim is about (the bar grid
       // itself stays 150 rows; q_tick_rule pushes the 10x through the
-      // cell-partitioned lag/carry windows as well)
-      "q_ohlc", "q_tick_rule")) {
+      // cell-partitioned lag/carry windows as well; q_pair_corr adds
+      // the day-keyed grid self-join on top of the same bar sub-plan)
+      "q_ohlc", "q_tick_rule", "q_pair_corr")) {
     test(s"$q: second-decade wall growth (sf0.1 -> synthetic sf1) is ~linear") {
       synthDir // force the build before timing anything
       wall(q, sf) // warm-up at sf0.001: JIT, codegen cache, FS metadata
