@@ -353,26 +353,40 @@ object Annotate {
     val both = directed.select($"i".as("m"), $"j".as("o"), $"n")
       .unionByName(directed.select($"j".as("m"), $"i".as("o"), $"n"))
       .localCheckpoint(true)
-    var strengths = wtot.select($"model", lit(BtUnit).as("s"))
+    // Round cost is broadcast-build-bound, not data-bound (measured:
+    // q_leaderboard shares the trials prefix at 0.83s; each MM round
+    // added ~0.35s, and neither removing the checkpoints — 3.5s, the
+    // sm/so double-consumption recomputes 2^5 subtrees, the differing
+    // projections defeat exchange reuse — nor halving them (3.2s)
+    // helped). What does help: strengths carries `wins` along on the
+    // m side, so the third per-round broadcast join (wtot) disappears
+    // — measured 2.6s → 2.2s over the five rounds. The renormalization
+    // total is a global window over the models-roster frame (8 rows by
+    // construction — the roster-bounded class of the window audit; it
+    // sits behind the round's localCheckpoint, so the registered plan
+    // the audit walks ends at the checkpoint scan).
+    var strengths = wtot
+      .select($"model", lit(BtUnit).as("s"), $"wins")
       .localCheckpoint(true)
     for (_ <- 1 to BtIters) {
-      val sm = strengths.select($"model".as("m"), $"s".as("sm"))
+      val sm = strengths.select($"model".as("m"), $"s".as("sm"), $"wins")
       val so = strengths.select($"model".as("o"), $"s".as("so"))
       val raw = both
         .join(broadcast(sm), Seq("m")).join(broadcast(so), Seq("o"))
         .groupBy($"m")
-        .agg(sum(expr("n * 1000000000000 DIV (sm + so)")).as("denom"))
-        .join(wtot.select($"model".as("m"), $"wins"), Seq("m"))
+        .agg(sum(expr("n * 1000000000000 DIV (sm + so)")).as("denom"),
+          max($"wins").as("wins"))
         .select($"m".as("model"),
-          expr("wins * 1000000000000 DIV denom").as("s_raw"))
+          expr("wins * 1000000000000 DIV denom").as("s_raw"), $"wins")
       strengths = raw
         .withColumn("tot",
           sum($"s_raw").over(Window.partitionBy()))
         .select($"model",
-          expr(s"s_raw * (${NumModels * BtUnit}) DIV tot").as("s"))
+          expr(s"s_raw * (${NumModels * BtUnit}) DIV tot").as("s"),
+          $"wins")
         .localCheckpoint(true)
     }
-    wtot.join(strengths, Seq("model"))
+    wtot.join(strengths.select($"model", $"s"), Seq("model"))
       .select($"model", $"games", $"wins", $"s".as("strength_micro"))
       .orderBy($"strength_micro".desc, $"model")
   }

@@ -89,7 +89,7 @@ object Indicators2 {
       .orderBy($"event_type")
   }
 
-  private val sharpeSql =
+  private[operators] val sharpeSql =
     s"""$diffsSqlCte,
        |stats AS (
        |  SELECT event_type, COUNT(*) AS n_days,
@@ -366,6 +366,121 @@ object Indicators2 {
        |    ${isqrtSql("n_days * syy - sy * sy")}, 0) AS corr_milli
        |FROM stats ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------ q_rebalance_turnover
+  /** Equal-notional portfolio drift: on days where the FULL instrument
+    * roster trades (the q_beta broadcast-equi gate — no driver action,
+    * no BNLJ), each instrument's index weight is close·1e6 DIV
+    * Σcloses(day); the day's turnover is Σ|w − w_prev| across
+    * instruments between consecutive full-roster days (what an
+    * equal-weight rebalancer would trade, in ppm of the book), with the
+    * max weight as the concentration gauge. The first gated day has no
+    * predecessor and drops — both engines agree via the WHERE on the
+    * lag. Weights are exact: close ≤ 1e5 cents keeps close·1e6 < 2⁵³.
+    *
+    * Scale shape: one day-keyed rollup of the bar grid, the 1-row
+    * roster count broadcast back as an equi-join gate, one grid join,
+    * one instrument-partitioned lag, one day-keyed rollup. */
+  private def rebalanceTurnover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Indicators.bars(s, dir)
+      .select($"event_type", $"day", $"close_cents")
+    val cnt = b.select($"event_type").distinct()
+      .agg(count(lit(1)).as("n_inst"))
+    val gated = b.groupBy($"day")
+      .agg(sum($"close_cents").as("total_cents"),
+        count(lit(1)).as("n_traded"))
+      .join(broadcast(cnt), $"n_traded" === $"n_inst")
+      .select($"day", $"total_cents")
+    val w = b.join(gated, "day")
+      .withColumn("w_ppm", expr("close_cents * 1000000 DIV total_cents"))
+      .withColumn("pw", lag($"w_ppm", 1).over(
+        Window.partitionBy($"event_type").orderBy($"day")))
+    w.filter($"pw".isNotNull)
+      .groupBy($"day")
+      .agg(max($"total_cents").as("total_cents"),
+        max($"w_ppm").as("max_weight_ppm"),
+        sum(abs($"w_ppm" - $"pw")).as("turnover_ppm"))
+      .orderBy($"day")
+  }
+
+  private val rebalanceTurnoverSql =
+    s"""${Indicators.barsSqlCte},
+       |cnt AS (SELECT COUNT(DISTINCT event_type) AS n_inst FROM bars),
+       |gated AS (
+       |  SELECT day, CAST(SUM(close_cents) AS BIGINT) AS total_cents
+       |  FROM bars GROUP BY day
+       |  HAVING COUNT(*) = (SELECT n_inst FROM cnt)),
+       |w AS (
+       |  SELECT b.event_type, b.day, g.total_cents,
+       |    b.close_cents * 1000000 // g.total_cents AS w_ppm
+       |  FROM bars b JOIN gated g USING (day)),
+       |lagged AS (
+       |  SELECT event_type, day, total_cents, w_ppm,
+       |    LAG(w_ppm) OVER (PARTITION BY event_type ORDER BY day) AS pw
+       |  FROM w)
+       |SELECT day, MAX(total_cents) AS total_cents,
+       |  MAX(w_ppm) AS max_weight_ppm,
+       |  CAST(SUM(ABS(w_ppm - pw)) AS BIGINT) AS turnover_ppm
+       |FROM lagged WHERE pw IS NOT NULL
+       |GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------- q_rescaled_range
+  /** Rescaled range (the Hurst R/S core) per instrument over the full
+    * diff series, fully integer: with prefix sums P_k = Σ_{i≤k} x_i, the
+    * mean-adjusted cumulative deviation scaled by n is
+    * n·D_k = n·P_k − k·Σx (exact BIGINT — no rational mean), the scaled
+    * range Rn = max_k(n·D_k) − min_k(n·D_k), and since n²·σ² =
+    * n·Σx²−(Σx)², the ratio clears to R/S = Rn / isqrt(n·Σx²−(Σx)²) —
+    * emitted in milli. A pure random walk keeps R/S ~ √n; persistent
+    * series push it up — the diagnostic a curation pipeline runs before
+    * trusting a trend model. Windows are instrument-partitioned
+    * (unbounded-preceding over the calendar-bounded diff grid). */
+  private def rescaledRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wRun = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    val d = diffs(s, dir)
+      .withColumn("p", sum($"x").over(wRun))
+      .withColumn("k", count(lit(1)).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum($"x").over(wAll))
+      .withColumn("sxx", sum($"x" * $"x").over(wAll))
+      .withColumn("nd", $"n" * $"p" - $"k" * $"sx")
+    d.groupBy($"event_type")
+      .agg(max($"n").as("n_days"),
+        max($"sx").as("sum_diff_cents"),
+        (max($"nd") - min($"nd")).as("rn"),
+        max($"n" * $"sxx" - $"sx" * $"sx").as("var_num"))
+      .withColumn("rs_milli",
+        expr(s"rn * 1000 DIV nullif(${isqrtSql("var_num")}, 0)"))
+      .select($"event_type", $"n_days", $"rn", $"rs_milli")
+      .orderBy($"event_type")
+  }
+
+  private val rescaledRangeSql =
+    s"""$diffsSqlCte,
+       |pre AS (
+       |  SELECT event_type, day, x,
+       |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+       |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS sxx
+       |  FROM diffs),
+       |nd AS (
+       |  SELECT event_type, n, sx, sxx, n * p - k * sx AS nd
+       |  FROM pre),
+       |stats AS (
+       |  SELECT event_type, MAX(n) AS n_days, MAX(sx) AS sum_diff_cents,
+       |    MAX(nd) - MIN(nd) AS rn,
+       |    MAX(n * sxx - sx * sx) AS var_num
+       |  FROM nd GROUP BY event_type)
+       |SELECT event_type, n_days, rn,
+       |  rn * 1000 // NULLIF(${isqrtSql("var_num")}, 0) AS rs_milli
+       |FROM stats ORDER BY event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sharpe", sharpe, Some(sharpeSql), bench = true),
     NamedQuery("q_realized_vol", realizedVol, Some(realizedVolSql),
@@ -376,5 +491,9 @@ object Indicators2 {
       bench = true),
     NamedQuery("q_underwater", underwater, Some(underwaterSql),
       bench = true),
-    NamedQuery("q_pair_corr", pairCorr, Some(pairCorrSql), bench = true))
+    NamedQuery("q_pair_corr", pairCorr, Some(pairCorrSql), bench = true),
+    NamedQuery("q_rebalance_turnover", rebalanceTurnover,
+      Some(rebalanceTurnoverSql), bench = true),
+    NamedQuery("q_rescaled_range", rescaledRange, Some(rescaledRangeSql),
+      bench = true))
 }

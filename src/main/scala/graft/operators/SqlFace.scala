@@ -243,6 +243,48 @@ object SqlFace {
       ORDER BY event_type, day""")
   }
 
+  // -------------------------------------------------- q_sql_face_sharpe
+  /** The risk family's Sharpe/Sortino screen in pure Spark SQL — close
+    * bars → lagged diffs → cleared-denominator ratios under the integer
+    * sqrt, exactly the Indicators2 pipeline as a SQL author would spell
+    * it. Dialect deltas vs the shared DuckDB oracle: `date_format`/
+    * `unix_micros`/`DIV` for `strftime`/`epoch_us`/`//`; the isqrt
+    * spelling (FLOOR(SQRT(CAST(.. AS DOUBLE)))) is byte-identical. */
+  private def sqlSharpe(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "events")
+    s.sql("""
+      WITH t AS (
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          ROW_NUMBER() OVER (
+            PARTITION BY event_type, date_format(ts, 'yyyy-MM-dd')
+            ORDER BY unix_micros(ts) DESC, event_id DESC) AS rd
+        FROM events),
+      bars AS (
+        SELECT event_type, day,
+          MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents
+        FROM t GROUP BY event_type, day),
+      d0 AS (
+        SELECT event_type, day,
+          close_cents - LAG(close_cents) OVER (
+            PARTITION BY event_type ORDER BY day) AS x
+        FROM bars),
+      diffs AS (SELECT * FROM d0 WHERE x IS NOT NULL),
+      stats AS (
+        SELECT event_type, COUNT(*) AS n_days,
+          SUM(x) AS sx, SUM(x * x) AS sxx,
+          SUM(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS sdd
+        FROM diffs GROUP BY event_type)
+      SELECT event_type, n_days, sx AS sum_diff_cents,
+        sx * 1000 DIV nullif(CAST(FLOOR(SQRT(
+          CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT), 0)
+          AS sharpe_milli,
+        sx * 1000 DIV nullif(CAST(FLOOR(SQRT(
+          CAST(n_days * sdd AS DOUBLE))) AS BIGINT), 0)
+          AS sortino_milli
+      FROM stats ORDER BY event_type""")
+  }
+
   // ------------------------------------------------- q_sql_face_unpivot
   /** The reshape corner's (§2.8) pure-SQL spelling: Spark SQL's
     * `UNPIVOT` clause over the entity-vs-average comparison frame —
@@ -313,6 +355,7 @@ object SqlFace {
     NamedQuery("q_sql_face_unpivot", sqlUnpivotCompare,
       Some(Relational.unpivotCompareSql)),
     NamedQuery("q_sql_face_ohlc", sqlOhlc, Some(Indicators.ohlcSql)),
+    NamedQuery("q_sql_face_sharpe", sqlSharpe, Some(Indicators2.sharpeSql)),
     NamedQuery("q_sql_face_random_walk", sqlRandomWalk,
       Some(Graph.randomWalkSql)),
     NamedQuery("q_sql_face_industry_avg", sqlIndustryAvg,

@@ -176,6 +176,63 @@ class Indicators2Spec extends GraftSuite {
     }
   }
 
+  test("q_rebalance_turnover: driver replay of weights, turnover, gate") {
+    val rows = run("q_rebalance_turnover").collect()
+    val nInst = refBars.size
+    // gated day -> total close; weights per (day, type); day-ordered
+    val byDay = refBars.toSeq
+      .flatMap { case (t, bs) => bs.map(b => (b._1, t, b._2)) }
+      .groupBy(_._1).filter(_._2.size == nInst)
+    val gatedDays = byDay.keys.toSeq.sorted
+    val weights: Map[(String, String), Long] = byDay.flatMap {
+      case (day, xs) =>
+        val total = xs.map(_._3).sum
+        xs.map(x => (day, x._2) -> x._3 * 1000000L / total)
+    }
+    val expected = gatedDays.sliding(2).filter(_.size == 2).map { p =>
+      val (prev, day) = (p(0), p(1))
+      val total = byDay(day).map(_._3).sum
+      val ws = byDay(day).map(x => weights((day, x._2)))
+      val turnover = byDay(day).map(x =>
+        math.abs(weights((day, x._2)) - weights((prev, x._2)))).sum
+      (day, total, ws.max, turnover)
+    }.toSeq
+    assert(rows.length == expected.size)
+    rows.zip(expected).foreach { case (r, (day, total, maxW, to)) =>
+      assert(r.getAs[String]("day") == day)
+      assert(r.getAs[Long]("total_cents") == total)
+      assert(r.getAs[Long]("max_weight_ppm") == maxW)
+      assert(r.getAs[Long]("turnover_ppm") == to)
+    }
+  }
+
+  test("q_rescaled_range: driver replay of nd grid, range, and R/S") {
+    val rows = run("q_rescaled_range").collect()
+    assert(rows.length == refDiffs.size)
+    rows.foreach { r =>
+      val xs = refDiffs(r.getAs[String]("event_type")).map(BigInt(_))
+      val n = BigInt(xs.size)
+      val sx = xs.sum
+      val sxx = xs.map(x => x * x).sum
+      val prefixes = xs.scanLeft(BigInt(0))(_ + _).tail
+      val nds = prefixes.zipWithIndex.map { case (p, i) =>
+        n * p - BigInt(i + 1) * sx
+      }
+      val rn = nds.max - nds.min
+      val varNum = n * sxx - sx * sx
+      assertIsqrtEnvelope(varNum, "rescaled_range")
+      assert(BigInt(r.getAs[Long]("n_days")) == n)
+      assert(BigInt(r.getAs[Long]("rn")) == rn)
+      if (varNum == 0) assert(r.isNullAt(r.fieldIndex("rs_milli")))
+      else assert(BigInt(r.getAs[Long]("rs_milli")) ==
+        tdiv(rn * 1000, isqrtExact(varNum)))
+    }
+  }
+
+  test("q_sql_face_sharpe: the SQL spelling is bit-identical to the column API") {
+    assertSameRows(run("q_sharpe"), run("q_sql_face_sharpe"))
+  }
+
   test("q_pair_corr: driver replay over common days; full upper triangle") {
     val rows = run("q_pair_corr").collect()
     val diffsByDay: Map[String, Map[String, Long]] = refBars.map { case (t, bs) =>
