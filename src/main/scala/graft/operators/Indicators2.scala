@@ -481,6 +481,88 @@ object Indicators2 {
        |  rn * 1000 // NULLIF(${isqrtSql("var_num")}, 0) AS rs_milli
        |FROM stats ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q_anova
+  /** One-way ANOVA across instruments on daily close diffs — "do the
+    * instruments share a mean daily move?", the multi-group member the
+    * two-sample tests (q_mann_whitney, q_ks_test, q_ab_test) were
+    * missing. Balanced BY CONSTRUCTION: diffs are taken between
+    * consecutive FULL-ROSTER days (the q_beta broadcast-equi gate), so
+    * every group has exactly (gated days − 1) observations and the sums
+    * of squares clear to integers:
+    *   n·N·SSB = N·ΣS_g² − n·S²   (ssb_num)
+    *   n·N·SSW = n·N·Q − N·ΣS_g²  (ssw_num)
+    * with S_g/Q the per-group sum / global sum of squares. F in milli
+    * by STAGED truncating division (identical order in both engines):
+    * msb = ssb_num DIV (G−1), msw = ssw_num DIV (N−G), f_milli =
+    * msb·1000 DIV msw — staging keeps every intermediate < 2⁶² where
+    * the single-division spelling would overflow (Indicators2Spec
+    * asserts the envelope). One summary row; group count and balanced n
+    * ride along so the hash pins the design, not just the statistic. */
+  private def anova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Indicators.bars(s, dir)
+      .select($"event_type", $"day", $"close_cents")
+    val cnt = b.select($"event_type").distinct()
+      .agg(count(lit(1)).as("n_inst"))
+    val gated = b.groupBy($"day").agg(count(lit(1)).as("n_traded"))
+      .join(broadcast(cnt), $"n_traded" === $"n_inst")
+      .select($"day")
+    val d = b.join(gated, "day")
+      .withColumn("prev", lag($"close_cents", 1).over(
+        Window.partitionBy($"event_type").orderBy($"day")))
+      .filter($"prev".isNotNull)
+      .select($"event_type", ($"close_cents" - $"prev").as("x"))
+    val grp = d.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("sg"),
+        sum($"x" * $"x").as("qg"))
+    grp.agg(count(lit(1)).as("g"),
+        min($"n_g").as("n_min"), max($"n_g").as("n_max"),
+        sum($"sg").as("s"), sum($"qg").as("q"),
+        sum($"sg" * $"sg").as("sum_sg2"))
+      .withColumn("n_total", $"g" * $"n_max")
+      .withColumn("ssb_num",
+        expr("n_total * sum_sg2 - n_max * s * s"))
+      .withColumn("ssw_num",
+        expr("n_max * n_total * q - n_total * sum_sg2"))
+      .withColumn("f_milli", expr(
+        "(ssb_num DIV (g - 1)) * 1000" +
+          " DIV nullif(ssw_num DIV (n_total - g), 0)"))
+      .select($"g", $"n_min", $"n_max", $"ssb_num", $"ssw_num", $"f_milli")
+  }
+
+  private val anovaSql =
+    s"""${Indicators.barsSqlCte},
+       |cnt AS (SELECT COUNT(DISTINCT event_type) AS n_inst FROM bars),
+       |gated AS (
+       |  SELECT day FROM bars GROUP BY day
+       |  HAVING COUNT(*) = (SELECT n_inst FROM cnt)),
+       |d0 AS (
+       |  SELECT b.event_type,
+       |    b.close_cents - LAG(b.close_cents) OVER (
+       |      PARTITION BY b.event_type ORDER BY b.day) AS x
+       |  FROM bars b JOIN gated g USING (day)),
+       |d AS (SELECT * FROM d0 WHERE x IS NOT NULL),
+       |grp AS (
+       |  SELECT event_type, COUNT(*) AS n_g,
+       |    CAST(SUM(x) AS BIGINT) AS sg,
+       |    CAST(SUM(x * x) AS BIGINT) AS qg
+       |  FROM d GROUP BY event_type),
+       |tot AS (
+       |  SELECT COUNT(*) AS g, MIN(n_g) AS n_min, MAX(n_g) AS n_max,
+       |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS q,
+       |    CAST(SUM(sg * sg) AS BIGINT) AS sum_sg2
+       |  FROM grp),
+       |w AS (
+       |  SELECT g, n_min, n_max, g * n_max AS n_total, s, q, sum_sg2
+       |  FROM tot)
+       |SELECT g, n_min, n_max,
+       |  n_total * sum_sg2 - n_max * s * s AS ssb_num,
+       |  n_max * n_total * q - n_total * sum_sg2 AS ssw_num,
+       |  ((n_total * sum_sg2 - n_max * s * s) // (g - 1)) * 1000
+       |    // NULLIF((n_max * n_total * q - n_total * sum_sg2)
+       |              // (n_total - g), 0) AS f_milli
+       |FROM w""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sharpe", sharpe, Some(sharpeSql), bench = true),
     NamedQuery("q_realized_vol", realizedVol, Some(realizedVolSql),
@@ -495,5 +577,6 @@ object Indicators2 {
     NamedQuery("q_rebalance_turnover", rebalanceTurnover,
       Some(rebalanceTurnoverSql), bench = true),
     NamedQuery("q_rescaled_range", rescaledRange, Some(rescaledRangeSql),
-      bench = true))
+      bench = true),
+    NamedQuery("q_anova", anova, Some(anovaSql), bench = true))
 }

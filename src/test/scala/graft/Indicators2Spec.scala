@@ -229,6 +229,47 @@ class Indicators2Spec extends GraftSuite {
     }
   }
 
+  test("q_anova: driver replay; balanced design; staged-division envelope") {
+    val rows = run("q_anova").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // replay: gated (full-roster) days, consecutive-day diffs per type
+    val types = refBars.keys.toSeq.sorted
+    val gatedDays = refBars.values.flatMap(_.map(_._1))
+      .groupBy(identity).filter(_._2.size == types.size).keys.toSeq.sorted
+    val closes: Map[(String, String), Long] = refBars.flatMap {
+      case (t, bs) => bs.map(b => (t, b._1) -> b._2)
+    }
+    val groups: Map[String, Seq[BigInt]] = types.map { t =>
+      t -> gatedDays.sliding(2).filter(_.size == 2)
+        .map(p => BigInt(closes((t, p(1))) - closes((t, p(0))))).toSeq
+    }.toMap
+    val g = BigInt(types.size)
+    val ns = groups.values.map(_.size).toSet
+    assert(ns.size == 1, "gate must balance the design")
+    val n = BigInt(ns.head)
+    val nTotal = g * n
+    val sgs = types.map(t => groups(t).sum)
+    val s = sgs.sum
+    val q = groups.values.flatten.map(x => x * x).sum
+    val sumSg2 = sgs.map(x => x * x).sum
+    val ssbNum = nTotal * sumSg2 - n * s * s
+    val sswNum = n * nTotal * q - nTotal * sumSg2
+    // staged-division envelope: every intermediate < 2^62
+    assert(ssbNum.abs < (BigInt(1) << 62) && sswNum.abs < (BigInt(1) << 62))
+    assert((tdiv(ssbNum, g - 1) * 1000).abs < (BigInt(1) << 62))
+    assert(BigInt(r.getAs[Long]("g")) == g)
+    assert(BigInt(r.getAs[Long]("n_min")) == n && BigInt(r.getAs[Long]("n_max")) == n)
+    assert(BigInt(r.getAs[Long]("ssb_num")) == ssbNum)
+    assert(BigInt(r.getAs[Long]("ssw_num")) == sswNum)
+    val msw = tdiv(sswNum, nTotal - g)
+    if (msw == 0) assert(r.isNullAt(r.fieldIndex("f_milli")))
+    else assert(BigInt(r.getAs[Long]("f_milli")) ==
+      tdiv(tdiv(ssbNum, g - 1) * 1000, msw))
+    // sums of squares are non-negative by construction
+    assert(ssbNum >= 0 && sswNum >= 0)
+  }
+
   test("q_sql_face_sharpe: the SQL spelling is bit-identical to the column API") {
     assertSameRows(run("q_sharpe"), run("q_sql_face_sharpe"))
   }
