@@ -481,6 +481,140 @@ object Indicators2 {
        |  rn * 1000 // NULLIF(${isqrtSql("var_num")}, 0) AS rs_milli
        |FROM stats ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q_obv
+  /** On-balance volume per instrument-day: daily tick volume signed by
+    * the close-to-close direction (+1/−1/0 — the bar-resolution tick
+    * rule), accumulated from the series start. The running sum is an
+    * instrument-partitioned unbounded-preceding window over the
+    * calendar-bounded bar grid (the q_max_drawdown argument). First day
+    * has no direction and contributes zero flow in both engines
+    * (COALESCE on the lag's null). */
+  private def obv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    Indicators.bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .withColumn("flow", coalesce(
+        signum($"close_cents" - $"prev").cast("long") * $"n_ticks",
+        lit(0L)))
+      .withColumn("obv", sum($"flow").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"event_type", $"day", $"n_ticks", $"flow".as("signed_flow"),
+        $"obv")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val obvSql =
+    s"""${Indicators.barsSqlCte},
+       |f AS (
+       |  SELECT event_type, day, n_ticks,
+       |    COALESCE(CAST(SIGN(close_cents - LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day)) AS BIGINT)
+       |      * n_ticks, 0) AS signed_flow
+       |  FROM bars)
+       |SELECT event_type, day, n_ticks, signed_flow,
+       |  CAST(SUM(signed_flow) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS obv
+       |FROM f ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q_atr
+  /** 14-day average true range (Wilder's TR, simple-average form — the
+    * window-expressible one, the q_rsi convention): TR = greatest of
+    * (high−low, |high−prev_close|, |low−prev_close|), so gap days count
+    * their overnight jump; atr_milli = ΣTR·1000 DIV 14 over the full
+    * 14-TR window only (the n14 gate). All cents arithmetic, exact. */
+  private def atr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val w14 = wo.rowsBetween(-13, 0)
+    Indicators.bars(s, dir)
+      .withColumn("prev", lag($"close_cents", 1).over(wo))
+      .filter($"prev".isNotNull)
+      .withColumn("tr", greatest(
+        $"high_cents" - $"low_cents",
+        abs($"high_cents" - $"prev"),
+        abs($"low_cents" - $"prev")))
+      .withColumn("n14", count(lit(1)).over(w14))
+      .withColumn("sum_tr", sum($"tr").over(w14))
+      .filter($"n14" === 14)
+      .select($"event_type", $"day", $"tr".as("tr_cents"),
+        expr("sum_tr * 1000 DIV 14").as("atr_milli"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val atrSql =
+    s"""${Indicators.barsSqlCte},
+       |t0 AS (
+       |  SELECT event_type, day, high_cents, low_cents,
+       |    LAG(close_cents) OVER (
+       |      PARTITION BY event_type ORDER BY day) AS prev
+       |  FROM bars),
+       |tr AS (
+       |  SELECT event_type, day,
+       |    GREATEST(high_cents - low_cents,
+       |      ABS(high_cents - prev), ABS(low_cents - prev)) AS tr
+       |  FROM t0 WHERE prev IS NOT NULL),
+       |w AS (
+       |  SELECT event_type, day, tr,
+       |    COUNT(*) OVER w14 AS n14,
+       |    CAST(SUM(tr) OVER w14 AS BIGINT) AS sum_tr
+       |  FROM tr
+       |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, tr AS tr_cents,
+       |  sum_tr * 1000 // 14 AS atr_milli
+       |FROM w WHERE n14 = 14 ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------------------- q_stoch
+  /** 14-day stochastic oscillator: %K = (close − min₁₄(low))·1e6 DIV
+    * (max₁₄(high) − min₁₄(low)) in ppm (NULL on a degenerate flat
+    * window — both engines via NULLIF), %D its 3-day simple average in
+    * ppm by exact thirds ((k + k₋₁ + k₋₂) DIV 3) — NULL on each
+    * instrument's first two rows where a lag is missing (null
+    * propagates identically through + and DIV in both engines). The
+    * n14 gate keeps partial head windows out (q_rsi convention). */
+  private def stoch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val w14 = wo.rowsBetween(-13, 0)
+    val k = Indicators.bars(s, dir)
+      .withColumn("n14", count(lit(1)).over(w14))
+      .withColumn("lo14", min($"low_cents").over(w14))
+      .withColumn("hi14", max($"high_cents").over(w14))
+      .filter($"n14" === 14)
+      .withColumn("k_ppm", expr(
+        "(close_cents - lo14) * 1000000 DIV nullif(hi14 - lo14, 0)"))
+    k.withColumn("k1", lag($"k_ppm", 1).over(wo))
+      .withColumn("k2", lag($"k_ppm", 2).over(wo))
+      .withColumn("d_ppm", expr("(k_ppm + k1 + k2) DIV 3"))
+      .select($"event_type", $"day", $"k_ppm", $"d_ppm")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val stochSql =
+    s"""${Indicators.barsSqlCte},
+       |w AS (
+       |  SELECT event_type, day, close_cents,
+       |    COUNT(*) OVER w14 AS n14,
+       |    MIN(low_cents) OVER w14 AS lo14,
+       |    MAX(high_cents) OVER w14 AS hi14
+       |  FROM bars
+       |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       |k AS (
+       |  SELECT event_type, day,
+       |    (close_cents - lo14) * 1000000 // NULLIF(hi14 - lo14, 0) AS k_ppm
+       |  FROM w WHERE n14 = 14),
+       |kk AS (
+       |  SELECT event_type, day, k_ppm,
+       |    LAG(k_ppm, 1) OVER (PARTITION BY event_type ORDER BY day) AS k1,
+       |    LAG(k_ppm, 2) OVER (PARTITION BY event_type ORDER BY day) AS k2
+       |  FROM k)
+       |SELECT event_type, day, k_ppm,
+       |  (k_ppm + k1 + k2) // 3 AS d_ppm
+       |FROM kk ORDER BY event_type, day""".stripMargin
+
   // -------------------------------------------------------------- q_anova
   /** One-way ANOVA across instruments on daily close diffs — "do the
     * instruments share a mean daily move?", the multi-group member the
@@ -578,5 +712,8 @@ object Indicators2 {
       Some(rebalanceTurnoverSql), bench = true),
     NamedQuery("q_rescaled_range", rescaledRange, Some(rescaledRangeSql),
       bench = true),
-    NamedQuery("q_anova", anova, Some(anovaSql), bench = true))
+    NamedQuery("q_anova", anova, Some(anovaSql), bench = true),
+    NamedQuery("q_obv", obv, Some(obvSql), bench = true),
+    NamedQuery("q_atr", atr, Some(atrSql), bench = true),
+    NamedQuery("q_stoch", stoch, Some(stochSql), bench = true))
 }

@@ -58,6 +58,14 @@ class Indicators2Spec extends GraftSuite {
     } // type -> day-ordered (day, close, high, low, notional)
   }
 
+  /** Tick count per (type, day) bar, for the OBV volume replay. */
+  private lazy val ticksPerBar: Map[(String, String), Long] =
+    Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+
   /** Day-ordered close diffs per instrument. */
   private lazy val refDiffs: Map[String, Seq[Long]] =
     refBars.map { case (t, bs) =>
@@ -268,6 +276,90 @@ class Indicators2Spec extends GraftSuite {
       tdiv(tdiv(ssbNum, g - 1) * 1000, msw))
     // sums of squares are non-negative by construction
     assert(ssbNum >= 0 && sswNum >= 0)
+  }
+
+  test("q_obv: driver replay of signed flow and the running sum") {
+    val rows = run("q_obv").collect()
+    val expected = refBars.flatMap { case (t, bs) =>
+      var obv = 0L
+      bs.zipWithIndex.map { case ((day, close, _, _, _), i) =>
+        val nTicks = ticksPerBar((t, day))
+        val flow =
+          if (i == 0) 0L
+          else math.signum(close - bs(i - 1)._2).toLong * nTicks
+        obv += flow
+        (t, day) -> (nTicks, flow, obv)
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, flow, obv) =
+        expected((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(r.getAs[Long]("n_ticks") == n)
+      assert(r.getAs[Long]("signed_flow") == flow)
+      assert(r.getAs[Long]("obv") == obv)
+    }
+  }
+
+  test("q_atr: driver replay of the true range and its 14-day window") {
+    val rows = run("q_atr").collect()
+    val trs: Map[String, Seq[(String, Long)]] = refBars.map { case (t, bs) =>
+      t -> bs.sliding(2).filter(_.size == 2).map { p =>
+        val (prev, cur) = (p(0), p(1))
+        val tr = math.max(cur._3 - cur._4,
+          math.max(math.abs(cur._3 - prev._2), math.abs(cur._4 - prev._2)))
+        (cur._1, tr)
+      }.toSeq
+    }
+    val expected = trs.flatMap { case (t, xs) =>
+      xs.zipWithIndex.collect { case ((day, _), i) if i >= 13 =>
+        (t, day) -> (xs(i)._2, xs.slice(i - 13, i + 1).map(_._2).sum * 1000L / 14L)
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (tr, atr) =
+        expected((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(r.getAs[Long]("tr_cents") == tr)
+      assert(r.getAs[Long]("atr_milli") == atr)
+    }
+  }
+
+  test("q_stoch: driver replay; %K in [0, 1e6]; %D exact thirds") {
+    val rows = run("q_stoch").collect()
+    val ks: Map[String, Seq[(String, Option[Long])]] = refBars.map {
+      case (t, bs) =>
+        t -> bs.zipWithIndex.collect { case ((day, close, _, _, _), i) if i >= 13 =>
+          val win = bs.slice(i - 13, i + 1)
+          val lo = win.map(_._4).min
+          val hi = win.map(_._3).max
+          (day, if (hi == lo) None else Some((close - lo) * 1000000L / (hi - lo)))
+        }.toSeq
+    }
+    val expected = ks.flatMap { case (t, xs) =>
+      xs.zipWithIndex.map { case ((day, k), i) =>
+        val d = if (i >= 2 && k.isDefined && xs(i - 1)._2.isDefined &&
+            xs(i - 2)._2.isDefined)
+          Some((k.get + xs(i - 1)._2.get + xs(i - 2)._2.get) / 3L)
+        else None
+        (t, day) -> (k, d)
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (k, d) =
+        expected((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      k match {
+        case Some(v) =>
+          assert(r.getAs[Long]("k_ppm") == v)
+          assert(v >= 0 && v <= 1000000L)
+        case None => assert(r.isNullAt(r.fieldIndex("k_ppm")))
+      }
+      d match {
+        case Some(v) => assert(r.getAs[Long]("d_ppm") == v)
+        case None => assert(r.isNullAt(r.fieldIndex("d_ppm")))
+      }
+    }
   }
 
   test("q_sql_face_sharpe: the SQL spelling is bit-identical to the column API") {
