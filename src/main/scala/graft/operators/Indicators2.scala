@@ -615,6 +615,87 @@ object Indicators2 {
        |  (k_ppm + k1 + k2) // 3 AS d_ppm
        |FROM kk ORDER BY event_type, day""".stripMargin
 
+  // --------------------------------------------------------------- q_macd
+  /** MACD on the daily closes, in the exact-integer EWMA family of
+    * q_ewma (`Analytics.scala`): the classical α = 2/13 vs 2/27 pair has
+    * no finite integer form, so this is the DEFINED dyadic variant —
+    * fast EMA α = 1/2, slow EMA α = 1/4, both truncated at
+    * [[MacdHorizon]] bars. With α = a/d the truncated weights clear to
+    * integers w_j = a·(d−a)^j·d^(H−1−j) (fast: 2^(7−j); slow:
+    * 3^j·4^(7−j)), so each EMA is Σ lag_j·w_j over ONE shared window
+    * spec (a single Window operator, the q_ewma plan shape) and
+    * ema_milli = num·1000 DIV den is bit-identical cross-engine.
+    * macd_milli = fast − slow flips sign on momentum reversals; the
+    * signal line is the 3-day exact-thirds average (the q_stoch %D
+    * convention), NULL while a lag is missing. Both weight tables are
+    * interpolated into engine AND oracle from the same Scala constants
+    * (the q_embargo_split desync lesson). Full-horizon rows only. */
+  val MacdHorizon = 8
+
+  private def macdWeights(a: Long, d: Long): Seq[Long] =
+    (0 until MacdHorizon).map(j =>
+      a * math.pow(d - a, j).toLong * math.pow(d, MacdHorizon - 1 - j).toLong)
+
+  private val WFast = macdWeights(1, 2)
+  private val WSlow = macdWeights(1, 4)
+
+  private def macd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val lagged = (1 until MacdHorizon).foldLeft(
+        Indicators.bars(s, dir).select($"event_type", $"day", $"close_cents")) {
+        (d, j) => d.withColumn(s"l$j", lag($"close_cents", j).over(wo))
+      }
+      .withColumn("n8", count(lit(1)).over(
+        wo.rowsBetween(1 - MacdHorizon, 0)))
+    lagged.filter($"n8" === MacdHorizon)
+      // the SAME numSql/denSqlTotal text the oracle interpolates
+      .withColumn("macd_milli", expr(
+        s"(${numSql(WFast)}) * 1000 DIV ${denSqlTotal(WFast)}" +
+          s" - (${numSql(WSlow)}) * 1000 DIV ${denSqlTotal(WSlow)}"))
+      .withColumn("m1", lag($"macd_milli", 1).over(wo))
+      .withColumn("m2", lag($"macd_milli", 2).over(wo))
+      .withColumn("signal_milli", expr("(macd_milli + m1 + m2) DIV 3"))
+      .select($"event_type", $"day", $"macd_milli", $"signal_milli")
+      .orderBy($"event_type", $"day")
+  }
+
+  /** `close_cents·w0 + lag_1·w1 + …` as SQL text — the SAME string feeds
+    * the Spark expr and the DuckDB oracle (LAG(close_cents, j) OVER the
+    * instrument-day window), so the weight table cannot desync. */
+  private def numSql(ws: Seq[Long]): String =
+    (0 until MacdHorizon).map { j =>
+      val t = if (j == 0) "close_cents"
+        else s"COALESCE(l$j, 0)"
+      s"$t * ${ws(j)}"
+    }.mkString(" + ")
+
+  /** At full horizon every lag exists, so the denominator is the plain
+    * weight total (the n8 gate has already dropped partial windows). */
+  private def denSqlTotal(ws: Seq[Long]): String = ws.sum.toString
+
+  private val macdSql =
+    s"""${Indicators.barsSqlCte},
+       |lags AS (
+       |  SELECT event_type, day, close_cents,
+       |${(1 until MacdHorizon).map(j =>
+      s"    LAG(close_cents, $j) OVER (PARTITION BY event_type ORDER BY day) AS l$j")
+      .mkString(",\n")},
+       |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN ${MacdHorizon - 1} PRECEDING AND CURRENT ROW) AS n8
+       |  FROM bars),
+       |m AS (
+       |  SELECT event_type, day,
+       |    (${numSql(WFast)}) * 1000 // ${denSqlTotal(WFast)}
+       |      - (${numSql(WSlow)}) * 1000 // ${denSqlTotal(WSlow)} AS macd_milli
+       |  FROM lags WHERE n8 = $MacdHorizon)
+       |SELECT event_type, day, macd_milli,
+       |  (macd_milli
+       |    + LAG(macd_milli, 1) OVER (PARTITION BY event_type ORDER BY day)
+       |    + LAG(macd_milli, 2) OVER (PARTITION BY event_type ORDER BY day))
+       |    // 3 AS signal_milli
+       |FROM m ORDER BY event_type, day""".stripMargin
+
   // -------------------------------------------------------------- q_anova
   /** One-way ANOVA across instruments on daily close diffs — "do the
     * instruments share a mean daily move?", the multi-group member the
@@ -713,6 +794,7 @@ object Indicators2 {
     NamedQuery("q_rescaled_range", rescaledRange, Some(rescaledRangeSql),
       bench = true),
     NamedQuery("q_anova", anova, Some(anovaSql), bench = true),
+    NamedQuery("q_macd", macd, Some(macdSql), bench = true),
     NamedQuery("q_obv", obv, Some(obvSql), bench = true),
     NamedQuery("q_atr", atr, Some(atrSql), bench = true),
     NamedQuery("q_stoch", stoch, Some(stochSql), bench = true))

@@ -362,6 +362,41 @@ class Indicators2Spec extends GraftSuite {
     }
   }
 
+  test("q_macd: driver replay of both dyadic EMAs and the signal thirds") {
+    import graft.operators.Indicators2.{MacdHorizon => H}
+    val wFast = (0 until H).map(j => 1L << (H - 1 - j))
+    val wSlow = (0 until H).map(j =>
+      math.pow(3, j).toLong * math.pow(4, H - 1 - j).toLong)
+    val rows = run("q_macd").collect()
+    val expected: Map[(String, String), (BigInt, Option[BigInt])] =
+      refBars.flatMap { case (t, bs) =>
+        val closes = bs.map(b => (b._1, BigInt(b._2)))
+        val macds = closes.indices.collect { case i if i >= H - 1 =>
+          def ema(ws: Seq[Long]): BigInt = {
+            val num = (0 until H).map(j => closes(i - j)._2 * ws(j)).sum
+            tdiv(num * 1000, BigInt(ws.sum))
+          }
+          (closes(i)._1, ema(wFast) - ema(wSlow))
+        }
+        macds.zipWithIndex.map { case ((day, m), i) =>
+          val sig = if (i >= 2)
+            Some(tdiv(m + macds(i - 1)._2 + macds(i - 2)._2, 3))
+          else None
+          (t, day) -> (m, sig)
+        }
+      }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (m, sig) =
+        expected((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(BigInt(r.getAs[Long]("macd_milli")) == m)
+      sig match {
+        case Some(v) => assert(BigInt(r.getAs[Long]("signal_milli")) == v)
+        case None => assert(r.isNullAt(r.fieldIndex("signal_milli")))
+      }
+    }
+  }
+
   test("q_sql_face_sharpe: the SQL spelling is bit-identical to the column API") {
     assertSameRows(run("q_sharpe"), run("q_sql_face_sharpe"))
   }
