@@ -1704,6 +1704,126 @@ object Analytics {
        |    AS err_ppm
        |FROM est ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------- q_kmv_jaccard
+  /** KMV SET ALGEBRA — the mergeability q_kmv_distinct demonstrates for
+    * union, completed for intersection (Beyer 2007): from the two
+    * per-set sketches alone (k smallest member hashes of the URGENT vs
+    * HIGH customer sets), the union sketch is the k smallest of the
+    * hash union, Ĵ = |S_U ∩ S_A ∩ S_B| / k_U in ppm, and the
+    * intersection estimate is matches·Û DIV k_U (one division — not
+    * Ĵ·Û re-rounded). Exact |A|, |B|, |A∩B| ride along with the signed
+    * estimator error, so a drifted sketch is a hash mismatch, and the
+    * small-sketch rule (k_U = union sketch size when |A∪B| < k → the
+    * estimate degrades to exact) is the same LEFT-fallback as
+    * q_kmv_distinct. Hashing and estimator spelling are byte-shared
+    * with q_kmv_distinct ("kmv:" seed, md5-lower-64, (M DIV h_k)·(k−1)).
+    *
+    * Scale shape: the per-set sketches are one distinct-pair collapse +
+    * one grp-partitioned rank; everything downstream is ≤ 2k rows. The
+    * three exact counts are 1-row broadcasts crossed onto the 1-row
+    * sketch frame. */
+  // audited-bnlj(q_kmv_jaccard): 1-row exact-count broadcasts onto the 1-row sketch-stats frame
+  // audited-global-window(q_kmv_jaccard): union-sketch rank frame = distinct hashes of two k-sketches (<= 2k rows by construction; the constant 'U' partition key folds away)
+  private def kmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val o = Tables.orders(s, dir)
+    def setOf(p: String, tag: String) = o
+      .filter($"o_orderpriority" === p)
+      .select(lit(tag).as("grp"), $"o_custkey".as("member")).distinct()
+    val a = setOf("1-URGENT", "A")
+    val b = setOf("2-HIGH", "B")
+    val hashed = a.unionByName(b).select($"grp",
+      TextFunctions.md5Lower64(concat(lit("kmv:"), $"member".cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)).as("h"))
+    val wk = Window.partitionBy($"grp").orderBy($"h")
+    val sk = hashed.withColumn("rn", row_number().over(wk))
+      .filter($"rn" <= KmvK)
+    val su = sk.select($"h").distinct()
+      .withColumn("grp", lit("U"))
+      .withColumn("rn", row_number().over(wk))
+      .filter($"rn" <= KmvK)
+    val stats = su.select($"h", $"rn")
+      .join(sk.filter($"grp" === "A").select($"h", lit(1L).as("in_a")),
+        Seq("h"), "left")
+      .join(sk.filter($"grp" === "B").select($"h", lit(1L).as("in_b")),
+        Seq("h"), "left")
+      .agg(count(lit(1)).as("k_u"),
+        coalesce(sum($"in_a" * $"in_b"), lit(0L)).as("matches"),
+        max(when($"rn" === KmvK, $"h")).as("kth_u"))
+    val ea = a.agg(count(lit(1)).as("exact_a"))
+    val eb = b.agg(count(lit(1)).as("exact_b"))
+    val ei = a.select($"member")
+      .join(b.select($"member"), Seq("member"))
+      .agg(count(lit(1)).as("exact_inter"))
+    stats.crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+      .crossJoin(broadcast(ei))
+      .withColumn("est_union",
+        when($"kth_u".isNotNull,
+          expr(s"${Long.MaxValue} DIV kth_u") * (KmvK - 1))
+          .otherwise($"k_u"))
+      .withColumn("j_est_ppm", expr("matches * 1000000 DIV k_u"))
+      .withColumn("est_inter", expr("matches * est_union DIV k_u"))
+      .withColumn("j_exact_ppm", expr(
+        "exact_inter * 1000000 DIV (exact_a + exact_b - exact_inter)"))
+      .withColumn("err_ppm", expr(
+        "(est_inter - exact_inter) * 1000000 DIV nullif(exact_inter, 0)"))
+      .select($"exact_a", $"exact_b", $"exact_inter", $"k_u", $"matches",
+        $"j_est_ppm", $"j_exact_ppm", $"est_union", $"est_inter",
+        $"err_ppm")
+  }
+
+  private val kmvJaccardSql =
+    s"""WITH a AS (
+       |  SELECT DISTINCT 'A' AS grp, o_custkey AS member FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |b AS (
+       |  SELECT DISTINCT 'B' AS grp, o_custkey AS member FROM orders
+       |  WHERE o_orderpriority = '2-HIGH'),
+       |hashed AS (
+       |  SELECT grp,
+       |    CAST(md5_number_lower('kmv:' || CAST(member AS VARCHAR))
+       |      & ${Long.MaxValue}::UBIGINT AS BIGINT) AS h
+       |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+       |sk AS (
+       |  SELECT grp, h FROM (
+       |    SELECT grp, h,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM hashed)
+       |  WHERE rn <= $KmvK),
+       |su AS (
+       |  SELECT h, rn FROM (
+       |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h FROM sk))
+       |  WHERE rn <= $KmvK),
+       |stats AS (
+       |  SELECT COUNT(*) AS k_u,
+       |    COALESCE(CAST(SUM(ia.one * ib.one) AS BIGINT), 0) AS matches,
+       |    MAX(CASE WHEN su.rn = $KmvK THEN su.h END) AS kth_u
+       |  FROM su
+       |  LEFT JOIN (SELECT h, 1 AS one FROM sk WHERE grp = 'A') ia
+       |    ON su.h = ia.h
+       |  LEFT JOIN (SELECT h, 1 AS one FROM sk WHERE grp = 'B') ib
+       |    ON su.h = ib.h),
+       |exact AS (
+       |  SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+       |    (SELECT COUNT(*) FROM b) AS exact_b,
+       |    (SELECT COUNT(*) FROM a JOIN b USING (member)) AS exact_inter),
+       |est AS (
+       |  SELECT exact_a, exact_b, exact_inter, k_u, matches,
+       |    matches * 1000000 // k_u AS j_est_ppm,
+       |    exact_inter * 1000000 // (exact_a + exact_b - exact_inter)
+       |      AS j_exact_ppm,
+       |    COALESCE((${Long.MaxValue} // kth_u) * ${KmvK - 1}, k_u)
+       |      AS est_union
+       |  FROM stats CROSS JOIN exact)
+       |SELECT exact_a, exact_b, exact_inter, k_u, matches, j_est_ppm,
+       |  j_exact_ppm, est_union,
+       |  matches * est_union // k_u AS est_inter,
+       |  (matches * est_union // k_u - exact_inter) * 1000000
+       |    // NULLIF(exact_inter, 0) AS err_ppm
+       |FROM est""".stripMargin
+
   // --------------------------------------------------------------- q_bootstrap
   // audited-global-window(q_bootstrap): frame = fixed replicate count frame — bound audited in PlanAuditSpec/UnpartitionedWindowAudit
   /** Poisson bootstrap of the mean order value — the uncertainty
@@ -2576,6 +2696,8 @@ object Analytics {
     NamedQuery("q_count_min", countMin, Some(countMinSql), bench = true),
     NamedQuery("q_acf", acf, Some(acfSql), bench = true),
     NamedQuery("q_bootstrap", bootstrap, Some(bootstrapSql), bench = true),
+    NamedQuery("q_kmv_jaccard", kmvJaccard, Some(kmvJaccardSql),
+      bench = true),
     NamedQuery("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql),
       bench = true),
     NamedQuery("q_cusum", cusum, Some(cusumSql), bench = true),

@@ -170,7 +170,7 @@ object BnljAudit {
     "q_modularity", "q_ndcg", "q_rrf", "q_semdedup", "q_t_closeness",
     "q_decile_share",
     "q_forget_cascade", "q_survival", "q_dataset_card", "q_hits", "q_rfm",
-    "q_tfidf",
+    "q_tfidf", "q_kmv_jaccard",
     // calendar²-bounded month-pair frames
     "q_kendall_tau", "q_theil_sen", "q_mann_kendall")
 }
@@ -216,6 +216,7 @@ object UnpartitionedWindowAudit {
     "q_rfm",                // R day-grid, F count-grid; M fallback documented
     // roster-sized frames
     "q_zipf",               // 20-row top-k frame after LIMIT
+    "q_kmv_jaccard",        // union-sketch rank over <=2k sketch hashes
     "q_mix_sample",         // per-source weight frame (#sources)
     "q_mix_weights",        // per-source weight frame (#sources)
     "q_dataset_card",       // datasheet summary rows (fixed section count)
