@@ -143,6 +143,75 @@ object Bench {
       }
     }
 
+    // ---- AvailableNow startup split for the streaming rows ----------
+    // Every streaming row runs ONE AvailableNow lifecycle per
+    // invocation, and its wall conflates FIXED query-startup (stream
+    // planning, checkpoint + state-store init, source listing, sink
+    // setup) with the actual data wall. Round-over-round artifact diffs
+    // then misread startup drift as data regressions (the round-10
+    // q_stream_interval_join gate hit: steady-state per-batch walls
+    // flat, total wall up). The probe below measures the SAME query fn
+    // over a MICRO fixture staged in scratch (64 events, 1-row dims) —
+    // there the data wall is ~0, so wall(micro) IS the fixed startup —
+    // and the artifact carries the split: `stream_startup` for every
+    // streaming row, `stream_data_wall` (= best − startup, floored at
+    // 0) for the benched streaming heads. BenchRegression gates
+    // streaming heads on the DATA wall once two rounds of history
+    // carry it.
+    val streamingRows = SparkEntry.all.filter(_.name.contains("stream"))
+    var startups = Vector.empty[(String, Double)]
+    var startupErrs = Vector.empty[(String, String)]
+    if (streamingRows.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_STREAM_SPLIT")) {
+      val micro = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bench_micro_${Scratch.key(java.nio.file.Paths.get(sfDir))}")
+      if (!java.nio.file.Files.exists(micro.resolve("_staged"))) {
+        // raw read/write (no ts normalization) so the staged files keep
+        // the fixture's physical schema and every probe exercises the
+        // same source-probing branch the real head does
+        Tables.names.foreach { t =>
+          val src = s"$sfDir/$t.parquet"
+          if (new java.io.File(src).exists) {
+            val keep = if (t == "events") 64 else 16
+            spark.read.parquet(src).limit(keep)
+              .repartition(1).write.mode("overwrite")
+              .parquet(micro.resolve(s"$t.parquet").toString)
+          }
+        }
+        java.nio.file.Files.writeString(micro.resolve("_staged"), "ok\n")
+      }
+      val benchedStream = selected.map(_.name).toSet
+      // one warmup lifecycle so the first probed head isn't charged for
+      // streaming-codepath classloading/JIT the others don't pay
+      try streamingRows.head.fn(spark, micro.toString)
+        .queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+      streamingRows.foreach { nq =>
+        def probeOnce(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try {
+            nq.fn(spark, micro.toString).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              startupErrs :+= (nq.name ->
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+              None
+          }
+        }
+        // min-of-2 for the benched heads (their split feeds the
+        // regression gate); single draw for the unbenched rows
+        val draws = (if (benchedStream(nq.name)) Seq(probeOnce(), probeOnce())
+          else Seq(probeOnce())).flatten
+        if (draws.nonEmpty) startups :+= (nq.name -> draws.min)
+      }
+    }
+    val startupMap = startups.toMap
+    val dataWalls = times.collect {
+      case (n, w) if startupMap.contains(n) =>
+        n -> math.max(0.0, w - startupMap(n))
+    }
+
     def fmtBytes(v: (Long, Long)) = s"""{"scan":${v._1},"shuffle":${v._2}}"""
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -162,7 +231,9 @@ object Bench {
     // BenchRegressionSpec in the suite.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
     val regs = BenchRegression.check(
-      BenchRegression.historyFor(histPath, sfDir), times.toMap)
+      BenchRegression.historyFor(histPath, sfDir), times.toMap,
+      BenchRegression.historyFor(histPath, sfDir, "stream_data_wall"),
+      dataWalls.toMap)
     regs.toSeq.sortBy(_._1).foreach { case (n, (w, med)) =>
       System.err.println(
         f"[bench] REGRESSION $n: $w%.2fs vs history median $med%.2fs " +
@@ -171,8 +242,14 @@ object Bench {
     val rg = regs.toSeq.sortBy(_._1).map { case (n, (w, med)) =>
       s"""${jstr(n)}:{"fresh":${sec(w)},"hist_median":${sec(med)}}"""
     }.mkString("{", ",", "}")
+    val ss = startups.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
+    val dw = dataWalls.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
+    val se = startupErrs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"failures":$fs,"n_failed":${failures.size},"regressions":$rg,"n_regressed":${regs.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"stream_startup":$ss,"stream_data_wall":$dw,"stream_startup_errs":$se,"failures":$fs,"n_failed":${failures.size},"regressions":$rg,"n_regressed":${regs.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Round-over-round persistence: the driver's BENCH_r{N}.json keeps
     // only a ~2 KB stdout tail, which truncated the full per-query map in

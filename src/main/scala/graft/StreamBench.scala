@@ -1,5 +1,6 @@
 package graft
 
+import graft.LineageCut._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -66,7 +67,7 @@ object StreamBench {
     val assigned = ev
       .withColumn("__t",
         (((row_number().over(w) - 1) * nBatches) / n).cast("int"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     import scala.jdk.CollectionConverters._
     for (i <- 0 until nBatches) {
       val tmp = scratch.resolve(s"tmp_$i")

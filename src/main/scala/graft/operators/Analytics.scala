@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import graft.functions.Exact._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1038,7 +1039,7 @@ object Analytics {
     val baskets = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("parts"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val nBaskets = baskets.select(count(lit(1)).as("n_baskets"))
     val itemSupport = baskets
       .select(explode($"parts").as("item"))
@@ -1145,7 +1146,7 @@ object Analytics {
     val daily = firstSeen.groupBy($"day")
       .agg(count(lit(1)).as("new_buyers"))
       .withColumn("yr", year($"day"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val offsets = daily.groupBy($"yr")
       .agg(sum($"new_buyers").as("__n"))
       .withColumn("__offset",
@@ -1765,7 +1766,7 @@ object Analytics {
       .withColumn("j_est_ppm", expr("matches * 1000000 DIV k_u"))
       .withColumn("est_inter", expr("matches * est_union DIV k_u"))
       .withColumn("j_exact_ppm", expr(
-        "exact_inter * 1000000 DIV (exact_a + exact_b - exact_inter)"))
+        "exact_inter * 1000000 DIV nullif(exact_a + exact_b - exact_inter, 0)"))
       .withColumn("err_ppm", expr(
         "(est_inter - exact_inter) * 1000000 DIV nullif(exact_inter, 0)"))
       .select($"exact_a", $"exact_b", $"exact_inter", $"k_u", $"matches",
@@ -1812,7 +1813,7 @@ object Analytics {
        |est AS (
        |  SELECT exact_a, exact_b, exact_inter, k_u, matches,
        |    matches * 1000000 // k_u AS j_est_ppm,
-       |    exact_inter * 1000000 // (exact_a + exact_b - exact_inter)
+       |    exact_inter * 1000000 // NULLIF(exact_a + exact_b - exact_inter, 0)
        |      AS j_exact_ppm,
        |    COALESCE((${Long.MaxValue} // kth_u) * ${KmvK - 1}, k_u)
        |      AS est_union
@@ -2475,7 +2476,7 @@ object Analytics {
       // three consumers below (base-month scalar, base slice, the index
       // rollup) — materialize the parts×months grid once instead of
       // re-running the fact aggregation per consumer
-      .localCheckpoint(true)
+      .lineageCut(true)
     val baseMonth = grid.agg(min($"mt").as("base_mt"))
     val base = grid.crossJoin(broadcast(baseMonth))
       .filter($"mt" === $"base_mt")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1392,7 +1393,7 @@ object AnalyticsExtra {
     val parts = perPart
       .repartitionByRange((-$"tenths_mil").asc, $"l_partkey".asc)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .lineageCut(true)
     val offsets = parts.groupBy($"__pid")
       .agg(sum($"tenths_mil").as("__p_cents"))
       .withColumn("__offset",

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -352,7 +353,7 @@ object Annotate {
       .groupBy($"i", $"j").agg(count(lit(1)).as("n"))
     val both = directed.select($"i".as("m"), $"j".as("o"), $"n")
       .unionByName(directed.select($"j".as("m"), $"i".as("o"), $"n"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     // Round cost is broadcast-build-bound, not data-bound (measured:
     // q_leaderboard shares the trials prefix at 0.83s; each MM round
     // added ~0.35s, and neither removing the checkpoints — 3.5s, the
@@ -367,7 +368,7 @@ object Annotate {
     // the audit walks ends at the checkpoint scan).
     var strengths = wtot
       .select($"model", lit(BtUnit).as("s"), $"wins")
-      .localCheckpoint(true)
+      .lineageCut(true)
     for (_ <- 1 to BtIters) {
       val sm = strengths.select($"model".as("m"), $"s".as("sm"), $"wins")
       val so = strengths.select($"model".as("o"), $"s".as("so"))
@@ -384,7 +385,7 @@ object Annotate {
         .select($"model",
           expr(s"s_raw * (${NumModels * BtUnit}) DIV tot").as("s"),
           $"wins")
-        .localCheckpoint(true)
+        .lineageCut(true)
     }
     wtot.join(strengths.select($"model", $"s"), Seq("model"))
       .select($"model", $"games", $"wins", $"s".as("strength_micro"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -51,7 +52,7 @@ object Clustering {
     val pts = points.select(id.as("__id"), vec.cast("array<double>").as("__v"))
     var centroids = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cluster"), col("__v").as("__c"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = pts.crossJoin(broadcast(centroids))
@@ -69,7 +70,7 @@ object Clustering {
         .groupBy(col("__cluster"))
         .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
           s => s.getField("__m")).as("__c"))
-        .localCheckpoint(true)
+        .lineageCut(true)
     }
     assigned.select(col("__id").as(idCol), col("__cluster").as("cluster"),
       col("__dist").as("dist"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -545,7 +546,7 @@ object Corpus {
     // consumes the indexed frame (sortedNeighborhood probes it twice).
     val parts = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .lineageCut(true)
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

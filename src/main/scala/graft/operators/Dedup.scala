@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -289,10 +290,10 @@ object Dedup {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut(true)
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("cluster_id", $"doc_id")
-      .localCheckpoint(true)
+      .lineageCut(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -311,7 +312,7 @@ object Dedup {
       if (i % checkEvery == 0 || i == maxIter) {
         // batch barrier: cut lineage AND poll convergence (one round's
         // zero-change implies a fixed point, see ConvergenceCheckEvery)
-        val mat = updated.localCheckpoint(true)
+        val mat = updated.lineageCut(true)
         converged = mat.filter($"cluster_id" < $"__old_id").count() == 0
         labels = mat.drop("__old_id")
       } else {
@@ -573,14 +574,14 @@ object Dedup {
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .unionByName(pairs.select($"doc_b".as("doc_id")))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut(true)
     // canonical undirected state: (lo, hi), lo < hi, set-valued
     var canon = pairs
       .select(least($"doc_a", $"doc_b").as("lo"),
         greatest($"doc_a", $"doc_b").as("hi"))
       .filter($"lo" =!= $"hi")
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut(true)
 
     // large-star: per node u over the SYMMETRIZED neighbor list, every
     // strictly-larger neighbor v links to m = min(Γ(u) ∪ {u}); m ≤ u < v,
@@ -643,7 +644,7 @@ object Dedup {
       val next = smallStar(largeStar(canon))
       i += 1
       if (i % checkEvery == 0 || i == maxIter) {
-        val mat = next.localCheckpoint(true)
+        val mat = next.lineageCut(true)
         val matSig = sig(mat)
         converged = lastBoundary.exists { case (prev, prevSig) =>
           prevSig == matSig && mat.exceptAll(prev).isEmpty

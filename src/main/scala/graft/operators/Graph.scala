@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -42,34 +43,71 @@ object Graph {
   /** Initial rank mass per node, in micro-units. */
   val RankUnit = 1000000L
 
+  /** Node-count ceiling for the broadcast-per-round plan shared by the
+    * iterative graph family (pageRank / labelPropagation / HITS / BFS).
+    * Below it the node-sized frame (≤ ~5 MB of (long, long) on-heap)
+    * broadcasts cheaply and each round is ONE exchange; above it the
+    * PER-ROUND rebroadcast is the scale-killer — at 10⁶⁺ nodes every
+    * iteration ships the whole rank frame to every executor again
+    * (round-10 measured: 17.3× wall growth for 10× data at synthetic
+    * sf10), and at 100 TB the node frame is billions of rows. Past the
+    * ceiling the loop switches to the co-partitioned Pregel shape: the
+    * iteration-invariant edge frame is pre-partitioned on the join key
+    * once (outputPartitioning survives the lineage cut) and each round
+    * runs a SHUFFLED HASH join that builds on the node-sized side — the
+    * edge frame is never sorted and never re-shuffled. The limit
+    * tracks Spark's own 10 MB autoBroadcastJoinThreshold (~100k
+    * (long,long) rows on-heap) because the rebroadcast amplifies it by
+    * the round count. */
+  val BroadcastNodeLimit = 100000L
+
   /** Fixed-iteration integer PageRank over a directed edge list
     * (columns `src`, `dst`). Every node must have at least one
     * out-edge (symmetrize the graph first for interaction data —
     * dangling-mass redistribution is deliberately out of scope). */
-  /** @param broadcastRanks hint the node-sized rank frame into the
-    *   per-round join as a broadcast: the edge frame (the big side at
-    *   scale — edges ≫ nodes on any interaction graph) then never
-    *   re-shuffles, and each round is ONE exchange (the contribution
-    *   aggregation) instead of two. Right up to ~10⁷ nodes (hundreds of
-    *   MB of (long, long)); pass false past that and the join falls
-    *   back to shuffle on src. */
+  /** @param broadcastRanks Some(true)/Some(false) forces the plan;
+    *   None (default) size-switches on the measured node count against
+    *   [[BroadcastNodeLimit]] — broadcast the node-sized rank frame into
+    *   the per-round join while it is small (edge frame never
+    *   re-shuffles, ONE exchange per round), shuffle-on-src against the
+    *   pre-partitioned pre-sorted edge frame once it is not. The
+    *   integer iteration is partitioning-invariant, so both plans emit
+    *   bit-identical ranks. */
   def pageRank(edges: DataFrame, iters: Int = PageRankIters,
-      broadcastRanks: Boolean = true, checkpointEvery: Int = 3): DataFrame = {
+      broadcastRanks: Option[Boolean] = None, checkpointEvery: Int = 3): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(checkpointEvery >= 1 && checkpointEvery <= 5,
       s"checkpointEvery must be in [1, 5], got $checkpointEvery")
+    // ONE edge-scale materialization: edgesDeg (src, dst, outdeg) is a
+    // superset of the distinct edge frame, so e itself is never
+    // checkpointed — the caller's edge construction (typically a
+    // fact-fact join) runs exactly once (its distinct exchange is a
+    // shared subplan of the degree agg and the join left, so
+    // ReuseExchange dedupes it inside this single job), nodes derive
+    // from the materialized blocks, and the block manager holds ONE
+    // edge-sized frame instead of two (the two-copies spelling spilled
+    // every per-round shuffle at synthetic sf10). Partitioned on src
+    // unconditionally: that layout is what the shuffle plan's per-round
+    // SHUFFLED HASH join reuses (outputPartitioning survives the
+    // lineage cut; build side = the node-sized rank frame, so the edge
+    // frame is never sorted and never re-shuffled), and for the
+    // broadcast plan it costs one setup exchange — noise at the scales
+    // where broadcast is chosen.
     val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    // iteration-invariant: degree-annotated edges, built once
-    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select($"src".as("node")).distinct()
-    var ranks = nodes.withColumn("rank", lit(RankUnit)).localCheckpoint(true)
+    val edgesDeg = e.join(deg, "src").repartition($"src").lineageCut(true)
+    val nodes = edgesDeg.select($"src".as("node")).distinct().lineageCut(true)
+    // one scalar job decides the per-round join plan for the whole loop;
+    // nodes is already materialized, so this is a count over cached blocks
+    val bcast = broadcastRanks.getOrElse(nodes.count() <= BroadcastNodeLimit)
+    var ranks = nodes.withColumn("rank", lit(RankUnit)).lineageCut(true)
     var i = 0
     while (i < iters) {
       val rankSide = ranks.withColumnRenamed("node", "src")
       val contribs = edgesDeg
-        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
+        .join(if (bcast) broadcast(rankSide)
+              else rankSide.hint("shuffle_hash"), "src")
         .select($"dst".as("node"), expr("rank DIV outdeg").as("contrib"))
         .groupBy($"node")
         .agg(sum($"contrib").as("m"))
@@ -85,7 +123,7 @@ object Graph {
       // nested rounds; k bounds both the plan depth and the re-execution
       // window, same knob as resolveClusters' batched convergence poll
       if (i % checkpointEvery == 0 || i == iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.lineageCut(true)
     }
     ranks
   }
@@ -173,7 +211,7 @@ object Graph {
           .otherwise($"v").as("src"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
           .otherwise($"u").as("dst"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     // Edge-iterator ("compact-forward") enumeration: attach each edge's
     // two out-neighbor lists and intersect them ROW-LOCALLY. The naive
     // wedge join materializes Σ outdeg² rows (~83M on the sf0.1
@@ -203,7 +241,7 @@ object Graph {
         array_intersect($"nbrs_u", $"nbrs_v").as("cs"))
       .select($"a", $"b", $"cs", size($"cs").cast("long").as("k"))
       .filter($"k" > 0)
-      .localCheckpoint(true)
+      .lineageCut(true)
     val perNode = closed.groupBy($"a".as("node")).agg(sum($"k").as("n_tri"))
       .unionAll(closed.groupBy($"b".as("node")).agg(sum($"k").as("n_tri")))
       .unionAll(closed.select(explode($"cs").as("node"))
@@ -282,19 +320,30 @@ object Graph {
     * first for undirected semantics, as with pageRank). Nodes with no
     * in-edge keep their own label. */
   def labelPropagation(edges: DataFrame, iters: Int = LabelPropIters,
-      broadcastLabels: Boolean = true): DataFrame = {
+      broadcastLabels: Option[Boolean] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
+    // ONE edge-scale materialization, pre-laid-out on src (pageRank's
+    // contract: the caller's edge construction runs once, nodes derive
+    // from the materialized blocks, the src layout is what the shuffle
+    // plan's per-round join reuses and costs the broadcast plan one
+    // setup exchange)
+    val e = edges.select($"src", $"dst").distinct()
+      .repartition($"src").lineageCut(true)
     val nodes = e.select($"src".as("node")).unionByName(
-      e.select($"dst".as("node"))).distinct().localCheckpoint(true)
+      e.select($"dst".as("node"))).distinct().lineageCut(true)
+    // same size switch as pageRank: past BroadcastNodeLimit the
+    // per-round label rebroadcast is the scale-killer, so the edge frame
+    // keeps its src layout and the node-sized side shuffles instead
+    val bcast = broadcastLabels.getOrElse(nodes.count() <= BroadcastNodeLimit)
     var labels = nodes.withColumn("label", $"node")
     var i = 0
     while (i < iters) {
       val labelSide = labels.withColumnRenamed("node", "src")
       val byDst = e
-        .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "src")
+        .join(if (bcast) broadcast(labelSide)
+              else labelSide.hint("shuffle_hash"), "src")
         .groupBy($"dst".as("node"), $"label")
         .agg(count(lit(1)).as("n"))
       // argmin as an AGGREGATION, not a sort window: max of the struct
@@ -311,7 +360,7 @@ object Graph {
         .join(adopted, Seq("node"), "left")
         .select($"node", coalesce($"label", $"node").as("label"))
       i += 1
-      if (i % 3 == 0 || i == iters) labels = labels.localCheckpoint(true)
+      if (i % 3 == 0 || i == iters) labels = labels.lineageCut(true)
     }
     labels
   }
@@ -434,14 +483,14 @@ object Graph {
     * present). */
   def kcorePeel(edges0: DataFrame, kFrame: DataFrame, rounds: Int): DataFrame = {
     import edges0.sparkSession.implicits._
-    var e = edges0.localCheckpoint(true)
+    var e = edges0.lineageCut(true)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
         .crossJoin(broadcast(kFrame))
         .filter($"d" >= $"k").select($"src".as("node")).toDF("node")
       e = e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
         .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+        .lineageCut(true)
     }
     e
   }
@@ -473,7 +522,7 @@ object Graph {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(checkEvery >= 1 && checkEvery <= 10,
       s"checkEvery must be in [1, 10], got $checkEvery")
-    var e = edges0.localCheckpoint(true)
+    var e = edges0.lineageCut(true)
     var n = e.count()
     var converged = n == 0L
     var rounds = 0
@@ -511,10 +560,10 @@ object Graph {
       .distinct()
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
       .select($"src".as("node"), $"deg0")
-      .localCheckpoint(true) // consumed by the rank, the count, and the final join
+      .lineageCut(true) // consumed by the rank, the count, and the final join
     // scale-adaptive threshold: the p25 ORDER-STATISTIC of the initial
     // degree distribution (rank ⌈n/4⌉ with a node-id tiebreak) — an
     // exact integer both engines replay, and it bites at every sf where
@@ -533,7 +582,7 @@ object Graph {
       .crossJoin(broadcast(nFrame))
       .filter($"global_idx" === expr("(n + 3) DIV 4"))
       .select($"deg0".as("k"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     (edges, deg0, kFrame)
   }
 
@@ -708,27 +757,45 @@ object Graph {
   val HitsUnit = 1000000L
   val HitsIters = 2
 
-  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = HitsIters,
+      broadcastScores: Option[Boolean] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
-    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
-    var hub = e.select($"src".as("node")).distinct()
+    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(true)
+    // the pageRank size switch, keyed on the larger node side (hub and
+    // auth frames alternate through the per-half-step join); past the
+    // limit the edge frame gets TWO iteration-invariant layouts — one
+    // per join key — so each half-step's sort-merge join moves only the
+    // node-sized score frame. The 1-row MAX normalizer stays a
+    // broadcast at any scale.
+    val bcast = broadcastScores.getOrElse {
+      val r = eRaw.agg(countDistinct($"src").as("ns"),
+        countDistinct($"dst").as("nd")).head()
+      math.max(r.getLong(0), r.getLong(1)) <= BroadcastNodeLimit
+    }
+    val eSrc = if (bcast) eRaw
+      else eRaw.repartition($"src").lineageCut(true)
+    val eDst = if (bcast) eRaw
+      else eRaw.repartition($"dst").lineageCut(true)
+    def side(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
+    var hub = eRaw.select($"src".as("node")).distinct()
       .withColumn("score", lit(HitsUnit))
     var auth: DataFrame = null
     var i = 0
     while (i < iters) {
-      val ar = e.join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+      val ar = eSrc.join(side(hub.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst").agg(sum($"score").as("raw"))
         .withColumnRenamed("dst", "node")
       auth = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
         .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
-      val hr = e.join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+      val hr = eDst.join(side(auth.withColumnRenamed("node", "dst")), "dst")
         .groupBy($"src").agg(sum($"score").as("raw"))
         .withColumnRenamed("src", "node")
       hub = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
         .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
       i += 1
-      if (i < iters) { auth = auth.localCheckpoint(true); hub = hub.localCheckpoint(true) }
+      if (i < iters) { auth = auth.lineageCut(true); hub = hub.lineageCut(true) }
     }
     hub.select(lit("hub").as("side"), $"node", $"score")
       .unionByName(auth.select(lit("auth").as("side"), $"node", $"score"))
@@ -788,23 +855,37 @@ object Graph {
   val BfsSeedMaxKey = 25L
 
   def bfsDepth(edges: DataFrame, seeds: DataFrame,
-      maxDepth: Int = BfsMaxDepth): DataFrame = {
+      maxDepth: Int = BfsMaxDepth,
+      broadcastFrontier: Option[Boolean] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(maxDepth >= 1 && maxDepth <= 10,
       s"maxDepth must be in [1, 10], got $maxDepth")
-    val e = edges.select($"src", $"dst").distinct().localCheckpoint(true)
+    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(true)
+    // the pageRank size switch, keyed on the graph's node count: the
+    // frontier and visited sets grow TOWARD node size as the BFS
+    // saturates, so on a big graph the per-round frontier broadcast and
+    // visited anti-join broadcast both become node-sized rebroadcasts —
+    // lay the edge frame out on src once and let the (at-most-node-
+    // sized) frontier shuffle instead. Early small frontiers still move
+    // cheaply: a shuffle of a tiny frame is one small exchange.
+    val bcast = broadcastFrontier.getOrElse(
+      eRaw.select($"src".as("node")).distinct().count() <= BroadcastNodeLimit)
+    val e = if (bcast) eRaw
+      else eRaw.repartition($"src").lineageCut(true)
+    def side(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var visited = seeds.select($"node").distinct()
-      .withColumn("depth", lit(0)).localCheckpoint(true)
+      .withColumn("depth", lit(0)).lineageCut(true)
     var frontier = visited.select($"node")
     var d = 1
     while (d <= maxDepth) {
       val next = e
-        .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+        .join(side(frontier.withColumnRenamed("node", "src")), "src")
         .select($"dst".as("node")).distinct()
-        .join(broadcast(visited.select($"node")), Seq("node"), "left_anti")
+        .join(side(visited.select($"node")), Seq("node"), "left_anti")
       visited = visited
         .unionByName(next.withColumn("depth", lit(d)))
-        .localCheckpoint(true)
+        .lineageCut(true)
       frontier = next
       d += 1
     }
@@ -1150,10 +1231,10 @@ object Graph {
     val w = Window.partitionBy($"src").orderBy($"dst")
     val adj = edges
       .withColumn("rnk", (row_number().over(w) - 1).cast("long"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val deg = adj.groupBy($"src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
-      .localCheckpoint(true)
+      .lineageCut(true)
     var walk = adj.select($"src".as("walker")).distinct()
       .filter($"walker" < SupplierOffset && $"walker" % WalkStartMod === 1L)
       .select($"walker", $"walker".as("node"),
@@ -1170,7 +1251,7 @@ object Graph {
           Seq("node", "pick"))
         .select($"walker", $"dst".as("node"),
           concat($"path", lit(","), $"dst".cast("string")).as("path"))
-      walk = if (t % 3 == 0) stepped.localCheckpoint(true) else stepped
+      walk = if (t % 3 == 0) stepped.lineageCut(true) else stepped
     }
     walk
   }

@@ -33,7 +33,15 @@ import graft.NamedQuery
   * windows ride the grid). Each statistic is then one instrument-keyed
   * aggregation; q_pair_corr's self-join is day-keyed over the grid, so
   * its per-day match set is |instruments|² — a symbol-roster bound, not
-  * a data bound. Nothing here touches raw ticks twice. */
+  * a data bound. Tick volume enters each statistic through the bar
+  * grid, so every downstream frame is roster × calendar sized; note
+  * that queries joining DIFFERENTLY-PROJECTED branches of the grid
+  * (q_pair_corr's self-join, the roster/gate branches of q_underwater /
+  * q_rebalance_turnover / q_anova) re-run the tick→bar aggregation per
+  * branch — diverged column pruning defeats exchange reuse (the
+  * q_tfidf lesson) — so the tick scan count is the branch count, a
+  * small constant, while all O(data) growth stays in that one keyed
+  * rollup per branch. */
 object Indicators2 {
 
   /** Day-ordered close diffs per instrument (cents), the shared series:
@@ -740,8 +748,8 @@ object Indicators2 {
       .withColumn("ssw_num",
         expr("n_max * n_total * q - n_total * sum_sg2"))
       .withColumn("f_milli", expr(
-        "(ssb_num DIV (g - 1)) * 1000" +
-          " DIV nullif(ssw_num DIV (n_total - g), 0)"))
+        "(ssb_num DIV nullif(g - 1, 0)) * 1000" +
+          " DIV nullif(ssw_num DIV nullif(n_total - g, 0), 0)"))
       .select($"g", $"n_min", $"n_max", $"ssb_num", $"ssw_num", $"f_milli")
   }
 
@@ -773,9 +781,9 @@ object Indicators2 {
        |SELECT g, n_min, n_max,
        |  n_total * sum_sg2 - n_max * s * s AS ssb_num,
        |  n_max * n_total * q - n_total * sum_sg2 AS ssw_num,
-       |  ((n_total * sum_sg2 - n_max * s * s) // (g - 1)) * 1000
+       |  ((n_total * sum_sg2 - n_max * s * s) // NULLIF(g - 1, 0)) * 1000
        |    // NULLIF((n_max * n_total * q - n_total * sum_sg2)
-       |              // (n_total - g), 0) AS f_milli
+       |              // NULLIF(n_total - g, 0), 0) AS f_milli
        |FROM w""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(

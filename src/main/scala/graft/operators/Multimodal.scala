@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -308,7 +309,7 @@ object Multimodal {
     val parts = sized
       .repartitionByRange($"doc_id".asc)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .lineageCut(true)
     val offsets = parts.groupBy($"__pid")
       .agg(sum($"n_bytes").as("__p_bytes"))
       .withColumn("__offset",

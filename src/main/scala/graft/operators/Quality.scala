@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1038,7 +1039,7 @@ object Quality {
         .cast("long").as("cents"))
       // two consumers (fence derivation, outlier count) — materialize
       // the customers-sized frame once (the q_price_index recipe)
-      .localCheckpoint(true)
+      .lineageCut(true)
     val hist = per.groupBy($"c_mktsegment", $"cents")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum($"cnt").over(

@@ -984,6 +984,87 @@ object Similarity {
       .select($"vec_a", $"vec_b")
   }
 
+  // --------------------------------------------------- q_ann_ivfpq_recall10
+  /** IVF-PQ composition — the production ANN index shape (FAISS
+    * IndexIVFPQ; Jégou et al. 2011): the coarse quantizer ROUTES and
+    * the product codes RE-SCORE inside the routed cells. Routing runs
+    * WIDE (nprobe [[IvfProbesWide]] — the recall end of the probe dial)
+    * and the PQ prune then keeps only routed pairs agreeing on ≥
+    * [[IvfPqMinShared]] of the [[PqM]] subspace codes — the
+    * asymmetric-distance-style cheap filter that makes the within-cell
+    * scan affordable when cells are millions of vectors. So the
+    * composition buys nprobe-16's routing recall at a fraction of its
+    * candidate volume: by construction its candidate set is a SUBSET of
+    * q_ann_ivf16's and (measured, Round8OpsSpec) a SUPERSET in recall of
+    * the nprobe-4 single, landing recall@10 between IVF-alone and exact.
+    *
+    * No bucket guard on the code agreement here (unlike pqCandidateIds):
+    * the routing already bucket-guarded the cells, and the code join is
+    * per-routed-pair × PqM rows — there is no collision-pair explosion
+    * for a hot code to cause. The oracle replays routing, codes, the
+    * agreement count and the scoring tail fully independently. */
+  val IvfPqMinShared = 1
+
+  def ivfPqCandidateIds(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val routed = ivfCandidateIdsAt(IvfProbesWide)(e)
+    val codes = e.select($"vec_id",
+      posexplode(pqCodes($"embedding")).as(Seq("m", "code")))
+    routed
+      .join(codes.select($"vec_id".as("vec_a"), $"m",
+        $"code".as("code_a")), Seq("vec_a"))
+      .join(codes.select($"vec_id".as("vec_b"), $"m",
+        $"code".as("code_b")), Seq("vec_b", "m"))
+      .filter($"code_a" === $"code_b")
+      .groupBy($"vec_a", $"vec_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= IvfPqMinShared)
+      .select($"vec_a", $"vec_b")
+  }
+
+  /** Independent replay of [[ivfPqCandidateIds]] + recall tail: the
+    * ivfRecall10Sql routing block (nprobe-wide) intersected with the
+    * pqRecall10Sql code block (guardless, per the composition's
+    * contract), agreement counted per routed pair. */
+  private def ivfPqRecall10Sql(k: Int, nprobe: Int, mCnt: Int, pqK: Int,
+      minShared: Int): String =
+    s"""WITH ${sqlPlanesCte("cents", k, "len(embedding)", 1L << 20)},
+       |dots AS MATERIALIZED (
+       |  SELECT e.vec_id, c.plane AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.pl[i])) DESC, c.plane) AS rk
+       |  FROM embeddings e CROSS JOIN cents c),
+       |recv AS MATERIALIZED (
+       |  SELECT cell, vec_id AS vec_b FROM (
+       |    SELECT cell, vec_id, COUNT(*) OVER (PARTITION BY cell) AS n
+       |    FROM dots WHERE rk = 1) WHERE n <= $MaxBucket),
+       |routed AS (
+       |  SELECT DISTINCT p.vec_id AS vec_a, r.vec_b
+       |  FROM dots p JOIN recv r ON r.cell = p.cell
+       |  WHERE p.rk <= $nprobe AND p.vec_id <> r.vec_b
+       |    AND p.vec_id < $NatQueryCount),
+       |${sqlPlanesCte("pqcents", pqK, s"len(embedding) // $mCnt", 1L << 20)},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cell AS code FROM (
+       |    SELECT e.vec_id, ms.m, c.plane AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(e.embedding) // $mCnt),
+       |          i -> CAST(e.embedding[ms.m * (len(e.embedding) // $mCnt) + i]
+       |                 AS DOUBLE) * c.pl[i])) DESC, c.plane) AS rk
+       |    FROM embeddings e
+       |    CROSS JOIN (SELECT unnest(range(0, $mCnt)) AS m) ms
+       |    CROSS JOIN pqcents c) WHERE rk = 1),
+       |cand AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT r.vec_a, r.vec_b, COUNT(*) AS n_shared
+       |    FROM routed r
+       |    JOIN codes ca ON ca.vec_id = r.vec_a
+       |    JOIN codes cb ON cb.vec_id = r.vec_b AND cb.m = ca.m
+       |    WHERE ca.code = cb.code
+       |    GROUP BY 1, 2) WHERE n_shared >= $minShared),
+       |$sqlRecall10Tail""".stripMargin
+
   // --------------------------------------------------------------------- q_rrf
   // audited-bnlj(q_rrf): build side = 1-row query-vector broadcast — audited in PlanAuditSpec/BnljAudit
   /** Reciprocal rank fusion — the standard hybrid-retrieval combiner:
@@ -1130,5 +1211,9 @@ object Similarity {
     // audited-bnlj(q_ann_ivf16_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
     NamedQuery("q_ann_ivf16_recall10",
       annNaturalRecall10(ivfCandidateIdsAt(IvfProbesWide)),
-      Some(ivfRecall10Sql(IvfK, IvfProbesWide)), bench = true))
+      Some(ivfRecall10Sql(IvfK, IvfProbesWide)), bench = true),
+    // audited-bnlj(q_ann_ivfpq_recall10): build side = ≤NatQueryCount-row query-roster broadcast — audited in PlanAuditSpec/BnljAudit
+    NamedQuery("q_ann_ivfpq_recall10", annNaturalRecall10(ivfPqCandidateIds),
+      Some(ivfPqRecall10Sql(IvfK, IvfProbesWide, PqM, PqK, IvfPqMinShared)),
+      bench = true))
 }

@@ -15,8 +15,13 @@ import graft.{NamedQuery, Tables}
   * assume).
   *
   * Exactness: no logs — idf is the integer milli inverse document
-  * frequency n_docs·1000 DIV df (monotone in the classical ln(N/df), so
-  * rankings agree where ties allow), and the Zipf screen reports the
+  * frequency n_docs·1000 DIV df: a self-defined deterministic integer
+  * variant of TF-IDF, not the classical statistic. The idf factor is
+  * monotone in ln(N/df), so the PER-TERM idf ordering matches the
+  * classical one, but a monotone transform of one factor does not
+  * preserve tf·idf PRODUCT rankings — top-k terms can legitimately
+  * differ from classical TF-IDF. What the oracle pins is this exact
+  * integer definition, bit-for-bit. The Zipf screen reports the
   * raw rank·freq products rather than a fitted log-log slope. Every
   * column is BIGINT; ties break on term ASC in both engines.
   *

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.LineageCut._
 import graft.{NamedQuery, Tables}
 import graft.functions.{BpeFunctions, BpeImpl}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -90,7 +91,7 @@ object Tokenize {
       .as[(String, Long)]
       .map { case (w, c) =>
         (BpeImpl.toSymbols(BpeImpl.MarkerStr + w).toSeq, c) }
-      .localCheckpoint()
+      .lineageCut()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var i = 0
@@ -109,7 +110,7 @@ object Tokenize {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
-        if ((i + 1) % 10 == 0) words = words.localCheckpoint()
+        if ((i + 1) % 10 == 0) words = words.lineageCut()
       }
       i += 1
     }
@@ -195,9 +196,218 @@ object Tokenize {
     """SELECT doc_id, length(text) AS n_chars, TRUE AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ================= unigram-LM tokenizer (SentencePiece family) ======
+  /** The second trainer every production corpus pipeline carries next
+    * to BPE: a unigram-LM-family tokenizer — candidate piece lattice
+    * over corpus substrings, iterative usage re-estimation, prune to a
+    * target vocabulary, greedy decode (Kudo 2018's SentencePiece
+    * pipeline shape). This is the DETERMINISTIC INTEGER variant of that
+    * family, in the repo's exactness doctrine: classical soft-EM with
+    * float log-probabilities is merge-order dependent and cannot be
+    * replayed bit-for-bit by a second engine, so the E-step here is the
+    * HARD assignment every WordPiece/SentencePiece decoder ships —
+    * maximal-munch longest-match segmentation (functions/UnigramExprs)
+    * — and the M-step is exact integer usage counting. Iteration is
+    * meaningful through the PRUNE: candidates → segment → count →
+    * prune to V1 → re-segment → count → prune to V2 → final counts,
+    * so round-2 segmentations differ from round-1 exactly where the
+    * vocabulary shrank (the SentencePiece shrink schedule, two rungs).
+    * The DuckDB oracle replays the ENTIRE pipeline — candidate
+    * generation, both prune rungs, both greedy segmentations as
+    * recursive CTEs (length-ordered LEFT JOINs + COALESCE = the same
+    * longest-first rule) — so a one-piece divergence anywhere
+    * hash-fails.
+    *
+    * Scale shape (100 TB): the only corpus-sized work is the word
+    * count (one explode → partial-agg shuffle, shared with trainBpe);
+    * candidate generation and both EM passes run over the DISTINCT-WORD
+    * frame (vocabulary-sized); the two pruned vocabularies are BOUNDED
+    * (V1/V2 + alphabet) and collected like every production trainer's
+    * vocab table; encoding is the row-local codegen expression — the
+    * corpus never shuffles for the tokenizer. */
+  val UniCandMinFreq = 2L
+  /** Prune rungs, sized so pruning BITES on the shipped corpora (tens
+    * of distinct words at sf0.01): round-1 keeps the top 48 multi-char
+    * pieces, round-2 the top 24 — single characters are always kept
+    * (coverage guarantee: the greedy scan can never strand). */
+  val UniV1 = 48
+  val UniV2 = 24
+
+  /** Distinct-word counts — the corpus-sized step, one shuffle. */
+  private def uniWords(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(split($"text", " ", -1)).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+  }
+
+  /** All substrings of length 1..MaxPieceLen of every distinct word,
+    * weighted occurrence counts (each start position counts, times the
+    * word's corpus frequency) — the candidate lattice. */
+  private def uniCand(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select(explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(1, least(${graft.functions.UnigramImpl.MaxPieceLen},
+         |                              length(w) - i + 1)),
+         |    l -> substring(w, i, l))))""".stripMargin)).as("p"), $"c")
+      .groupBy($"p").agg(sum($"c").as("cnt"))
+  }
+
+  /** Two-rung hard-EM train: returns (vocab1, vocab2), both bounded
+    * and deterministically ordered (singles sorted, multis by
+    * (cnt DESC, piece ASC) row-numbered to the rung size). */
+  def trainUnigram(docs: DataFrame): (Seq[String], Seq[String]) = {
+    import docs.sparkSession.implicits._
+    val words = uniWords(docs).lineageCut()
+    val cand = uniCand(words).lineageCut()
+    // every character of the corpus stays in BOTH vocabularies — the
+    // totality guarantee the greedy scan and the oracle's COALESCE need
+    val singles = cand.filter(length($"p") === 1)
+      .orderBy($"p").select($"p").collect().map(_.getString(0)).toSeq
+    val multi1 = cand
+      .filter(length($"p") >= 2 && $"cnt" >= UniCandMinFreq)
+      .orderBy($"cnt".desc, $"p").limit(UniV1)
+      .select($"p").collect().map(_.getString(0)).toSeq
+    val vocab1 = singles ++ multi1
+    val use1 = words.select($"c",
+        explode(graft.functions.UnigramFunctions
+          .unigramSegment($"w", vocab1)).as("p"))
+      .groupBy($"p").agg(sum($"c").as("cnt"))
+    val multi2 = use1.filter(length($"p") >= 2)
+      .orderBy($"cnt".desc, $"p").limit(UniV2)
+      .select($"p").collect().map(_.getString(0)).toSeq
+    (vocab1, singles ++ multi2)
+  }
+
+  /** Shared oracle prefix: words → candidates → vocab1 → seg1 (greedy
+    * recursion) → usage → vocab2 → seg2. The length-ordered LEFT JOIN +
+    * COALESCE picks the LONGEST matching piece — exactly
+    * UnigramImpl.segment's scan — and k orders pieces within a word. */
+  private val uniLen = graft.functions.UnigramImpl.MaxPieceLen
+  private def uniSegSql(name: String, vocab: String): String =
+    s"""$name(w, c, pos, piece, k) AS (
+       |  SELECT w, c, 0, CAST(NULL AS VARCHAR), 0 FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.c, s.pos + length(COALESCE(v4.p, v3.p, v2.p, v1.p)),
+       |    COALESCE(v4.p, v3.p, v2.p, v1.p), s.k + 1
+       |  FROM $name s
+       |  LEFT JOIN $vocab v4 ON length(v4.p) = 4 AND v4.p = substr(s.w, s.pos + 1, 4)
+       |  LEFT JOIN $vocab v3 ON length(v3.p) = 3 AND v3.p = substr(s.w, s.pos + 1, 3)
+       |  LEFT JOIN $vocab v2 ON length(v2.p) = 2 AND v2.p = substr(s.w, s.pos + 1, 2)
+       |  LEFT JOIN $vocab v1 ON length(v1.p) = 1 AND v1.p = substr(s.w, s.pos + 1, 1)
+       |  WHERE s.pos < length(s.w))""".stripMargin
+  private val uniSqlPrefix =
+    s"""WITH RECURSIVE
+       |words AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |cand AS (
+       |  SELECT substr(w, s.i, l.j) AS p, SUM(c) AS cnt
+       |  FROM words,
+       |    LATERAL (SELECT UNNEST(generate_series(1, length(w))) AS i) s,
+       |    LATERAL (SELECT UNNEST(generate_series(1,
+       |      LEAST($uniLen, length(w) - s.i + 1))) AS j) l
+       |  GROUP BY 1),
+       |singles AS (SELECT p FROM cand WHERE length(p) = 1),
+       |vocab1 AS (
+       |  SELECT p FROM singles
+       |  UNION ALL
+       |  SELECT p FROM (
+       |    SELECT p, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS r
+       |    FROM cand WHERE length(p) >= 2 AND cnt >= $UniCandMinFreq)
+       |  WHERE r <= $UniV1),
+       |${uniSegSql("seg1", "vocab1")},
+       |use1 AS (
+       |  SELECT piece AS p, SUM(c) AS cnt FROM seg1
+       |  WHERE piece IS NOT NULL GROUP BY 1),
+       |vocab2 AS (
+       |  SELECT p FROM singles
+       |  UNION ALL
+       |  SELECT p FROM (
+       |    SELECT p, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS r
+       |    FROM use1 WHERE length(p) >= 2)
+       |  WHERE r <= $UniV2),
+       |${uniSegSql("seg2", "vocab2")}""".stripMargin
+
+  // ------------------------------------------------------- q_unigram_lm
+  /** The trained tokenizer itself, as a driver-visible frame: every
+    * final-vocabulary piece with its exact corpus usage count and the
+    * number of distinct words whose segmentation uses it. A one-count
+    * drift anywhere in the two EM rounds — a candidate miscount, a
+    * prune-boundary tie broken differently, one wrong greedy match in
+    * either segmentation pass — changes a row and hash-fails. */
+  private def unigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val (_, vocab2) = trainUnigram(docs)
+    uniWords(docs)
+      .select($"w", $"c",
+        explode(graft.functions.UnigramFunctions
+          .unigramSegment($"w", vocab2)).as("p"))
+      .groupBy($"p")
+      .agg(sum($"c").as("cnt"), countDistinct($"w").as("n_words"))
+      .select($"p", length($"p").as("piece_len"), $"cnt", $"n_words")
+      .orderBy($"cnt".desc, $"p")
+  }
+
+  private val unigramLmSql =
+    s"""$uniSqlPrefix
+       |SELECT piece AS p, length(piece) AS piece_len,
+       |  CAST(SUM(c) AS BIGINT) AS cnt, COUNT(DISTINCT w) AS n_words
+       |FROM seg2 WHERE piece IS NOT NULL
+       |GROUP BY piece ORDER BY cnt DESC, p""".stripMargin
+
+  // ------------------------------------------------ q_unigram_roundtrip
+  /** Driver-visible gate for the unigram encode path (the q_bpe_roundtrip
+    * shape): per document, the exact token count under the final
+    * vocabulary and whether every word's pieces concatenate back to the
+    * word. The oracle REPLAYS the segmentation (string_agg over the
+    * recursive CTE) rather than assuming TRUE, so n_tokens and
+    * roundtrip_ok are both differential. */
+  private def unigramRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val (_, vocab2) = trainUnigram(docs)
+    docs.select($"doc_id", length($"text").as("n_chars"),
+        explode(split($"text", " ", -1)).as("w"))
+      .filter(length($"w") > 0)
+      .select($"doc_id", $"n_chars", $"w",
+        graft.functions.UnigramFunctions
+          .unigramSegment($"w", vocab2).as("pieces"))
+      .groupBy($"doc_id", $"n_chars")
+      .agg(sum(size($"pieces")).as("n_tokens"),
+        expr("bool_and(array_join(pieces, '') = w)").as("roundtrip_ok"))
+      .select($"doc_id", $"n_chars", $"n_tokens", $"roundtrip_ok")
+      .orderBy($"doc_id")
+  }
+
+  private val unigramRoundtripSql =
+    s"""$uniSqlPrefix,
+       |wordseg AS (
+       |  SELECT w, COUNT(*) AS np,
+       |    string_agg(piece, '' ORDER BY k) AS joined
+       |  FROM seg2 WHERE piece IS NOT NULL GROUP BY w),
+       |docw AS (
+       |  SELECT doc_id, n_chars, w FROM (
+       |    SELECT doc_id, length(text) AS n_chars,
+       |      unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0)
+       |SELECT d.doc_id, d.n_chars,
+       |  CAST(SUM(ws.np) AS BIGINT) AS n_tokens,
+       |  bool_and(ws.joined = d.w) AS roundtrip_ok
+       |FROM docw d JOIN wordseg ws ON d.w = ws.w
+       |GROUP BY d.doc_id, d.n_chars
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_bpe_roundtrip", bpeRoundtrip, Some(bpeRoundtripSql),
       bench = true),
+    NamedQuery("q_unigram_lm", unigramLm, Some(unigramLmSql), bench = true),
+    NamedQuery("q_unigram_roundtrip", unigramRoundtrip,
+      Some(unigramRoundtripSql), bench = true),
     // unbenched: the loop is rounds × constant (vocab-frame jobs), so
     // benching would time ~150 rounds of job-scheduling overhead, not
     // any data-scale work — the corpus-sized step (word count) is

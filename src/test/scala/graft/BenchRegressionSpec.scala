@@ -37,6 +37,24 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(w == 9.0 && med == 5.0)
   }
 
+  test("streaming heads gate on the data wall when the split has history") {
+    // fresh total wall looks regressed (5.0 median -> 9.0) but the data
+    // wall is flat (2.0 -> 2.1): startup drift, not a plan regression
+    val histData = Seq(Map("q_big" -> 2.0), Map("q_big" -> 2.0))
+    assert(check(hist, Map("q_big" -> 9.0), histData,
+      Map("q_big" -> 2.1)).isEmpty)
+    // data wall itself regressed (2.0 -> 4.5): fires on the data series
+    val r = check(hist, Map("q_big" -> 9.0), histData, Map("q_big" -> 4.5))
+    assert(r.get("q_big").contains((4.5, 2.0)))
+    // fresh split present but <2 data-wall priors: head is UNGATED this
+    // round (no fallback to mixed-semantics totals)
+    assert(check(hist, Map("q_big" -> 9.0), Seq(Map("q_big" -> 2.0)),
+      Map("q_big" -> 8.0)).isEmpty)
+    // heads without a fresh split still gate on totals as before
+    assert(check(hist, Map("q_big" -> 9.0), histData, Map.empty)
+      .contains("q_big"))
+  }
+
   test("queriesMap parses Bench's history-line format exactly") {
     val line = """{"metric":"total","value":1.0,"unit":"sec","queries":{"q_a":1.500,"q_b":0.250},"queries_median":{"q_a":1.600,"q_b":0.300},"bytes":{"q_a":{"scan":10,"shuffle":0}},"sf":"/root/testdata/sf0.1"}"""
     assert(queriesMap(line) == Map("q_a" -> 1.5, "q_b" -> 0.25))
@@ -47,10 +65,21 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("committed history: the latest full-bench line has no regressed head") {
     val path = "BENCH_HISTORY.jsonl"
-    val all = historyFor(path, "/root/testdata/sf0.1")
+    val sfDir = "/root/testdata/sf0.1"
+    val src = scala.io.Source.fromFile(path)
+    val lines =
+      try src.getLines().toVector
+        .filter(l => l.contains("\"metric\":\"total\"")
+          && l.contains("\"sf\":\"" + sfDir + "\""))
+        .filter(l => queriesMap(l).nonEmpty)
+      finally src.close()
     // the gate needs a latest line plus >= 2 priors to say anything
-    assume(all.size >= 3, s"only ${all.size} full-bench lines in $path")
-    val regs = check(all.init, all.last)
+    assume(lines.size >= 3, s"only ${lines.size} full-bench lines in $path")
+    val regs = check(
+      lines.init.map(l => queriesMap(l)),
+      queriesMap(lines.last),
+      lines.init.map(l => queriesMap(l, "stream_data_wall")),
+      queriesMap(lines.last, "stream_data_wall"))
     assert(regs.isEmpty,
       "regressed heads vs history medians (fresh, median): " +
         regs.toSeq.sortBy(_._1).map { case (n, (w, m)) =>

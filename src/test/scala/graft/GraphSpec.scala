@@ -53,6 +53,27 @@ class GraphSpec extends GraftSuite {
     assert(a == b, "integer ranks must not depend on partitioning")
   }
 
+  test("broadcast and shuffled-hash per-round plans emit bit-identical results") {
+    // the BroadcastNodeLimit size switch picks the plan automatically at
+    // runtime; this pins that BOTH plans — the small-graph broadcast and
+    // the 100-TB shuffle-on-src Pregel shape — compute the same integer
+    // iteration, so the switch is plan-only (and CORRECTNESS rows are
+    // immune to where the threshold lands)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 1L), (2L, 5L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    assert(canon(Graph.pageRank(edges, broadcastRanks = Some(true))) ==
+      canon(Graph.pageRank(edges, broadcastRanks = Some(false))))
+    assert(canon(Graph.labelPropagation(edges, broadcastLabels = Some(true))) ==
+      canon(Graph.labelPropagation(edges, broadcastLabels = Some(false))))
+    val directed = pairs.toDF("src", "dst")
+    assert(canon(Graph.hits(directed, broadcastScores = Some(true))) ==
+      canon(Graph.hits(directed, broadcastScores = Some(false))))
+    val seeds = Seq(1L).toDF("node")
+    assert(canon(Graph.bfsDepth(edges, seeds, broadcastFrontier = Some(true))) ==
+      canon(Graph.bfsDepth(edges, seeds, broadcastFrontier = Some(false))))
+  }
+
   test("hub outranks leaves in the interaction graph") {
     val out = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     val (custs, supps) = out.partition(_.getLong(0) < Graph.SupplierOffset)

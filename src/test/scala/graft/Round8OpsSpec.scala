@@ -54,7 +54,18 @@ class Round8OpsSpec extends GraftSuite {
     assert(hits("q_ann_lsh8_recall10") > lsh, "8x8 LSH lift")
     // the IVF probe dial: nprobe 4 -> 16 buys ~4x candidates and must
     // lift recall strictly (measured ~19% -> ~52-57%)
-    assert(hits("q_ann_ivf16_recall10") > ivf, "nprobe-16 IVF lift")
+    val ivf16 = hits("q_ann_ivf16_recall10")
+    assert(ivf16 > ivf, "nprobe-16 IVF lift")
+    // the IVF-PQ composition: wide routing + PQ re-score prune. Its
+    // candidate set is a SUBSET of ivf16's (so recall <= ivf16 and
+    // < exact) and the measured recall must beat the nprobe-4 single —
+    // the "between IVF-alone and exact" contract of the production shape
+    val ivfpq = hits("q_ann_ivfpq_recall10")
+    assert(ivfpq > ivf,
+      s"IVF-PQ ($ivfpq) must beat the nprobe-4 single ($ivf)")
+    assert(ivfpq <= ivf16,
+      s"IVF-PQ ($ivfpq) candidates are a subset of nprobe-16's ($ivf16)")
+    assert(ivfpq < total, s"IVF-PQ ($ivfpq) stays below exact ($total)")
   }
 
   test("pinned-oracle fingerprint coverage: every shipped fixture is calibrated") {

@@ -106,4 +106,54 @@ class TokenizeSpec extends GraftSuite {
       assert(toks.mkString.replace(BpeImpl.Marker, ' ').drop(1) == text)
     }
   }
+
+  // ---------------------------------------------- unigram-LM trainer
+
+  test("unigram segment: maximal munch picks the longest piece, always total") {
+    import graft.functions.{UnigramFunctions, UnigramImpl}
+    val vocab = Seq("a", "b", "n", "d", "an", "ana", "band")
+    val df = Seq("banana", "bandana", "bd", "xyz").toDF("w")
+    val got = df.select($"w",
+        UnigramFunctions.unigramSegment($"w", vocab).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // banana: no 4/3-char piece at pos 0 ('bana'/'ban' absent) -> 'b',
+    // then 'ana' (len 3 beats 'an'), leaving 'n' + 'a'
+    assert(got("banana") == Seq("b", "ana", "n", "a"))
+    // bandana: 'band' (len 4) wins at pos 0, then 'ana' covers the rest
+    assert(got("bandana") == Seq("band", "ana"))
+    assert(got("bd") == Seq("b", "d"))
+    // out-of-alphabet characters fall back to themselves (totality)
+    assert(got("xyz") == Seq("x", "y", "z"))
+    // pieces always concatenate back to the word
+    got.foreach { case (w, ps) => assert(ps.mkString == w) }
+    assert(UnigramImpl.MaxPieceLen == 4,
+      "oracle SQL unrolls exactly four length-ordered joins")
+  }
+
+  test("trainUnigram: prune rungs bite, singles survive, layout-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val (vocab1, vocab2) = Tokenize.trainUnigram(docs)
+    val s1 = vocab1.filter(_.length == 1).toSet
+    val s2 = vocab2.filter(_.length == 1).toSet
+    assert(s1 == s2, "the alphabet is never pruned (totality guarantee)")
+    val m1 = vocab1.count(_.length > 1)
+    val m2 = vocab2.count(_.length > 1)
+    assert(m1 <= Tokenize.UniV1 && m2 <= Tokenize.UniV2)
+    assert(m2 > 0, "round-2 vocabulary kept no multi-char piece")
+    assert(m2 <= m1, "round 2 must not grow the piece set")
+    // deterministic on any input layout
+    val (r1, r2) = Tokenize.trainUnigram(docs.repartition(7))
+    assert(r1 == vocab1 && r2 == vocab2)
+  }
+
+  test("q_unigram_roundtrip: every document round-trips, token counts bounded") {
+    val rows = SparkEntry.queries("q_unigram_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} failed roundtrip")
+      // tokens can never exceed characters (pieces are >= 1 char)
+      assert(r.getLong(2) <= r.getInt(1).toLong,
+        s"doc ${r.getLong(0)}: ${r.getLong(2)} tokens > ${r.getInt(1)} chars")
+    }
+  }
 }
