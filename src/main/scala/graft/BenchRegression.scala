@@ -22,14 +22,27 @@ package graft
   * gate the way a mean would.
   */
 object BenchRegression {
-  /** Only heads slower than this are gated: sub-2s walls are dominated
-    * by fixed session overhead and swing freely under machine noise. */
+  /** Only heads whose HISTORY MEDIAN exceeds this are ratio-gated: the
+    * floor classifies heads by their steady wall, not by today's draw.
+    * (Until round 11 the floor applied to the FRESH wall, which made
+    * every sub-2s head a lottery ticket: a 1.2s-median head that noised
+    * up to 2.3s entered the gate precisely because it was noisy — the
+    * round-11 interleaved A/B showed sub-2s-median heads swinging
+    * 1.8-2x on host era with ZERO code change, q_tpch_q3 and
+    * q_degree_dist both firing on different quiet same-code runs.) */
   val MinHeadWallS = 2.0
   /** Flag when fresh > ratio x history-median ... */
   val RatioGate = 1.5
   /** ... AND the absolute move exceeds this (a 2.1s -> 3.2s move is
     * noise; a 5s -> 8s move is a regression). */
   val AbsGateS = 1.0
+  /** Catastrophic clause for heads UNDER the median floor: small heads
+    * escape the ratio gate (their noise amplitude covers it), but a
+    * genuine blowup — 3x the steady wall AND +2s absolute — still
+    * fires. A 1.5s head drifting to 2.3s is host noise; the same head
+    * at 6s is a plan regression. */
+  val CatRatioGate = 3.0
+  val CatAbsGateS = 2.0
 
   /** Extract one `"key":{...}` flat map from a bench JSON line without
     * a JSON library: Bench writes query names as plain quoted strings
@@ -73,10 +86,12 @@ object BenchRegression {
       historyData: Seq[Map[String, Double]] = Nil,
       freshData: Map[String, Double] = Map.empty): Map[String, (Double, Double)] = {
     def gate(name: String, w: Double, prior: Seq[Double]) =
-      if (w > MinHeadWallS && prior.size >= 2) {
+      if (prior.size >= 2) {
         val med = median(prior)
-        if (w > RatioGate * med && w - med > AbsGateS) Some(name -> (w, med))
-        else None
+        val ratioHit = med > MinHeadWallS &&
+          w > RatioGate * med && w - med > AbsGateS
+        val catHit = w > CatRatioGate * med && w - med > CatAbsGateS
+        if (ratioHit || catHit) Some(name -> (w, med)) else None
       } else None
     fresh.flatMap { case (name, w) =>
       freshData.get(name) match {

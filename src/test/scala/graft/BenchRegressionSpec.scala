@@ -21,9 +21,18 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("gate fires only on ratio AND absolute move, on >2s heads with >=2 priors") {
     // real regression: 5.0 median -> 9.0 (1.8x, +4s)
     assert(check(hist, Map("q_big" -> 9.0)).contains("q_big"))
-    // ratio alone (sub-2s head): 0.5 -> 1.9 is 3.8x but the head is
-    // under the 2s floor — session-overhead noise, not a regression
+    // ratio alone (sub-2s-MEDIAN head): 0.5 -> 1.9 is 3.8x but the
+    // head's steady wall is under the 2s floor and the move is under
+    // the catastrophic +2s — session-overhead noise, not a regression
     assert(check(hist, Map("q_small" -> 1.9)).isEmpty)
+    // small head, catastrophic move: 0.5 median -> 3.2 (6.4x, +2.7s)
+    // clears BOTH catastrophic thresholds and fires despite the floor
+    assert(check(hist, Map("q_small" -> 3.2)).contains("q_small"))
+    // the round-11 host-noise profile: a ~1.2s-median head drifting to
+    // ~2.3s (the q_degree_dist / q_tpch_q3 quiet-run draws) must NOT
+    // fire — that is era noise the interleaved A/B pinned to the host
+    val h3 = Seq(Map("q_tiny" -> 1.2), Map("q_tiny" -> 1.25))
+    assert(check(h3, Map("q_tiny" -> 2.3)).isEmpty)
     // absolute alone: 5.0 -> 6.9 (+1.9s) is 1.38x — under the ratio gate
     assert(check(hist, Map("q_big" -> 6.9)).isEmpty)
     // ratio over a tiny base, >2s fresh: 1.5 median... use a 2.2->3.4
@@ -39,13 +48,13 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("streaming heads gate on the data wall when the split has history") {
     // fresh total wall looks regressed (5.0 median -> 9.0) but the data
-    // wall is flat (2.0 -> 2.1): startup drift, not a plan regression
-    val histData = Seq(Map("q_big" -> 2.0), Map("q_big" -> 2.0))
+    // wall is flat (2.2 -> 2.3): startup drift, not a plan regression
+    val histData = Seq(Map("q_big" -> 2.2), Map("q_big" -> 2.2))
     assert(check(hist, Map("q_big" -> 9.0), histData,
-      Map("q_big" -> 2.1)).isEmpty)
-    // data wall itself regressed (2.0 -> 4.5): fires on the data series
+      Map("q_big" -> 2.3)).isEmpty)
+    // data wall itself regressed (2.2 -> 4.5): fires on the data series
     val r = check(hist, Map("q_big" -> 9.0), histData, Map("q_big" -> 4.5))
-    assert(r.get("q_big").contains((4.5, 2.0)))
+    assert(r.get("q_big").contains((4.5, 2.2)))
     // fresh split present but <2 data-wall priors: head is UNGATED this
     // round (no fallback to mixed-semantics totals)
     assert(check(hist, Map("q_big" -> 9.0), Seq(Map("q_big" -> 2.0)),
