@@ -1342,7 +1342,111 @@ object Graph {
        |  AND abs(a.ord - b.ord) <= $SkipgramWindow
        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
+  // ---------------------------------------------------------------- q_ppr
+  /** PERSONALIZED PageRank — pageRank's seed-biased sibling (the
+    * GraphRAG / "expand from these documents" scoring primitive): the
+    * restart mass lands only on a SEED set instead of uniformly, so
+    * scores measure proximity to the seeds. Same integer micro-unit
+    * doctrine as pageRank (seed mass ⌊15%·10⁶⌋ per round, 85% damped
+    * integer shares), so the iteration is bit-stable on any
+    * partitioning and the DuckDB oracle replays it as a recursive CTE
+    * with a seed-conditional base and update — the dense formulation
+    * (zero ranks ride along; the symmetrized graph gives every node an
+    * in-edge, pageRank's own coverage argument).
+    *
+    * Scale shape: identical to pageRank's (one edge-scale
+    * materialization, size-switched per-round join), plus the PPR-
+    * specific win: the rank side is FILTERED to rank > 0 before each
+    * round's join — pure optimization (zero rank ⇒ zero contribution),
+    * but on a large graph with few seeds the early rounds ship only
+    * the reached frontier's scores, not the node space. */
+  val PprIters = 4
+
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = PprIters,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    // pageRank's setup contract: one edge-scale materialization
+    val e = edges.select($"src", $"dst").distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, "src").repartition($"src").lineageCut(true)
+    val nodes = edgesDeg.select($"src".as("node")).distinct()
+      .join(seeds.select($"node", lit(1L).as("s")), Seq("node"), "left")
+      .select($"node", coalesce($"s", lit(0L)).as("s"))
+      .lineageCut(true)
+    val bcast = broadcastRanks.getOrElse(nodes.count() <= BroadcastNodeLimit)
+    val seedMass = RankUnit * 15 / 100
+    var ranks = nodes.select($"node", ($"s" * RankUnit).as("rank"))
+      .lineageCut(true)
+    var i = 0
+    while (i < iters) {
+      val rankSide = ranks.filter($"rank" > 0)
+        .withColumnRenamed("node", "src")
+      val contribs = edgesDeg
+        .join(if (bcast) broadcast(rankSide)
+              else rankSide.hint("shuffle_hash"), "src")
+        .select($"dst".as("node"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy($"node")
+        .agg(sum($"contrib").as("m"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select($"node",
+          ($"s" * seedMass + expr("85 * coalesce(m, 0L) DIV 100")).as("rank"))
+      i += 1
+      if (i % 3 == 0 || i == iters) ranks = ranks.lineageCut(true)
+    }
+    ranks.filter($"rank" > 0)
+  }
+
+  private def pprQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // the BFS seed convention: the 25 lowest customer keys
+    val seeds = edges.select($"src".as("node"))
+      .filter($"node" <= BfsSeedMaxKey).distinct()
+    personalizedPageRank(edges, seeds)
+      .select($"node", $"rank")
+      .orderBy($"node")
+  }
+
+  private val pprSql =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey AS a, l_suppkey + $SupplierOffset AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (
+       |  SELECT DISTINCT src AS node,
+       |    CASE WHEN src <= $BfsSeedMaxKey THEN 1 ELSE 0 END AS s
+       |  FROM edges),
+       |pr(iter, node, rank) AS (
+       |  SELECT 0, node, CAST(s * $RankUnit AS BIGINT) FROM nodes
+       |  UNION ALL
+       |  SELECT c.iter + 1, c.node,
+       |    CAST(n.s * ${RankUnit * 15 / 100} + (85 * c.m) // 100 AS BIGINT)
+       |  FROM (
+       |    SELECT pr.iter AS iter, e.dst AS node,
+       |      SUM(pr.rank // d.outdeg) AS m
+       |    FROM pr
+       |    JOIN edges e ON pr.node = e.src
+       |    JOIN deg d ON e.src = d.src
+       |    WHERE pr.iter < $PprIters
+       |    GROUP BY pr.iter, e.dst) c
+       |  JOIN nodes n ON n.node = c.node)
+       |SELECT node, rank FROM pr WHERE iter = $PprIters AND rank > 0
+       |ORDER BY node""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ppr", pprQuery, Some(pprSql), bench = true),
     NamedQuery("q_random_walk", randomWalkQuery, Some(randomWalkSql),
       bench = true),
     NamedQuery("q_skipgram_pairs", skipgramPairs, Some(skipgramPairsSql),

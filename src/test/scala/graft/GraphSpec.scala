@@ -53,6 +53,36 @@ class GraphSpec extends GraftSuite {
     assert(a == b, "integer ranks must not depend on partitioning")
   }
 
+  test("personalized pageRank: mass stays near the seed, zero-rank tail dropped") {
+    // path graph 1-2-3-4 symmetrized, seed = {1}: after 1 round only
+    // node 2 received mass (seed's single out-edge), node 1 keeps the
+    // restart mass; 3 and 4 unreached -> filtered out
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.personalizedPageRank(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unit = Graph.RankUnit
+    assert(r1 == Map(
+      1L -> unit * 15 / 100, // restart mass only (2 had rank 0)
+      2L -> (unit * 85 / 100))) // 85% of the seed's whole rank
+    // more rounds reach further; total mass never exceeds seeded mass
+    val r3 = Graph.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r3.values.sum <= unit,
+      "personalized mass is seeded once and only damped")
+    // synchronous finite iteration oscillates on a path (mass waves
+    // outward and reflects), so per-node ordering past the first hop is
+    // round-parity-dependent — the stable claim is that the seed's
+    // neighborhood dominates the tail
+    assert(r3(2L) > r3(3L) && r3(2L) > r3(4L),
+      "the seed-adjacent node must outrank the tail")
+    // layout-invariance (the pageRank integer-iteration argument)
+    assert(canon(Graph.personalizedPageRank(edges, seeds, iters = 3)) ==
+      canon(Graph.personalizedPageRank(edges.repartition(5), seeds, iters = 3)))
+  }
+
   test("broadcast and shuffled-hash per-round plans emit bit-identical results") {
     // the BroadcastNodeLimit size switch picks the plan automatically at
     // runtime; this pins that BOTH plans — the small-graph broadcast and
