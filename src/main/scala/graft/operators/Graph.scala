@@ -43,6 +43,29 @@ object Graph {
   /** Initial rank mass per node, in micro-units. */
   val RankUnit = 1000000L
 
+  /** Materialize an iteration-invariant frame WITH its partitioning
+    * intact. A lineage cut (localCheckpoint/checkpoint) re-enters
+    * downstream plans as a bare `Scan ExistingRDD` whose
+    * outputPartitioning is unknown — every per-round join then
+    * RE-SHUFFLES the edge-scale frame, which is exactly the cost the
+    * pre-layout was meant to kill (measured round 11: the decade-2
+    * pageRank leg blew past its 15× gate on the re-shuffles). A cached
+    * InMemoryRelation keeps the child plan's partitioning (Spark pins
+    * cached-plan output partitioning by default,
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`), so
+    * the per-round shuffled-hash join moves ONLY the node-sized side —
+    * and unlike a localCheckpoint it keeps a recompute path (the
+    * executor-loss-safe choice). Callers [[unpin]] after the loop's
+    * final lineage cut so the edge-sized blocks never outlive the
+    * query. */
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  private def unpin(df: DataFrame): Unit = df.unpersist(blocking = false)
+
   /** Node-count ceiling for the broadcast-per-round plan shared by the
     * iterative graph family (pageRank / labelPropagation / HITS / BFS).
     * Below it the node-sized frame (≤ ~5 MB of (long, long) on-heap)
@@ -88,15 +111,15 @@ object Graph {
     // from the materialized blocks, and the block manager holds ONE
     // edge-sized frame instead of two (the two-copies spelling spilled
     // every per-round shuffle at synthetic sf10). Partitioned on src
-    // unconditionally: that layout is what the shuffle plan's per-round
-    // SHUFFLED HASH join reuses (outputPartitioning survives the
-    // lineage cut; build side = the node-sized rank frame, so the edge
-    // frame is never sorted and never re-shuffled), and for the
-    // broadcast plan it costs one setup exchange — noise at the scales
-    // where broadcast is chosen.
+    // unconditionally and PINNED (not lineage-cut — see [[pin]]): that
+    // layout is what the shuffle plan's per-round SHUFFLED HASH join
+    // reuses (build side = the node-sized rank frame, so the edge frame
+    // is never sorted and never re-shuffled), and for the broadcast
+    // plan it costs one setup exchange — noise at the scales where
+    // broadcast is chosen.
     val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(deg, "src").repartition($"src").lineageCut(true)
+    val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
     val nodes = edgesDeg.select($"src".as("node")).distinct().lineageCut(true)
     // one scalar job decides the per-round join plan for the whole loop;
     // nodes is already materialized, so this is a count over cached blocks
@@ -125,6 +148,9 @@ object Graph {
       if (i % checkpointEvery == 0 || i == iters)
         ranks = ranks.lineageCut(true)
     }
+    // the final ranks are materialized (cut at i == iters), so the
+    // edge-sized cache can go now instead of at session GC
+    unpin(edgesDeg)
     ranks
   }
 
@@ -324,13 +350,12 @@ object Graph {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     import org.apache.spark.sql.expressions.Window
-    // ONE edge-scale materialization, pre-laid-out on src (pageRank's
-    // contract: the caller's edge construction runs once, nodes derive
-    // from the materialized blocks, the src layout is what the shuffle
-    // plan's per-round join reuses and costs the broadcast plan one
-    // setup exchange)
-    val e = edges.select($"src", $"dst").distinct()
-      .repartition($"src").lineageCut(true)
+    // ONE edge-scale materialization, pre-laid-out on src and PINNED
+    // (pageRank's contract — see [[pin]]: the caller's edge
+    // construction runs once, nodes derive from the cached blocks, the
+    // src layout survives into every per-round join)
+    val e = pin(edges.select($"src", $"dst").distinct()
+      .repartition($"src"))
     val nodes = e.select($"src".as("node")).unionByName(
       e.select($"dst".as("node"))).distinct().lineageCut(true)
     // same size switch as pageRank: past BroadcastNodeLimit the
@@ -362,6 +387,7 @@ object Graph {
       i += 1
       if (i % 3 == 0 || i == iters) labels = labels.lineageCut(true)
     }
+    unpin(e)
     labels
   }
 
@@ -737,7 +763,10 @@ object Graph {
        |FROM t""".stripMargin
 
   // -------------------------------------------------------------------- q_hits
-  // audited-bnlj(q_hits): build side = 1-row global-aggregate broadcast — audited in PlanAuditSpec/BnljAudit
+  // (q_hits' 1-row MAX-normalizer crossJoins execute eagerly behind the
+  // final round's lineage cut since round 11, so the REGISTERED plan no
+  // longer contains a BNLJ — no audited-bnlj tag/whitelist entry needed;
+  // the build side remains a 1-row global aggregate by construction)
   /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     * customer→supplier trading graph — the bipartite complement to
     * pageRank's symmetrized ranking: customers score as hubs (good
@@ -774,9 +803,9 @@ object Graph {
       math.max(r.getLong(0), r.getLong(1)) <= BroadcastNodeLimit
     }
     val eSrc = if (bcast) eRaw
-      else eRaw.repartition($"src").lineageCut(true)
+      else pin(eRaw.repartition($"src"))
     val eDst = if (bcast) eRaw
-      else eRaw.repartition($"dst").lineageCut(true)
+      else pin(eRaw.repartition($"dst"))
     def side(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var hub = eRaw.select($"src".as("node")).distinct()
@@ -795,8 +824,11 @@ object Graph {
       hub = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
         .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
       i += 1
-      if (i < iters) { auth = auth.lineageCut(true); hub = hub.lineageCut(true) }
+      // cut the LAST round's frames too: the returned union must not
+      // reference the pinned edge layouts once they are released below
+      auth = auth.lineageCut(true); hub = hub.lineageCut(true)
     }
+    if (!bcast) { unpin(eSrc); unpin(eDst) }
     hub.select(lit("hub").as("side"), $"node", $"score")
       .unionByName(auth.select(lit("auth").as("side"), $"node", $"score"))
   }
@@ -871,7 +903,7 @@ object Graph {
     val bcast = broadcastFrontier.getOrElse(
       eRaw.select($"src".as("node")).distinct().count() <= BroadcastNodeLimit)
     val e = if (bcast) eRaw
-      else eRaw.repartition($"src").lineageCut(true)
+      else pin(eRaw.repartition($"src"))
     def side(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var visited = seeds.select($"node").distinct()
@@ -889,6 +921,7 @@ object Graph {
       frontier = next
       d += 1
     }
+    if (!bcast) unpin(e)
     visited
   }
 
@@ -1370,7 +1403,7 @@ object Graph {
     // pageRank's setup contract: one edge-scale materialization
     val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(deg, "src").repartition($"src").lineageCut(true)
+    val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
     val nodes = edgesDeg.select($"src".as("node")).distinct()
       .join(seeds.select($"node", lit(1L).as("s")), Seq("node"), "left")
       .select($"node", coalesce($"s", lit(0L)).as("s"))
@@ -1396,6 +1429,7 @@ object Graph {
       i += 1
       if (i % 3 == 0 || i == iters) ranks = ranks.lineageCut(true)
     }
+    unpin(edgesDeg)
     ranks.filter($"rank" > 0)
   }
 

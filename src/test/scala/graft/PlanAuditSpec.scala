@@ -147,7 +147,7 @@ object BnljAudit {
   val allowed: Set[String] = Set(
     // bounded query-roster broadcasts (natural-regime ANN recall gates)
     "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
-    "q_ann_lsh8_recall10", "q_ann_ivf16_recall10",
+    "q_ann_lsh8_recall10", "q_ann_ivf16_recall10", "q_ann_ivfpq_recall10",
     // constant-bounded geo rosters (25-row POI / 5-row fence broadcasts)
     "q_nearest_poi", "q_geofence",
     // 1-row global-aggregate broadcasts
@@ -169,7 +169,7 @@ object BnljAudit {
     "q_chi_square", "q_cluster_purity", "q_knn_graph",
     "q_modularity", "q_ndcg", "q_rrf", "q_semdedup", "q_t_closeness",
     "q_decile_share",
-    "q_forget_cascade", "q_survival", "q_dataset_card", "q_hits", "q_rfm",
+    "q_forget_cascade", "q_survival", "q_dataset_card", "q_rfm",
     "q_tfidf", "q_kmv_jaccard",
     // calendar²-bounded month-pair frames
     "q_kendall_tau", "q_theil_sen", "q_mann_kendall")
