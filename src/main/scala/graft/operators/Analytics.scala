@@ -2680,7 +2680,85 @@ object Analytics {
       |FROM tr JOIN seas USING (moy)
       |ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q_cms
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * FREQUENCY sketch next to the cardinality family (KMV, HLL, bloom):
+    * D=4 hash rows × W=256 counters estimate per-key occurrence counts
+    * with one-sided error (estimate ≥ exact always; overcount bounded
+    * by collisions at 2·N/W in expectation per row, min over rows).
+    * Deterministic and fully oracle-able in the KMV doctrine: row
+    * hashes are md5-lower-64 of "cms<i>:<key>" (= DuckDB
+    * md5_number_lower), buckets are the same AND-then-mod on both
+    * engines, counters are exact integer sums — a one-count drift in
+    * any of the 1024 cells, or a wrong min in any estimate, flips a
+    * row and hash-fails. The universe is order rows keyed by customer
+    * (frequency = orders per customer); the probe roster is the
+    * bounded low-key customers.
+    *
+    * Scale shape (100 TB): building the sketch is ONE explode(D) →
+    * partial-agg shuffle whose output is 1024 rows REGARDLESS of input
+    * size — counters are sums, so executor-local sketches merge by
+    * addition (the mergeability that makes CMS the streaming/
+    * distributed workhorse); probing joins the bounded roster to the
+    * 1024-row counter table (broadcast). */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+  val CmsProbeMaxKey = 100L
+
+  // (probe join is equi-keyed on (i, b) — a BroadcastHashJoin of the
+  // 1024-row counter table, no BNLJ, so no audit tag is needed)
+  private def cms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val keys = Tables.orders(s, dir).select($"o_custkey".as("key"))
+    def bucket(i: Int, col: org.apache.spark.sql.Column) =
+      TextFunctions.md5Lower64(concat(lit(s"cms$i:"), col.cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)) % CmsWidth
+    val counters = keys
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), bucket(i, $"key").as("b"))): _*)).as("c"))
+      .groupBy($"c.i".as("i"), $"c.b".as("b"))
+      .agg(count(lit(1)).as("n"))
+    val exact = keys.filter($"key" < CmsProbeMaxKey)
+      .groupBy($"key").agg(count(lit(1)).as("exact_n"))
+    val est = exact
+      .select($"key", $"exact_n",
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("i"), bucket(i, $"key").as("b"))): _*)).as("p"))
+      .join(broadcast(counters),
+        $"p.i" === counters("i") && $"p.b" === counters("b"))
+      .groupBy($"key", $"exact_n")
+      .agg(min($"n").as("est_n"))
+    est.select($"key", $"exact_n", $"est_n",
+        ($"est_n" - $"exact_n").as("overcount"))
+      .orderBy($"key")
+  }
+
+  private val cmsSql = {
+    def bucketSql(iExpr: String, keyExpr: String) =
+      s"CAST(md5_number_lower('cms' || $iExpr || ':' || $keyExpr)" +
+        s" & ${Long.MaxValue}::UBIGINT AS BIGINT) % $CmsWidth"
+    s"""WITH ks AS (SELECT o_custkey AS key FROM orders),
+       |rows_i AS (SELECT UNNEST(range(0, $CmsDepth)) AS i),
+       |counters AS (
+       |  SELECT i, ${bucketSql("CAST(i AS VARCHAR)", "CAST(key AS VARCHAR)")} AS b,
+       |    COUNT(*) AS n
+       |  FROM ks CROSS JOIN rows_i GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT key, COUNT(*) AS exact_n FROM ks
+       |  WHERE key < $CmsProbeMaxKey GROUP BY 1),
+       |est AS (
+       |  SELECT e.key, e.exact_n, MIN(c.n) AS est_n
+       |  FROM exact e CROSS JOIN rows_i r
+       |  JOIN counters c ON c.i = r.i
+       |    AND c.b = ${bucketSql("CAST(r.i AS VARCHAR)", "CAST(e.key AS VARCHAR)")}
+       |  GROUP BY 1, 2)
+       |SELECT key, exact_n, est_n, est_n - exact_n AS overcount
+       |FROM est ORDER BY key""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cms", cms, Some(cmsSql), bench = true),
     NamedQuery("q_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql), bench = true),
     NamedQuery("q_lorenz_gini", lorenzGini, Some(lorenzGiniSql), bench = true),
