@@ -158,7 +158,10 @@ object Bench {
     // 0) for the benched streaming heads. BenchRegression gates
     // streaming heads on the DATA wall once two rounds of history
     // carry it.
-    val streamingRows = SparkEntry.all.filter(_.name.contains("stream"))
+    // explicit per-row declaration (NamedQuery.streaming), NOT a name
+    // substring — a future batch head with "stream" in its name must not
+    // silently opt into stream-gate semantics (round-11 advisor note)
+    val streamingRows = SparkEntry.all.filter(_.streaming)
     var startups = Vector.empty[(String, Double)]
     var startupErrs = Vector.empty[(String, String)]
     if (streamingRows.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_STREAM_SPLIT")) {
@@ -225,15 +228,33 @@ object Bench {
     val bs = bytes.map { case (k, v) => s"${jstr(k)}:${fmtBytes(v)}" }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    // Startup-free total published NEXT TO the raw total: `value` still
+    // sums raw walls (comparable to every pre-split round), but each
+    // benched streaming head carries seconds of fixed AvailableNow
+    // startup, so raw round-over-round total diffs absorb harness noise.
+    // `value_data_wall` substitutes every streaming head's data wall —
+    // the number an artifact comparison should read.
+    val dwMap = dataWalls.toMap
+    val totalDataWall = times.map { case (n, w) => dwMap.getOrElse(n, w) }.sum
     // Head-level regression gate (BenchRegression): fresh walls vs the
     // committed history medians, BEFORE this run's line is appended.
     // Reported here (JSON + loud stderr), enforced by
     // BenchRegressionSpec in the suite.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
-    val regs = BenchRegression.check(
-      BenchRegression.historyFor(histPath, sfDir), times.toMap,
-      BenchRegression.historyFor(histPath, sfDir, "stream_data_wall"),
-      dataWalls.toMap)
+    val histTotals = BenchRegression.historyFor(histPath, sfDir)
+    val histDW = BenchRegression.historyFor(histPath, sfDir, "stream_data_wall")
+    val regs = BenchRegression.check(histTotals, times.toMap, histDW, dwMap)
+    // say out loud which gate semantics each benched streaming head got
+    // this run — the migration from totals to the data wall must be
+    // observable in the round log, not inferred
+    dataWalls.sortBy(_._1).foreach { case (n, dw) =>
+      val nPriors = histDW.count(_.contains(n))
+      val mode =
+        if (nPriors >= 2) "data-wall mode"
+        else s"data-wall split recorded; gate arms at 2 priors ($nPriors so far, catastrophic totals backstop active)"
+      System.err.println(
+        f"[bench] stream head $n: $mode (startup ${startupMap(n)}%.2fs, data wall $dw%.2fs)")
+    }
     regs.toSeq.sortBy(_._1).foreach { case (n, (w, med)) =>
       System.err.println(
         f"[bench] REGRESSION $n: $w%.2fs vs history median $med%.2fs " +
@@ -249,7 +270,7 @@ object Bench {
     val se = startupErrs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"stream_startup":$ss,"stream_data_wall":$dw,"stream_startup_errs":$se,"failures":$fs,"n_failed":${failures.size},"regressions":$rg,"n_regressed":${regs.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"value_data_wall":${sec(totalDataWall)},"unit":"sec","queries":$qs,"queries_median":$ms,"bytes":$bs,"stream_startup":$ss,"stream_data_wall":$dw,"stream_startup_errs":$se,"failures":$fs,"n_failed":${failures.size},"regressions":$rg,"n_regressed":${regs.size},"runs":$runs,"agg":"min","sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Round-over-round persistence: the driver's BENCH_r{N}.json keeps
     // only a ~2 KB stdout tail, which truncated the full per-query map in
@@ -268,7 +289,7 @@ object Bench {
     var compact = ""
     def render(ts: Vector[(String, Double)]): String = {
       val m = ts.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"n_queries":${times.size},"n_failed":${failures.size},"n_regressed":${regs.size},"runs":$runs,"agg":"min","queries_note":"slowest ${ts.size} of ${times.size}; full detail in $outPath","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"value_data_wall":${sec(totalDataWall)},"unit":"sec","queries":$m,"n_queries":${times.size},"n_failed":${failures.size},"n_regressed":${regs.size},"runs":$runs,"agg":"min","queries_note":"slowest ${ts.size} of ${times.size}; full detail in $outPath","sf":${jstr(sfDir)}}"""
     }
     compact = render(slowest)
     while (compact.length > 1800 && slowest.nonEmpty) {

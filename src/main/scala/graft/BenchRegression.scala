@@ -78,9 +78,13 @@ object BenchRegression {
     * fresh run and ≥2 history lines carry the split — startup drift is
     * harness behavior, not a plan regression, and the round-10 gate hit
     * proved the conflation (steady per-batch walls flat while the total
-    * moved). A head with a fresh data wall but <2 data-wall priors is
-    * ungated for that round instead of falling back to mixed-semantics
-    * totals — the gate migrates to the split as history accumulates. */
+    * moved). A head with a fresh data wall but <2 data-wall priors gets
+    * no RATIO gate that round (totals mix startup semantics, the ratio
+    * would gate on noise) — but the CATASTROPHIC clause (3x + 2s) still
+    * runs against the raw-wall history as a backstop, so a genuine
+    * blowup landing in the split's first rounds is not invisible
+    * (round-11 advisor note). The gate migrates fully to the split as
+    * data-wall history accumulates. */
   def check(history: Seq[Map[String, Double]],
       fresh: Map[String, Double],
       historyData: Seq[Map[String, Double]] = Nil,
@@ -93,9 +97,21 @@ object BenchRegression {
         val catHit = w > CatRatioGate * med && w - med > CatAbsGateS
         if (ratioHit || catHit) Some(name -> (w, med)) else None
       } else None
+    def catOnly(name: String, w: Double, prior: Seq[Double]) =
+      if (prior.size >= 2) {
+        val med = median(prior)
+        if (w > CatRatioGate * med && w - med > CatAbsGateS)
+          Some(name -> (w, med)) else None
+      } else None
     fresh.flatMap { case (name, w) =>
       freshData.get(name) match {
-        case Some(dw) => gate(name, dw, historyData.flatMap(_.get(name)))
+        case Some(dw) =>
+          val dwPriors = historyData.flatMap(_.get(name))
+          if (dwPriors.size >= 2) gate(name, dw, dwPriors)
+          // <2 data-wall priors: catastrophic-only backstop on the RAW
+          // wall history — a 3x+2s blowup fires even before the
+          // data-wall series arms; ordinary ratio moves wait for it
+          else catOnly(name, w, history.flatMap(_.get(name)))
         case None => gate(name, w, history.flatMap(_.get(name)))
       }
     }

@@ -49,7 +49,22 @@ object LineageCut {
             }
             sc.setCheckpointDir(dir)
           }
-          ds.checkpoint(eager)
+          // checkpoint-computes-twice: Dataset.checkpoint runs the plan
+          // once for the eager materialization and AGAIN when the RDD
+          // checkpoint machinery writes the files at job end — unless
+          // the rows are already cached. Persist first so the write
+          // pass reads cached blocks, then drop the cache once the
+          // checkpoint files exist (they carry the data from here on).
+          // Trade-off note: checkpoint files accumulate until process
+          // exit unless spark.cleaner.referenceTracking.cleanCheckpoints
+          // is enabled (off by default); in-sandbox the Scratch shutdown
+          // sweep removes the per-process dir, and on a real cluster
+          // the conf flag (or a TTL'd checkpoint bucket) is the
+          // operator's disk-growth control.
+          val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = cached.checkpoint(eager)
+          if (eager) cached.unpersist(blocking = false)
+          out
         case _ => ds.localCheckpoint(eager)
       }
     }

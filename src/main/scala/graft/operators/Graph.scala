@@ -763,10 +763,13 @@ object Graph {
        |FROM t""".stripMargin
 
   // -------------------------------------------------------------------- q_hits
-  // (q_hits' 1-row MAX-normalizer crossJoins execute eagerly behind the
-  // final round's lineage cut since round 11, so the REGISTERED plan no
-  // longer contains a BNLJ — no audited-bnlj tag/whitelist entry needed;
-  // the build side remains a 1-row global aggregate by construction)
+  // audited-bnlj(q_hits): build side = 1-row global-aggregate broadcast
+  // (the MAX normalizer crossed back). In broadcast mode the final
+  // round is left UNCUT — the round-11 spelling cut it eagerly, which
+  // re-materialized the whole half-step chain and regressed the head
+  // ~1.8x (round-12 interleaved A/B vs the r10 binary) — so the
+  // registered plan carries the 1-row BNLJ again, as it did through
+  // round 10.
   /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     * customer→supplier trading graph — the bipartite complement to
     * pageRank's symmetrized ranking: customers score as hubs (good
@@ -790,16 +793,23 @@ object Graph {
       broadcastScores: Option[Boolean] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
-    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(true)
+    // lazy cut — the size probe below doubles as the materializing
+    // action (same one-job contract as bfsDepth; round-12 A/B)
+    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(false)
     // the pageRank size switch, keyed on the larger node side (hub and
     // auth frames alternate through the per-half-step join); past the
     // limit the edge frame gets TWO iteration-invariant layouts — one
     // per join key — so each half-step's sort-merge join moves only the
     // node-sized score frame. The 1-row MAX normalizer stays a
-    // broadcast at any scale.
+    // broadcast at any scale. The probe is APPROXIMATE on purpose: the
+    // switch is a plan heuristic, and an exact two-countDistinct agg
+    // here is an edge-scale expand+exchange job charged to every call
+    // (the round-11 spelling; part of the A/B-confirmed q_hits
+    // regression) — approx_count_distinct is one codegen'd HLL pass
+    // over the already-materialized blocks with a 64-row exchange.
     val bcast = broadcastScores.getOrElse {
-      val r = eRaw.agg(countDistinct($"src").as("ns"),
-        countDistinct($"dst").as("nd")).head()
+      val r = eRaw.agg(approx_count_distinct($"src").as("ns"),
+        approx_count_distinct($"dst").as("nd")).head()
       math.max(r.getLong(0), r.getLong(1)) <= BroadcastNodeLimit
     }
     val eSrc = if (bcast) eRaw
@@ -813,20 +823,31 @@ object Graph {
     var auth: DataFrame = null
     var i = 0
     while (i < iters) {
+      i += 1
+      // Cut policy (A/B-measured, round 12): cut auth BEFORE the hub
+      // half-step consumes it, so hub's lineage starts at auth's cut
+      // blocks instead of re-deriving the whole ar-chain a second time
+      // inside its own cut. The FINAL round is cut only in shuffle mode
+      // (the returned union must not reference the pinned edge layouts
+      // once they are released below); in broadcast mode it stays lazy
+      // — the final consumer computes it once, with ReuseExchange
+      // deduping the shared half-step shuffle between the union's two
+      // branches (the round-10 shape). The round-11 spelling cut the
+      // final round unconditionally and AFTER hr was built, paying each
+      // round's chain twice: q_hits 2.9s → 5.2s on the same host.
+      val cut = !bcast || i < iters
       val ar = eSrc.join(side(hub.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst").agg(sum($"score").as("raw"))
         .withColumnRenamed("dst", "node")
       auth = ar.crossJoin(broadcast(ar.agg(max($"raw").as("mx"))))
         .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
+      if (cut) auth = auth.lineageCut(true)
       val hr = eDst.join(side(auth.withColumnRenamed("node", "dst")), "dst")
         .groupBy($"src").agg(sum($"score").as("raw"))
         .withColumnRenamed("src", "node")
       hub = hr.crossJoin(broadcast(hr.agg(max($"raw").as("mx"))))
         .select($"node", expr(s"raw * $HitsUnit DIV mx").as("score"))
-      i += 1
-      // cut the LAST round's frames too: the returned union must not
-      // reference the pinned edge layouts once they are released below
-      auth = auth.lineageCut(true); hub = hub.lineageCut(true)
+      if (cut) hub = hub.lineageCut(true)
     }
     if (!bcast) { unpin(eSrc); unpin(eDst) }
     hub.select(lit("hub").as("side"), $"node", $"score")
@@ -892,7 +913,11 @@ object Graph {
     import edges.sparkSession.implicits._
     require(maxDepth >= 1 && maxDepth <= 10,
       s"maxDepth must be in [1, 10], got $maxDepth")
-    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(true)
+    // LAZY cut: the probe below is the materializing action, so the
+    // edge frame's one-time build pays for the size probe too — one
+    // job, not two (the round-11 eager-cut-then-probe spelling charged
+    // an extra edge-scale job to every call; A/B-confirmed regression)
+    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(false)
     // the pageRank size switch, keyed on the graph's node count: the
     // frontier and visited sets grow TOWARD node size as the BFS
     // saturates, so on a big graph the per-round frontier broadcast and
@@ -900,8 +925,14 @@ object Graph {
     // lay the edge frame out on src once and let the (at-most-node-
     // sized) frontier shuffle instead. Early small frontiers still move
     // cheaply: a shuffle of a tiny frame is one small exchange.
+    // Approximate probe, deliberately: the exact distinct().count() the
+    // round-11 spelling ran here is an edge-scale exchange charged to
+    // every call (A/B-confirmed as q_bfs_depth's regression); one HLL
+    // pass over the already-materialized blocks decides the same
+    // heuristic.
     val bcast = broadcastFrontier.getOrElse(
-      eRaw.select($"src".as("node")).distinct().count() <= BroadcastNodeLimit)
+      eRaw.agg(approx_count_distinct($"src")).head().getLong(0)
+        <= BroadcastNodeLimit)
     val e = if (bcast) eRaw
       else pin(eRaw.repartition($"src"))
     def side(df: DataFrame): DataFrame =
@@ -1392,16 +1423,37 @@ object Graph {
     * specific win: the rank side is FILTERED to rank > 0 before each
     * round's join — pure optimization (zero rank ⇒ zero contribution),
     * but on a large graph with few seeds the early rounds ship only
-    * the reached frontier's scores, not the node space. */
+    * the reached frontier's scores, not the node space.
+    *
+    * PRECONDITION (oracle contract): every node must have at least one
+    * in-edge — pass a SYMMETRIZED edge list, as `pprQuery` does. The
+    * dense recursive-CTE oracle re-derives each round's rank set from
+    * the grouped contribution rows (inner join back to nodes), so a
+    * node receiving no contribution vanishes from the CTE — while this
+    * operator keeps it via the left join + coalesce (a seed with no
+    * in-edge would retain rank = seedMass here but disappear there).
+    * On a symmetrized graph the two are provably identical; on a raw
+    * directed graph they are NOT. `requireInEdges = true` enforces the
+    * precondition with one anti-join (off by default: it's a full
+    * edge-scale check, wrong to pay on every benched call). */
   val PprIters = 4
 
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = PprIters,
-      broadcastRanks: Option[Boolean] = None): DataFrame = {
+      broadcastRanks: Option[Boolean] = None,
+      requireInEdges: Boolean = false): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     // pageRank's setup contract: one edge-scale materialization
     val e = edges.select($"src", $"dst").distinct()
+    if (requireInEdges) {
+      val uncovered = e.select($"src")
+        .except(e.select($"dst".as("src"))).limit(1).count()
+      require(uncovered == 0L,
+        "personalizedPageRank precondition violated: found a node with no " +
+          "in-edge — symmetrize the edge list (src∪dst both directions) or " +
+          "the documented dense-CTE oracle semantics do not apply")
+    }
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
     val nodes = edgesDeg.select($"src".as("node")).distinct()

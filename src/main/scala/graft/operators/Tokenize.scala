@@ -283,14 +283,24 @@ object Tokenize {
   /** Shared oracle prefix: words → candidates → vocab1 → seg1 (greedy
     * recursion) → usage → vocab2 → seg2. The length-ordered LEFT JOIN +
     * COALESCE picks the LONGEST matching piece — exactly
-    * UnigramImpl.segment's scan — and k orders pieces within a word. */
+    * UnigramImpl.segment's scan — and k orders pieces within a word.
+    * The final COALESCE arm `substr(w, pos+1, 1)` is the native scan's
+    * emit-the-character fallback for OUT-OF-ALPHABET input: unreachable
+    * for the registered queries (the singles rung keeps every corpus
+    * character, so v1 always matches) but it keeps the recursion TOTAL
+    * if this prefix is ever replayed over text outside the training
+    * corpus — without it all four joins miss, pos goes NULL, and the
+    * recursion silently halts mid-word (round-11 advisor note). */
   private val uniLen = graft.functions.UnigramImpl.MaxPieceLen
   private def uniSegSql(name: String, vocab: String): String =
     s"""$name(w, c, pos, piece, k) AS (
        |  SELECT w, c, 0, CAST(NULL AS VARCHAR), 0 FROM words
        |  UNION ALL
-       |  SELECT s.w, s.c, s.pos + length(COALESCE(v4.p, v3.p, v2.p, v1.p)),
-       |    COALESCE(v4.p, v3.p, v2.p, v1.p), s.k + 1
+       |  SELECT s.w, s.c,
+       |    s.pos + length(COALESCE(v4.p, v3.p, v2.p, v1.p,
+       |                            substr(s.w, s.pos + 1, 1))),
+       |    COALESCE(v4.p, v3.p, v2.p, v1.p, substr(s.w, s.pos + 1, 1)),
+       |    s.k + 1
        |  FROM $name s
        |  LEFT JOIN $vocab v4 ON length(v4.p) = 4 AND v4.p = substr(s.w, s.pos + 1, 4)
        |  LEFT JOIN $vocab v3 ON length(v3.p) = 3 AND v3.p = substr(s.w, s.pos + 1, 3)

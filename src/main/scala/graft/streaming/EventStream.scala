@@ -832,32 +832,36 @@ object EventStream {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  // ALL streaming rows are benched since round 12: Bench measures each
+  // row's fixed AvailableNow startup via the micro-fixture probe and
+  // carries the (startup, data-wall) split in the artifact, and
+  // BenchRegression gates streaming heads on the DATA wall — so benching
+  // no longer times the harness (the pre-split rationale for keeping
+  // enrich/left-join/etc unbenched). Every row declares streaming=true
+  // explicitly; the flag, not a name substring, keys the split.
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_replay", streamReplay, Some(streamReplaySql),
-      bench = true),
+      bench = true, streaming = true),
     graft.NamedQuery("q_stream_interval_join", streamIntervalJoin,
-      Some(streamIntervalJoinSql), bench = true),
+      Some(streamIntervalJoinSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_dedup_replay", streamDedupReplay,
-      Some(streamDedupReplaySql), bench = true),
-    // enrich/left-join stay UNBENCHED: an AvailableNow run is ~3-5s of
-    // fixed stream-startup regardless of data volume, so benching them
-    // would time the harness, not the plan; the three rows above keep
-    // streaming represented in the headline (and r6-comparable)
-    graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql)),
+      Some(streamDedupReplaySql), bench = true, streaming = true),
+    graft.NamedQuery("q_stream_enrich", streamEnrich, Some(streamEnrichSql),
+      bench = true, streaming = true),
     graft.NamedQuery("q_stream_sliding", streamSliding,
-      Some(streamSlidingSql)),
+      Some(streamSlidingSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_ohlc", streamOhlc,
-      Some(graft.operators.Indicators.ohlcSql)),
+      Some(graft.operators.Indicators.ohlcSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_bars_nmin", streamBarsNmin,
-      Some(streamBarsNminSql)),
+      Some(streamBarsNminSql), bench = true, streaming = true),
     graft.NamedQuery("q_sql_face_stream_sliding", streamSlidingSqlFace,
-      Some(streamSlidingSql)),
+      Some(streamSlidingSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_full_join", streamFullJoin,
-      Some(streamFullJoinSql)),
+      Some(streamFullJoinSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_left_join", streamLeftJoin,
-      Some(streamLeftJoinSql)),
+      Some(streamLeftJoinSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_chained", streamChained,
-      Some(streamChainedSql)))
+      Some(streamChainedSql), bench = true, streaming = true))
 }
 
 /** Completion-marker protocol parity (`retrieval.py:156-160`): stage N

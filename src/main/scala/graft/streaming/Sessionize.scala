@@ -139,9 +139,12 @@ object Sessionize {
        |ORDER BY user_id, session_start""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    // q_sessionize is the BATCH formulation (window functions, no
+    // streaming lifecycle) — deliberately streaming=false despite living
+    // in the streaming package
     NamedQuery("q_sessionize", qSessionize, Some(qSessionizeSql), bench = true),
     NamedQuery("q_stream_sessions", qStreamSessions,
-      Some(qStreamSessionsSql), bench = true))
+      Some(qStreamSessionsSql), bench = true, streaming = true))
 
   // --------------------------------------------------------------- streaming
   // `ts` (the watermarked TimestampType column) must survive into the

@@ -643,28 +643,30 @@ object StateV2 {
       .orderBy($"event_id")
   }
 
-  // unbenched: AvailableNow startup (~3-5s fixed) dominates any
-  // fixture-sized data volume — benching would time the harness, not
-  // the state machine (same rationale as the enrich/left-join rows);
-  // the restart row pays that startup TWICE by design (two lifecycles)
+  // benched since round 12: Bench's startup/data-wall split charges the
+  // fixed AvailableNow startup (~3-5s; the restart rows pay it TWICE by
+  // design — two lifecycles) to `stream_startup`, and the regression
+  // gate reads only the data wall — so the benched number now times the
+  // state machine, not the harness
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_running", streamRunning,
-      Some(streamRunningSql)),
+      Some(streamRunningSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_digest", streamDigest,
-      Some(streamDigestSql)),
+      Some(streamDigestSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_recent", streamRecent,
-      Some(streamRecentSql)),
+      Some(streamRecentSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_type_counts", streamTypeCounts,
-      Some(streamTypeCountsSql)),
+      Some(streamTypeCountsSql), bench = true, streaming = true),
     // same oracles as the single-lifecycle rows: a restart changes NOTHING
     graft.NamedQuery("q_stream_restart_running", streamRestartRunning,
-      Some(streamRunningSql)),
+      Some(streamRunningSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_restart_digest", streamRestartDigest,
-      Some(streamDigestSql)),
+      Some(streamDigestSql), bench = true, streaming = true),
     graft.NamedQuery("q_stream_restart_types", streamRestartTypes,
-      Some(streamTypeCountsSql)),
+      Some(streamTypeCountsSql), bench = true, streaming = true),
     // TTL on: same machine/harness/fixture as q_stream_restart_types,
     // but the oracle's running window carries a TRANCHE key — eviction
     // is the single isolated variable between the two rows
-    graft.NamedQuery("q_stream_ttl", streamTtl, Some(streamTtlSql)))
+    graft.NamedQuery("q_stream_ttl", streamTtl, Some(streamTtlSql),
+      bench = true, streaming = true))
 }

@@ -55,10 +55,17 @@ class BenchRegressionSpec extends AnyFunSuite {
     // data wall itself regressed (2.2 -> 4.5): fires on the data series
     val r = check(hist, Map("q_big" -> 9.0), histData, Map("q_big" -> 4.5))
     assert(r.get("q_big").contains((4.5, 2.2)))
-    // fresh split present but <2 data-wall priors: head is UNGATED this
-    // round (no fallback to mixed-semantics totals)
+    // fresh split present but <2 data-wall priors: the ratio gate is off
+    // (a 9.0 vs 5.0-median totals move is ordinary startup-semantics
+    // noise) ...
     assert(check(hist, Map("q_big" -> 9.0), Seq(Map("q_big" -> 2.0)),
       Map("q_big" -> 8.0)).isEmpty)
+    // ... but the catastrophic totals backstop (3x + 2s on the raw wall)
+    // still fires while data-wall history accumulates: a genuine blowup
+    // in the split's first rounds must not be invisible
+    val cat = check(hist, Map("q_big" -> 40.0), Seq(Map("q_big" -> 2.0)),
+      Map("q_big" -> 39.0))
+    assert(cat.get("q_big").contains((40.0, 5.0)))
     // heads without a fresh split still gate on totals as before
     assert(check(hist, Map("q_big" -> 9.0), histData, Map.empty)
       .contains("q_big"))

@@ -158,6 +158,7 @@ object BnljAudit {
     "q_discount_elasticity", "q_dsir_weights", "q_embedding_cosine_topk",
     "q_filter_funnel", "q_sql_face_filter_funnel",
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
+    "q_hits", // 1-row MAX normalizer; final round uncut in bcast mode (r12)
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
     "q_negative_sampling", "q_rate_smoothing", "q_class_balance",
     "q_pref_transitivity", "q_mix_anneal", "q_kto_pairs",
