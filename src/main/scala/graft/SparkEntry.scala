@@ -27,12 +27,13 @@ object SparkEntry {
       operators.Journey.all ++ operators.Experiment.all ++
       operators.Geo.all ++ operators.Privacy.all ++
       operators.Tokenize.all ++ operators.Graph.all ++
+      operators.QuantileSketch.all ++
       operators.Linkage.all ++ operators.Audit.all ++
       operators.Web.all ++ operators.Scoring.all ++
       operators.SqlFace.all ++
       operators.Annotate.all ++ operators.Eval.all ++
       streaming.Sessionize.all ++ streaming.EventStream.all ++
-      streaming.StateV2.all ++
+      streaming.StateV2.all ++ streaming.KllStream.all ++
       pipeline.FinancialPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -87,7 +87,74 @@ object GraftFunctionRegistry {
             s"graft_misra_gries: k must be a constant int, got $other")
         }
         MisraGriesAgg(args(0), k)
+      })),
+    // ---- round-11 native families, SQL-reachable since round 12 ----
+    // (composed as RESOLVED catalyst trees, not via the Column API: a
+    // Column→Expression bridge hands the analyzer a ColumnNodeExpression
+    // wrapper that never becomes evaluable inside a function builder)
+    (FunctionIdentifier("graft_pq_codes"),
+      info("graft_pq_codes",
+        "_FUNC_(emb, m, k) - per-subspace product-quantization code array"),
+      arity("graft_pq_codes", 3)(args => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CreateArray, Divide, Literal, Multiply, Size, Slice}
+        import org.apache.spark.sql.types.IntegerType
+        val m = constInt("graft_pq_codes", "m", args(1))
+        val k = constInt("graft_pq_codes", "k", args(2))
+        if (m < 1 || k < 1) throw new IllegalArgumentException(
+          s"graft_pq_codes needs m, k >= 1, got ($m, $k)")
+        // the VectorFunctions.pqCodes tree, spelled in catalyst:
+        // sub = cast(size(emb) / m as int); code_i = element_at(
+        //   ivf_cells(slice(emb, i*sub+1, sub), k, 1), 1)
+        val sub = Cast(Divide(Size(args(0)), Literal(m)), IntegerType)
+        CreateArray((0 until m).map { i =>
+          org.apache.spark.sql.catalyst.expressions.ElementAt(
+            IvfCells(
+              Slice(args(0), Add(Multiply(Literal(i), sub), Literal(1)), sub),
+              Literal(k), Literal(1)),
+            Literal(1))
+        })
+      })),
+    (FunctionIdentifier("graft_cms_bucket"),
+      info("graft_cms_bucket",
+        "_FUNC_(key, i, width) - count-min row-i bucket: md5-lower-64 of " +
+          "'cms<i>:<key>', sign-masked, mod width (= the q_cms spelling)"),
+      arity("graft_cms_bucket", 3)(args => {
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Cast, Concat, Literal, Remainder}
+        import org.apache.spark.sql.types.{LongType, StringType}
+        Remainder(
+          BitwiseAnd(
+            Md5Lower64(Concat(Seq(
+              Literal("cms"), Cast(args(1), StringType),
+              Literal(":"), Cast(args(0), StringType)))),
+            Literal(Long.MaxValue)),
+          Cast(args(2), LongType))
+      })),
+    (FunctionIdentifier("graft_unigram_segment"),
+      info("graft_unigram_segment",
+        "_FUNC_(word, vocab) - maximal-munch segmentation against a " +
+          "constant piece vocabulary (array<string> literal)"),
+      arity("graft_unigram_segment", 2)(args => {
+        if (!args(1).foldable) throw new IllegalArgumentException(
+          "graft_unigram_segment: vocab must be a constant array<string> " +
+            "(the trained vocabulary ships as a literal, like the Column " +
+            "API's reference object)")
+        val vocab = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_unigram_segment: vocab must be array<string>, got $other")
+        }
+        UnigramSegment(args(0), vocab)
       })))
+
+  private def constInt(fn: String, arg: String, e: Expression): Int =
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant int, got $other")
+    }
 
   /** Add all graft functions to an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -301,4 +301,18 @@ object VectorFunctions {
   /** Column API: int8 quantization reconstruction stats struct. */
   def int8QuantStats(emb: Column): Column =
     ExpressionUtils.column(Int8QuantStats(ExpressionUtils.expression(emb)))
+  /** Column API: per-subspace product-quantization code array — element
+    * m = nearest-centroid id (of k) of the m-th contiguous subvector
+    * (dynamic subvector width size/m, no plan-time dimension constant).
+    * Composes the IvfCells kernel per slice; the single definition both
+    * `Similarity.pqCodes` and the SQL face (`graft_pq_codes`) share, so
+    * the two spellings cannot drift. */
+  def pqCodes(emb: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, size, slice}
+    require(m >= 1 && k >= 1, s"pqCodes needs m, k >= 1, got ($m, $k)")
+    val sub = (size(emb) / m).cast("int")
+    array((0 until m).map { i =>
+      element_at(ivfCells(slice(emb, lit(i) * sub + 1, sub), k, 1), 1)
+    }: _*)
+  }
 }

@@ -2734,7 +2734,7 @@ object Analytics {
       .orderBy($"key")
   }
 
-  private val cmsSql = {
+  private[operators] val cmsSql = {
     def bucketSql(iExpr: String, keyExpr: String) =
       s"CAST(md5_number_lower('cms' || $iExpr || ':' || $keyExpr)" +
         s" & ${Long.MaxValue}::UBIGINT AS BIGINT) % $CmsWidth"

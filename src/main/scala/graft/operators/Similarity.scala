@@ -904,7 +904,7 @@ object Similarity {
     * range (subscript arithmetic instead of list slicing — identical
     * index order to the kernel's sliced loop), bucket guard per
     * (m, code), candidates = pairs sharing ≥ minShared codes. */
-  private def pqRecall10Sql(mCnt: Int, k: Int, minShared: Int): String =
+  private[operators] def pqRecall10Sql(mCnt: Int, k: Int, minShared: Int): String =
     s"""WITH ${sqlPlanesCte("cents", k, s"len(embedding) // $mCnt", 1L << 20)},
        |codes AS MATERIALIZED (
        |  SELECT vec_id, m, cell AS code FROM (
@@ -953,15 +953,10 @@ object Similarity {
 
   /** Per-subspace PQ code array: element m = nearest-centroid id of the
     * m-th contiguous subvector (dynamic subvector width size/PqM — no
-    * plan-time dimension constant). */
-  def pqCodes(emb: Column): Column = {
-    val d = size(emb)
-    val sub = (d / PqM).cast("int")
-    array((0 until PqM).map { m =>
-      element_at(
-        VectorFunctions.ivfCells(slice(emb, lit(m) * sub + 1, sub), PqK, 1), 1)
-    }: _*)
-  }
+    * plan-time dimension constant). Shared kernel with the SQL face's
+    * `graft_pq_codes` (one definition in VectorFunctions). */
+  def pqCodes(emb: Column): Column =
+    VectorFunctions.pqCodes(emb, PqM, PqK)
 
   /** Directed candidate pairs from PQ code-block collisions (>=
     * PqMinShared of PqM subspace codes equal). Mirrors annCandidateIds:

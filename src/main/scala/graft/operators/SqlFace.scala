@@ -34,6 +34,7 @@ object SqlFace {
       case n @ "orders" => Tables.orders(s, dir).createOrReplaceTempView(n)
       case n @ "lineitem" => Tables.lineitem(s, dir).createOrReplaceTempView(n)
       case n @ "events" => Tables.events(s, dir).createOrReplaceTempView(n)
+      case n @ "embeddings" => Tables.embeddings(s, dir).createOrReplaceTempView(n)
       case n => throw new IllegalArgumentException(s"no view recipe for $n")
     }
 
@@ -349,7 +350,133 @@ object SqlFace {
       ORDER BY custkey""")
   }
 
+  // ---------------------------------------------------------- q_sql_face_cms
+  /** The count-min sketch (`Analytics.cms`) in pure Spark SQL over the
+    * registered `graft_cms_bucket` (the q_cms row-hash spelling:
+    * md5-lower-64 of 'cms<i>:<key>', sign-masked, mod width). Same
+    * D×W counter table, same min-over-rows estimate, same probe roster;
+    * the explode(sequence(...)) spelling keeps the build a Generate
+    * node (no join), exactly the sibling's explode(array(...)) plan.
+    * Shares q_cms's DuckDB oracle. */
+  private def sqlCms(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(s"""
+      WITH ks AS (SELECT o_custkey AS key FROM orders),
+      counters AS (
+        SELECT i, graft_cms_bucket(key, i, ${Analytics.CmsWidth}) AS b,
+          COUNT(*) AS n
+        FROM (SELECT key, explode(sequence(0, ${Analytics.CmsDepth - 1})) AS i
+              FROM ks)
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT key, COUNT(*) AS exact_n FROM ks
+        WHERE key < ${Analytics.CmsProbeMaxKey} GROUP BY 1),
+      est AS (
+        SELECT p.key, p.exact_n, MIN(c.n) AS est_n
+        FROM (SELECT key, exact_n,
+                explode(sequence(0, ${Analytics.CmsDepth - 1})) AS i
+              FROM exact) p
+        JOIN counters c
+          ON c.i = p.i
+          AND c.b = graft_cms_bucket(p.key, p.i, ${Analytics.CmsWidth})
+        GROUP BY 1, 2)
+      SELECT key, exact_n, est_n, est_n - exact_n AS overcount
+      FROM est ORDER BY key""")
+  }
+
+  // ------------------------------------------------------ q_sql_face_unigram
+  /** The trained unigram-LM tokenizer (`Tokenize.unigramLm`) served from
+    * SQL: training still runs the corpus-scale EM pipeline (that is a
+    * pipeline, not a scalar function), and the LEARNED VOCABULARY ships
+    * into the query text as an array literal — exactly how a trained
+    * tokenizer reaches a SQL serving layer — where the registered
+    * `graft_unigram_segment` runs the same maximal-munch codegen kernel
+    * as the Column API's reference-object spelling. Shares
+    * q_unigram_lm's full recursive-CTE oracle. */
+  private def sqlUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "documents")
+    val (_, vocab2) = Tokenize.trainUnigram(Tables.documents(s, dir))
+    val vocabLit = vocab2.map(p =>
+        "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString("array(", ", ", ")")
+    s.sql(s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT explode(split(text, ' ', -1)) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w),
+      seg AS (
+        SELECT w, c, explode(graft_unigram_segment(w, $vocabLit)) AS p
+        FROM words)
+      SELECT p, length(p) AS piece_len, SUM(c) AS cnt,
+        COUNT(DISTINCT w) AS n_words
+      FROM seg GROUP BY p ORDER BY cnt DESC, p""")
+  }
+
+  // -------------------------------------------------- q_sql_face_pq_recall10
+  // audited-bnlj(q_sql_face_pq_recall10): build side = ≤NatQueryCount-row
+  // query-roster broadcast — the sibling q_ann_pq_recall10's audited shape
+  /** The natural-regime PQ recall gate (`annNaturalRecall10 ∘
+    * pqCandidateIds`) in pure Spark SQL: `graft_pq_codes` produces the
+    * subspace codes (same composed kernel as the Column API — one
+    * definition in VectorFunctions), `graft_cosine` scores, windows
+    * rank. Same bucket guard, same ≥-shared collision rule, same
+    * rank-then-filter order as the sibling. Shares the sibling's
+    * independent DuckDB replay oracle. */
+  private def sqlPqRecall10(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "embeddings")
+    s.sql(s"""
+      WITH q AS (SELECT vec_id AS vec_a FROM embeddings
+                 WHERE vec_id < ${Similarity.NatQueryCount}),
+      exact_ranked AS (
+        SELECT c.vec_a, c.vec_b,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_a
+            ORDER BY round(graft_cosine(ea.embedding, eb.embedding), 4) DESC,
+                     c.vec_b) AS rank
+        FROM (SELECT q.vec_a, e.vec_id AS vec_b
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.vec_a) c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b),
+      exact10 AS (SELECT vec_a, vec_b FROM exact_ranked WHERE rank <= 10),
+      coded AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+            COUNT(*) OVER (PARTITION BY m, code) AS bucket_n
+          FROM embeddings
+          LATERAL VIEW posexplode(graft_pq_codes(embedding,
+            ${Similarity.PqM}, ${Similarity.PqK})) t AS m, code)
+        WHERE bucket_n <= ${Similarity.MaxBucket}),
+      cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM coded a JOIN coded b ON a.m = b.m AND a.code = b.code
+        WHERE a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= ${Similarity.PqMinShared}),
+      ann_ranked AS (
+        SELECT c.vec_a, c.vec_b,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_a
+            ORDER BY round(graft_cosine(ea.embedding, eb.embedding), 4) DESC,
+                     c.vec_b) AS rank
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b),
+      ann10 AS (
+        SELECT vec_a, vec_b FROM ann_ranked
+        WHERE rank <= 10 AND vec_a < ${Similarity.NatQueryCount})
+      SELECT x.vec_a, COUNT(*) AS n_exact,
+        COALESCE(SUM(CASE WHEN a.vec_b IS NOT NULL THEN 1L END), 0L) AS n_hits
+      FROM exact10 x
+      LEFT JOIN ann10 a ON x.vec_a = a.vec_a AND x.vec_b = a.vec_b
+      GROUP BY x.vec_a ORDER BY x.vec_a""")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_face_cms", sqlCms, Some(Analytics.cmsSql)),
+    NamedQuery("q_sql_face_unigram", sqlUnigramLm,
+      Some(Tokenize.unigramLmSql)),
+    NamedQuery("q_sql_face_pq_recall10", sqlPqRecall10,
+      Some(Similarity.pqRecall10Sql(
+        Similarity.PqM, Similarity.PqK, Similarity.PqMinShared))),
     NamedQuery("q_sql_face_pivot", sqlPivotAttrs,
       Some(Relational.pivotAttrsSql)),
     NamedQuery("q_sql_face_unpivot", sqlUnpivotCompare,

@@ -362,7 +362,7 @@ object Tokenize {
       .orderBy($"cnt".desc, $"p")
   }
 
-  private val unigramLmSql =
+  private[operators] val unigramLmSql =
     s"""$uniSqlPrefix
        |SELECT piece AS p, length(piece) AS piece_len,
        |  CAST(SUM(c) AS BIGINT) AS cnt, COUNT(DISTINCT w) AS n_words

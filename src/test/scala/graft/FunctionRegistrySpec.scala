@@ -46,7 +46,50 @@ class FunctionRegistrySpec extends GraftSuite {
     new graft.functions.GraftExtensions().apply(ext)
     // registration through the session path must cover the same names
     val names = GraftFunctionRegistry.functions.map(_._1.funcName).toSet
-    assert(names.size == 16 && names.contains("graft_cosine") &&
-      names.contains("graft_cdc_cuts"))
+    assert(names.size == 19 && names.contains("graft_cosine") &&
+      names.contains("graft_cdc_cuts") && names.contains("graft_pq_codes") &&
+      names.contains("graft_cms_bucket") &&
+      names.contains("graft_unigram_segment"))
+  }
+
+  test("round-11 natives from SQL equal the Column API spellings") {
+    Tables.registerAll(spark, sf)
+    // graft_pq_codes == VectorFunctions.pqCodes (shared kernel)
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_pq_codes(embedding, 4, 16) AS codes
+        |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin)
+    val viaApi = Tables.embeddings(spark, sf)
+      .select($"vec_id", VectorFunctions.pqCodes($"embedding", 4, 16).as("codes"))
+      .orderBy($"vec_id").limit(20)
+    assertSameRows(viaSql, viaApi)
+    // graft_cms_bucket == the q_cms bucket spelling
+    val sqlB = spark.sql(
+      """SELECT o_custkey, graft_cms_bucket(o_custkey, 2, 256) AS b
+        |FROM orders ORDER BY o_custkey LIMIT 20""".stripMargin)
+    val apiB = Tables.orders(spark, sf)
+      .select($"o_custkey",
+        (graft.functions.TextFunctions.md5Lower64(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("cms2:"),
+            $"o_custkey".cast("string")))
+          .bitwiseAND(org.apache.spark.sql.functions.lit(Long.MaxValue))
+          % 256L).as("b"))
+      .orderBy($"o_custkey").limit(20)
+    assertSameRows(sqlB, apiB)
+    // graft_unigram_segment == UnigramFunctions.unigramSegment
+    val vocab = Seq("ab", "a", "b", "c")
+    val lit = vocab.map("'" + _ + "'").mkString("array(", ",", ")")
+    val sqlSeg = spark.sql(
+      s"SELECT graft_unigram_segment('abcab', $lit) AS pieces")
+    val apiSeg = Seq("abcab").toDF("w").select(
+      graft.functions.UnigramFunctions.unigramSegment($"w", vocab).as("pieces"))
+    assertSameRows(sqlSeg, apiSeg)
+    // non-constant vocab must be rejected at analysis, not fail weirdly
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_unigram_segment(w, array(w)) FROM (SELECT 'x' AS w)")
+        .collect()
+    }
+    assert(err.getMessage.contains("constant") ||
+      err.getMessage.contains("foldable"))
   }
 }

@@ -148,6 +148,7 @@ object BnljAudit {
     // bounded query-roster broadcasts (natural-regime ANN recall gates)
     "q_ann_lsh_recall10", "q_ann_ivf_recall10", "q_ann_pq_recall10",
     "q_ann_lsh8_recall10", "q_ann_ivf16_recall10", "q_ann_ivfpq_recall10",
+    "q_sql_face_pq_recall10", // same roster shape, SQL spelling
     // constant-bounded geo rosters (25-row POI / 5-row fence broadcasts)
     "q_nearest_poi", "q_geofence",
     // 1-row global-aggregate broadcasts
@@ -160,6 +161,7 @@ object BnljAudit {
     "q_fingerprint", "q_funnel", "q_hard_negatives", "q_heavy_hitters",
     "q_hits", // 1-row MAX normalizer; final round uncut in bcast mode (r12)
     "q_jl_project", "q_kcore", "q_kcore_converged", "q_kmeans", "q_ks_test",
+    "q_kll_quantiles", // 1-row threshold/stat frames + 6-row pct axis
     "q_negative_sampling", "q_rate_smoothing", "q_class_balance",
     "q_pref_transitivity", "q_mix_anneal", "q_kto_pairs",
     "q_conformal_interval", "q_cuped",
@@ -218,6 +220,7 @@ object UnpartitionedWindowAudit {
     // roster-sized frames
     "q_zipf",               // 20-row top-k frame after LIMIT
     "q_kmv_jaccard",        // union-sketch rank over <=2k sketch hashes
+    "q_kll_quantiles",      // <=63-row level histogram + <=KllK kept sample
     "q_mix_sample",         // per-source weight frame (#sources)
     "q_mix_weights",        // per-source weight frame (#sources)
     "q_dataset_card",       // datasheet summary rows (fixed section count)
