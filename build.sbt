@@ -32,5 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized to the documented harness (local[32], 128 GiB): the
+  // old 8g default starved the single-JVM session long before the
+  // machine did — at synthetic sf10 the iterative graph heads' working
+  // set plus shuffle buffers exceeded 8g and storage eviction turned
+  // measured decades super-linear. 24g leaves room for a concurrent
+  // worktree JVM and the OS cache; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

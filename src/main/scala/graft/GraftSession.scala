@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", adaptive.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // lineage-cut mode (LineageCut.ModeKey): env-selectable so the
+      // bench harness can measure the reliable-checkpoint tax without a
+      // code change — SPARK_GRAFT_CHECKPOINT_MODE=reliable
+      .config(LineageCut.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_MODE", "local"))
       .getOrCreate()
     // native-expression SQL names (graft_*) available in every entry
     // point, not just sessions that ran the registry spec; idempotent

@@ -33,6 +33,53 @@ object LineageCut {
   val ModeKey = "spark.graft.checkpoint.mode"
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Handle for a [[bulkCut]]: `df` reads the written files; `release()`
+    * deletes them once a successor frame is materialized (the loop
+    * analogue of unpersisting a superseded block cut). Unreleased dirs
+    * die with the process (Scratch's `_p<pid>` shutdown sweep) or, for
+    * a custom reliable dir, with the operator's checkpoint-bucket TTL. */
+  final case class BulkCut(df: org.apache.spark.sql.DataFrame, path: String) {
+    def release(): Unit = Scratch.deleteTree(java.nio.file.Paths.get(path))
+  }
+
+  private val bulkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** COLUMNAR lineage cut for EDGE-SCALE iterative frames: write the
+    * frame as parquet into a fresh scratch dir and read it back — a
+    * true cut (the new plan is a parquet scan) whose materialization is
+    * a columnar encode + vectorized decode instead of the block-cut's
+    * per-row `UnsafeRow.copy` + Java-serialized cache blocks.
+    *
+    * Why this exists (round 12, q_kcore_converged third decade): at a
+    * synthetic-sf10 100M-row edge frame, `localCheckpoint` spent 211 s
+    * per cut — ~6 GB of transient row copies and 59 s of GC — and even
+    * MEMORY_AND_DISK_SER still paid the copy + ObjectStream per row
+    * (50–85 s). The same frame parquet-encodes in a fraction of that
+    * and reads back vectorized, and the cost scales with BYTES, not
+    * OBJECTS. The trade: a fixed write+read+listing latency (~0.3 s)
+    * that a node-scale frame would feel — which is why the default
+    * [[CutOps.lineageCut]] stays block-based and only the edge-scale
+    * loops opt in.
+    *
+    * Mode-aware like the block cut: `local` targets java.io.tmpdir
+    * scratch (single-JVM); `reliable` targets the checkpoint dir — the
+    * files ARE the executor-loss-safe copy, same contract as
+    * `Dataset.checkpoint` with a better format. */
+  def bulkCut(df: org.apache.spark.sql.DataFrame): BulkCut = {
+    val spark = df.sparkSession
+    val base = spark.conf.get(ModeKey, "local") match {
+      case "reliable" => spark.conf.getOption(DirKey).getOrElse(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_ckpt_p${Scratch.processToken}").toString)
+      case _ => System.getProperty("java.io.tmpdir")
+    }
+    val dir = java.nio.file.Paths.get(base,
+      s"graft_bulkcut${bulkSeq.incrementAndGet()}_p${Scratch.processToken}")
+      .toString
+    df.write.mode("overwrite").parquet(dir)
+    BulkCut(spark.read.parquet(dir), dir)
+  }
+
   implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** Mode-routed lineage cut; `eager = true` materializes now (a
       * blocking job), the round-boundary default everywhere. */
@@ -61,11 +108,22 @@ object LineageCut {
           // sweep removes the per-process dir, and on a real cluster
           // the conf flag (or a TTL'd checkpoint bucket) is the
           // operator's disk-growth control.
-          val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cached = ds.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           val out = cached.checkpoint(eager)
           if (eager) cached.unpersist(blocking = false)
           out
-        case _ => ds.localCheckpoint(eager)
+        // SERIALIZED storage, not the deserialized default: a cut
+        // materializes every row as its own heap object under
+        // MEMORY_AND_DISK (UnsafeRow.copy per row), and at a 100M-row
+        // edge frame that populated ~6 GB of row objects per round —
+        // measured round 12 at synthetic sf10 as a 211 s checkpoint
+        // stage with 59 s of GC (the q_kcore_converged third-decade
+        // red). _SER keeps the blocks as compact byte regions (an
+        // UnsafeRow serializes as its bytes): same cut semantics, a
+        // deserialize-on-scan tax instead of a heap population.
+        case _ => ds.localCheckpoint(eager,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
     }
   }

@@ -49,4 +49,11 @@ object Scratch {
     }
     java.nio.file.Files.deleteIfExists(p)
   }
+
+  /** Best-effort recursive delete for in-query scratch release
+    * (LineageCut.BulkCut.release); failures are non-fatal — the
+    * shutdown sweep is the backstop. */
+  def deleteTree(p: java.nio.file.Path): Unit =
+    try deleteRecursively(p)
+    catch { case _: java.io.IOException => () }
 }

@@ -296,6 +296,7 @@ object Dedup {
       .lineageCut(true)
     var converged = false
     var i = 0
+    var lastMat: DataFrame = null
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -313,6 +314,12 @@ object Dedup {
         // batch barrier: cut lineage AND poll convergence (one round's
         // zero-change implies a fixed point, see ConvergenceCheckEvery)
         val mat = updated.lineageCut(true)
+        // the previous boundary's blocks are dead once this one is
+        // materialized — release them so live label storage is one
+        // boundary, not maxIter/checkEvery of them (the kcore sf10
+        // eviction-thrash lesson, round 12)
+        if (lastMat ne null) lastMat.unpersist(blocking = false)
+        lastMat = mat
         converged = mat.filter($"cluster_id" < $"__old_id").count() == 0
         labels = mat.drop("__old_id")
       } else {
@@ -649,6 +656,11 @@ object Dedup {
         converged = lastBoundary.exists { case (prev, prevSig) =>
           prevSig == matSig && mat.exceptAll(prev).isEmpty
         }
+        // the superseded boundary's edge-scale blocks are dead after
+        // the exceptAll above — release them so live storage is two
+        // boundaries (mat + the new lastBoundary), not maxIter/
+        // checkEvery of them (the kcore sf10 eviction-thrash lesson)
+        lastBoundary.foreach(_._1.unpersist(blocking = false))
         lastBoundary = Some((mat, matSig))
         canon = mat
       } else {

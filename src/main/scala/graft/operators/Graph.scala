@@ -493,31 +493,131 @@ object Graph {
     * True k-core iterates to fixpoint; this runs a FIXED round count so
     * the oracle can replay it exactly (unrolled CTE chain) — the
     * production loop is the same body driven to convergence with the
-    * batched-polling pattern `resolveClusters` uses (GraphSpec measures
-    * the fixture's fixpoint distance).
+    * per-round keep-count fixpoint probe (GraphSpec measures the
+    * fixture's fixpoint distance).
     *
-    * Scale shape: each round is one degree aggregation (map-side
-    * partials) + two semi-joins of the edge frame against the surviving
-    * node frame — edges shuffle by endpoint, nodes never carry payload;
-    * the frame is localCheckpoint'd per round (flat lineage, the
-    * pageRank recipe). */
+    * Scale shape: each round is ONE streaming edge pass — a degree
+    * aggregation (map-side partials, node-scale exchange) whose result
+    * is checkpointed as the round's NODE frame, plus two keep-side semi
+    * probes that build from that checkpoint and fuse into the next
+    * pass's scan; the edge frame takes a COLUMNAR lineage cut every
+    * third round (see [[peelLoop]]). */
   val KcoreRounds = 3
 
   /** Peel `rounds` times against a 1-row threshold frame (column `k`):
     * keep nodes whose degree in the CURRENT frame is ≥ k, restrict
     * edges to kept×kept. Edge frame must be symmetric (both directions
     * present). */
-  def kcorePeel(edges0: DataFrame, kFrame: DataFrame, rounds: Int): DataFrame = {
+  /** Per-round keep-set join plan for the peel: BROADCAST while the
+    * node set fits, SHUFFLED HASH past the ceiling — NEVER the auto
+    * fallback, sort-merge, which sorts the edge frame twice per round.
+    *
+    * The ceiling is deliberately ABOVE Spark's 10 MB auto-broadcast
+    * threshold, from a round-12 measurement at synthetic sf10 (1.65M
+    * nodes ≈ 13 MB keep, 117M-row edge frame): the broadcast round is
+    * ONE streaming pass over the edge frame (both semi probes fuse into
+    * the scan's codegen stage, zero edge exchanges), while the
+    * shuffled-hash round is three edge-scale materializations + two
+    * shuffle round-trips — measured 6× the wall (395 s vs ~67 s
+    * per 3-round batch). A keep frame is one long column, so 2M rows
+    * ≈ 16 MB — per-round rebroadcast at that size is still far cheaper
+    * than re-exchanging a 100×-larger edge frame twice. Past the
+    * ceiling (true billion-node graphs) shuffled hash is the only shape
+    * whose memory is bounded per executor; the 6× is the honest price
+    * of that regime, and the fallback keeps the edge frame unsorted. */
+  val KcoreKeepBroadcastLimit = 2000000L
+
+  def kcorePeel(edges0: DataFrame, kFrame: DataFrame, rounds: Int,
+      broadcastKeep: Option[Boolean] = None): DataFrame =
+    peelLoop(edges0, kFrame, rounds, stopOnFixpoint = false, broadcastKeep)
+
+  /** The shared peel engine. One EDGE-SCALE pass per round, full stop:
+    * the round's degree aggregation (partial agg map-side, so the
+    * exchange is node-scale) is checkpointed as a NODE-SCALE frame, and
+    * both keep-side probes build from that checkpoint instead of
+    * re-planning the aggregation — without it, each keep broadcast
+    * embedded its own copy of the whole prior chain, and the executed
+    * plan's edge-scan count grew EXPONENTIALLY in the lazy-round depth
+    * (a 2-round chain already held 12 parquet scans, only partially
+    * dedup'd by ReuseExchange; measured round 12).
+    *
+    * Every third round the chained frame takes a COLUMNAR lineage cut
+    * (LineageCut.bulkCut), not a block-manager cut: at synthetic sf10
+    * the block cut itself was the round's cost (a 211 s localCheckpoint
+    * stage with 59 s of GC from ~6 GB of per-row UnsafeRow copies;
+    * still 50–85 s under _SER). A parquet round-trip materializes the
+    * same rows as a columnar encode + vectorized decode, costing bytes
+    * instead of objects. Superseded cut files and the node-scale keep
+    * checkpoints are released as soon as a successor cut is
+    * materialized — the loop's live scratch is two edge copies plus at
+    * most three node frames, never rounds of them. Only cuts THIS loop
+    * created are released; the caller's input frame is untouched.
+    *
+    * `stopOnFixpoint` turns the round cap into a convergence loop with
+    * PER-ROUND detection at node-scale cost: peeling is monotone (the
+    * edge frame only shrinks, so degrees only fall), hence the keep
+    * sets are NESTED — keep_r ⊆ keep_{r-1} — and count equality is set
+    * equality. keep_r == keep_{r-1} means restricting e_{r-1} (whose
+    * endpoints already all lie in keep_{r-1}) to keep_r removes
+    * nothing: e_{r-1} IS the fixpoint. The old batched-poll shape paid
+    * a full extra BATCH of edge-scale rounds plus an edge-scale
+    * count() per batch to discover the same thing; the keep-count
+    * probe is a count over the round's already-checkpointed node
+    * frame. Detection costs exactly one overshoot round. */
+  private def peelLoop(edges0: DataFrame, kFrame: DataFrame,
+      maxRounds: Int, stopOnFixpoint: Boolean,
+      broadcastKeep: Option[Boolean]): DataFrame = {
     import edges0.sparkSession.implicits._
-    var e = edges0.lineageCut(true)
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
-        .crossJoin(broadcast(kFrame))
-        .filter($"d" >= $"k").select($"src".as("node")).toDF("node")
-      e = e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
-        .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .lineageCut(true)
+    // No initial re-cut: every caller hands an already-materialized
+    // frame (kcoreInputs bulk-cuts its symmetrized edges; spec callers
+    // hand tiny hand-built graphs whose re-planning is free).
+    var e = edges0
+    var bcast = broadcastKeep
+    var mine: graft.LineageCut.BulkCut = null
+    var keeps = List.empty[DataFrame]
+    def cutNow(): Unit = {
+      val cut = graft.LineageCut.bulkCut(e)
+      if (mine ne null) mine.release()
+      mine = cut
+      e = cut.df
+      // the cut executed every chained probe, so the keeps' broadcast
+      // sources are dead — release the node-scale checkpoints
+      keeps.foreach(_.unpersist(blocking = false))
+      keeps = Nil
     }
+    var rounds = 0
+    var prevKeep = -1L
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("d")).lineageCut(true)
+      if (bcast.isEmpty) {
+        // one keep-plan probe for the whole loop, EXACT and free off the
+        // first round's materialized degree frame (the node set only
+        // shrinks, so the initial decision stays valid — conservatively
+        // so past the ceiling, where SHJ stays correct at any size)
+        bcast = Some(deg.count() <= KcoreKeepBroadcastLimit)
+      }
+      val keep = deg.crossJoin(broadcast(kFrame))
+        .filter($"d" >= $"k").select($"src".as("node")).toDF("node")
+      val kc = if (stopOnFixpoint) keep.count() else -2L
+      if (stopOnFixpoint && kc == prevKeep) {
+        converged = true
+        deg.unpersist(blocking = false) // overshoot round, nothing consumed it
+      } else {
+        prevKeep = kc
+        def side(df: DataFrame): DataFrame =
+          if (bcast.get) broadcast(df) else df.hint("shuffle_hash")
+        e = e.join(side(keep.select($"node".as("src"))), Seq("src"), "left_semi")
+          .join(side(keep.select($"node".as("dst"))), Seq("dst"), "left_semi")
+        keeps ::= deg
+        rounds += 1
+        if (rounds % 3 == 0) cutNow()
+      }
+    }
+    if (stopOnFixpoint && !converged) throw new IllegalStateException(
+      s"kcoreConverged did not reach a fixpoint in $maxRounds rounds — " +
+        s"the graph peels layer-by-layer deeper than the cap; raise maxRounds")
+    if (keeps.nonEmpty || (mine eq null)) cutNow()
     e
   }
 
@@ -529,41 +629,26 @@ object Graph {
   }
 
   /** The production loop: drive [[kcorePeel]] to its FIXPOINT — the true
-    * k-core — with the same batched-polling pattern `resolveClusters`
-    * uses: run `checkEvery` peel rounds between driver barriers, then
-    * poll the surviving edge count. Peeling only removes edges, so an
-    * unchanged count across a batch proves every round in it removed
-    * nothing — a fixpoint (monotone, like min-label propagation). The
-    * bench/oracle query stays on the fixed-round variant so DuckDB can
-    * replay it as an unrolled CTE chain; GraphSpec pins this variant to
-    * the fixed-round result at the fixture's measured fixpoint distance.
+    * k-core. Detection is per-round off the nested-keep-count identity
+    * (see [[peelLoop]]): one overshoot round, no confirmation batch, no
+    * edge-scale count. The bench/oracle query stays on the fixed-round
+    * variant so DuckDB can replay it as an unrolled CTE chain; GraphSpec
+    * pins this variant to the fixed-round result at the fixture's
+    * measured fixpoint distance. maxRounds bounds the worst case — a
+    * path graph peels one layer per round, so pathological chains fail
+    * loudly rather than loop.
     *
-    * Scale shape: identical to kcorePeel per round (degree agg + two
-    * semi-joins, localCheckpoint'd); the only additions are one count()
-    * per `checkEvery` rounds. maxRounds bounds the worst case — a path
-    * graph peels one layer per round, so pathological chains fail loudly
-    * rather than loop. */
+    * `checkEvery` is retained for signature compatibility but no longer
+    * drives anything: the keep-count fixpoint probe is node-scale and
+    * runs every round, which strictly dominates the old batched poll
+    * (that paid a full extra batch of edge-scale rounds to observe an
+    * unchanged edge count). */
   def kcoreConverged(edges0: DataFrame, kFrame: DataFrame,
       maxRounds: Int = 60, checkEvery: Int = 3): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(checkEvery >= 1 && checkEvery <= 10,
       s"checkEvery must be in [1, 10], got $checkEvery")
-    var e = edges0.lineageCut(true)
-    var n = e.count()
-    var converged = n == 0L
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val batch = math.min(checkEvery, maxRounds - rounds)
-      e = kcorePeel(e, kFrame, batch)
-      rounds += batch
-      val n2 = e.count()
-      converged = n2 == n || n2 == 0L
-      n = n2
-    }
-    if (!converged) throw new IllegalStateException(
-      s"kcoreConverged did not reach a fixpoint in $maxRounds rounds — " +
-        s"the graph peels layer-by-layer deeper than the cap; raise maxRounds")
-    e
+    peelLoop(edges0, kFrame, maxRounds, stopOnFixpoint = true, None)
   }
 
   /** Fixed-k convenience overload (hand-built graphs, specs). */
@@ -584,9 +669,12 @@ object Graph {
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
       .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      .lineageCut(true)
+    // bulk (columnar) cut, not a block cut: the symmetrized edge frame
+    // is the one edge-scale materialization of the whole k-core path —
+    // at synthetic sf10 the block cut's per-row copy dominated setup
+    val edges = graft.LineageCut.bulkCut(
+      pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))).df
     val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
       .select($"src".as("node"), $"deg0")
       .lineageCut(true) // consumed by the rank, the count, and the final join
@@ -635,19 +723,19 @@ object Graph {
   /** Round cap for the driver-visible CONVERGED k-core row. The oracle
     * unrolls exactly this many rounds: peeling is monotone and
     * idempotent past its fixpoint, so once kcoreConverged detects
-    * convergence within the cap (fixpoint distance ≤ cap − checkEvery,
-    * else it THROWS rather than silently diverge), the cap-round unroll
-    * equals the fixpoint at any scale factor. Fixture distance is 1–3
-    * rounds (GraphSpec measures it); 12 leaves an order-of-magnitude
-    * margin while keeping the oracle's CTE chain replayable. */
+    * convergence within the cap (fixpoint distance ≤ cap − 1, else it
+    * THROWS rather than silently diverge), the cap-round unroll equals
+    * the fixpoint at any scale factor. Fixture distance is 1–3 rounds
+    * (GraphSpec measures it); 12 leaves an order-of-magnitude margin
+    * while keeping the oracle's CTE chain replayable. */
   val KcoreConvergedMaxRounds = 12
 
   /** The TRUE k-core (fixpoint), driver-visible: same graph, threshold,
     * and projection as q_kcore, but driven to convergence by the
-    * batched-polling production loop instead of a fixed round count.
-    * Scale shape: identical per round to q_kcore (degree agg + two
-    * semi-joins, localCheckpoint'd lineage), plus one count() per
-    * 3-round batch as the convergence poll. */
+    * production loop instead of a fixed round count. Scale shape:
+    * identical per round to q_kcore (one streaming edge pass, node-scale
+    * keep checkpoint), plus a node-scale keep count per round as the
+    * fixpoint probe — detection overshoots by exactly one round. */
   private def kcoreConvergedQuery(s: SparkSession, dir: String): DataFrame = {
     val (edges, deg0, kFrame) = kcoreInputs(s, dir)
     val core = kcoreConverged(edges, kFrame,

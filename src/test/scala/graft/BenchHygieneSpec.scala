@@ -18,11 +18,12 @@ class BenchHygieneSpec extends GraftSuite {
     val before = sc.getPersistentRDDs.keySet
     assert(before.nonEmpty, "keeper checkpoint must register as persisted")
 
-    // a Bench-shaped query: iterative operator leaving checkpoints behind
-    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)) ++
-      Seq((2L, 1L), (3L, 2L), (3L, 1L), (4L, 3L), (5L, 4L)))
-      .toDF("src", "dst")
-    val core = operators.Graph.kcorePeel(edges, k = 2, rounds = 2)
+    // a Bench-shaped query: iterative operator leaving checkpoints
+    // behind (resolveClusters block-cuts its edges/labels; kcorePeel
+    // moved to columnar bulk cuts in round 12 and no longer qualifies)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val core = operators.Dedup.resolveClusters(pairs)
     core.queryExecution.toRdd.count()
     val after = sc.getPersistentRDDs
     val delta = after.keySet -- before

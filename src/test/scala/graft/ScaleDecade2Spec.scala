@@ -115,4 +115,31 @@ class ScaleDecade2Spec extends GraftSuite {
           f"$large%.2fs) — super-linear scaling breaks the 100 TB story")
     }
   }
+
+  // The decade gate must hold in BOTH lineage-cut modes: a preemptible
+  // 100 TB fleet runs `reliable` (Dataset.checkpoint through the FS),
+  // and a per-round FS write that breaks linearity would make the flag
+  // unusable exactly where it's needed. Measured on the heaviest
+  // iterative head; CheckpointModeSpec proves bit-equality, this proves
+  // the SCALING survives the write tax (r11 verdict item 3).
+  test("q_pagerank: second-decade gate holds in RELIABLE checkpoint mode") {
+    synthDir
+    val prev = spark.conf.getOption(LineageCut.ModeKey)
+    spark.conf.set(LineageCut.ModeKey, "reliable")
+    try {
+      wall("q_pagerank", sf) // warm-up, reliable path (dir init, JIT)
+      val small = wall("q_pagerank", Sf01)
+      val large = wall("q_pagerank", synthDir)
+      val ratio = large / math.max(small, 0.1)
+      info(f"reliable mode: sf0.1 = $small%.2fs, sf1 = $large%.2fs, " +
+        f"ratio = $ratio%.1fx")
+      assert(ratio < MaxRatioFor10x,
+        f"q_pagerank in reliable mode grew $ratio%.1fx for 10x data — " +
+          "the FS-write tax breaks the decade gate; a preemptible fleet " +
+          "could not flip the flag")
+    } finally prev match {
+      case Some(v) => spark.conf.set(LineageCut.ModeKey, v)
+      case None => spark.conf.unset(LineageCut.ModeKey)
+    }
+  }
 }

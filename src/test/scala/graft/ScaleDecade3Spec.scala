@@ -73,8 +73,13 @@ class ScaleDecade3Spec extends GraftSuite {
   // dedup, containment, bar rollup, lag/carry windows, prompt-keyed
   // post-training windows. Each measured synthetic sf1 → synthetic
   // sf10 — the third consecutive decade for exactly these heads.
+  // q_kcore_converged and q_label_prop joined round 12: the round-11
+  // pin/size-switch rewrite changed THEIR per-round join plans too, so
+  // the third decade is measured for the whole rewritten iterative
+  // family, not inherited from q_pagerank's number (r11 verdict item 4).
   for (q <- Seq("q_pagerank", "q_minhash_dedup", "q_containment",
-      "q_ohlc", "q_tick_rule", "q_grpo_advantage")) {
+      "q_ohlc", "q_tick_rule", "q_grpo_advantage",
+      "q_kcore_converged", "q_label_prop")) {
     test(s"$q: third-decade wall growth (synthetic sf1 -> sf10) is ~linear") {
       sf1Dir; sf10Dir // force both builds before timing anything
       withBenchPartitions {
