@@ -995,9 +995,17 @@ object Graph {
   val BfsMaxDepth = 3
   val BfsSeedMaxKey = 25L
 
+  /** @param dedupEdges BFS is duplicate-INSENSITIVE (each round's
+    *   expansion dedups the frontier), so the input distinct() exists
+    *   only to shrink the materialized edge frame when the caller's
+    *   edge list carries heavy duplication. Callers whose edges are
+    *   distinct by construction (e.g. a distinct pair join symmetrized
+    *   over disjoint key ranges) pass false and skip one edge-scale
+    *   exchange. */
   def bfsDepth(edges: DataFrame, seeds: DataFrame,
       maxDepth: Int = BfsMaxDepth,
-      broadcastFrontier: Option[Boolean] = None): DataFrame = {
+      broadcastFrontier: Option[Boolean] = None,
+      dedupEdges: Boolean = true): DataFrame = {
     import edges.sparkSession.implicits._
     require(maxDepth >= 1 && maxDepth <= 10,
       s"maxDepth must be in [1, 10], got $maxDepth")
@@ -1005,7 +1013,8 @@ object Graph {
     // edge frame's one-time build pays for the size probe too — one
     // job, not two (the round-11 eager-cut-then-probe spelling charged
     // an extra edge-scale job to every call; A/B-confirmed regression)
-    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(false)
+    val eProj = edges.select($"src", $"dst")
+    val eRaw = (if (dedupEdges) eProj.distinct() else eProj).lineageCut(false)
     // the pageRank size switch, keyed on the graph's node count: the
     // frontier and visited sets grow TOWARD node size as the BFS
     // saturates, so on a big graph the per-round frontier broadcast and
@@ -1027,17 +1036,26 @@ object Graph {
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var visited = seeds.select($"node").distinct()
       .withColumn("depth", lit(0)).lineageCut(true)
-    var frontier = visited.select($"node")
     var d = 1
     while (d <= maxDepth) {
+      // The frontier is DERIVED from the checkpointed visited frame
+      // (depth == d-1 rows), not carried as the lazy `next` plan: a
+      // lazy frontier makes the next round's broadcast build re-execute
+      // the whole edge-scale expansion a second time (two edge passes
+      // per round; measured round 12 as q_bfs_depth's residual gap).
+      // Filtering the node-scale checkpoint is free, so each round is
+      // exactly ONE streaming edge pass — inside the eager cut below.
+      val frontier = visited.filter($"depth" === lit(d - 1)).select($"node")
       val next = e
         .join(side(frontier.withColumnRenamed("node", "src")), "src")
         .select($"dst".as("node")).distinct()
         .join(side(visited.select($"node")), Seq("node"), "left_anti")
+      val prev = visited
       visited = visited
         .unionByName(next.withColumn("depth", lit(d)))
         .lineageCut(true)
-      frontier = next
+      // superseded node-scale checkpoint — nothing references it now
+      prev.unpersist(blocking = false)
       d += 1
     }
     if (!bcast) unpin(e)
@@ -1054,7 +1072,9 @@ object Graph {
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
     val seeds = edges.select($"src".as("node"))
       .filter($"node" <= BfsSeedMaxKey).distinct()
-    bfsDepth(edges, seeds).orderBy($"node")
+    // dedupEdges=false: pairs is distinct and the two union arms can't
+    // collide (customer and offset-supplier key ranges are disjoint)
+    bfsDepth(edges, seeds, dedupEdges = false).orderBy($"node")
   }
 
   private val bfsSql =
