@@ -23,8 +23,14 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // default: sized to cores (cpus tracks SPARK_GRAFT_CPUS, so the
+      // driver's low-core scaling runs shrink it too); the env override
+      // exists for isolated measurement sweeps only — the driver never
+      // sets it
       .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cpus).toString)
+        shufflePartitions
+          .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt))
+          .getOrElse(cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", adaptive.toString)

@@ -106,19 +106,20 @@ object EventStream {
     * `checkpointDir` set, a later activation reads only files that
     * arrived since the previous one. */
   def runAvailableNow(s: SparkSession, path: String, queryName: String,
-                      checkpointDir: Option[String] = None): DataFrame = {
-    val writer = windowedCounts(readEvents(s, path))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-    val q = checkpointDir
-      .fold(writer)(dir => writer.option("checkpointLocation", dir))
-      .start()
-    q.awaitTermination()
-    s.table(queryName)
-  }
+                      checkpointDir: Option[String] = None): DataFrame =
+    StreamTune.sized(s, path) {
+      val writer = windowedCounts(readEvents(s, path))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+      val q = checkpointDir
+        .fold(writer)(dir => writer.option("checkpointLocation", dir))
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
 
   /** Streaming exact dedup — the streaming counterpart of q_dedup_exact
     * for at-least-once upstream delivery. dropDuplicatesWithinWatermark
@@ -138,17 +139,18 @@ object EventStream {
     * only committed files. */
   def runParquetIngest(s: SparkSession, inPath: String, outPath: String,
                        checkpointDir: String,
-                       transform: DataFrame => DataFrame = identity): Unit = {
-    val q = transform(readEvents(s, inPath))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpointDir)
-      .start()
-    q.awaitTermination()
-  }
+                       transform: DataFrame => DataFrame = identity): Unit =
+    StreamTune.sized(s, inPath) {
+      val q = transform(readEvents(s, inPath))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      q.awaitTermination()
+    }
 
   /** Stream-static enrichment join — the streaming counterpart of the
     * J2–J4 dim-enrich joins (cleaning.py:85-88): every micro-batch of
@@ -209,35 +211,37 @@ object EventStream {
     * directory split by event_type into the two stream sides. */
   def runIntervalJoinAvailableNow(s: SparkSession, path: String,
                                   viewType: String, clickType: String,
-                                  queryName: String): DataFrame = {
-    val events = readEvents(s, path)
-    val q = intervalJoin(
-      events.filter(col("event_type") === viewType),
-      events.filter(col("event_type") === clickType))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.awaitTermination()
-    s.table(queryName)
-  }
+                                  queryName: String): DataFrame =
+    StreamTune.sized(s, path) {
+      val events = readEvents(s, path)
+      val q = intervalJoin(
+        events.filter(col("event_type") === viewType),
+        events.filter(col("event_type") === clickType))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
 
   /** One-shot AvailableNow run of the stream-static enrich into a memory
     * sink (append mode — a stateless join emits rows as they arrive). */
   def runEnrichAvailableNow(s: SparkSession, path: String, dim: DataFrame,
-                            queryName: String): DataFrame = {
-    val q = enrichedEvents(readEvents(s, path), dim)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.awaitTermination()
-    s.table(queryName)
-  }
+                            queryName: String): DataFrame =
+    StreamTune.sized(s, path) {
+      val q = enrichedEvents(readEvents(s, path), dim)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
 
   /** One-shot AvailableNow run of the streaming dedup into a memory sink
     * (no checkpoint — the memory sink cannot recover from one; for
@@ -245,17 +249,18 @@ object EventStream {
     * transform to runParquetIngest, which persists watermark and dedup
     * state so late arrivals drop across activations — StreamingSpec). */
   def runDedupAvailableNow(s: SparkSession, path: String,
-                           queryName: String): DataFrame = {
-    val q = dedupedEvents(readEvents(s, path))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.awaitTermination()
-    s.table(queryName)
-  }
+                           queryName: String): DataFrame =
+    StreamTune.sized(s, path) {
+      val q = dedupedEvents(readEvents(s, path))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+      s.table(queryName)
+    }
 
   // ------------------------------------------------------- q_stream_replay
   /** DRIVER-VISIBLE streaming parity: the windowed aggregation runs as a
@@ -294,7 +299,8 @@ object EventStream {
     * 0..3 of time_bucket(15min, ts) − k·15min — membership is exact
     * because ts − start < 15 + 45 min for every k), so Spark's
     * window-assignment arithmetic is replayed, not assumed. */
-  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+  private def streamSliding(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val q = readEvents(s, dir + "/events.parquet")
       .withWatermark("ts", "1 hour")
@@ -364,7 +370,8 @@ object EventStream {
         $"close_cents", $"n_ticks", $"notional_cents")
   }
 
-  private def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+  private def streamOhlc(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val q = ohlcAgg(readEvents(s, dir + "/events.parquet"))
       .writeStream
@@ -410,7 +417,8 @@ object EventStream {
         $"close_cents", $"n_ticks", $"notional_cents")
   }
 
-  private def streamBarsNmin(s: SparkSession, dir: String): DataFrame = {
+  private def streamBarsNmin(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val q = barsNminAgg(readEvents(s, dir + "/events.parquet"))
       .writeStream
@@ -447,7 +455,8 @@ object EventStream {
     * decimal-routed exact sum) is SQL text. Same oracle as
     * q_stream_sliding; Round8OpsSpec proves the two spellings equal
     * frame-for-frame. */
-  private def streamSlidingSqlFace(s: SparkSession, dir: String): DataFrame = {
+  private def streamSlidingSqlFace(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     readEvents(s, dir + "/events.parquet")
       .withWatermark("ts", "1 hour")
@@ -579,7 +588,8 @@ object EventStream {
     * stream) has measure-zero probability of that instant, and a
     * mismatch would surface as a hash diff, never a silent wrong
     * answer. */
-  private def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val events = readEvents(s, dir + "/events.parquet")
     val v = events.filter($"event_type" === "view")
@@ -660,7 +670,8 @@ object EventStream {
     * state is watermark-bounded by its own eviction horizon; the
     * asymmetric horizons (wm − 10min vs wm) are exactly why the right
     * buffer stays SMALLER than the left on this condition shape. */
-  private def streamFullJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamFullJoin(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val events = readEvents(s, dir + "/events.parquet")
     val q = intervalJoinOuter(
@@ -767,6 +778,7 @@ object EventStream {
     }
     copyInto(src, stage.resolve("copy_a.parquet"))
     copyInto(src, stage.resolve("copy_b.parquet"))
+    StreamTune.sized(s, stage.toString) {
     val q = readEvents(s, stage.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -783,6 +795,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     s.table("q_stream_chained_mem").orderBy($"window_start", $"event_type")
+    }
   }
 
   private val streamChainedSql =

@@ -71,11 +71,11 @@ object KllStream {
     }
   }
 
-  private def streamKll(s: SparkSession, dir: String): DataFrame = {
+  private def streamKll(s: SparkSession, dir: String): DataFrame =
+      StreamTune.withRocksDB(s) {
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     import graft.functions.TextFunctions
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = EventStream.readEvents(s, dir + "/events.parquet")
       .select($"event_type",
         TextFunctions.md5Lower64(concat(lit("kll:"), $"event_id".cast("string")))
@@ -102,7 +102,7 @@ object KllStream {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1).drop("rk")
       .orderBy($"event_type", $"pct")
-  }
+  } }
 
   val all: Seq[graft.NamedQuery] = Seq(
     graft.NamedQuery("q_stream_kll", streamKll,

@@ -100,7 +100,8 @@ object Sessionize {
     * EventTimeTimeout), exercised in SessionizeSpec. It can't be the
     * driver-visible row because append would withhold the fixture's
     * final-hour sessions while the oracle compares the full set. */
-  private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
     val q = EventStream.readEvents(s, dir + "/events.parquet")
       .withWatermark("ts", "1 hour")
@@ -198,7 +199,8 @@ object Sessionize {
     * state and seen-file tracking survive across activations — a second
     * run emits only sessions from newly-arrived files. */
   def runSessionStream(s: SparkSession, watchDir: String, queryName: String,
-                       checkpointDir: Option[String] = None): DataFrame = {
+                       checkpointDir: Option[String] = None): DataFrame =
+      StreamTune.sized(s, watchDir) {
     import s.implicits._
     val events = EventStream.readEvents(s, watchDir)
       .withWatermark("ts", "0 seconds")

@@ -57,14 +57,16 @@ object StateV2 {
   }
 
   // ---------------------------------------------------- q_stream_running
-  private def streamRunning(s: SparkSession, dir: String): DataFrame = {
+  private def streamRunning(s: SparkSession, dir: String): DataFrame =
+      // transformWithState requires a state store with column families —
+      // RocksDB (bundled with Spark 4), not the default HDFS-backed one.
+      // Scoped to THIS lifecycle and restored after (withRocksDB): before
+      // round 12 the session-wide set leaked RocksDB into every later
+      // non-TWS streaming head. Input-sized state partitions (sized):
+      // see StreamTune.
+      StreamTune.withRocksDB(s) {
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
-    // transformWithState requires a state store with column families —
-    // RocksDB (bundled with Spark 4), not the default HDFS-backed one.
-    // Runtime conf, scoped to this session; every other streaming row
-    // is provider-agnostic, so flipping it session-wide is safe.
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = EventStream.readEvents(s, dir + "/events.parquet")
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         round($"value" * 100).cast("long").as("cents"))
@@ -82,7 +84,7 @@ object StateV2 {
       .start()
     q.awaitTermination()
     s.table("q_stream_running_mem").orderBy($"event_id")
-  }
+  } }
 
   private val streamRunningSql =
     """SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -153,10 +155,10 @@ object StateV2 {
     }
   }
 
-  private def streamDigest(s: SparkSession, dir: String): DataFrame = {
+  private def streamDigest(s: SparkSession, dir: String): DataFrame =
+      StreamTune.withRocksDB(s) {
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = EventStream.readEvents(s, dir + "/events.parquet")
       .withWatermark("ts", "1 hour")
       .select($"user_id",
@@ -177,7 +179,7 @@ object StateV2 {
       .start()
     q.awaitTermination()
     s.table("q_stream_digest_mem").orderBy($"user_id", $"day")
-  }
+  } }
 
   private val streamDigestSql =
     s"""WITH wm AS (
@@ -236,10 +238,10 @@ object StateV2 {
     }
   }
 
-  private def streamRecent(s: SparkSession, dir: String): DataFrame = {
+  private def streamRecent(s: SparkSession, dir: String): DataFrame =
+      StreamTune.withRocksDB(s) {
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = EventStream.readEvents(s, dir + "/events.parquet")
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
@@ -257,7 +259,7 @@ object StateV2 {
       .start()
     q.awaitTermination()
     s.table("q_stream_recent_mem").orderBy($"event_id")
-  }
+  } }
 
   private val streamRecentSql =
     """SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -311,10 +313,10 @@ object StateV2 {
     }
   }
 
-  private def streamTypeCounts(s: SparkSession, dir: String): DataFrame = {
+  private def streamTypeCounts(s: SparkSession, dir: String): DataFrame =
+      StreamTune.withRocksDB(s) {
+      StreamTune.sized(s, dir + "/events.parquet") {
     import s.implicits._
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = EventStream.readEvents(s, dir + "/events.parquet")
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
         $"event_type", round($"value" * 100).cast("long").as("cents"))
@@ -332,7 +334,7 @@ object StateV2 {
       .start()
     q.awaitTermination()
     s.table("q_stream_type_counts_mem").orderBy($"event_id")
-  }
+  } }
 
   private val streamTypeCountsSql =
     """SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
@@ -474,8 +476,6 @@ object StateV2 {
       pipeline: DataFrame => DataFrame): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val src = Paths.get(dir, "events.parquet")
     // scratch keyed on sanitized source path + process token (Scratch):
     // concurrent JVMs over the same fixture must not share the dir
@@ -524,7 +524,12 @@ object StateV2 {
         StandardCopyOption.REPLACE_EXISTING)
       deleteRecursively(tmp)
     }
-    def runLifecycle(expectRows: Long): Unit = {
+    // RocksDB scoped + restored per lifecycle (TWS requirement); state
+    // partitions input-sized at lifecycle-1 start and PINNED by the
+    // checkpoint for lifecycle 2 (Spark's own offset-log contract), so
+    // both lifecycles run the same layout no matter what tranche B adds.
+    def runLifecycle(expectRows: Long): Unit =
+        StreamTune.withRocksDB(s) { StreamTune.sized(s, inDir.toString) {
       val q = pipeline(EventStream.readEvents(s, inDir.toString))
         .writeStream
         .trigger(Trigger.AvailableNow())
@@ -555,7 +560,7 @@ object StateV2 {
         q.stop()
         q.awaitTermination()
       }
-    }
+    } }
     val trancheA = raw.filter(tsNum <= cutoff)
     val trancheB = raw.filter(tsNum > cutoff)
     val (nA, nB) =
