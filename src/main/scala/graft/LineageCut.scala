@@ -82,9 +82,29 @@ object LineageCut {
 
   implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** Mode-routed lineage cut; `eager = true` materializes now (a
-      * blocking job), the round-boundary default everywhere. */
-    def lineageCut(eager: Boolean = true): Dataset[T] = {
+      * blocking job), the round-boundary default everywhere.
+      *
+      * `ser = true` stores the cut blocks SERIALIZED
+      * (MEMORY_AND_DISK_SER) instead of the deserialized default — the
+      * right trade ONLY for edge-scale frames read once or twice, where
+      * materializing every row as its own heap object is the cost (the
+      * round-12 sf10 measurement: ~6 GB of UnsafeRow copies, a 211 s
+      * cut stage with 59 s GC). Round 12 made _SER the unconditional
+      * storage level and every NODE-SCALE iterative cut paid a
+      * deserialize-on-scan tax per round for negligible memory relief —
+      * the driver measured q_label_prop 0.65x, q_kmeans 0.56x,
+      * q_random_walk 0.80x, q_semdedup 0.73x, q_triangle_count 0.67x
+      * with zero code change in those operators (VERDICT r12 #2). The
+      * storage level is therefore PER-CALLSITE, deserialized by default
+      * (the round-11 behavior those medians come from); frames big
+      * enough for _SER to win are better served by the columnar
+      * [[LineageCut.bulkCut]], which is where the round-12 edge-scale
+      * loops went. */
+    def lineageCut(eager: Boolean = true, ser: Boolean = false): Dataset[T] = {
       val spark = ds.sparkSession
+      val level =
+        if (ser) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       spark.conf.get(ModeKey, "local") match {
         case "reliable" =>
           val sc = spark.sparkContext
@@ -108,22 +128,11 @@ object LineageCut {
           // sweep removes the per-process dir, and on a real cluster
           // the conf flag (or a TTL'd checkpoint bucket) is the
           // operator's disk-growth control.
-          val cached = ds.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          val cached = ds.persist(level)
           val out = cached.checkpoint(eager)
           if (eager) cached.unpersist(blocking = false)
           out
-        // SERIALIZED storage, not the deserialized default: a cut
-        // materializes every row as its own heap object under
-        // MEMORY_AND_DISK (UnsafeRow.copy per row), and at a 100M-row
-        // edge frame that populated ~6 GB of row objects per round —
-        // measured round 12 at synthetic sf10 as a 211 s checkpoint
-        // stage with 59 s of GC (the q_kcore_converged third-decade
-        // red). _SER keeps the blocks as compact byte regions (an
-        // UnsafeRow serializes as its bytes): same cut semantics, a
-        // deserialize-on-scan tax instead of a heap population.
-        case _ => ds.localCheckpoint(eager,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        case _ => ds.localCheckpoint(eager, level)
       }
     }
   }

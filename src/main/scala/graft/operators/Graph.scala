@@ -59,21 +59,6 @@ object Graph {
       .select($"e.src", $"e.dst")
   }
 
-  /** Cheap node-count UPPER BOUND for the trading-graph queries: every
-    * node id is a custkey or an offset suppkey, so |customer| +
-    * |supplier| bounds the node set from above — two metadata-only
-    * parquet counts (row-group footers, no data scan). Used as the
-    * broadcast-plan hint: `ub <= BroadcastNodeLimit` implies the true
-    * node count is under the limit, so broadcast is always SAFE; past
-    * the bound the loop conservatively takes the shuffle shape. This
-    * replaces a per-call exact `nodes.count()` (a distinct + exchange +
-    * count over the edge frame) with a decision made before the edge
-    * frame is even built — which in turn lets the broadcast regime skip
-    * the src re-layout exchange entirely (the pinned layout only pays
-    * for itself in the shuffled-hash regime). */
-  private def nodeUpperBound(s: SparkSession, dir: String): Long =
-    Tables.customer(s, dir).count() + Tables.supplier(s, dir).count()
-
   val PageRankIters = 5
   /** Initial rank mass per node, in micro-units. */
   val RankUnit = 1000000L
@@ -132,8 +117,7 @@ object Graph {
     *   integer iteration is partitioning-invariant, so both plans emit
     *   bit-identical ranks. */
   def pageRank(edges: DataFrame, iters: Int = PageRankIters,
-      broadcastRanks: Option[Boolean] = None, checkpointEvery: Int = 3,
-      dedupEdges: Boolean = true): DataFrame = {
+      broadcastRanks: Option[Boolean] = None, checkpointEvery: Int = 3): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(checkpointEvery >= 1 && checkpointEvery <= 5,
@@ -153,65 +137,22 @@ object Graph {
     // is never sorted and never re-shuffled), and for the broadcast
     // plan it costs one setup exchange — noise at the scales where
     // broadcast is chosen.
-    // dedupEdges=false callers hand construction-distinct edges (the
-    // symmetrized distinct-pair queries). The dedup exchange is then
-    // pure cost — but it was also the plan's only shared
-    // materialization point (the degree aggregate and the join left
-    // both re-read it via ReuseExchange), so skipping it must not
-    // re-run the caller's edge construction once per consumer. A LAZY
-    // local cut keeps both properties: the pin below is the
-    // materializing action (one pass over the caller's plan), and
-    // every other consumer reads the cut blocks (the bfsDepth
-    // contract, round 11).
-    val eProj = edges.select($"src", $"dst")
-    val e = if (dedupEdges) eProj.distinct() else eProj.lineageCut(false)
+    // (The round-12 snapshot shipped a rewrite here — round-1 peel,
+    // HLL probe over the un-laid-out pin, conditional src re-layout —
+    // that regressed q_pagerank ~1.8x in two independent runs; round 13
+    // reverted it to this, the last bench-green shape.)
+    val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    // Layout decision BEFORE the edge frame is pinned when the caller
-    // supplied the hint (the registered queries pass a metadata-only
-    // node upper bound — see [[nodeUpperBound]]): the src re-layout
-    // exchange only pays for itself in the shuffled-hash regime, so
-    // the broadcast plan skips it entirely and the pinned cache keeps
-    // the (AQE-sized) join partitioning instead of shuffle.partitions
-    // slivers (guide §2.4: remove exchanges the plan does not need).
-    // The node-scale degree frame is explicitly broadcast into the pin
-    // in that regime — it is under BroadcastNodeLimit rows by the
-    // hint's definition, and the lazily-cut edge side carries no stats
-    // for the planner to see that on its own.
-    val edgesDeg = broadcastRanks match {
-      case Some(true) => pin(e.join(broadcast(deg), "src"))
-      case Some(false) => pin(e.join(deg, "src").repartition($"src"))
-      case None => pin(e.join(deg, "src"))
-    }
-    // no hint: probe the materialized blocks (one exchange-free
-    // codegen'd HLL pass — the hits/bfs precedent; an exact distinct
-    // count is an extra edge-scale exchange charged to every call),
-    // then re-layout only if the shuffle regime is the verdict.
-    val bcast = broadcastRanks.getOrElse(
-      edgesDeg.agg(approx_count_distinct($"src")).head().getLong(0)
-        <= BroadcastNodeLimit)
-    val edgesDegL =
-      if (!bcast && broadcastRanks.isEmpty) {
-        val laid = pin(edgesDeg.repartition($"src")); unpin(edgesDeg); laid
-      } else edgesDeg
-    // Round 1 PEELED out of the loop: every node starts at exactly
-    // RankUnit, so the first join against the uniform rank frame is a
-    // constant — contrib = RankUnit DIV outdeg per edge row, no rank
-    // frame to materialize, no first-round broadcast, no initial node
-    // frame at all. (After any round the rank set is the in-edge node
-    // set — the same rows the recursive oracle's inner-join term
-    // produces — so the peel emits bit-identical frames.)
-    var ranks = edgesDegL
-      .select($"dst".as("node"),
-        expr(s"CAST($RankUnit AS BIGINT) DIV outdeg").as("contrib"))
-      .groupBy($"node")
-      .agg(sum($"contrib").as("m"))
-      .select($"node",
-        (lit(RankUnit * 15 / 100) + expr("85 * m DIV 100")).as("rank"))
-    var i = 1
-    if (i % checkpointEvery == 0 || i == iters) ranks = ranks.lineageCut(true)
+    val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
+    val nodes = edgesDeg.select($"src".as("node")).distinct().lineageCut(true)
+    // one scalar job decides the per-round join plan for the whole loop;
+    // nodes is already materialized, so this is a count over cached blocks
+    val bcast = broadcastRanks.getOrElse(nodes.count() <= BroadcastNodeLimit)
+    var ranks = nodes.withColumn("rank", lit(RankUnit)).lineageCut(true)
+    var i = 0
     while (i < iters) {
       val rankSide = ranks.withColumnRenamed("node", "src")
-      val contribs = edgesDegL
+      val contribs = edgesDeg
         .join(if (bcast) broadcast(rankSide)
               else rankSide.hint("shuffle_hash"), "src")
         .select($"dst".as("node"), expr("rank DIV outdeg").as("contrib"))
