@@ -59,6 +59,38 @@ object Graph {
       .select($"e.src", $"e.dst")
   }
 
+  /** The distinct customer↔supplier interaction pair frame behind every
+    * trading-graph head (a = custkey, b = suppkey + SupplierOffset; the
+    * ranges are disjoint, so [[symmetrize]]'s two orientations can never
+    * collide and the symmetrized frame is distinct BY CONSTRUCTION —
+    * that is what lets the iterative callers pass `dedupEdges = false`
+    * and skip one edge-scale exchange, guide §2.4). */
+  private def interactionPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
+      .distinct()
+  }
+
+  /** Scale-adaptive partition count for the PINNED iteration-invariant
+    * edge layouts: ceil(source bytes / 64 MB) clamped to
+    * [1, shuffle.partitions] — the batch analogue of
+    * StreamTune.statePartitions, for the one exchange AQE cannot size
+    * (a cached pin freezes its child plan's partitioning, so the
+    * `repartition($"src")` under it keeps all `shuffle.partitions`
+    * slivers however small the frame is; measured round 13 at sf0.1:
+    * every pageRank round was a 32-task pass over an 11.7 MB cache).
+    * The input-bytes rule keeps the layout identical to today's past
+    * cap × 64 MB of source — a size rule, not a local-core constant. */
+  private def layoutParts(s: SparkSession, dir: String): Option[Int] = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = graft.streaming.StreamTune.inputBytes(s, s"$dir/lineitem.parquet")
+    if (bytes < 0) None
+    else Some(math.max(1L, math.min(cap.toLong,
+      (bytes + (64L << 20) - 1) / (64L << 20))).toInt)
+  }
+
   val PageRankIters = 5
   /** Initial rank mass per node, in micro-units. */
   val RankUnit = 1000000L
@@ -116,8 +148,19 @@ object Graph {
     *   pre-partitioned pre-sorted edge frame once it is not. The
     *   integer iteration is partitioning-invariant, so both plans emit
     *   bit-identical ranks. */
+  /** @param dedupEdges pass false when the caller's edge list is
+    *   distinct BY CONSTRUCTION (the symmetrized disjoint-range pair
+    *   queries) — the input `distinct()` is then one pure-cost
+    *   edge-scale exchange (guide §2.4); the degree aggregate and the
+    *   pin's join left still share the caller's construction via
+    *   ReuseExchange inside the single pin job.
+    * @param layoutPartitions scale-adaptive partition count for the
+    *   pinned src layout (see [[layoutParts]]); None keeps the session
+    *   `shuffle.partitions` (the pre-round-13 behavior). */
   def pageRank(edges: DataFrame, iters: Int = PageRankIters,
-      broadcastRanks: Option[Boolean] = None, checkpointEvery: Int = 3): DataFrame = {
+      broadcastRanks: Option[Boolean] = None, checkpointEvery: Int = 3,
+      dedupEdges: Boolean = true,
+      layoutPartitions: Option[Int] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(checkpointEvery >= 1 && checkpointEvery <= 5,
@@ -141,9 +184,14 @@ object Graph {
     // HLL probe over the un-laid-out pin, conditional src re-layout —
     // that regressed q_pagerank ~1.8x in two independent runs; round 13
     // reverted it to this, the last bench-green shape.)
-    val e = edges.select($"src", $"dst").distinct()
+    val eProj = edges.select($"src", $"dst")
+    val e = if (dedupEdges) eProj.distinct() else eProj
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
+    val laid = layoutPartitions match {
+      case Some(n) => e.join(deg, "src").repartition(n, $"src")
+      case None => e.join(deg, "src").repartition($"src")
+    }
+    val edgesDeg = pin(laid)
     val nodes = edgesDeg.select($"src".as("node")).distinct().lineageCut(true)
     // one scalar job decides the per-round join plan for the whole loop;
     // nodes is already materialized, so this is a count over cached blocks
@@ -188,13 +236,14 @@ object Graph {
 
   private def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-    pageRank(edges)
+    // symmetrize (one explode pass) instead of union-of-two-projections:
+    // the union's arms each re-ran the orders⋈lineitem pair construction
+    // (two ~0.7 s jobs in the round-13 profile — guide §2.4, duplicated
+    // subtrees); the explode emits the identical rows. dedupEdges=false:
+    // pairs is distinct and the orientations live in disjoint key
+    // ranges, so the symmetrized frame is distinct by construction.
+    pageRank(symmetrize(interactionPairs(s, dir)), dedupEdges = false,
+        layoutPartitions = layoutParts(s, dir))
       .select($"node", $"rank")
       .orderBy($"node")
   }
@@ -247,12 +296,22 @@ object Graph {
     * included. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
+    // LAZY cut on the normalized pair frame: deg's eager cut below is
+    // the materializing action, and every later consumer (the oriented
+    // build) reads the cut blocks instead of re-running the caller's
+    // pair construction — round 13 profiled the un-cut spelling
+    // re-building pairs from the lineitem scan in the deg job, the
+    // oriented job AND the final left join's plan (guide §2.4).
     val pairs = edges
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .filter($"u" =!= $"v")
       .distinct()
+      .lineageCut(false)
+    // node-scale, consumed THREE times (two orientation broadcasts +
+    // the final zero-filling left join): cut once
     val deg = pairs.select($"u".as("node")).unionAll(pairs.select($"v"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
+      .lineageCut(true)
     val oriented = pairs
       .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
       .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
@@ -292,11 +351,18 @@ object Graph {
       .select($"a", $"b", $"cs", size($"cs").cast("long").as("k"))
       .filter($"k" > 0)
       .lineageCut(true)
-    val perNode = closed.groupBy($"a".as("node")).agg(sum($"k").as("n_tri"))
-      .unionAll(closed.groupBy($"b".as("node")).agg(sum($"k").as("n_tri")))
-      .unionAll(closed.select(explode($"cs").as("node"))
-        .groupBy($"node").agg(count(lit(1)).cast("long").as("n_tri")))
-      .groupBy($"node").agg(sum($"n_tri").as("n_tri"))
+    // ONE pass over the (cut) closed frame instead of three: each row
+    // contributes k triangles to its a and b corners and 1 to every c
+    // in the intersect array — emit all of them from a single row-local
+    // explode and aggregate once (the three-aggregation union re-read
+    // the 75 MB closed cache three times in the round-13 profile)
+    val perNode = closed
+      .select(explode(concat(
+        array(struct($"a".as("node"), $"k".as("w")),
+          struct($"b".as("node"), $"k".as("w"))),
+        transform($"cs", c => struct(c.as("node"), lit(1L).as("w")))))
+        .as("e"))
+      .groupBy($"e.node".as("node")).agg(sum($"e.w").as("n_tri"))
     deg.select($"node")
       .join(perNode, Seq("node"), "left")
       .select($"node", coalesce($"n_tri", lit(0L)).as("n_tri"))
@@ -369,8 +435,11 @@ object Graph {
   /** Deterministic synchronous LPA over a directed edge list (symmetrize
     * first for undirected semantics, as with pageRank). Nodes with no
     * in-edge keep their own label. */
+  /** @param dedupEdges / layoutPartitions: pageRank's contract. */
   def labelPropagation(edges: DataFrame, iters: Int = LabelPropIters,
-      broadcastLabels: Option[Boolean] = None): DataFrame = {
+      broadcastLabels: Option[Boolean] = None,
+      dedupEdges: Boolean = true,
+      layoutPartitions: Option[Int] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     import org.apache.spark.sql.expressions.Window
@@ -378,8 +447,14 @@ object Graph {
     // (pageRank's contract — see [[pin]]: the caller's edge
     // construction runs once, nodes derive from the cached blocks, the
     // src layout survives into every per-round join)
-    val e = pin(edges.select($"src", $"dst").distinct()
-      .repartition($"src"))
+    val eDedup = {
+      val p = edges.select($"src", $"dst")
+      if (dedupEdges) p.distinct() else p
+    }
+    val e = pin(layoutPartitions match {
+      case Some(n) => eDedup.repartition(n, $"src")
+      case None => eDedup.repartition($"src")
+    })
     val nodes = e.select($"src".as("node")).unionByName(
       e.select($"dst".as("node"))).distinct().lineageCut(true)
     // same size switch as pageRank: past BroadcastNodeLimit the
@@ -417,13 +492,10 @@ object Graph {
 
   private def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-    labelPropagation(edges)
+    // symmetrize + dedupEdges=false + sized layout: pageRankQuery's
+    // rationale, same construction-distinct argument
+    labelPropagation(symmetrize(interactionPairs(s, dir)),
+        dedupEdges = false, layoutPartitions = layoutParts(s, dir))
       .select($"node", $"label")
       .orderBy($"node")
   }
@@ -689,16 +761,13 @@ object Graph {
   private def kcoreInputs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
     // bulk (columnar) cut, not a block cut: the symmetrized edge frame
     // is the one edge-scale materialization of the whole k-core path —
-    // at synthetic sf10 the block cut's per-row copy dominated setup
+    // at synthetic sf10 the block cut's per-row copy dominated setup.
+    // symmetrize, not union-of-projections: one pair-construction pass
+    // inside the cut's write job.
     val edges = graft.LineageCut.bulkCut(
-      pairs.select($"a".as("src"), $"b".as("dst"))
-        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))).df
+      symmetrize(interactionPairs(s, dir))).df
     val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("deg0"))
       .select($"src".as("node"), $"deg0")
       .lineageCut(true) // consumed by the rank, the count, and the final join
@@ -825,12 +894,8 @@ object Graph {
     * with map-side partials. */
   private def assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // symmetrize, not union-of-projections: one pair-construction pass
+    val edges = symmetrize(interactionPairs(s, dir))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
       .select($"src".as("node"), $"d")
     val stats = edges
@@ -902,12 +967,16 @@ object Graph {
   val HitsIters = 2
 
   def hits(edges: DataFrame, iters: Int = HitsIters,
-      broadcastScores: Option[Boolean] = None): DataFrame = {
+      broadcastScores: Option[Boolean] = None,
+      dedupEdges: Boolean = true): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 10, s"iters must be in [1, 10], got $iters")
     // lazy cut — the size probe below doubles as the materializing
-    // action (same one-job contract as bfsDepth; round-12 A/B)
-    val eRaw = edges.select($"src", $"dst").distinct().lineageCut(false)
+    // action (same one-job contract as bfsDepth; round-12 A/B).
+    // dedupEdges=false callers (construction-distinct edge lists) skip
+    // the one edge-scale distinct exchange, pageRank's contract.
+    val eProj = edges.select($"src", $"dst")
+    val eRaw = (if (dedupEdges) eProj.distinct() else eProj).lineageCut(false)
     // the pageRank size switch, keyed on the larger node side (hub and
     // auth frames alternate through the per-half-step join); past the
     // limit the edge frame gets TWO iteration-invariant layouts — one
@@ -968,11 +1037,13 @@ object Graph {
 
   private def hitsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the directed pair frame is already distinct (it IS the distinct
+    // aggregation) — dedupEdges=false skips re-deduping it in hits
     val edges = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("src"), ($"l_suppkey" + SupplierOffset).as("dst"))
       .distinct()
-    hits(edges).orderBy($"side", $"node")
+    hits(edges, dedupEdges = false).orderBy($"side", $"node")
   }
 
   private val hitsSql = {
@@ -1088,16 +1159,15 @@ object Graph {
 
   private def bfsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // symmetrize (one explode pass) instead of the union whose arms each
+    // re-ran the pair construction; dedupEdges=false as before (pairs is
+    // distinct, orientations in disjoint key ranges). Seeds stay
+    // edge-derived: a BFS seed MUST be a graph node (it is emitted at
+    // depth 0), so the cheaper orders-side candidates would change the
+    // output for custkeys without lineitem-bearing orders.
+    val edges = symmetrize(interactionPairs(s, dir))
     val seeds = edges.select($"src".as("node"))
       .filter($"node" <= BfsSeedMaxKey).distinct()
-    // dedupEdges=false: pairs is distinct and the two union arms can't
-    // collide (customer and offset-supplier key ranges are disjoint)
     bfsDepth(edges, seeds, dedupEdges = false).orderBy($"node")
   }
 
@@ -1135,12 +1205,8 @@ object Graph {
     * cumulative window runs on that. */
   private def degreeDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // symmetrize, not union-of-projections: one pair-construction pass
+    val edges = symmetrize(interactionPairs(s, dir))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree"))
     val buckets = deg
       .groupBy(length(bin($"degree")).as("log2_bucket"))
@@ -1226,12 +1292,8 @@ object Graph {
   private def nationCommunityGraph(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // symmetrize, not union-of-projections: one pair-construction pass
+    val edges = symmetrize(interactionPairs(s, dir))
     val comm = Tables.customer(s, dir)
       .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
       .unionByName(Tables.supplier(s, dir)
@@ -1418,12 +1480,8 @@ object Graph {
     * for training pairs). */
   private def randomWalks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // symmetrize, not union-of-projections: one pair-construction pass
+    val edges = symmetrize(interactionPairs(s, dir))
     val w = Window.partitionBy($"src").orderBy($"dst")
     val adj = edges
       .withColumn("rnk", (row_number().over(w) - 1).cast("long"))
@@ -1573,11 +1631,14 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = PprIters,
       broadcastRanks: Option[Boolean] = None,
-      requireInEdges: Boolean = false): DataFrame = {
+      requireInEdges: Boolean = false,
+      dedupEdges: Boolean = true,
+      layoutPartitions: Option[Int] = None): DataFrame = {
     import edges.sparkSession.implicits._
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     // pageRank's setup contract: one edge-scale materialization
-    val e = edges.select($"src", $"dst").distinct()
+    val eProj = edges.select($"src", $"dst")
+    val e = if (dedupEdges) eProj.distinct() else eProj
     if (requireInEdges) {
       val uncovered = e.select($"src")
         .except(e.select($"dst".as("src"))).limit(1).count()
@@ -1587,7 +1648,10 @@ object Graph {
           "the documented dense-CTE oracle semantics do not apply")
     }
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = pin(e.join(deg, "src").repartition($"src"))
+    val edgesDeg = pin(layoutPartitions match {
+      case Some(n) => e.join(deg, "src").repartition(n, $"src")
+      case None => e.join(deg, "src").repartition($"src")
+    })
     val nodes = edgesDeg.select($"src".as("node")).distinct()
       .join(seeds.select($"node", lit(1L).as("s")), Seq("node"), "left")
       .select($"node", coalesce($"s", lit(0L)).as("s"))
@@ -1619,16 +1683,17 @@ object Graph {
 
   private def pprQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("a"), ($"l_suppkey" + SupplierOffset).as("b"))
-      .distinct()
-    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-    // the BFS seed convention: the 25 lowest customer keys
-    val seeds = edges.select($"src".as("node"))
-      .filter($"node" <= BfsSeedMaxKey).distinct()
-    personalizedPageRank(edges, seeds)
+    // the BFS seed convention: the 25 lowest customer keys. Derived from
+    // the ORDERS scan (pushed o_custkey filter), not from the edge frame:
+    // seeds only enter via a LEFT join from the graph's node frame, so a
+    // candidate without lineitems (hence not a node) is simply never
+    // matched — same seed flags, one table scan instead of re-running
+    // the whole pair construction for 25 rows.
+    val seeds = Tables.orders(s, dir)
+      .filter($"o_custkey" <= BfsSeedMaxKey)
+      .select($"o_custkey".as("node")).distinct()
+    personalizedPageRank(symmetrize(interactionPairs(s, dir)), seeds,
+        dedupEdges = false, layoutPartitions = layoutParts(s, dir))
       .select($"node", $"rank")
       .orderBy($"node")
   }

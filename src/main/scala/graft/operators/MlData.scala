@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{NamedQuery, Tables}
+import graft.LineageCut._
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -93,10 +94,15 @@ object MlData {
 
   private def negativeSampling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // eager lineage cut: pos is consumed THREE times (the candidate
+    // explode, the anti-join's right side, the final union's positive
+    // arm) and each consumer otherwise re-plans the orders⋈lineitem
+    // distinct from the file scan (round-13 profile; guide §2.4)
     val pos = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("custkey"), $"l_partkey".as("partkey"))
       .distinct()
+      .lineageCut(true)
     val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
     val cand = pos.crossJoin(broadcast(nParts))
       .select($"custkey", $"partkey",
