@@ -647,24 +647,35 @@ object Dedup {
     var lastBoundary: Option[(DataFrame, (Long, Long))] = None
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(canon))
-      i += 1
-      if (i % checkEvery == 0 || i == maxIter) {
-        val mat = next.lineageCut(true)
-        val matSig = sig(mat)
-        converged = lastBoundary.exists { case (prev, prevSig) =>
-          prevSig == matSig && mat.exceptAll(prev).isEmpty
+    // loop-scoped execution sizing (LoopTune): the per-round frames only
+    // SHRINK from the initial canonical edge set (the LS∘SS potential),
+    // so sizing the loop's exchanges from the materialized initial frame
+    // is an upper bound for every round; 32 B/row covers (lo, hi) plus
+    // row overhead. AQE off inside the scope turns each boundary's 6-7
+    // per-exchange stage-jobs into one job (see LoopTune's profile note).
+    val spark = pairs.sparkSession
+    val loopParts = graft.LoopTune.partitionsForRows(
+      spark, canon.count(), 32L)
+    graft.LoopTune.scoped(spark, loopParts) {
+      while (!converged && i < maxIter) {
+        val next = smallStar(largeStar(canon))
+        i += 1
+        if (i % checkEvery == 0 || i == maxIter) {
+          val mat = next.lineageCut(true)
+          val matSig = sig(mat)
+          converged = lastBoundary.exists { case (prev, prevSig) =>
+            prevSig == matSig && mat.exceptAll(prev).isEmpty
+          }
+          // the superseded boundary's edge-scale blocks are dead after
+          // the exceptAll above — release them so live storage is two
+          // boundaries (mat + the new lastBoundary), not maxIter/
+          // checkEvery of them (the kcore sf10 eviction-thrash lesson)
+          lastBoundary.foreach(_._1.unpersist(blocking = false))
+          lastBoundary = Some((mat, matSig))
+          canon = mat
+        } else {
+          canon = next
         }
-        // the superseded boundary's edge-scale blocks are dead after
-        // the exceptAll above — release them so live storage is two
-        // boundaries (mat + the new lastBoundary), not maxIter/
-        // checkEvery of them (the kcore sf10 eviction-thrash lesson)
-        lastBoundary.foreach(_._1.unpersist(blocking = false))
-        lastBoundary = Some((mat, matSig))
-        canon = mat
-      } else {
-        canon = next
       }
     }
     if (!converged) throw new IllegalStateException(
@@ -704,7 +715,7 @@ object Dedup {
           .as("k"))
       .select(($"doc_id" + ($"k" - 1) * P).as("doc_a"),
         ($"doc_id" + $"k" * P).as("doc_b"))
-    resolveClustersStar(edges)
+    resolveClustersStar(edges, checkEvery = 1)
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy($"cluster_id")

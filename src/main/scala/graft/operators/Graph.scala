@@ -82,13 +82,21 @@ object Graph {
     * slivers however small the frame is; measured round 13 at sf0.1:
     * every pageRank round was a 32-task pass over an 11.7 MB cache).
     * The input-bytes rule keeps the layout identical to today's past
-    * cap × 64 MB of source — a size rule, not a local-core constant. */
+    * cap × target bytes of source — a size rule, not a local-core
+    * constant. The target is 2 MB of COMPRESSED source per partition
+    * (the columnar file expands ~4x into the cached row frame, so this
+    * is ~8 MB of cached rows), measured, not the 64 MB shuffle
+    * advisory: the cached rounds are CPU-bound aggregations, and the
+    * round-13 q_label_prop sweep read 6.79 s at 1 partition, 5.30 s at
+    * 32 (sliver overhead) and 4.05 s at 8 — past cap × 2 MB the cap
+    * binds and the layout equals the session parallelism anyway, so
+    * the constant only shapes small-input runs. */
   private def layoutParts(s: SparkSession, dir: String): Option[Int] = {
     val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
     val bytes = graft.streaming.StreamTune.inputBytes(s, s"$dir/lineitem.parquet")
     if (bytes < 0) None
     else Some(math.max(1L, math.min(cap.toLong,
-      (bytes + (64L << 20) - 1) / (64L << 20))).toInt)
+      (bytes + (2L << 20) - 1) / (2L << 20))).toInt)
   }
 
   val PageRankIters = 5

@@ -45,15 +45,18 @@ object StreamTune {
   val BytesPerPartitionKey = "spark.graft.stream.bytesPerStatePartition"
   val DefaultBytesPerPartition: Long = 64L << 20
 
-  /** Total bytes under `path` (file or directory), 0 if unreadable —
-    * an unreadable source falls back to the session's configured
-    * parallelism (partitions = cap, today's behavior). */
-  def inputBytes(s: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    try p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    catch { case _: java.io.IOException => -1L }
-  }
+  /** Total bytes under `path` (file or directory), -1 if unreadable —
+    * callers treat a negative probe as "unknown" and fall back to the
+    * session's configured parallelism (partitions = cap, today's
+    * behavior). NonFatal, not just IOException: a malformed path string
+    * throws from Path/getFileSystem before any I/O happens, and an
+    * unprobeable source must degrade, not crash the query. */
+  def inputBytes(s: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** ceil(bytes / bytesPerStatePartition) clamped to
     * [1, spark.sql.shuffle.partitions]. */
@@ -85,6 +88,8 @@ object StreamTune {
   private val RocksKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   /** transformWithState requires the RocksDB provider; set it for the
     * lifecycle and RESTORE the previous provider after. Before round 12
@@ -92,13 +97,28 @@ object StreamTune {
     * NON-TWS streaming head that ran later in the session (bench pass 2,
     * the startup probes, Verify's later rows) silently paid a RocksDB
     * instance per state partition where the default HDFS-backed map
-    * would do — cross-head config contamination, not a modeled cost. */
+    * would do — cross-head config contamination, not a modeled cost.
+    *
+    * Changelog checkpointing rides the same scope: per micro-batch
+    * commit RocksDB then uploads the batch's delta instead of a full
+    * snapshot (snapshots move to background maintenance) — a recovery-
+    * mechanics knob, not a semantics one, and the documented production
+    * setting for commit-latency-sensitive RocksDB state. Scoped +
+    * restored like the provider so non-TWS heads keep defaults. */
   def withRocksDB[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(RocksKey)
+    val prevCl = s.conf.getOption(ChangelogKey)
     s.conf.set(RocksKey, RocksProvider)
-    try body finally prev match {
-      case Some(v) => s.conf.set(RocksKey, v)
-      case None => s.conf.unset(RocksKey)
+    s.conf.set(ChangelogKey, "true")
+    try body finally {
+      prev match {
+        case Some(v) => s.conf.set(RocksKey, v)
+        case None => s.conf.unset(RocksKey)
+      }
+      prevCl match {
+        case Some(v) => s.conf.set(ChangelogKey, v)
+        case None => s.conf.unset(ChangelogKey)
+      }
     }
   }
 }
