@@ -74,24 +74,34 @@ object ScaleSynth {
     * target/ and return its path — shared by the decade-2 and decade-3
     * suites, so the sf1 baseline is built once whichever runs first.
     * Idempotent rebuild per suite run — stale synth from an edited spec
-    * must never survive. */
-  def dir(spark: SparkSession, replicas: Int): String = synchronized {
+    * must never survive. `reuse = true` (BenchScale's cross-PROCESS
+    * mode: the 8-core and 32-core legs must time the same staged bytes,
+    * and rebuilding the fixture inside the low-core run would also skew
+    * its wall) accepts an existing dir carrying the `_synth_ok` marker
+    * this builder writes on completion. */
+  def dir(spark: SparkSession, replicas: Int,
+      reuse: Boolean = false): String = synchronized {
     built.getOrElseUpdate(replicas, {
       val d = new java.io.File(s"target/scale-synth-${replicas}x")
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-        f.delete()
+      val marker = new java.io.File(d, "_synth_ok")
+      if (reuse && marker.exists()) d.getPath
+      else {
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete()
+        }
+        rmTree(d)
+        for (t <- Seq("documents", "lineitem", "orders", "customer",
+            "supplier", "part", "events"))
+          replicate(Tables.load(spark, Sf01, t), replicas)
+            .write.mode("overwrite").parquet(s"${d.getPath}/$t.parquet")
+        // dimension roster tables referenced by nationkey — unshifted
+        for (t <- Seq("region", "nation"))
+          Tables.load(spark, Sf01, t)
+            .write.mode("overwrite").parquet(s"${d.getPath}/$t.parquet")
+        java.nio.file.Files.writeString(marker.toPath, "ok\n")
+        d.getPath
       }
-      rmTree(d)
-      for (t <- Seq("documents", "lineitem", "orders", "customer",
-          "supplier", "part", "events"))
-        replicate(Tables.load(spark, Sf01, t), replicas)
-          .write.mode("overwrite").parquet(s"${d.getPath}/$t.parquet")
-      // dimension roster tables referenced by nationkey — unshifted
-      for (t <- Seq("region", "nation"))
-        Tables.load(spark, Sf01, t)
-          .write.mode("overwrite").parquet(s"${d.getPath}/$t.parquet")
-      d.getPath
     })
   }
 }

@@ -53,4 +53,21 @@ object Tables {
   /** Register every table as a temp view (used by SQL-entry tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Round-robin spread of a SMALL scan whose expensive per-row
+    * expression pipeline would otherwise run inside a single-task scan
+    * stage. The fixture tables are single-file, SINGLE-ROW-GROUP parquet
+    * (measured round 13), so `spark.sql.files.maxPartitionBytes` cannot
+    * split them — a CPU-heavy fused pipeline (shingle hashing, gram
+    * contributions, JL dot products) then serializes on one core while
+    * the other 31 idle. The spread only fires when the scan has FEWER
+    * partitions than the session's parallelism — at production scale the
+    * scan partition count exceeds the cap and the frame passes through
+    * untouched, so no 100 TB corpus is ever round-robin-shuffled by
+    * this. Row order is not semantics for any caller (every head
+    * aggregates and/or sorts its output). */
+  def spread(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= cap) df else df.repartition(cap)
+  }
 }

@@ -501,6 +501,12 @@ object Analytics {
       when($"v".isNotNull, $"v").otherwise(
         $"prev_v" + ($"next_v" - $"prev_v") * ($"midx" - $"prev_idx") /
           ($"next_idx" - $"prev_idx")).as("interpolated"))
+      // cut BEFORE the final sort: a global orderBy's range exchange
+      // samples bounds by RE-EXECUTING its child, so the whole
+      // spine-join + double-window chain ran twice (round-13 profile:
+      // two back-to-back ~2 s single-chain jobs); the cut makes the
+      // sample pass read materialized blocks instead
+      .lineageCut(true)
       .orderBy($"custkey", $"month")
   }
 

@@ -183,8 +183,10 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     // one-pass native signature (TextExprs.TriGramMinHash) — the HOF
     // formulation re-evaluates the shingle array per hash after projection
-    // collapse; the native call is a single text scan per row
-    val sig = docs.select($"doc_id",
+    // collapse; the native call is a single text scan per row.
+    // spread: the signature pipeline otherwise fuses into a single-task
+    // single-row-group scan (Tables.spread)
+    val sig = Tables.spread(docs).select($"doc_id",
       TextFunctions.trigramMinhash($"text", numHashes).as("sig"))
     // band value = hash of the band's slice of the signature; sig is
     // consumed here, so only (doc_id, band, band_hash) survives
@@ -223,7 +225,7 @@ object Dedup {
     import history.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val numBands = numHashes / rowsPerBand
-    def banded(docs: DataFrame, idAs: String) = docs.select(
+    def banded(docs: DataFrame, idAs: String) = Tables.spread(docs).select(
         col("doc_id").as(idAs),
         TextFunctions.trigramMinhash($"text", numHashes).as("sig"))
       .select(col(idAs),
@@ -247,7 +249,8 @@ object Dedup {
     * candidate set, not bands x corpus. */
   def minhashCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val hs = docs.select($"doc_id", TextFunctions.trigramHashes($"text").as("hs"))
+    val hs = Tables.spread(docs)
+      .select($"doc_id", TextFunctions.trigramHashes($"text").as("hs"))
     minhashCandidateIds(docs, numHashes, rowsPerBand)
       .join(hs.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
       .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
@@ -417,7 +420,7 @@ object Dedup {
       concat_ws(" ",
         slice(w, lit(1), greatest(size(w) - TruncateWords, lit(3))))
         .as("text"))
-    val hs = history.unionByName(newBatch)
+    val hs = Tables.spread(history.unionByName(newBatch))
       .select($"doc_id", TextFunctions.trigramHashes($"text").as("hs"))
     incrementalMinhashCandidateIds(history, newBatch,
         numHashes = 16, rowsPerBand = 2)
@@ -854,7 +857,7 @@ object Dedup {
     // spelling here would hit the CollapseProject HOF-recompute trap:
     // `shingles(trunc)` inlines the split+slice+concat chain into every
     // lambda element — O(len²) per doc, 30s+ at sf0.1.
-    val exact = docs
+    val exact = Tables.spread(docs)
       .select($"doc_id",
         jaccard(TextFunctions.trigramHashes($"text"),
           TextFunctions.trigramHashes(trunc)).as("jaccard"))
@@ -1279,7 +1282,7 @@ object Dedup {
 
   private def containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.spread(Tables.documents(s, dir))
       .select($"doc_id", explode(shingles($"text")).as("gram"))
       .select($"doc_id", TextFunctions.md5Lower64($"gram").as("g"))
       .distinct()

@@ -495,7 +495,7 @@ object Similarity {
       transform(sequence(i, size($"q") - 1), j =>
         struct(i.as("i"), j.as("j"),
           (element_at($"q", i + 1) * element_at($"q", j + 1)).as("p")))))
-    Tables.embeddings(s, dir)
+    Tables.spread(Tables.embeddings(s, dir))
       .select(q.as("q"))
       .select(explode(pairs).as("c"))
       .groupBy($"c.i".cast("long").as("i"), $"c.j".cast("long").as("j"))
@@ -547,7 +547,7 @@ object Similarity {
   private def jlProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dims = s.range(1, JlOutDims + 1).select($"id".cast("int").as("j"))
-    Tables.embeddings(s, dir)
+    Tables.spread(Tables.embeddings(s, dir))
       .select($"vec_id", $"embedding",
         VectorFunctions.int8QuantStats($"embedding").as("q"))
       .select($"vec_id",

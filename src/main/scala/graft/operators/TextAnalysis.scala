@@ -669,7 +669,9 @@ object TextAnalysis {
 
   private def winnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    winnowFingerprints(Tables.documents(s, dir))
+    // spread: the gram/hash/min-window pipeline fuses into the documents
+    // scan, which is single-row-group parquet — one task without it
+    winnowFingerprints(Tables.spread(Tables.documents(s, dir)))
       .orderBy($"doc_id", $"pos")
   }
 
@@ -693,7 +695,7 @@ object TextAnalysis {
 
   private def winnowMatches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    winnowFingerprints(Tables.documents(s, dir))
+    winnowFingerprints(Tables.spread(Tables.documents(s, dir)))
       .select($"doc_id", $"fp").distinct()
       .groupBy($"fp")
       .agg(sort_array(collect_set($"doc_id")).as("docs"))
