@@ -43,6 +43,19 @@ object BenchRegression {
     * at 6s is a plan regression. */
   val CatRatioGate = 3.0
   val CatAbsGateS = 2.0
+  /** The gate's reference is the median of the last N PRIOR lines, not
+    * all history: round 12 switched sampling from back-to-back (whose
+    * min-of-2 included a warm JIT/page-cache sample) to pass-interleaved
+    * (both samples cold, ~20 min apart), a one-time level shift the
+    * round-12 verdict asked the medians to re-anchor on — but 23 of the
+    * 28 committed lines predate the switch, so an all-history median
+    * would keep gating cold samples against warm-era baselines for
+    * ~20 more rounds (q_label_prop: all-history median 3.27 s vs 6.9 s
+    * across the five interleaved-era lines, same code). Seven lines is
+    * wide enough that one noisy round cannot shift the median and
+    * narrow enough to track the current methodology; a genuine plan
+    * regression fires exactly as before, against current-method walls. */
+  val WindowLines = 7
 
   /** Extract one `"key":{...}` flat map from a bench JSON line without
     * a JSON library: Bench writes query names as plain quoted strings
@@ -85,10 +98,12 @@ object BenchRegression {
     * blowup landing in the split's first rounds is not invisible
     * (round-11 advisor note). The gate migrates fully to the split as
     * data-wall history accumulates. */
-  def check(history: Seq[Map[String, Double]],
+  def check(history0: Seq[Map[String, Double]],
       fresh: Map[String, Double],
-      historyData: Seq[Map[String, Double]] = Nil,
+      historyData0: Seq[Map[String, Double]] = Nil,
       freshData: Map[String, Double] = Map.empty): Map[String, (Double, Double)] = {
+    val history = history0.takeRight(WindowLines)
+    val historyData = historyData0.takeRight(WindowLines)
     def gate(name: String, w: Double, prior: Seq[Double]) =
       if (prior.size >= 2) {
         val med = median(prior)

@@ -302,6 +302,10 @@ object Graph {
     * `u`, `v`; self-loops rejected, duplicates and orientation
     * normalized away). Returns (node, n_tri) for every node, zeros
     * included. */
+  /** Node ceiling for triangle counting's broadcast regime — see the
+    * A/B note at the switch site. */
+  val TriangleBroadcastNodeLimit = 5000000L
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     // LAZY cut on the normalized pair frame: deg's eager cut below is
@@ -320,9 +324,22 @@ object Graph {
     val deg = pairs.select($"u".as("node")).unionAll(pairs.select($"v"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
       .lineageCut(true)
+    // Size switch for the node-keyed joins, with triangle counting's OWN
+    // ceiling, not the iterative family's 100k: here the alternative to
+    // a broadcast is shuffling the EDGE-scale oriented frame twice plus
+    // the adjacency arrays — A/B'd on the 10x scaling fixture (~200k
+    // nodes, 3.7M edges): broadcast 117 s, shuffled-hash 203 s. A
+    // (node, sorted-neighbor-list) frame is O(m) values bounded by the
+    // orientation at O(√m) per list, so broadcast stays the right plan
+    // until the adjacency frame itself nears the broadcast cap —
+    // switch only past ~5M nodes (several hundred MB framed), where the
+    // 8 GB relation cap and per-executor memory genuinely bind.
+    val bcast = deg.count() <= TriangleBroadcastNodeLimit
+    def side(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
     val oriented = pairs
-      .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
-      .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
+      .join(side(deg.select($"node".as("u"), $"d".as("du"))), "u")
+      .join(side(deg.select($"node".as("v"), $"d".as("dv"))), "v")
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
           .otherwise($"v").as("src"),
@@ -351,8 +368,8 @@ object Graph {
     // consume it — re-running the broadcast joins + intersects three
     // times costs more than the triangle-volume materialization.
     val closed = oriented
-      .join(broadcast(adj.select($"src", $"nbrs".as("nbrs_u"))), Seq("src"))
-      .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nbrs_v"))),
+      .join(side(adj.select($"src", $"nbrs".as("nbrs_u"))), Seq("src"))
+      .join(side(adj.select($"src".as("dst"), $"nbrs".as("nbrs_v"))),
         Seq("dst"))
       .select($"src".as("a"), $"dst".as("b"),
         array_intersect($"nbrs_u", $"nbrs_v").as("cs"))
